@@ -1,0 +1,26 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh (no TPU needed) so sharding paths
+compile and execute everywhere; the driver separately validates multi-chip
+via __graft_entry__.dryrun_multichip.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pytest  # noqa: E402
+
+
+REFERENCE_DIR = "/root/reference"
+
+
+def has_reference() -> bool:
+    return os.path.isdir(os.path.join(REFERENCE_DIR, "gguf-py"))
+
+
+requires_reference = pytest.mark.skipif(
+    not has_reference(), reason="reference gguf-py oracle not available"
+)

@@ -1,0 +1,125 @@
+"""Quant codec tests.
+
+Mirrors the reference's test strategy (tests/test-quantize-fns.cpp):
+  * round-trip RMSE gates on synthetic cos data (same metric: sqrt(sse)/n)
+  * byte-layout conformance: our quantize -> ORACLE dequantize == our dequantize
+  * byte-exactness vs oracle quantizers where the oracle implements them
+"""
+import numpy as np
+import pytest
+
+from llama_cpp_test_tpu.gguf.constants import GGML_BLOCK_SIZES, GGMLType
+from llama_cpp_test_tpu.quant import codecs
+
+from conftest import requires_reference
+
+# gates from reference tests/test-quantize-fns.cpp:17-22 (metric: sqrt(sse)/n)
+TOTAL_ERROR_GATES = {
+    GGMLType.Q4_0: 0.002,
+    GGMLType.Q4_1: 0.002,
+    GGMLType.Q5_0: 0.002,
+    GGMLType.Q5_1: 0.002,
+    GGMLType.Q8_0: 0.002,
+    GGMLType.Q2_K: 0.0075,
+    GGMLType.Q3_K: 0.0040,
+    GGMLType.Q4_K: 0.002,
+    GGMLType.Q5_K: 0.002,
+    GGMLType.Q6_K: 0.002,
+    GGMLType.IQ4_NL: 0.002,
+    GGMLType.IQ4_XS: 0.002,
+    GGMLType.TQ1_0: 0.01,
+    GGMLType.TQ2_0: 0.01,
+}
+
+TEST_SIZE = 32 * 128
+
+
+def gen_data(offset=0.0, n=TEST_SIZE):
+    # same synthetic signal as the reference's generate_data()
+    return (0.1 + 2 * np.cos(np.arange(n) + offset)).astype(np.float32)
+
+
+def ref_rmse(a, b):
+    return float(np.sqrt(((a - b) ** 2).sum()) / a.size)
+
+
+@pytest.mark.parametrize("qtype", sorted(TOTAL_ERROR_GATES, key=int), ids=lambda t: t.name)
+def test_round_trip_error(qtype):
+    x = gen_data().reshape(1, -1)
+    raw = codecs.quantize(x, qtype)
+    y = codecs.dequantize(raw, qtype).reshape(1, -1)
+    err = ref_rmse(x, y)
+    assert err < TOTAL_ERROR_GATES[qtype], f"{qtype.name}: rmse {err}"
+
+
+@requires_reference
+@pytest.mark.parametrize("qtype", sorted(TOTAL_ERROR_GATES, key=int), ids=lambda t: t.name)
+def test_layout_conformance_vs_oracle(qtype):
+    """Our packed bytes must dequantize identically through the oracle."""
+    from oracle import oracle_dequantize
+
+    rng = np.random.default_rng(42)
+    x = rng.standard_normal((4, 512), dtype=np.float32)
+    raw = codecs.quantize(x, qtype)
+    ours = codecs.dequantize(raw, qtype).reshape(4, 512)
+    theirs = oracle_dequantize(raw.reshape(4, -1), qtype.name).reshape(4, 512)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+@requires_reference
+@pytest.mark.parametrize(
+    "qtype",
+    [GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1, GGMLType.Q8_0,
+     GGMLType.TQ1_0, GGMLType.TQ2_0],
+    ids=lambda t: t.name,
+)
+def test_byte_exact_vs_oracle_quantizer(qtype):
+    from oracle import oracle_quantize
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((8, 256), dtype=np.float32)
+    ours = codecs.quantize(x, qtype).reshape(8, -1)
+    theirs = oracle_quantize(x, qtype.name).reshape(8, -1)
+    np.testing.assert_array_equal(ours, theirs)
+
+
+@requires_reference
+@pytest.mark.parametrize(
+    "qtype",
+    [GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ2_S, GGMLType.IQ3_XXS,
+     GGMLType.IQ3_S, GGMLType.IQ1_S, GGMLType.IQ1_M],
+    ids=lambda t: t.name,
+)
+def test_iq_dequantize_vs_oracle(qtype):
+    """i-quant dequantizers decode random packed blocks exactly like the oracle."""
+    from oracle import oracle_dequantize
+
+    rng = np.random.default_rng(3)
+    blk, nbytes = GGML_BLOCK_SIZES[qtype]
+    raw = rng.integers(0, 256, size=(4, 2 * nbytes), dtype=np.uint8)
+    # keep fp16 scales finite: clear exponent-ish top bits of d where it lives
+    ours = codecs.dequantize(raw, qtype).reshape(4, -1)
+    theirs = oracle_dequantize(raw, qtype.name).reshape(4, -1)
+    mask = np.isfinite(theirs)
+    assert mask.any()
+    np.testing.assert_allclose(ours[mask], theirs[mask], rtol=1e-4, atol=1e-5)
+
+
+def test_block_sizes_match_oracle_table():
+    """Our (block, bytes) table vs the oracle's GGML_QUANT_SIZES."""
+    pytest.importorskip("os")
+    try:
+        from oracle import load
+    except Exception:
+        pytest.skip("no oracle")
+    _, constants = load()
+    for t, (blk, nbytes) in GGML_BLOCK_SIZES.items():
+        if t == GGMLType.Q8_1:
+            # dot-product intermediate, never stored in GGUF; gguf-py's table
+            # predates the fp16-d/s struct (ggml-common.h:210-221) and says 40
+            continue
+        ref = constants.GGML_QUANT_SIZES.get(
+            getattr(constants.GGMLQuantizationType, t.name, None)
+        )
+        if ref is not None:
+            assert (blk, nbytes) == ref, f"{t.name}: {(blk, nbytes)} != {ref}"
