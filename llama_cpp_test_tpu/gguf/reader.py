@@ -200,11 +200,18 @@ class GGUFReader:
         raw = self.tensor_bytes(name)
         flat = codecs.dequantize(raw, info.ggml_type)
         npshape = tuple(reversed(info.shape))
-        return flat.reshape(npshape).astype(dtype, copy=False)
+        out = flat.reshape(npshape).astype(dtype, copy=False)
+        # copy so no view pins the mmap open (zero-copy path: tensor_bytes)
+        return out.copy() if out.base is not None else out
 
     def close(self) -> None:
-        self._buf.release()
-        self._mm.close()
+        try:
+            self._buf.release()
+            self._mm.close()
+        except BufferError:
+            # outstanding zero-copy views (tensor_bytes) still pin the mmap;
+            # the OS mapping is released when they are garbage-collected
+            pass
         self._file.close()
 
     def __enter__(self):

@@ -1,0 +1,106 @@
+"""Model hyperparameters parsed from GGUF metadata.
+
+Mirrors the reference's llama-hparams.h + llama-model.cpp load_hparams,
+including RoPE scaling (linear/YaRN) and GQA/MoE fields.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class HParams:
+    """Frozen (hashable) so it can ride through jit as a static argument."""
+    arch: str = "llama"
+    n_vocab: int = 32000
+    n_ctx_train: int = 2048
+    n_embd: int = 4096
+    n_layer: int = 32
+    n_head: int = 32
+    n_head_kv: int = 32
+    n_ff: int = 11008
+    head_dim: int = 128  # attention.key_length (n_embd/n_head unless set)
+    rms_eps: float = 1e-5
+    rope_dim: int = 128
+    rope_freq_base: float = 10000.0
+    rope_scaling: str = "none"  # none | linear | yarn | longrope
+    rope_scale_factor: float = 1.0
+    rope_orig_ctx: int = 0
+    rope_attn_factor: float = 1.0
+    yarn_beta_fast: float = 32.0
+    yarn_beta_slow: float = 1.0
+    yarn_low_freq_factor: float = 1.0
+    yarn_high_freq_factor: float = 4.0
+    # MoE
+    n_expert: int = 0
+    n_expert_used: int = 0
+    n_ff_exp: int = 0
+    # misc
+    sliding_window: int = 0
+    tie_embeddings: bool = False
+    # GGUF rope convention: 'norm' (interleaved pairs — llama/mistral/mixtral,
+    # reference llama-model.cpp:11818) or 'neox' (half-split — qwen2 etc.,
+    # :11846). NORM-layout Q/K rows are un-permuted at load so device compute
+    # always runs the lane-friendly half-split rotation (models/llama.py).
+    rope_type: str = "norm"
+
+    @property
+    def n_embd_head(self) -> int:
+        return self.head_dim
+
+    @property
+    def n_gqa(self) -> int:
+        return self.n_head // max(self.n_head_kv, 1)
+
+
+def hparams_from_metadata(md: dict) -> HParams:
+    arch = md.get("general.architecture", "llama")
+
+    def g(suffix, default):
+        v = md.get(f"{arch}.{suffix}", default)
+        if isinstance(default, float):
+            return float(v)
+        if isinstance(default, bool):
+            return bool(v)
+        if isinstance(default, int):
+            return int(v)
+        return v
+
+    n_embd = g("embedding_length", 4096)
+    n_head = g("attention.head_count", 32)
+    head_dim = g("attention.key_length", n_embd // max(n_head, 1))
+    n_vocab = g("vocab_size", 0)
+    if not n_vocab:
+        toks = md.get("tokenizer.ggml.tokens")
+        n_vocab = len(toks) if toks is not None else 32000
+    scaling = str(md.get(f"{arch}.rope.scaling.type", "none") or "none")
+    neox_arches = {"falcon", "grok", "dbrx", "bert", "nomic-bert", "stablelm",
+                   "bitnet", "qwen", "qwen2", "qwen2moe", "olmo2", "olmoe",
+                   "phi2", "phi3", "phimoe", "gemma", "gemma2", "gemma3",
+                   "starcoder2", "openelm", "gptneox", "codeshell", "nemotron",
+                   "exaone", "minicpm3"}
+    rope_type = "neox" if arch in neox_arches else "norm"
+    hp = HParams(
+        arch=arch,
+        n_vocab=n_vocab,
+        n_ctx_train=g("context_length", 2048),
+        n_embd=n_embd,
+        n_layer=g("block_count", 32),
+        n_head=n_head,
+        n_head_kv=g("attention.head_count_kv", n_head),
+        n_ff=g("feed_forward_length", 11008),
+        head_dim=head_dim,
+        rms_eps=g("attention.layer_norm_rms_epsilon", 1e-5),
+        rope_dim=g("rope.dimension_count", head_dim),
+        rope_freq_base=g("rope.freq_base", 10000.0),
+        rope_scaling=scaling,
+        rope_scale_factor=g("rope.scaling.factor", 1.0),
+        rope_orig_ctx=g("rope.scaling.original_context_length", 0),
+        rope_attn_factor=g("rope.scaling.attn_factor", 1.0),
+        n_expert=g("expert_count", 0),
+        n_expert_used=g("expert_used_count", 0),
+        n_ff_exp=g("expert_feed_forward_length", 0),
+        sliding_window=g("attention.sliding_window", 0),
+        rope_type=rope_type,
+    )
+    return hp

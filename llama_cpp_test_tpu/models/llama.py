@@ -1,0 +1,307 @@
+"""LLaMA-family model: GGUF weight loading + functional forward pass.
+
+The TPU-native analogue of the reference's llm_build_llama graph builder
+(/root/reference/src/llama-model.cpp:4037-4198): per layer
+RMSNorm -> QKV -> RoPE -> paged attention -> residual -> RMSNorm ->
+SwiGLU FFN (or MoE, build_moe_ffn analogue) -> residual; final norm + lm head.
+
+Instead of building a ggml graph that a scheduler walks, the whole step is one
+jitted function over a pytree of QTensors (packed quantized planes that the
+fused Pallas dequant-matmul kernels consume directly from HBM).
+
+Covers the BASELINE model families: TinyLlama/Llama-2/Llama-3 (dense) and
+Mixtral (MoE via ffn_gate_inp routing, the GGML_OP_MUL_MAT_ID analogue).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.constants import GGMLType
+from ..gguf.reader import GGUFReader
+from ..ops import layers
+from ..ops.qmatmul import qgather, qmm, qmm_xla
+from ..quant.repack import QTensor, repack
+from .hparams import HParams, hparams_from_metadata
+
+
+def _use_pallas() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def linear(x: jax.Array, qt: QTensor, out_dtype=jnp.float32) -> jax.Array:
+    """Dispatch: fused Pallas dequant-matmul on TPU, XLA fallback elsewhere."""
+    if _use_pallas():
+        return qmm(x, qt, out_dtype=out_dtype)
+    return qmm_xla(x, qt, out_dtype=out_dtype)
+
+
+@dataclasses.dataclass
+class LayerWeights:
+    attn_norm: jax.Array
+    wq: QTensor
+    wk: QTensor
+    wv: QTensor
+    wo: QTensor
+    ffn_norm: jax.Array
+    # dense FFN
+    w_gate: QTensor | None = None
+    w_up: QTensor | None = None
+    w_down: QTensor | None = None
+    # MoE
+    gate_inp: QTensor | None = None            # router [n_expert, n_embd]
+    gate_exps: QTensor | None = None           # stacked [E] QTensor planes
+    up_exps: QTensor | None = None
+    down_exps: QTensor | None = None
+    # optional biases (qwen-style; None for llama family)
+    bq: jax.Array | None = None
+    bk: jax.Array | None = None
+    bv: jax.Array | None = None
+
+
+@dataclasses.dataclass
+class LlamaWeights:
+    tok_embd: QTensor
+    output_norm: jax.Array
+    output: QTensor          # lm head (may be tok_embd when tied)
+    layers: list[LayerWeights]
+    rope_inv_freq: jax.Array
+    rope_mscale: float
+
+
+for _cls in (LayerWeights, LlamaWeights):
+    jax.tree_util.register_dataclass(
+        _cls,
+        data_fields=[f.name for f in dataclasses.fields(_cls)
+                     if f.name not in ("rope_mscale",)],
+        meta_fields=["rope_mscale"] if _cls is LlamaWeights else [],
+    )
+
+
+# ---------------------------------------------------------------------------
+# loading
+
+
+def _repack_2d(reader: GGUFReader, name: str,
+               row_perm: np.ndarray | None = None) -> QTensor:
+    info = reader.tensors[name]
+    # ggml ne = (K, N): ne[0] is the contraction dim (row length)
+    k, n = info.shape[0], info.shape[1] if len(info.shape) > 1 else 1
+    raw = reader.tensor_bytes(name)
+    if row_perm is not None:
+        # block quantization is per-row (k % block == 0), so permuting output
+        # rows is a pure byte-row shuffle of the packed data
+        row_bytes = raw.size // n
+        raw = np.ascontiguousarray(raw.reshape(n, row_bytes)[row_perm])
+    return repack(raw, info.ggml_type, n, k)
+
+
+def _unpermute_rows(n_head: int, head_dim: int) -> np.ndarray:
+    """Inverse of convert_hf_to_gguf.py:1657's permute: GGUF NORM-layout
+    Q/K rows -> HF half-split layout, so half-split (NEOX) rope applies.
+    out_row[h*d + j]       = in_row[h*d + 2j]
+    out_row[h*d + d/2 + j] = in_row[h*d + 2j + 1]
+    """
+    d = head_dim
+    idx = np.empty(n_head * d, np.int64)
+    for h in range(n_head):
+        base = h * d
+        idx[base:base + d // 2] = base + 2 * np.arange(d // 2)
+        idx[base + d // 2:base + d] = base + 2 * np.arange(d // 2) + 1
+    return idx
+
+
+def _repack_3d(reader: GGUFReader, name: str) -> QTensor:
+    """Expert-stacked tensor, ggml ne = (K, N, E) -> planes stacked on axis 0
+    of shape [E, ...]. Stored as one QTensor whose arrays have a leading E dim."""
+    info = reader.tensors[name]
+    k, n, e = info.shape
+    raw = reader.tensor_bytes(name)
+    per = raw.size // e
+    qts = [repack(raw[i * per:(i + 1) * per], info.ggml_type, n, k) for i in range(e)]
+    q0 = qts[0]
+    stack = lambda xs: None if xs[0] is None else np.stack(xs)
+    return QTensor(
+        q0.kind, q0.shape, q0.n_orig, q0.group,
+        stack([q.qs for q in qts]),
+        stack([q.scale for q in qts]),
+        stack([q.min_ for q in qts]),
+        q0.lut,
+        q0.ggml_type,
+    )
+
+
+def _f32(reader: GGUFReader, name: str) -> np.ndarray:
+    return reader.dequantize(name, np.float32)
+
+
+def load_weights(reader: GGUFReader, hp: HParams | None = None) -> tuple[HParams, LlamaWeights]:
+    """Load + repack all tensors for a llama-family GGUF."""
+    if hp is None:
+        hp = hparams_from_metadata(reader.metadata)
+    t = reader.tensors
+
+    q_perm = k_perm = None
+    if hp.rope_type == "norm":
+        q_perm = _unpermute_rows(hp.n_head, hp.head_dim)
+        k_perm = _unpermute_rows(hp.n_head_kv, hp.head_dim)
+
+    def layer(i: int) -> LayerWeights:
+        p = f"blk.{i}."
+        lw = LayerWeights(
+            attn_norm=_f32(reader, p + "attn_norm.weight"),
+            wq=_repack_2d(reader, p + "attn_q.weight", q_perm),
+            wk=_repack_2d(reader, p + "attn_k.weight", k_perm),
+            wv=_repack_2d(reader, p + "attn_v.weight"),
+            wo=_repack_2d(reader, p + "attn_output.weight"),
+            ffn_norm=_f32(reader, p + "ffn_norm.weight"),
+        )
+        if p + "ffn_gate_inp.weight" in t:  # MoE (Mixtral)
+            lw.gate_inp = _repack_2d(reader, p + "ffn_gate_inp.weight")
+            lw.gate_exps = _repack_3d(reader, p + "ffn_gate_exps.weight")
+            lw.up_exps = _repack_3d(reader, p + "ffn_up_exps.weight")
+            lw.down_exps = _repack_3d(reader, p + "ffn_down_exps.weight")
+        else:
+            lw.w_gate = _repack_2d(reader, p + "ffn_gate.weight")
+            lw.w_up = _repack_2d(reader, p + "ffn_up.weight")
+            lw.w_down = _repack_2d(reader, p + "ffn_down.weight")
+        for bname, attr, perm in (("attn_q.bias", "bq", q_perm),
+                                  ("attn_k.bias", "bk", k_perm),
+                                  ("attn_v.bias", "bv", None)):
+            if p + bname in t:
+                bias = _f32(reader, p + bname)
+                setattr(lw, attr, bias[perm] if perm is not None else bias)
+        return lw
+
+    tok_embd = _repack_2d(reader, "token_embd.weight")
+    output = (_repack_2d(reader, "output.weight") if "output.weight" in t
+              else tok_embd)
+    inv_freq, mscale = layers.rope_freqs(hp)
+    w = LlamaWeights(
+        tok_embd=tok_embd,
+        output_norm=_f32(reader, "output_norm.weight"),
+        output=output,
+        layers=[layer(i) for i in range(hp.n_layer)],
+        rope_inv_freq=np.asarray(inv_freq),
+        rope_mscale=float(mscale),
+    )
+    return hp, w
+
+
+def device_put_weights(w: LlamaWeights, shardings: Any | None = None) -> LlamaWeights:
+    """Move all weights to device. `shardings` may be a pytree-prefix of
+    jax.sharding.Sharding (see parallel/), or None for single-device."""
+    if shardings is None:
+        def put(x):
+            if isinstance(x, QTensor):
+                return x.device_put()
+            if isinstance(x, np.ndarray):
+                return jnp.asarray(x)
+            return x
+        return jax.tree_util.tree_map(
+            put, w, is_leaf=lambda x: isinstance(x, QTensor))
+    return jax.device_put(w, shardings)
+
+
+# ---------------------------------------------------------------------------
+# forward
+
+
+def moe_ffn(x: jax.Array, lw: LayerWeights, hp: HParams) -> jax.Array:
+    """Mixtral-style top-k expert routing (build_moe_ffn analogue,
+    reference src/llama-graph.cpp build_moe_ffn + GGML_OP_MUL_MAT_ID).
+
+    Dense-per-expert compute with a routing-weight mask: every expert runs as
+    a regular fused qmatmul over all tokens and results are combined with the
+    (mostly zero) routing weights. On TPU this keeps the MXU busy with big
+    static-shape matmuls; a ragged gather path can replace it later.
+    """
+    b, tdim = x.shape[0], x.shape[1]
+    xf = x.reshape(-1, x.shape[-1])
+    router = linear(xf, lw.gate_inp)                      # [M, E]
+    probs = jax.nn.softmax(router, axis=-1)
+    topv, topi = jax.lax.top_k(probs, hp.n_expert_used)   # [M, k]
+    # normalize selected weights (norm_topk_prob default true for mixtral)
+    topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    weight = jnp.zeros_like(probs).at[
+        jnp.arange(probs.shape[0])[:, None], topi].set(topv)  # [M, E]
+    e = hp.n_expert
+    out = jnp.zeros((xf.shape[0], hp.n_embd), jnp.float32)
+    for ei in range(e):
+        gate_e = _expert_slice(lw.gate_exps, ei)
+        up_e = _expert_slice(lw.up_exps, ei)
+        down_e = _expert_slice(lw.down_exps, ei)
+        g = linear(xf, gate_e)
+        u = linear(xf, up_e)
+        h = layers.swiglu(g, u)
+        y = linear(h, down_e)
+        out = out + y * weight[:, ei:ei + 1]
+    return out.reshape(b, tdim, hp.n_embd)
+
+
+def _expert_slice(qt: QTensor, ei: int) -> QTensor:
+    return QTensor(
+        qt.kind, qt.shape, qt.n_orig, qt.group,
+        qt.qs[ei],
+        None if qt.scale is None else qt.scale[ei],
+        None if qt.min_ is None else qt.min_[ei],
+        qt.lut,
+        qt.ggml_type,
+    )
+
+
+def forward_layer(
+    x: jax.Array,               # [B, T, C] bf16
+    lw: LayerWeights,
+    hp: HParams,
+    positions: jax.Array,       # [B, T] int32
+    inv_freq: jax.Array,
+    mscale: float,
+    attend,                     # fn(q, k_cur, v_cur) -> [B,T,H,D]; writes KV
+) -> jax.Array:
+    b, tdim, c = x.shape
+    h, kvh, d = hp.n_head, hp.n_head_kv, hp.head_dim
+
+    cur = layers.rms_norm(x, lw.attn_norm, hp.rms_eps)
+    q = linear(cur, lw.wq, out_dtype=jnp.float32)
+    k = linear(cur, lw.wk, out_dtype=jnp.float32)
+    v = linear(cur, lw.wv, out_dtype=jnp.float32)
+    if lw.bq is not None:
+        q = q + lw.bq
+    if lw.bk is not None:
+        k = k + lw.bk
+    if lw.bv is not None:
+        v = v + lw.bv
+    q = q.reshape(b, tdim, h, d)
+    k = k.reshape(b, tdim, kvh, d)
+    v = v.reshape(b, tdim, kvh, d)
+    q = layers.apply_rope(q, positions, inv_freq, mscale)
+    k = layers.apply_rope(k, positions, inv_freq, mscale)
+    attn_out = attend(q.astype(jnp.bfloat16),
+                      k.astype(jnp.bfloat16),
+                      v.astype(jnp.bfloat16))
+    attn_out = attn_out.reshape(b, tdim, h * d)
+    x = x + linear(attn_out, lw.wo, out_dtype=jnp.float32).astype(x.dtype)
+
+    cur = layers.rms_norm(x, lw.ffn_norm, hp.rms_eps)
+    if lw.gate_inp is not None:
+        ffn = moe_ffn(cur, lw, hp)
+    else:
+        g = linear(cur, lw.w_gate)
+        u = linear(cur, lw.w_up)
+        ffn = linear(layers.swiglu(g, u), lw.w_down)
+    return x + ffn.astype(x.dtype)
+
+
+def embed(w: LlamaWeights, tokens: jax.Array) -> jax.Array:
+    return qgather(tokens, w.tok_embd, dtype=jnp.bfloat16)
+
+
+def lm_head(w: LlamaWeights, hp: HParams, x: jax.Array) -> jax.Array:
+    """Final norm + output projection -> f32 logits [.., n_vocab]."""
+    x = layers.rms_norm(x, w.output_norm, hp.rms_eps)
+    return linear(x, w.output, out_dtype=jnp.float32)

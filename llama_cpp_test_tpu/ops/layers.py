@@ -1,0 +1,115 @@
+"""Transformer building blocks (XLA ops): RMSNorm, RoPE (incl. YaRN/linear
+scaling), SwiGLU, attention over gathered KV.
+
+The analogue of the reference's llm_graph_context helpers (build_norm,
+build_ffn, build_attn_mha — llama-graph.h:413-468, llama-graph.cpp:1160-1240)
+as pure jnp functions. Hot paths get Pallas twins; these are the reference
+semantics and the CPU/test path.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..models.hparams import HParams
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+# -- RoPE --------------------------------------------------------------------
+
+
+def _yarn_ramp(low: float, high: float, dim: int) -> jax.Array:
+    i = jnp.arange(dim // 2, dtype=jnp.float32)
+    y = (i - low) / max(high - low, 1e-3)
+    return 1.0 - jnp.clip(y, 0.0, 1.0)
+
+
+def rope_freqs(hp: HParams) -> tuple[jax.Array, float]:
+    """Per-pair inverse frequencies (dim/2,) and magnitude scale (YaRN mscale).
+
+    Mirrors ggml_rope_ext's NEOX mode frequency computation with
+    linear / YaRN scaling (reference ggml-cpu.c rope + llama-hparams.h:85-90).
+    """
+    half = hp.rope_dim // 2
+    i = jnp.arange(half, dtype=jnp.float32)
+    inv_freq = hp.rope_freq_base ** (-2.0 * i / hp.rope_dim)
+    mscale = 1.0
+    scaling = (hp.rope_scaling or "none").lower()
+    factor = hp.rope_scale_factor or 1.0
+    if scaling == "linear" and factor != 1.0:
+        inv_freq = inv_freq / factor
+    elif scaling == "yarn" and factor != 1.0:
+        orig = hp.rope_orig_ctx or hp.n_ctx_train
+        lo_rot = hp.yarn_beta_fast
+        hi_rot = hp.yarn_beta_slow
+        # dims rotating less than beta_fast/slow full cycles over orig ctx
+        def corr_dim(n_rot):
+            return (hp.rope_dim * math.log(orig / (n_rot * 2 * math.pi))
+                    / (2 * math.log(hp.rope_freq_base)))
+        low = max(0.0, math.floor(corr_dim(lo_rot)))
+        high = min(half - 1.0, math.ceil(corr_dim(hi_rot)))
+        ramp = _yarn_ramp(low, high, hp.rope_dim)
+        inv_freq_interp = inv_freq / factor
+        inv_freq = inv_freq_interp * (1 - ramp) + inv_freq * ramp
+        mscale = float(hp.rope_attn_factor) * (1.0 + 0.1 * math.log(factor))
+    return inv_freq, mscale
+
+
+def apply_rope(x: jax.Array, positions: jax.Array, inv_freq: jax.Array,
+               mscale: float = 1.0) -> jax.Array:
+    """NEOX-style rotary embedding.
+
+    x: [..., T, H, D]; positions: [..., T]. Rotates pairs (i, i+D/2) —
+    the GGML_ROPE_TYPE_NEOX convention used by llama-family models.
+    """
+    d = x.shape[-1]
+    half = d // 2
+    theta = positions[..., None].astype(jnp.float32) * inv_freq  # [..., T, half]
+    cos = (jnp.cos(theta) * mscale)[..., None, :]  # [..., T, 1, half]
+    sin = (jnp.sin(theta) * mscale)[..., None, :]
+    x1 = x[..., :half].astype(jnp.float32)
+    x2 = x[..., half:].astype(jnp.float32)
+    o1 = x1 * cos - x2 * sin
+    o2 = x2 * cos + x1 * sin
+    return jnp.concatenate([o1, o2], axis=-1).astype(x.dtype)
+
+
+def swiglu(gate: jax.Array, up: jax.Array) -> jax.Array:
+    g = gate.astype(jnp.float32)
+    return (jax.nn.silu(g) * up.astype(jnp.float32)).astype(gate.dtype)
+
+
+def attention(q: jax.Array, k: jax.Array, v: jax.Array, mask: jax.Array,
+              scale: float | None = None, softcap: float = 0.0) -> jax.Array:
+    """Masked multi-head attention with GQA broadcast.
+
+    q: [B, T, H, D]; k/v: [B, S, KV, D]; mask: [B, T, S] bool (True = attend).
+    Returns [B, T, H, D].
+    """
+    b, t, h, d = q.shape
+    s = k.shape[1]
+    kv = k.shape[2]
+    rep = h // kv
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    qf = q.astype(jnp.float32).reshape(b, t, kv, rep, d)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    logits = jnp.einsum("btgrd,bsgd->bgrts", qf, kf) * scale
+    if softcap > 0:
+        logits = jnp.tanh(logits / softcap) * softcap
+    neg = jnp.finfo(jnp.float32).min
+    logits = jnp.where(mask[:, None, None, :, :], logits, neg)
+    p = jax.nn.softmax(logits, axis=-1)
+    # rows where nothing is attendable produce NaN-free zeros
+    p = jnp.where(jnp.any(mask[:, None, None, :, :], axis=-1, keepdims=True), p, 0.0)
+    out = jnp.einsum("bgrts,bsgd->btgrd", p, vf)
+    return out.reshape(b, t, h, d).astype(q.dtype)

@@ -1,0 +1,268 @@
+"""Inference engine: jitted prefill/decode steps over the paged KV cache.
+
+The llama_context::decode analogue (reference src/llama-context.cpp:1155-1460)
+re-designed for XLA: instead of building a ggml graph per ubatch and running a
+backend scheduler, the engine jit-compiles a small set of bucketed step
+functions (token-count buckets stand in for the reference's worst-case graph
+reservation, llama-context.cpp:289-343) and feeds them device-resident
+weights, donated KV pools, and int32 block tables from the host-side
+BlockManager.
+
+  Model     — weights + hparams + compiled steps (llama_model analogue)
+  Context   — KV pools + block manager + per-sequence state (llama_context)
+  generate()— llama-cli style greedy/sampled loop
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+import time
+from typing import Any, Callable, Iterator, Sequence as Seq
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..gguf.reader import GGUFReader
+from ..models import llama as llama_mod
+from ..models.hparams import HParams, hparams_from_metadata
+from ..models.llama import LlamaWeights, device_put_weights, load_weights
+from ..tokenizer import load_tokenizer
+from . import kv_cache
+from .block_manager import BlockManager, SequenceBlockTable
+from .kv_cache import KVPools
+
+
+def _bucket(n: int, buckets: Seq[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+TOKEN_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+# ---------------------------------------------------------------------------
+# jitted step
+
+
+def _forward(w: LlamaWeights, pools: KVPools, tokens, positions, block_table,
+             slots, kv_len, *, hp: HParams, decode: bool):
+    """Shared forward: embeds, runs all layers (writing KV), final norm is NOT
+    applied (lm_head does it). Returns (hidden [B, T, C], pools)."""
+    x = llama_mod.embed(w, tokens)
+    scale = 1.0 / math.sqrt(hp.head_dim)
+    new_k, new_v = list(pools.k), list(pools.v)
+    for li, lw in enumerate(w.layers):
+        def attend(q, k_cur, v_cur, _li=li):
+            new_k[_li] = kv_cache.write_kv(new_k[_li], k_cur, slots)
+            new_v[_li] = kv_cache.write_kv(new_v[_li], v_cur, slots)
+            if decode:
+                return kv_cache.attend_decode(
+                    q, new_k[_li], new_v[_li], block_table, kv_len, scale,
+                    hp.sliding_window)
+            return kv_cache.attend_prefill(
+                q, new_k[_li], new_v[_li], block_table, positions, kv_len,
+                scale, hp.sliding_window)
+
+        x = llama_mod.forward_layer(
+            x, lw, hp, positions, w.rope_inv_freq, w.rope_mscale, attend)
+    return x, KVPools(new_k, new_v)
+
+
+@functools.partial(jax.jit, static_argnames=("hp",), donate_argnums=(1,))
+def _prefill_step(w: LlamaWeights, pools: KVPools, tokens, positions,
+                  block_table, slots, kv_len, last_ix, *, hp: HParams):
+    """Prefill a chunk; logits only for last_ix (out_ids row-gather analogue,
+    reference llama-model.cpp:4110-4115). Returns (logits [B, V], pools)."""
+    x, pools = _forward(w, pools, tokens, positions, block_table, slots,
+                        kv_len, hp=hp, decode=False)
+    h_last = jnp.take_along_axis(x, last_ix[:, None, None], axis=1)[:, 0]
+    logits = llama_mod.lm_head(w, hp, h_last[:, None])[:, 0]
+    return logits, pools
+
+
+@functools.partial(jax.jit, static_argnames=("hp",), donate_argnums=(1,))
+def _prefill_all_logits_step(w: LlamaWeights, pools: KVPools, tokens,
+                             positions, block_table, slots, kv_len,
+                             *, hp: HParams):
+    """Prefill returning logits for every position (perplexity path)."""
+    x, pools = _forward(w, pools, tokens, positions, block_table, slots,
+                        kv_len, hp=hp, decode=False)
+    logits = llama_mod.lm_head(w, hp, x)
+    return logits, pools
+
+
+@functools.partial(jax.jit, static_argnames=("hp",), donate_argnums=(1,))
+def _decode_step(w: LlamaWeights, pools: KVPools, tokens, positions,
+                 block_table, slots, kv_len, *, hp: HParams):
+    """One token per sequence. tokens: [B, 1]. Returns (logits [B, V], pools)."""
+    x, pools = _forward(w, pools, tokens, positions, block_table, slots,
+                        kv_len, hp=hp, decode=True)
+    logits = llama_mod.lm_head(w, hp, x)[:, 0]
+    return logits, pools
+
+
+# ---------------------------------------------------------------------------
+
+
+class Model:
+    """Loaded weights + tokenizer (llama_model analogue)."""
+
+    def __init__(self, path: str, hp: HParams | None = None):
+        self.path = path
+        self.reader = GGUFReader(path)
+        self.hp, w = load_weights(self.reader, hp)
+        self.weights = device_put_weights(w)
+        try:
+            self.tokenizer = load_tokenizer(self.reader)
+        except Exception:
+            self.tokenizer = None
+
+    def n_vocab(self) -> int:
+        return self.hp.n_vocab
+
+
+@dataclasses.dataclass
+class SeqState:
+    """One sequence's host-side state (server slot analogue)."""
+    seq_id: int
+    tokens: list[int]
+    table: SequenceBlockTable
+    n_cached: int = 0  # tokens whose KV is in the pools
+
+
+class Context:
+    """KV pools + block manager + step dispatch (llama_context analogue)."""
+
+    def __init__(self, model: Model, n_ctx: int = 2048, n_seq_max: int = 8,
+                 block_size: int = 16, num_blocks: int | None = None):
+        self.model = model
+        hp = model.hp
+        self.n_ctx = n_ctx
+        self.block_size = block_size
+        if num_blocks is None:
+            num_blocks = max(n_seq_max * (n_ctx // block_size), 8)
+        self.num_blocks = num_blocks
+        self.pools = kv_cache.new_kv_pools(hp, num_blocks, block_size)
+        self.mgr = BlockManager(num_blocks)
+        self.seqs: dict[int, SeqState] = {}
+        self._next_id = 0
+        # block-table width bucket: full table for n_ctx
+        self.nbmax = n_ctx // block_size
+
+    # -- sequence management ------------------------------------------------
+
+    def new_seq(self) -> SeqState:
+        s = SeqState(self._next_id, [], SequenceBlockTable(self.mgr, self.block_size))
+        self._next_id += 1
+        self.seqs[s.seq_id] = s
+        return s
+
+    def free_seq(self, s: SeqState) -> None:
+        s.table.release()
+        self.seqs.pop(s.seq_id, None)
+
+    def fork_seq(self, s: SeqState) -> SeqState:
+        """COW fork (seq_cp analogue) for beam/parallel sampling."""
+        child = SeqState(self._next_id, list(s.tokens), s.table.fork(),
+                         s.n_cached)
+        self._next_id += 1
+        self.seqs[child.seq_id] = child
+        return child
+
+    def _table_arr(self, seqs: Seq[SeqState]) -> np.ndarray:
+        bt = np.zeros((len(seqs), self.nbmax), np.int32)
+        for i, s in enumerate(seqs):
+            blocks = s.table.blocks[: self.nbmax]
+            bt[i, : len(blocks)] = blocks
+        return bt
+
+    def _drain_copies(self, seqs: Seq[SeqState]) -> None:
+        copies = []
+        for s in seqs:
+            copies.extend(s.table.pending_copies)
+            s.table.pending_copies = []
+        if copies:
+            src = jnp.asarray([c[0] for c in copies], jnp.int32)
+            dst = jnp.asarray([c[1] for c in copies], jnp.int32)
+            self.pools = kv_cache.apply_copies(self.pools, src, dst)
+
+    # -- steps ----------------------------------------------------------------
+
+    def prefill(self, s: SeqState, tokens: list[int],
+                all_logits: bool = False) -> np.ndarray:
+        """Append tokens to the sequence and run prefill. Returns last-token
+        logits [V] (or [T, V] when all_logits)."""
+        hp = self.model.hp
+        t0 = s.n_cached
+        n = len(tokens)
+        if n == 0:
+            # empty ubatch is an error, matching llama_decode's -1
+            # (reference llama-context.cpp decode: n_tokens == 0 check)
+            raise ValueError("prefill: empty token list")
+        slots = s.table.append_tokens(n)
+        self._drain_copies([s])
+        tb = _bucket(n, TOKEN_BUCKETS)
+        tok = np.zeros((1, tb), np.int32)
+        tok[0, :n] = tokens
+        pos = np.zeros((1, tb), np.int32)
+        pos[0, :n] = np.arange(t0, t0 + n)
+        slot_arr = np.full((1, tb), -1, np.int32)
+        slot_arr[0, :n] = slots
+        bt = self._table_arr([s])
+        kv_len = np.asarray([t0 + n], np.int32)
+        s.tokens.extend(tokens)
+        s.n_cached += n
+        if all_logits:
+            logits, self.pools = _prefill_all_logits_step(
+                self.model.weights, self.pools, tok, pos, bt, slot_arr,
+                kv_len, hp=hp)
+            return np.asarray(logits[0, :n])
+        last_ix = np.asarray([n - 1], np.int32)
+        logits, self.pools = _prefill_step(
+            self.model.weights, self.pools, tok, pos, bt, slot_arr, kv_len,
+            last_ix, hp=hp)
+        return np.asarray(logits[0])
+
+    def decode(self, seqs: Seq[SeqState], tokens: Seq[int]) -> np.ndarray:
+        """One decode step for a batch of sequences. Returns logits [B, V]."""
+        hp = self.model.hp
+        b = len(seqs)
+        slot_list = []
+        for s, t in zip(seqs, tokens):
+            slot_list.append(s.table.append_tokens(1)[0])
+        self._drain_copies(seqs)
+        tok = np.asarray(tokens, np.int32).reshape(b, 1)
+        pos = np.asarray([s.n_cached for s in seqs], np.int32).reshape(b, 1)
+        slot_arr = np.asarray(slot_list, np.int32).reshape(b, 1)
+        bt = self._table_arr(seqs)
+        kv_len = np.asarray([s.n_cached + 1 for s in seqs], np.int32)
+        for s, t in zip(seqs, tokens):
+            s.tokens.append(int(t))
+            s.n_cached += 1
+        logits, self.pools = _decode_step(
+            self.model.weights, self.pools, tok, pos, bt, slot_arr, kv_len,
+            hp=hp)
+        return np.asarray(logits)
+
+
+def generate(ctx: Context, prompt_tokens: list[int], max_new_tokens: int,
+             sampler: Callable[[np.ndarray], int] | None = None,
+             eos_ids: set[int] | None = None) -> Iterator[int]:
+    """llama-cli style generation loop (reference examples/main/main.cpp)."""
+    if sampler is None:
+        sampler = lambda logits: int(np.argmax(logits))
+    s = ctx.new_seq()
+    try:
+        logits = ctx.prefill(s, prompt_tokens)
+        for _ in range(max_new_tokens):
+            tok = sampler(logits)
+            if eos_ids and tok in eos_ids:
+                break
+            yield tok
+            logits = ctx.decode([s], [tok])[0]
+    finally:
+        ctx.free_seq(s)

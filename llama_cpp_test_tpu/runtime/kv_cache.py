@@ -1,0 +1,152 @@
+"""Device-side paged KV cache: HBM block pools + write/attend ops.
+
+The data plane of the paged cache (BlockKVCache's K/V pools,
+reference tests/test_block_kv_cache.cpp:20-118, re-designed for TPU):
+
+  k_pools / v_pools: per-layer [n_kv_heads, num_blocks, block_size, head_dim]
+  bf16 arrays living in HBM, laid out so the decode paged-attention kernel
+  streams whole (block_size, head_dim) pages per kv head — lane-aligned
+  (block_size >= 16 keeps bf16 (16,128) tiling).
+
+Writes are slot-mapping scatters (writeToCache analogue): slot id =
+block * block_size + offset, -1 drops (padding). Donated through the jitted
+step so XLA updates the pools in place.
+
+Attention paths:
+  - decode (T==1): Pallas paged attention over the block table
+    (ops/paged_attention.py) on TPU; XLA gather reference elsewhere.
+  - prefill: gather-based attention over the sequence's pages (works for
+    chunked prefill with a cached prefix too).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..models.hparams import HParams
+from ..ops import layers
+from ..ops.paged_attention import paged_attention_decode
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KVPools:
+    """Pytree of per-layer KV pools.
+
+    k/v: lists of [n_kv_heads, num_blocks, block_size, head_dim] bf16.
+    """
+    k: list[jax.Array]
+    v: list[jax.Array]
+
+    @property
+    def num_blocks(self) -> int:
+        return self.k[0].shape[1]
+
+    @property
+    def block_size(self) -> int:
+        return self.k[0].shape[2]
+
+
+def new_kv_pools(hp: HParams, num_blocks: int, block_size: int = 32,
+                 dtype=jnp.bfloat16) -> KVPools:
+    shape = (hp.n_head_kv, num_blocks, block_size, hp.head_dim)
+    k = [jnp.zeros(shape, dtype) for _ in range(hp.n_layer)]
+    v = [jnp.zeros(shape, dtype) for _ in range(hp.n_layer)]
+    return KVPools(k, v)
+
+
+def kv_bytes_per_token(hp: HParams, dtype_bytes: int = 2) -> int:
+    return 2 * hp.n_layer * hp.n_head_kv * hp.head_dim * dtype_bytes
+
+
+def write_kv(pool: jax.Array, new: jax.Array, slots: jax.Array) -> jax.Array:
+    """Scatter new KV into the pool.
+
+    pool: [KV, NB, BS, D]; new: [B, T, KV, D]; slots: [B, T] int32 global slot
+    ids (-1 = drop). Returns updated pool.
+    """
+    kv, nb, bs, d = pool.shape
+    flat = pool.reshape(kv, nb * bs, d)
+    s = slots.reshape(-1)
+    vals = new.reshape(-1, kv, d).swapaxes(0, 1)  # [KV, B*T, D]
+    flat = flat.at[:, s].set(vals.astype(pool.dtype), mode="drop",
+                             unique_indices=True)
+    return flat.reshape(kv, nb, bs, d)
+
+
+def gather_kv(pool: jax.Array, block_table: jax.Array) -> jax.Array:
+    """pool [KV, NB, BS, D] + table [B, NBmax] -> [B, S=NBmax*BS, KV, D]."""
+    kv, nb, bs, d = pool.shape
+    b, nbmax = block_table.shape
+    pages = pool[:, block_table]              # [KV, B, NBmax, BS, D]
+    return pages.reshape(kv, b, nbmax * bs, d).transpose(1, 2, 0, 3)
+
+
+def copy_blocks(pool: jax.Array, src: jax.Array, dst: jax.Array) -> jax.Array:
+    """COW resolution: pool[:, dst] = pool[:, src] (copyBlocks analogue).
+    src/dst: [n_copies] int32 (-1 entries drop)."""
+    pages = pool[:, src]
+    return pool.at[:, dst].set(pages, mode="drop")
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def apply_copies(pools: KVPools, src: jax.Array, dst: jax.Array) -> KVPools:
+    k = [copy_blocks(p, src, dst) for p in pools.k]
+    v = [copy_blocks(p, src, dst) for p in pools.v]
+    return KVPools(k, v)
+
+
+# ---------------------------------------------------------------------------
+# attention over the paged cache
+
+
+def attend_prefill(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
+                   block_table: jax.Array, positions: jax.Array,
+                   kv_len: jax.Array, scale: float,
+                   window: int = 0) -> jax.Array:
+    """Attention for a prefill chunk whose KV (incl. any cached prefix) is
+    already written to the pools.
+
+    q: [B, T, H, D]; positions: [B, T] absolute positions of the chunk;
+    kv_len: [B] total tokens now in cache. Token (b, t) attends to cache
+    indices <= positions[b, t] (cache index == sequence position since block
+    tables are ordered).
+    """
+    b, t, h, d = q.shape
+    k = gather_kv(k_pool, block_table)  # [B, S, KV, D]
+    v = gather_kv(v_pool, block_table)
+    s = k.shape[1]
+    sidx = jnp.arange(s)[None, None, :]                  # [1, 1, S]
+    mask = sidx <= positions[:, :, None]                 # causal
+    mask = mask & (sidx < kv_len[:, None, None])
+    if window > 0:
+        mask = mask & (sidx > positions[:, :, None] - window)
+    return layers.attention(q, k, v, mask, scale)
+
+
+def attend_decode_xla(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
+                      block_table: jax.Array, kv_len: jax.Array,
+                      scale: float, window: int = 0) -> jax.Array:
+    """Reference decode path (T==1 per sequence) via gather + masked softmax."""
+    positions = (kv_len - 1)[:, None]
+    return attend_prefill(q, k_pool, v_pool, block_table, positions, kv_len,
+                          scale, window)
+
+
+def attend_decode(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
+                  block_table: jax.Array, kv_len: jax.Array,
+                  scale: float, window: int = 0) -> jax.Array:
+    """Decode attention dispatch: Pallas paged kernel on TPU, XLA elsewhere.
+
+    q: [B, 1, H, D] -> [B, 1, H, D].
+    """
+    if jax.default_backend() != "tpu" or window > 0:
+        return attend_decode_xla(q, k_pool, v_pool, block_table, kv_len,
+                                 scale, window)
+    out = paged_attention_decode(
+        (q[:, 0] * scale).astype(q.dtype), k_pool, v_pool, kv_len, block_table)
+    return out[:, None].astype(q.dtype)

@@ -6,10 +6,19 @@ via __graft_entry__.dryrun_multichip.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU. The image's sitecustomize imports jax and registers the axon
+# TPU-tunnel platform (with remote compilation) before conftest runs, so env
+# vars are too late — use jax.config, which takes effect at (lazy) backend
+# initialization. Tests must be hermetic, CPU-only, and run on a virtual
+# 8-device mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses we spawn
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
