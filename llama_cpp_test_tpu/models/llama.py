@@ -115,14 +115,25 @@ def _unpermute_rows(n_head: int, head_dim: int) -> np.ndarray:
     return idx
 
 
-def _repack_3d(reader: GGUFReader, name: str) -> QTensor:
+def _repack_3d(reader: GGUFReader, name: str, tp: int = 1,
+               mode: str = "col") -> QTensor:
     """Expert-stacked tensor, ggml ne = (K, N, E) -> planes stacked on axis 0
-    of shape [E, ...]. Stored as one QTensor whose arrays have a leading E dim."""
+    of shape [E, ...]. Stored as one QTensor whose arrays have a leading E dim.
+    tp > 1 shards each expert like the dense tensors (col/row)."""
     info = reader.tensors[name]
     k, n, e = info.shape
     raw = reader.tensor_bytes(name)
     per = raw.size // e
-    qts = [repack(raw[i * per:(i + 1) * per], info.ggml_type, n, k) for i in range(e)]
+    if tp > 1 and mode == "col":
+        from ..parallel.sharding import repack_sharded
+        qts = [repack_sharded(raw[i * per:(i + 1) * per], info.ggml_type,
+                              n, k, tp) for i in range(e)]
+    else:
+        qts = [repack(raw[i * per:(i + 1) * per], info.ggml_type, n, k)
+               for i in range(e)]
+        if tp > 1:
+            from ..parallel.sharding import shard_qtensor_cols
+            shard_qtensor_cols(qts[0], tp)
     q0 = qts[0]
     stack = lambda xs: None if xs[0] is None else np.stack(xs)
     return QTensor(
@@ -139,11 +150,40 @@ def _f32(reader: GGUFReader, name: str) -> np.ndarray:
     return reader.dequantize(name, np.float32)
 
 
-def load_weights(reader: GGUFReader, hp: HParams | None = None) -> tuple[HParams, LlamaWeights]:
-    """Load + repack all tensors for a llama-family GGUF."""
+def load_weights(reader: GGUFReader, hp: HParams | None = None,
+                 tp: int = 1) -> tuple[HParams, LlamaWeights]:
+    """Load + repack all tensors for a llama-family GGUF.
+
+    tp > 1 produces Megatron-style tensor-parallel planes for a 'tp' mesh
+    axis: wq/wk/wv/ffn_gate/ffn_up/output column-sharded (per-shard local
+    plane packing, parallel/sharding.py), wo/ffn_down row-sharded (axis-1
+    slice at dispatch). Consumed inside shard_map (parallel/tp.py).
+    """
     if hp is None:
         hp = hparams_from_metadata(reader.metadata)
     t = reader.tensors
+    if tp > 1:
+        from ..parallel.sharding import repack_sharded, shard_qtensor_cols
+        if hp.n_head % tp or hp.n_head_kv % tp:
+            raise ValueError(
+                f"tp={tp} must divide n_head={hp.n_head} and "
+                f"n_head_kv={hp.n_head_kv}")
+
+    def col(name: str, perm=None) -> QTensor:
+        """Column-parallel (shard output rows)."""
+        if tp == 1:
+            return _repack_2d(reader, name, perm)
+        info = reader.tensors[name]
+        k, n = info.shape[0], info.shape[1]
+        return repack_sharded(reader.tensor_bytes(name), info.ggml_type,
+                              n, k, tp, perm)
+
+    def row(name: str) -> QTensor:
+        """Row-parallel (contraction dim sharded at dispatch)."""
+        qt = _repack_2d(reader, name)
+        if tp > 1:
+            shard_qtensor_cols(qt, tp)
+        return qt
 
     q_perm = k_perm = None
     if hp.rope_type == "norm":
@@ -154,21 +194,22 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None) -> tuple[HParams
         p = f"blk.{i}."
         lw = LayerWeights(
             attn_norm=_f32(reader, p + "attn_norm.weight"),
-            wq=_repack_2d(reader, p + "attn_q.weight", q_perm),
-            wk=_repack_2d(reader, p + "attn_k.weight", k_perm),
-            wv=_repack_2d(reader, p + "attn_v.weight"),
-            wo=_repack_2d(reader, p + "attn_output.weight"),
+            wq=col(p + "attn_q.weight", q_perm),
+            wk=col(p + "attn_k.weight", k_perm),
+            wv=col(p + "attn_v.weight"),
+            wo=row(p + "attn_output.weight"),
             ffn_norm=_f32(reader, p + "ffn_norm.weight"),
         )
         if p + "ffn_gate_inp.weight" in t:  # MoE (Mixtral)
             lw.gate_inp = _repack_2d(reader, p + "ffn_gate_inp.weight")
-            lw.gate_exps = _repack_3d(reader, p + "ffn_gate_exps.weight")
-            lw.up_exps = _repack_3d(reader, p + "ffn_up_exps.weight")
-            lw.down_exps = _repack_3d(reader, p + "ffn_down_exps.weight")
+            lw.gate_exps = _repack_3d(reader, p + "ffn_gate_exps.weight", tp)
+            lw.up_exps = _repack_3d(reader, p + "ffn_up_exps.weight", tp)
+            lw.down_exps = _repack_3d(reader, p + "ffn_down_exps.weight",
+                                      tp, mode="row")
         else:
-            lw.w_gate = _repack_2d(reader, p + "ffn_gate.weight")
-            lw.w_up = _repack_2d(reader, p + "ffn_up.weight")
-            lw.w_down = _repack_2d(reader, p + "ffn_down.weight")
+            lw.w_gate = col(p + "ffn_gate.weight")
+            lw.w_up = col(p + "ffn_up.weight")
+            lw.w_down = row(p + "ffn_down.weight")
         for bname, attr, perm in (("attn_q.bias", "bq", q_perm),
                                   ("attn_k.bias", "bk", k_perm),
                                   ("attn_v.bias", "bv", None)):
@@ -177,9 +218,13 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None) -> tuple[HParams
                 setattr(lw, attr, bias[perm] if perm is not None else bias)
         return lw
 
-    tok_embd = _repack_2d(reader, "token_embd.weight")
-    output = (_repack_2d(reader, "output.weight") if "output.weight" in t
-              else tok_embd)
+    tok_embd = _repack_2d(reader, "token_embd.weight")  # replicated (gather)
+    if "output.weight" in t:
+        output = col("output.weight")
+    elif tp > 1:
+        output = col("token_embd.weight")  # tied head needs its own shards
+    else:
+        output = tok_embd
     inv_freq, mscale = layers.rope_freqs(hp)
     w = LlamaWeights(
         tok_embd=tok_embd,
@@ -262,9 +307,12 @@ def forward_layer(
     inv_freq: jax.Array,
     mscale: float,
     attend,                     # fn(q, k_cur, v_cur) -> [B,T,H,D]; writes KV
+    tp_axis: str | None = None,  # shard_map axis name for tensor parallelism
+    tp: int = 1,                 # static size of that axis
 ) -> jax.Array:
     b, tdim, c = x.shape
-    h, kvh, d = hp.n_head, hp.n_head_kv, hp.head_dim
+    # local head counts under tensor parallelism (weights column-sharded)
+    h, kvh, d = hp.n_head // tp, hp.n_head_kv // tp, hp.head_dim
 
     cur = layers.rms_norm(x, lw.attn_norm, hp.rms_eps)
     q = linear(cur, lw.wq, out_dtype=jnp.float32)
@@ -285,7 +333,11 @@ def forward_layer(
                       k.astype(jnp.bfloat16),
                       v.astype(jnp.bfloat16))
     attn_out = attn_out.reshape(b, tdim, h * d)
-    x = x + linear(attn_out, lw.wo, out_dtype=jnp.float32).astype(x.dtype)
+    o = linear(attn_out, lw.wo, out_dtype=jnp.float32)
+    if tp_axis is not None:
+        # row-parallel wo: every device holds a partial sum over its heads
+        o = jax.lax.psum(o, tp_axis)
+    x = x + o.astype(x.dtype)
 
     cur = layers.rms_norm(x, lw.ffn_norm, hp.rms_eps)
     if lw.gate_inp is not None:
@@ -294,6 +346,8 @@ def forward_layer(
         g = linear(cur, lw.w_gate)
         u = linear(cur, lw.w_up)
         ffn = linear(layers.swiglu(g, u), lw.w_down)
+    if tp_axis is not None:
+        ffn = jax.lax.psum(ffn, tp_axis)  # row-parallel ffn_down partials
     return x + ffn.astype(x.dtype)
 
 
@@ -301,7 +355,14 @@ def embed(w: LlamaWeights, tokens: jax.Array) -> jax.Array:
     return qgather(tokens, w.tok_embd, dtype=jnp.bfloat16)
 
 
-def lm_head(w: LlamaWeights, hp: HParams, x: jax.Array) -> jax.Array:
-    """Final norm + output projection -> f32 logits [.., n_vocab]."""
+def lm_head(w: LlamaWeights, hp: HParams, x: jax.Array,
+            tp_axis: str | None = None) -> jax.Array:
+    """Final norm + output projection -> f32 logits [.., n_vocab].
+    Under TP the head is column-sharded over the vocab; local logits are
+    all-gathered (tiled) so every device returns full [.., n_vocab]."""
     x = layers.rms_norm(x, w.output_norm, hp.rms_eps)
-    return linear(x, w.output, out_dtype=jnp.float32)
+    logits = linear(x, w.output, out_dtype=jnp.float32)
+    if tp_axis is not None:
+        logits = jax.lax.all_gather(logits, tp_axis, axis=x.ndim - 1,
+                                    tiled=True)
+    return logits

@@ -1,0 +1,195 @@
+"""Tensor/data-parallel step functions via shard_map.
+
+Wraps the engine's forward over a ('dp', 'tp') mesh:
+  - weights: column tensors P('tp', ...) on plane axis 0, row tensors
+    P(..., 'tp') on the K axis, norms/embedding replicated
+  - KV pools: kv-head axis sharded over 'tp', batch replicated within dp group
+  - batch inputs: sharded over 'dp'
+  - collectives: psum after row-parallel matmuls, tiled all_gather for logits
+    (models/llama.py forward_layer/lm_head) — XLA schedules them on ICI and
+    overlaps with compute (the NCCL/split-buffer analogue,
+    SURVEY.md §2.4 row-split TP).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.hparams import HParams
+from ..models.llama import LayerWeights, LlamaWeights
+from ..quant.repack import QTensor
+from ..runtime.kv_cache import KVPools
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+
+def _qt_spec(qt: QTensor | None, mode: str) -> QTensor | None:
+    """Build a QTensor-shaped pytree of PartitionSpecs matching qt's leaves.
+
+    mode: 'col' (axis 0 of planes sharded), 'row' (last axis sharded),
+    'rep' (replicated). 3D expert tensors get a leading None.
+    """
+    if qt is None:
+        return None
+    lead = qt.qs.ndim - 2  # 1 for [E, n, k] expert stacks, else 0
+
+    def spec(arr, shard_axis):
+        if arr is None:
+            return None
+        dims = [None] * arr.ndim
+        if shard_axis is not None:
+            dims[shard_axis] = "tp"
+        return P(*dims)
+
+    if mode == "rep":
+        qs = spec(qt.qs, None)
+        sc = spec(qt.scale, None)
+        mn = spec(qt.min_, None)
+    elif mode == "col":
+        qs = spec(qt.qs, lead + 0)
+        sc = spec(qt.scale, lead + 0)
+        mn = spec(qt.min_, lead + 0)
+    else:  # row: contraction dim is the last axis of every plane
+        qs = spec(qt.qs, qt.qs.ndim - 1)
+        sc = spec(qt.scale, qt.scale.ndim - 1) if qt.scale is not None else None
+        mn = spec(qt.min_, qt.min_.ndim - 1) if qt.min_ is not None else None
+    lut = P(None) if qt.lut is not None else None
+    return QTensor(qt.kind, qt.shape, qt.n_orig, qt.group, qs, sc, mn, lut,
+                   qt.ggml_type)
+
+
+def weight_pspecs(w: LlamaWeights) -> LlamaWeights:
+    """LlamaWeights-shaped pytree of PartitionSpecs (shard_map in_specs)."""
+    def layer_spec(lw: LayerWeights) -> LayerWeights:
+        return LayerWeights(
+            attn_norm=P(None),
+            wq=_qt_spec(lw.wq, "col"),
+            wk=_qt_spec(lw.wk, "col"),
+            wv=_qt_spec(lw.wv, "col"),
+            wo=_qt_spec(lw.wo, "row"),
+            ffn_norm=P(None),
+            w_gate=_qt_spec(lw.w_gate, "col"),
+            w_up=_qt_spec(lw.w_up, "col"),
+            w_down=_qt_spec(lw.w_down, "row"),
+            gate_inp=_qt_spec(lw.gate_inp, "rep"),
+            gate_exps=_qt_spec(lw.gate_exps, "col"),
+            up_exps=_qt_spec(lw.up_exps, "col"),
+            down_exps=_qt_spec(lw.down_exps, "row"),
+            bq=None if lw.bq is None else P("tp"),
+            bk=None if lw.bk is None else P("tp"),
+            bv=None if lw.bv is None else P("tp"),
+        )
+
+    return LlamaWeights(
+        tok_embd=_qt_spec(w.tok_embd, "rep"),
+        output_norm=P(None),
+        output=_qt_spec(w.output, "col"),
+        layers=[layer_spec(lw) for lw in w.layers],
+        rope_inv_freq=P(None),
+        rope_mscale=w.rope_mscale,
+    )
+
+
+def pools_pspecs(pools: KVPools) -> KVPools:
+    """KV pools: kv heads sharded over 'tp', block pool sharded over 'dp'.
+
+    Each dp group owns a private block pool (its sequences' block tables hold
+    group-local block ids), so pool writes never need cross-dp reconciliation
+    — the mesh analogue of independent engine replicas sharing weights.
+    """
+    spec = P("tp", "dp", None, None)
+    return KVPools(
+        k=[spec for _ in pools.k],
+        v=[spec for _ in pools.v],
+    )
+
+
+def shard_weights(w: LlamaWeights, mesh: Mesh) -> LlamaWeights:
+    """device_put every weight with its NamedSharding."""
+    specs = weight_pspecs(w)
+
+    def put(arr, spec):
+        return jax.device_put(jnp.asarray(arr), NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, w, specs)
+
+
+def shard_pools(pools: KVPools, mesh: Mesh) -> KVPools:
+    s = NamedSharding(mesh, P("tp", "dp", None, None))
+    return KVPools(
+        k=[jax.device_put(p, s) for p in pools.k],
+        v=[jax.device_put(p, s) for p in pools.v],
+    )
+
+
+def build_copy_step(mesh: Mesh, pools_template: KVPools):
+    """shard_map'ed COW block-copy: src/dst are [dp, C] group-local block id
+    arrays (-1 pads)."""
+    from ..runtime import kv_cache
+
+    pspec = pools_pspecs(pools_template)
+
+    def body(pools, src, dst):
+        k = [kv_cache.copy_blocks(p, src[0], dst[0]) for p in pools.k]
+        v = [kv_cache.copy_blocks(p, src[0], dst[0]) for p in pools.v]
+        return KVPools(k, v)
+
+    fn = shard_map(body, mesh=mesh, in_specs=(pspec, P("dp"), P("dp")),
+                   out_specs=pspec, check_vma=False)
+    return jax.jit(fn, donate_argnums=(0,))
+
+
+def build_tp_steps(hp: HParams, mesh: Mesh, w_template: LlamaWeights,
+                   pools_template: KVPools):
+    """Returns (prefill_step, prefill_all_step, decode_step) shard_map'ed over
+    the mesh. Call signatures match runtime.engine's jitted steps."""
+    from ..runtime import engine as eng
+    from ..models import llama as llama_mod
+
+    tp = mesh.shape["tp"]
+    wspec = weight_pspecs(w_template)
+    pspec = pools_pspecs(pools_template)
+    batch = P("dp")          # [B, ...] sharded over dp
+    rep = P()
+
+    def mk(decode: bool, all_logits: bool, with_last_ix: bool):
+        in_specs = (wspec, pspec, batch, batch, batch, batch, batch) + \
+            ((batch,) if with_last_ix else ())
+        out_specs = (batch, pspec)
+
+        def body(w, pools, tokens, positions, block_table, slots, kv_len,
+                 *rest):
+            x, pools = eng._forward(
+                w, pools, tokens, positions, block_table, slots, kv_len,
+                hp=hp, decode=decode, tp_axis="tp", tp=tp)
+            if decode:
+                logits = llama_mod.lm_head(w, hp, x, tp_axis="tp")[:, 0]
+            elif all_logits:
+                logits = llama_mod.lm_head(w, hp, x, tp_axis="tp")
+            else:
+                (last_ix,) = rest
+                h_last = jnp.take_along_axis(
+                    x, last_ix[:, None, None], axis=1)[:, 0]
+                logits = llama_mod.lm_head(
+                    w, hp, h_last[:, None], tp_axis="tp")[:, 0]
+            return logits, pools
+
+        # check_vma off: the replication checker cannot see through the
+        # nested jits inside qmm; specs are validated by tests/test_parallel
+        fn = shard_map(body, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+        return jax.jit(fn, donate_argnums=(1,))
+
+    prefill = mk(decode=False, all_logits=False, with_last_ix=True)
+    prefill_all = mk(decode=False, all_logits=True, with_last_ix=False)
+    decode = mk(decode=True, all_logits=False, with_last_ix=False)
+    return prefill, prefill_all, decode

@@ -49,7 +49,8 @@ TOKEN_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048)
 
 
 def _forward(w: LlamaWeights, pools: KVPools, tokens, positions, block_table,
-             slots, kv_len, *, hp: HParams, decode: bool):
+             slots, kv_len, *, hp: HParams, decode: bool,
+             tp_axis: str | None = None, tp: int = 1):
     """Shared forward: embeds, runs all layers (writing KV), final norm is NOT
     applied (lm_head does it). Returns (hidden [B, T, C], pools)."""
     x = llama_mod.embed(w, tokens)
@@ -68,7 +69,8 @@ def _forward(w: LlamaWeights, pools: KVPools, tokens, positions, block_table,
                 scale, hp.sliding_window)
 
         x = llama_mod.forward_layer(
-            x, lw, hp, positions, w.rope_inv_freq, w.rope_mscale, attend)
+            x, lw, hp, positions, w.rope_inv_freq, w.rope_mscale, attend,
+            tp_axis=tp_axis, tp=tp)
     return x, KVPools(new_k, new_v)
 
 
@@ -109,13 +111,27 @@ def _decode_step(w: LlamaWeights, pools: KVPools, tokens, positions,
 
 
 class Model:
-    """Loaded weights + tokenizer (llama_model analogue)."""
+    """Loaded weights + tokenizer (llama_model analogue).
 
-    def __init__(self, path: str, hp: HParams | None = None):
+    mesh: optional jax.sharding.Mesh with ('dp', 'tp') axes — weights are
+    loaded tensor-parallel over 'tp' and placed with NamedShardings
+    (parallel/tp.py). Contexts created from a meshed model run shard_map'ed
+    steps.
+    """
+
+    def __init__(self, path: str, hp: HParams | None = None, mesh=None):
         self.path = path
+        self.mesh = mesh
+        tp = int(mesh.shape["tp"]) if mesh is not None else 1
+        self.tp = tp
         self.reader = GGUFReader(path)
-        self.hp, w = load_weights(self.reader, hp)
-        self.weights = device_put_weights(w)
+        self.hp, w = load_weights(self.reader, hp, tp=tp)
+        if mesh is not None:
+            from ..parallel.tp import shard_weights
+
+            self.weights = shard_weights(w, mesh)
+        else:
+            self.weights = device_put_weights(w)
         try:
             self.tokenizer = load_tokenizer(self.reader)
         except Exception:
@@ -132,6 +148,7 @@ class SeqState:
     tokens: list[int]
     table: SequenceBlockTable
     n_cached: int = 0  # tokens whose KV is in the pools
+    group: int = 0     # dp group (owns a private block pool shard)
 
 
 class Context:
@@ -143,20 +160,50 @@ class Context:
         hp = model.hp
         self.n_ctx = n_ctx
         self.block_size = block_size
+        self.mesh = model.mesh
+        self.dp = int(self.mesh.shape["dp"]) if self.mesh is not None else 1
         if num_blocks is None:
             num_blocks = max(n_seq_max * (n_ctx // block_size), 8)
+        # num_blocks is PER dp group (each group owns a private pool shard)
         self.num_blocks = num_blocks
-        self.pools = kv_cache.new_kv_pools(hp, num_blocks, block_size)
-        self.mgr = BlockManager(num_blocks)
+        self.pools = kv_cache.new_kv_pools(hp, num_blocks * self.dp,
+                                           block_size)
+        self.mgrs = [BlockManager(num_blocks) for _ in range(self.dp)]
         self.seqs: dict[int, SeqState] = {}
         self._next_id = 0
         # block-table width bucket: full table for n_ctx
         self.nbmax = n_ctx // block_size
+        if self.mesh is not None:
+            from ..parallel.tp import (build_copy_step, build_tp_steps,
+                                       shard_pools)
+
+            self.pools = shard_pools(self.pools, self.mesh)
+            self._prefill_fn, self._prefill_all_fn, self._decode_fn = \
+                build_tp_steps(hp, self.mesh, model.weights, self.pools)
+            self._copy_fn = build_copy_step(self.mesh, self.pools)
+        else:
+            self._prefill_fn = functools.partial(_prefill_step, hp=hp)
+            self._prefill_all_fn = functools.partial(
+                _prefill_all_logits_step, hp=hp)
+            self._decode_fn = functools.partial(_decode_step, hp=hp)
+            self._copy_fn = None
+
+    @property
+    def mgr(self) -> BlockManager:
+        """Single-group manager (dp == 1 convenience, used by tests)."""
+        return self.mgrs[0]
 
     # -- sequence management ------------------------------------------------
 
     def new_seq(self) -> SeqState:
-        s = SeqState(self._next_id, [], SequenceBlockTable(self.mgr, self.block_size))
+        # pin to the least-loaded dp group (group-local block pool)
+        loads = [0] * self.dp
+        for s in self.seqs.values():
+            loads[s.group] += 1
+        g = int(np.argmin(loads))
+        s = SeqState(self._next_id, [],
+                     SequenceBlockTable(self.mgrs[g], self.block_size),
+                     group=g)
         self._next_id += 1
         self.seqs[s.seq_id] = s
         return s
@@ -166,9 +213,10 @@ class Context:
         self.seqs.pop(s.seq_id, None)
 
     def fork_seq(self, s: SeqState) -> SeqState:
-        """COW fork (seq_cp analogue) for beam/parallel sampling."""
+        """COW fork (seq_cp analogue) for beam/parallel sampling. The child
+        shares blocks, so it stays in the parent's dp group."""
         child = SeqState(self._next_id, list(s.tokens), s.table.fork(),
-                         s.n_cached)
+                         s.n_cached, group=s.group)
         self._next_id += 1
         self.seqs[child.seq_id] = child
         return child
@@ -181,14 +229,28 @@ class Context:
         return bt
 
     def _drain_copies(self, seqs: Seq[SeqState]) -> None:
-        copies = []
+        per_group: list[list[tuple[int, int]]] = [[] for _ in range(self.dp)]
+        any_copies = False
         for s in seqs:
-            copies.extend(s.table.pending_copies)
-            s.table.pending_copies = []
-        if copies:
+            if s.table.pending_copies:
+                per_group[s.group].extend(s.table.pending_copies)
+                s.table.pending_copies = []
+                any_copies = True
+        if not any_copies:
+            return
+        if self.mesh is None:
+            copies = per_group[0]
             src = jnp.asarray([c[0] for c in copies], jnp.int32)
             dst = jnp.asarray([c[1] for c in copies], jnp.int32)
             self.pools = kv_cache.apply_copies(self.pools, src, dst)
+        else:
+            width = max(len(c) for c in per_group)
+            src = np.full((self.dp, width), -1, np.int32)
+            dst = np.full((self.dp, width), -1, np.int32)
+            for g, copies in enumerate(per_group):
+                for i, (a, b) in enumerate(copies):
+                    src[g, i], dst[g, i] = a, b
+            self.pools = self._copy_fn(self.pools, src, dst)
 
     # -- steps ----------------------------------------------------------------
 
@@ -216,37 +278,66 @@ class Context:
         kv_len = np.asarray([t0 + n], np.int32)
         s.tokens.extend(tokens)
         s.n_cached += n
+        row = s.group  # batch row g goes to dp group g (one row per group)
+        if self.dp > 1:
+            def expand(a, fill):
+                out = np.full((self.dp,) + a.shape[1:], fill, a.dtype)
+                out[row] = a[0]
+                return out
+            tok, pos, bt = expand(tok, 0), expand(pos, 0), expand(bt, 0)
+            slot_arr = expand(slot_arr, -1)
+            kv_len = expand(kv_len.reshape(1), 1)
         if all_logits:
-            logits, self.pools = _prefill_all_logits_step(
+            logits, self.pools = self._prefill_all_fn(
                 self.model.weights, self.pools, tok, pos, bt, slot_arr,
-                kv_len, hp=hp)
-            return np.asarray(logits[0, :n])
-        last_ix = np.asarray([n - 1], np.int32)
-        logits, self.pools = _prefill_step(
+                kv_len)
+            return np.asarray(logits[row, :n])
+        last_ix = np.zeros((tok.shape[0],), np.int32)
+        last_ix[row] = n - 1
+        logits, self.pools = self._prefill_fn(
             self.model.weights, self.pools, tok, pos, bt, slot_arr, kv_len,
-            last_ix, hp=hp)
-        return np.asarray(logits[0])
+            last_ix)
+        return np.asarray(logits[row])
 
     def decode(self, seqs: Seq[SeqState], tokens: Seq[int]) -> np.ndarray:
-        """One decode step for a batch of sequences. Returns logits [B, V]."""
+        """One decode step for a batch of sequences. Returns logits [B, V]
+        in the caller's order. Rows are arranged so each dp group's pinned
+        sequences land on its shard of the batch axis."""
         hp = self.model.hp
         b = len(seqs)
         slot_list = []
         for s, t in zip(seqs, tokens):
             slot_list.append(s.table.append_tokens(1)[0])
         self._drain_copies(seqs)
-        tok = np.asarray(tokens, np.int32).reshape(b, 1)
-        pos = np.asarray([s.n_cached for s in seqs], np.int32).reshape(b, 1)
-        slot_arr = np.asarray(slot_list, np.int32).reshape(b, 1)
-        bt = self._table_arr(seqs)
-        kv_len = np.asarray([s.n_cached + 1 for s in seqs], np.int32)
+        # arrange: group g occupies rows [g*r, (g+1)*r), r = max group load
+        by_group: list[list[int]] = [[] for _ in range(self.dp)]
+        for i, s in enumerate(seqs):
+            by_group[s.group].append(i)
+        r = max(1, max(len(g) for g in by_group))
+        bsz = self.dp * r
+        tok = np.zeros((bsz, 1), np.int32)
+        pos = np.zeros((bsz, 1), np.int32)
+        slot_arr = np.full((bsz, 1), -1, np.int32)
+        bt = np.zeros((bsz, self.nbmax), np.int32)
+        kv_len = np.ones((bsz,), np.int32)
+        rowmap = np.zeros(b, np.int64)
+        bt_src = self._table_arr(seqs)
+        for g, idxs in enumerate(by_group):
+            for j, i in enumerate(idxs):
+                row = g * r + j
+                rowmap[i] = row
+                s = seqs[i]
+                tok[row, 0] = tokens[i]
+                pos[row, 0] = s.n_cached
+                slot_arr[row, 0] = slot_list[i]
+                bt[row] = bt_src[i]
+                kv_len[row] = s.n_cached + 1
         for s, t in zip(seqs, tokens):
             s.tokens.append(int(t))
             s.n_cached += 1
-        logits, self.pools = _decode_step(
-            self.model.weights, self.pools, tok, pos, bt, slot_arr, kv_len,
-            hp=hp)
-        return np.asarray(logits)
+        logits, self.pools = self._decode_fn(
+            self.model.weights, self.pools, tok, pos, bt, slot_arr, kv_len)
+        return np.asarray(logits)[rowmap]
 
 
 def generate(ctx: Context, prompt_tokens: list[int], max_new_tokens: int,
