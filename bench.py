@@ -65,8 +65,14 @@ def main():
     bw = HBM_BW.get(gen, HBM_BW.get(backend, 819e9))
 
     if not os.path.exists(MODEL_CACHE):
+        from llama_cpp_test_tpu.quant import codecs
+
         t0 = time.time()
-        build_model(MODEL_CACHE)
+        codecs.set_refine_iters(0)  # fixture build speed on slow hosts
+        try:
+            build_model(MODEL_CACHE)
+        finally:
+            codecs.set_refine_iters(2)
         print(f"# built model in {time.time()-t0:.1f}s", file=sys.stderr)
 
     from llama_cpp_test_tpu.runtime.engine import Context, Model

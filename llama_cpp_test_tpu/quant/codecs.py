@@ -198,8 +198,22 @@ def _group_scale_min(x: np.ndarray, nmax: int) -> tuple[np.ndarray, np.ndarray]:
     return scale.astype(np.float32), (-mn).astype(np.float32)
 
 
-def _ls_refine_affine(x, scale, mn, nmax, iters=2):
+# Global refinement-effort switch: quantize() quality matches the reference's
+# iterative fits by default; REFINE_ITERS=0 skips the alternating
+# least-squares sweeps (used when synthesizing large benchmark fixtures on
+# slow hosts — format stays byte-identical, only the fit is greedier).
+REFINE_ITERS = 2
+
+
+def set_refine_iters(n: int) -> None:
+    global REFINE_ITERS
+    REFINE_ITERS = int(n)
+
+
+def _ls_refine_affine(x, scale, mn, nmax, iters=None):
     """Alternating least-squares refinement of (scale, min) given rounding."""
+    if iters is None:
+        iters = REFINE_ITERS
     for _ in range(iters):
         q = np.clip(np.rint((x + mn[..., None]) * _safe_inv(scale)[..., None]), 0, nmax)
         # solve min_{s,m} sum (s*q - m - x)^2 per group
@@ -218,8 +232,10 @@ def _ls_refine_affine(x, scale, mn, nmax, iters=2):
     return scale, mn
 
 
-def _signed_group_scale(x: np.ndarray, nmax: int, iters=2) -> np.ndarray:
+def _signed_group_scale(x: np.ndarray, nmax: int, iters=None) -> np.ndarray:
     """Per-group symmetric fit x ~= scale*q, q in [-nmax-1, nmax]."""
+    if iters is None:
+        iters = REFINE_ITERS
     m = _max_by_abs(x)
     scale = (m / -(nmax + 1)).astype(np.float32)
     for _ in range(iters):

@@ -98,6 +98,21 @@ def _prefill_all_logits_step(w: LlamaWeights, pools: KVPools, tokens,
 
 
 @functools.partial(jax.jit, static_argnames=("hp",), donate_argnums=(1,))
+def _prefill_nll_step(w: LlamaWeights, pools: KVPools, tokens, positions,
+                      block_table, slots, kv_len, targets, valid,
+                      *, hp: HParams):
+    """Prefill returning per-position negative log-likelihood of `targets`
+    (the perplexity path — log-softmax + gather stays on device so only
+    [B, T] floats come back, not [B, T, V] logits)."""
+    x, pools = _forward(w, pools, tokens, positions, block_table, slots,
+                        kv_len, hp=hp, decode=False)
+    logits = llama_mod.lm_head(w, hp, x)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return jnp.where(valid, nll, 0.0), pools
+
+
+@functools.partial(jax.jit, static_argnames=("hp",), donate_argnums=(1,))
 def _decode_step(w: LlamaWeights, pools: KVPools, tokens, positions,
                  block_table, slots, kv_len, *, hp: HParams):
     """One token per sequence. tokens: [B, 1]. Returns (logits [B, V], pools)."""
@@ -299,6 +314,39 @@ class Context:
             last_ix)
         return np.asarray(logits[row])
 
+    def prefill_nll(self, s: SeqState, tokens: list[int]) -> np.ndarray:
+        """Prefill `tokens` and return per-position NLL of predicting
+        tokens[i+1] from the prefix through tokens[i] (length n-1).
+        Single-device path (perplexity tooling)."""
+        hp = self.model.hp
+        if self.mesh is not None:
+            raise NotImplementedError("prefill_nll: single-device only")
+        t0 = s.n_cached
+        n = len(tokens)
+        if n < 2:
+            raise ValueError("prefill_nll needs >= 2 tokens")
+        slots = s.table.append_tokens(n)
+        self._drain_copies([s])
+        tb = _bucket(n, TOKEN_BUCKETS)
+        tok = np.zeros((1, tb), np.int32)
+        tok[0, :n] = tokens
+        pos = np.zeros((1, tb), np.int32)
+        pos[0, :n] = np.arange(t0, t0 + n)
+        slot_arr = np.full((1, tb), -1, np.int32)
+        slot_arr[0, :n] = slots
+        bt = self._table_arr([s])
+        kv_len = np.asarray([t0 + n], np.int32)
+        targets = np.zeros((1, tb), np.int32)
+        targets[0, : n - 1] = tokens[1:]
+        valid = np.zeros((1, tb), bool)
+        valid[0, : n - 1] = True
+        s.tokens.extend(tokens)
+        s.n_cached += n
+        nll, self.pools = _prefill_nll_step(
+            self.model.weights, self.pools, tok, pos, bt, slot_arr, kv_len,
+            targets, valid, hp=hp)
+        return np.asarray(nll[0, : n - 1])
+
     def decode(self, seqs: Seq[SeqState], tokens: Seq[int]) -> np.ndarray:
         """One decode step for a batch of sequences. Returns logits [B, V]
         in the caller's order. Rows are arranged so each dp group's pinned
@@ -313,7 +361,11 @@ class Context:
         by_group: list[list[int]] = [[] for _ in range(self.dp)]
         for i, s in enumerate(seqs):
             by_group[s.group].append(i)
+        # bucket rows-per-group to powers of two: a continuous-batching server
+        # varies batch size every step, and each size is a fresh XLA program
+        # (the analogue of worst-case graph reservation, llama-context.cpp:289)
         r = max(1, max(len(g) for g in by_group))
+        r = 1 << (r - 1).bit_length()
         bsz = self.dp * r
         tok = np.zeros((bsz, 1), np.int32)
         pos = np.zeros((bsz, 1), np.int32)

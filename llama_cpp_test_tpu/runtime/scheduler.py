@@ -1,0 +1,268 @@
+"""Continuous-batching scheduler — the server_slot/update_slots analogue
+(reference examples/server/server.cpp:1220,2794).
+
+Requests queue up; each gets a slot with its own sequence, sampler chain and
+stop conditions. Every `step()`:
+
+  1. assigns queued requests to idle slots, reusing the longest common token
+     prefix already in a slot's cache (common_lcp prompt reuse,
+     server.cpp:3006-3007);
+  2. runs at most one prefill chunk (token-bucketed) for a slot still
+     ingesting its prompt — on TPU prefill and decode are separate compiled
+     programs, so the scheduler interleaves them instead of packing a mixed
+     ubatch;
+  3. runs one decode step batched over every generating slot;
+  4. samples, checks stop conditions, streams tokens out via callbacks.
+
+Admission control: a request only enters a slot when the block pool has
+enough free blocks for its prompt (prevents mid-flight eviction of live
+sequences — the find_slot failure mode, llama-context.cpp:1302).
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+import itertools
+import time
+from collections import deque
+from typing import Any, Callable, Optional
+
+import numpy as np
+
+from .engine import Context, SeqState
+from .sampling import SamplerChain, SamplerParams
+
+
+class SlotState(enum.Enum):
+    IDLE = 0
+    PROMPT = 1      # ingesting prompt chunks
+    GENERATING = 2
+
+
+@dataclasses.dataclass
+class GenRequest:
+    """One generation request (server_task analogue)."""
+    prompt_tokens: list[int]
+    max_tokens: int = 128
+    sampling: SamplerParams = dataclasses.field(default_factory=SamplerParams)
+    stop_tokens: set[int] = dataclasses.field(default_factory=set)
+    stop_strings: list[str] = dataclasses.field(default_factory=list)
+    ignore_eos: bool = False  # --ignore-eos analogue
+    # called with (token_id, text_piece or None, finished: str | None)
+    on_token: Optional[Callable[[int, Optional[str], Optional[str]], None]] = None
+    id: int = 0
+    # filled by the scheduler:
+    output_tokens: list[int] = dataclasses.field(default_factory=list)
+    finish_reason: Optional[str] = None
+    n_prompt: int = 0
+    t_submit: float = 0.0
+    t_first_token: float = 0.0
+    t_done: float = 0.0
+
+
+class Slot:
+    def __init__(self, slot_id: int):
+        self.id = slot_id
+        self.state = SlotState.IDLE
+        self.seq: SeqState | None = None
+        self.req: GenRequest | None = None
+        self.sampler: SamplerChain | None = None
+        self.n_prompt_done = 0
+        self.next_token: int | None = None
+        self.text_buf = ""
+        self.cache_tokens: list[int] = []  # tokens whose KV this slot holds
+
+    def reset(self):
+        self.state = SlotState.IDLE
+        self.req = None
+        self.sampler = None
+        self.n_prompt_done = 0
+        self.next_token = None
+        self.text_buf = ""
+
+
+def common_lcp(a: list[int], b: list[int]) -> int:
+    n = 0
+    for x, y in zip(a, b):
+        if x != y:
+            break
+        n += 1
+    return n
+
+
+class Scheduler:
+    def __init__(self, ctx: Context, n_slots: int = 8,
+                 chunk_size: int = 512):
+        self.ctx = ctx
+        self.slots = [Slot(i) for i in range(n_slots)]
+        self.queue: deque[GenRequest] = deque()
+        self.chunk = chunk_size
+        self._req_ids = itertools.count()
+        self.tokenizer = ctx.model.tokenizer
+        # metrics (server /metrics analogue)
+        self.n_prompt_tokens = 0
+        self.n_gen_tokens = 0
+        self.t_prompt = 0.0
+        self.t_gen = 0.0
+
+    # -- submission -----------------------------------------------------------
+
+    def submit(self, req: GenRequest) -> GenRequest:
+        req.id = next(self._req_ids)
+        req.t_submit = time.time()
+        req.n_prompt = len(req.prompt_tokens)
+        self.queue.append(req)
+        return req
+
+    def has_work(self) -> bool:
+        return bool(self.queue) or any(
+            s.state != SlotState.IDLE for s in self.slots)
+
+    # -- the update_slots loop -------------------------------------------------
+
+    def step(self) -> None:
+        self._launch_queued()
+        self._prefill_one()
+        self._decode_all()
+
+    def run(self) -> None:
+        while self.has_work():
+            self.step()
+
+    def _free_blocks(self) -> int:
+        return min(m.num_free() for m in self.ctx.mgrs)
+
+    def _launch_queued(self) -> None:
+        for slot in self.slots:
+            if not self.queue:
+                return
+            if slot.state != SlotState.IDLE:
+                continue
+            req = self.queue[0]
+            need = (len(req.prompt_tokens) + req.max_tokens +
+                    self.ctx.block_size - 1) // self.ctx.block_size
+            if need > self._free_blocks():
+                # reclaim caches kept by idle slots (prefix-reuse holdovers)
+                for other in self.slots:
+                    if other.state == SlotState.IDLE and other.seq is not None \
+                            and other is not slot:
+                        self.ctx.free_seq(other.seq)
+                        other.seq = None
+                        other.cache_tokens = []
+                        if need <= self._free_blocks():
+                            break
+            if need > self._free_blocks():
+                return  # admission control: wait for blocks to free up
+            self.queue.popleft()
+            slot.req = req
+            slot.sampler = SamplerChain.from_params(
+                req.sampling, n_vocab=self.ctx.model.hp.n_vocab)
+            # prompt-cache reuse: if this slot's previous sequence shares a
+            # prefix, keep that KV (truncate to the common part)
+            reuse = 0
+            if slot.seq is not None and slot.cache_tokens:
+                reuse = common_lcp(slot.cache_tokens, req.prompt_tokens)
+                # never reuse the whole prompt: the last token must be
+                # re-decoded to produce logits
+                reuse = min(reuse, len(req.prompt_tokens) - 1)
+            if reuse > 0:
+                slot.seq.table.truncate(reuse)
+                slot.seq.n_cached = reuse
+                slot.seq.tokens = req.prompt_tokens[:reuse]
+            else:
+                if slot.seq is not None:
+                    self.ctx.free_seq(slot.seq)
+                slot.seq = self.ctx.new_seq()
+            slot.n_prompt_done = reuse
+            slot.cache_tokens = list(req.prompt_tokens)
+            slot.state = SlotState.PROMPT
+
+    def _prefill_one(self) -> None:
+        for slot in self.slots:
+            if slot.state != SlotState.PROMPT:
+                continue
+            req = slot.req
+            t0 = time.time()
+            chunk = req.prompt_tokens[
+                slot.n_prompt_done: slot.n_prompt_done + self.chunk]
+            logits = self.ctx.prefill(slot.seq, chunk)
+            slot.n_prompt_done += len(chunk)
+            self.n_prompt_tokens += len(chunk)
+            self.t_prompt += time.time() - t0
+            if slot.n_prompt_done >= len(req.prompt_tokens):
+                slot.state = SlotState.GENERATING
+                self._emit(slot, logits)
+            return  # one prefill chunk per step keeps decode latency bounded
+
+    def _decode_all(self) -> None:
+        gen = [s for s in self.slots
+               if s.state == SlotState.GENERATING and s.next_token is not None]
+        if not gen:
+            return
+        t0 = time.time()
+        logits = self.ctx.decode([s.seq for s in gen],
+                                 [s.next_token for s in gen])
+        self.t_gen += time.time() - t0
+        self.n_gen_tokens += len(gen)
+        for s, lg in zip(gen, logits):
+            s.cache_tokens.append(s.next_token)
+            self._emit(s, lg)
+
+    # -- token processing (process_token analogue, server.cpp:1358) ----------
+
+    def _emit(self, slot: Slot, logits: np.ndarray) -> None:
+        req = slot.req
+        tok = slot.sampler.sample(logits)
+        slot.sampler.accept(tok)
+        if not req.output_tokens:
+            req.t_first_token = time.time()
+        finished = None
+        piece = None
+        vocab = self.ctx.model.tokenizer.vocab if self.tokenizer else None
+        if self.tokenizer is not None:
+            piece = self.tokenizer.token_to_piece(tok)
+        if tok in req.stop_tokens or (
+                not req.ignore_eos and vocab is not None and vocab.is_eog(tok)):
+            finished = "stop"
+        else:
+            req.output_tokens.append(tok)
+            if piece:
+                slot.text_buf += piece
+                for stop in req.stop_strings:
+                    idx = slot.text_buf.find(stop)
+                    if idx >= 0:
+                        finished = "stop"
+                        break
+            if finished is None and len(req.output_tokens) >= req.max_tokens:
+                finished = "length"
+            if finished is None and \
+                    slot.seq.n_cached + 1 > self.ctx.n_ctx:
+                finished = "length"  # context full
+        if finished is not None:
+            # set completion state BEFORE the callback fires: stream bridges
+            # resolve futures from the callback and read req fields
+            req.finish_reason = finished
+            req.t_done = time.time()
+        if req.on_token is not None:
+            req.on_token(tok, piece, finished)
+        if finished is not None:
+            slot.reset()  # keep seq + cache_tokens for prefix reuse
+        else:
+            slot.next_token = tok
+
+    def metrics(self) -> dict:
+        return {
+            "prompt_tokens_processed": self.n_prompt_tokens,
+            "gen_tokens_processed": self.n_gen_tokens,
+            "prompt_seconds": round(self.t_prompt, 3),
+            "gen_seconds": round(self.t_gen, 3),
+            "prompt_tok_per_s": round(
+                self.n_prompt_tokens / self.t_prompt, 2) if self.t_prompt else 0,
+            "gen_tok_per_s": round(
+                self.n_gen_tokens / self.t_gen, 2) if self.t_gen else 0,
+            "slots_idle": sum(s.state == SlotState.IDLE for s in self.slots),
+            "slots_total": len(self.slots),
+            "queue_depth": len(self.queue),
+            "kv_blocks_free": self._free_blocks(),
+            "kv_blocks_total": self.ctx.num_blocks,
+        }

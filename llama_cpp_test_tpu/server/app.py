@@ -1,0 +1,344 @@
+"""OpenAI-compatible HTTP server (the llama-server analogue,
+reference examples/server/server.cpp).
+
+Endpoints (mirroring server.cpp:4411-4438):
+  GET  /health /props /metrics /v1/models /slots
+  POST /completion /completions /v1/completions
+  POST /v1/chat/completions          (chat template + SSE streaming)
+  POST /tokenize /detokenize /apply-template
+
+Architecture: aiohttp front end; a dedicated engine thread runs the
+continuous-batching Scheduler loop (the reference's single inference thread,
+server.cpp:4501). Requests cross the boundary through a thread-safe submit
+queue; streamed tokens come back over per-request asyncio queues via
+call_soon_threadsafe.
+"""
+from __future__ import annotations
+
+import asyncio
+import json
+import threading
+import time
+import uuid
+from typing import Any, Optional
+
+import numpy as np
+
+from ..runtime.engine import Context, Model
+from ..runtime.sampling import SamplerParams
+from ..runtime.scheduler import GenRequest, Scheduler
+from .chat import apply_chat_template
+
+try:
+    from aiohttp import web
+except ImportError:  # pragma: no cover
+    web = None
+
+
+class EngineThread:
+    """Single inference thread driving the scheduler."""
+
+    def __init__(self, scheduler: Scheduler):
+        self.sched = scheduler
+        self._wake = threading.Event()
+        self._stop = False
+        self._lock = threading.Lock()
+        self._pending: list[GenRequest] = []
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+
+    def start(self):
+        self.thread.start()
+
+    def stop(self):
+        self._stop = True
+        self._wake.set()
+        self.thread.join(timeout=30)
+
+    def submit(self, req: GenRequest) -> None:
+        with self._lock:
+            self._pending.append(req)
+        self._wake.set()
+
+    def _loop(self):
+        while not self._stop:
+            with self._lock:
+                for r in self._pending:
+                    self.sched.submit(r)
+                self._pending.clear()
+            if self.sched.has_work():
+                self.sched.step()
+            else:
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+
+
+def _sampling_from_body(body: dict) -> SamplerParams:
+    p = SamplerParams()
+    m = {
+        "temperature": "temp", "top_k": "top_k", "top_p": "top_p",
+        "min_p": "min_p", "typical_p": "typ_p", "seed": "seed",
+        "repeat_penalty": "penalty_repeat", "repeat_last_n": "penalty_last_n",
+        "frequency_penalty": "penalty_freq", "presence_penalty": "penalty_present",
+        "mirostat": "mirostat", "mirostat_tau": "mirostat_tau",
+        "mirostat_eta": "mirostat_eta", "xtc_probability": "xtc_probability",
+        "xtc_threshold": "xtc_threshold", "dry_multiplier": "dry_multiplier",
+        "dry_base": "dry_base", "top_n_sigma": "top_n_sigma",
+    }
+    for k, attr in m.items():
+        if k in body and body[k] is not None:
+            setattr(p, attr, type(getattr(p, attr))(body[k]))
+    if "logit_bias" in body and body["logit_bias"]:
+        p.logit_bias = {int(k): float(v) for k, v in body["logit_bias"].items()}
+    return p
+
+
+class LlamaServer:
+    def __init__(self, model_path: str, n_ctx: int = 2048, n_slots: int = 4,
+                 mesh=None, model_alias: str | None = None):
+        self.model = Model(model_path, mesh=mesh)
+        self.alias = model_alias or model_path.rsplit("/", 1)[-1]
+        ctx = Context(self.model, n_ctx=n_ctx, n_seq_max=n_slots)
+        self.sched = Scheduler(ctx, n_slots=n_slots)
+        self.engine = EngineThread(self.sched)
+        self.t_start = time.time()
+
+    # -- request plumbing ----------------------------------------------------
+
+    async def _run_request(self, prompt_tokens, body, stream_cb=None):
+        loop = asyncio.get_running_loop()
+        done = loop.create_future()
+
+        def on_token(tok, piece, finished):
+            if stream_cb is not None:
+                loop.call_soon_threadsafe(stream_cb, tok, piece, finished)
+            if finished is not None:
+                def _finish():
+                    if not done.done():
+                        done.set_result(None)
+                loop.call_soon_threadsafe(_finish)
+
+        stop = body.get("stop") or []
+        if isinstance(stop, str):
+            stop = [stop]
+        req = GenRequest(
+            prompt_tokens=prompt_tokens,
+            max_tokens=int(body.get("max_tokens")
+                           or body.get("n_predict") or 128),
+            sampling=_sampling_from_body(body),
+            stop_strings=list(stop),
+            ignore_eos=bool(body.get("ignore_eos", False)),
+            on_token=on_token,
+        )
+        self.engine.submit(req)
+        await done
+        return req
+
+    def _tokenize_prompt(self, prompt) -> list[int]:
+        tok = self.model.tokenizer
+        if isinstance(prompt, list):
+            return [int(t) for t in prompt]
+        if tok is None:
+            raise ValueError("model has no tokenizer; pass token ids")
+        return tok.encode(prompt, add_special=True, parse_special=True)
+
+    def _detok(self, ids) -> str:
+        tok = self.model.tokenizer
+        return tok.decode(ids) if tok is not None else ""
+
+    # -- endpoints -----------------------------------------------------------
+
+    async def health(self, request):
+        return web.json_response({"status": "ok"})
+
+    async def props(self, request):
+        hp = self.model.hp
+        return web.json_response({
+            "model_path": self.model.path,
+            "n_ctx": self.sched.ctx.n_ctx,
+            "total_slots": len(self.sched.slots),
+            "model_alias": self.alias,
+            "arch": hp.arch,
+            "n_params_approx": None,
+            "uptime_s": round(time.time() - self.t_start, 1),
+        })
+
+    async def models(self, request):
+        return web.json_response({
+            "object": "list",
+            "data": [{"id": self.alias, "object": "model",
+                      "created": int(self.t_start), "owned_by": "local"}],
+        })
+
+    async def metrics(self, request):
+        m = self.sched.metrics()
+        lines = []
+        for k, v in m.items():
+            lines.append(f"# TYPE llamacpp_tpu:{k} gauge")
+            lines.append(f"llamacpp_tpu:{k} {v}")
+        return web.Response(text="\n".join(lines) + "\n",
+                            content_type="text/plain")
+
+    async def slots(self, request):
+        out = []
+        for s in self.sched.slots:
+            out.append({
+                "id": s.id,
+                "state": s.state.name,
+                "n_cached": s.seq.n_cached if s.seq else 0,
+            })
+        return web.json_response(out)
+
+    async def tokenize(self, request):
+        body = await request.json()
+        ids = self._tokenize_prompt(body.get("content", ""))
+        return web.json_response({"tokens": ids})
+
+    async def detokenize(self, request):
+        body = await request.json()
+        return web.json_response(
+            {"content": self._detok(body.get("tokens", []))})
+
+    async def apply_template(self, request):
+        body = await request.json()
+        prompt = apply_chat_template(self.model.reader.metadata,
+                                     body.get("messages", []))
+        return web.json_response({"prompt": prompt})
+
+    async def completions(self, request):
+        """llama.cpp-style /completion and OpenAI /v1/completions."""
+        body = await request.json()
+        prompt_tokens = self._tokenize_prompt(body.get("prompt", ""))
+        rid = f"cmpl-{uuid.uuid4().hex[:12]}"
+        if body.get("stream"):
+            return await self._stream_completion(
+                request, body, prompt_tokens, rid, chat=False)
+        req = await self._run_request(prompt_tokens, body)
+        text = self._detok(req.output_tokens)
+        return web.json_response({
+            "id": rid, "object": "text_completion",
+            "created": int(time.time()), "model": self.alias,
+            "choices": [{"index": 0, "text": text,
+                         "finish_reason": req.finish_reason}],
+            "usage": {
+                "prompt_tokens": req.n_prompt,
+                "completion_tokens": len(req.output_tokens),
+                "total_tokens": req.n_prompt + len(req.output_tokens),
+            },
+            "timings": self._timings(req),
+        })
+
+    async def chat_completions(self, request):
+        body = await request.json()
+        prompt = apply_chat_template(self.model.reader.metadata,
+                                     body.get("messages", []))
+        prompt_tokens = self._tokenize_prompt(prompt)
+        rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
+        if body.get("stream"):
+            return await self._stream_completion(
+                request, body, prompt_tokens, rid, chat=True)
+        req = await self._run_request(prompt_tokens, body)
+        text = self._detok(req.output_tokens)
+        return web.json_response({
+            "id": rid, "object": "chat.completion",
+            "created": int(time.time()), "model": self.alias,
+            "choices": [{"index": 0,
+                         "message": {"role": "assistant", "content": text},
+                         "finish_reason": req.finish_reason}],
+            "usage": {
+                "prompt_tokens": req.n_prompt,
+                "completion_tokens": len(req.output_tokens),
+                "total_tokens": req.n_prompt + len(req.output_tokens),
+            },
+            "timings": self._timings(req),
+        })
+
+    @staticmethod
+    def _timings(req: GenRequest) -> dict:
+        pp = (req.t_first_token - req.t_submit) if req.t_first_token else 0
+        gen = (req.t_done - req.t_first_token) if req.t_first_token else 0
+        n = len(req.output_tokens)
+        return {
+            "prompt_ms": round(pp * 1000, 2),
+            "predicted_ms": round(gen * 1000, 2),
+            "predicted_per_second": round(n / gen, 2) if gen > 0 else None,
+        }
+
+    async def _stream_completion(self, request, body, prompt_tokens, rid,
+                                 chat: bool):
+        resp = web.StreamResponse(headers={
+            "Content-Type": "text/event-stream",
+            "Cache-Control": "no-cache",
+        })
+        await resp.prepare(request)
+        q: asyncio.Queue = asyncio.Queue()
+
+        def cb(tok, piece, finished):
+            q.put_nowait((tok, piece, finished))
+
+        task = asyncio.ensure_future(
+            self._run_request(prompt_tokens, body, stream_cb=cb))
+        obj = "chat.completion.chunk" if chat else "text_completion"
+        while True:
+            tok, piece, finished = await q.get()
+            if chat:
+                delta = {"content": piece or ""} if finished is None else {}
+                chunk = {"id": rid, "object": obj,
+                         "created": int(time.time()), "model": self.alias,
+                         "choices": [{"index": 0, "delta": delta,
+                                      "finish_reason": finished}]}
+            else:
+                chunk = {"id": rid, "object": obj,
+                         "created": int(time.time()), "model": self.alias,
+                         "choices": [{"index": 0, "text": piece or "",
+                                      "finish_reason": finished}]}
+            await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
+            if finished is not None:
+                break
+        await resp.write(b"data: [DONE]\n\n")
+        await task
+        await resp.write_eof()
+        return resp
+
+    # -- app -----------------------------------------------------------------
+
+    def make_app(self):
+        app = web.Application()
+        r = app.router
+        r.add_get("/health", self.health)
+        r.add_get("/props", self.props)
+        r.add_get("/metrics", self.metrics)
+        r.add_get("/slots", self.slots)
+        r.add_get("/v1/models", self.models)
+        r.add_post("/tokenize", self.tokenize)
+        r.add_post("/detokenize", self.detokenize)
+        r.add_post("/apply-template", self.apply_template)
+        r.add_post("/completion", self.completions)
+        r.add_post("/completions", self.completions)
+        r.add_post("/v1/completions", self.completions)
+        r.add_post("/v1/chat/completions", self.chat_completions)
+        return app
+
+    def run(self, host: str = "127.0.0.1", port: int = 8080):
+        self.engine.start()
+        web.run_app(self.make_app(), host=host, port=port)
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser("llama-server (tpu)")
+    ap.add_argument("-m", "--model", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8080)
+    ap.add_argument("-c", "--ctx-size", type=int, default=2048)
+    ap.add_argument("-np", "--parallel", type=int, default=4,
+                    help="number of server slots")
+    ap.add_argument("--alias", default=None)
+    args = ap.parse_args(argv)
+    srv = LlamaServer(args.model, n_ctx=args.ctx_size, n_slots=args.parallel,
+                      model_alias=args.alias)
+    srv.run(args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -13,8 +13,25 @@ import pytest
 from llama_cpp_test_tpu.gguf.constants import GGMLType
 from llama_cpp_test_tpu.gguf.writer import GGUFWriter
 
-HP = dict(n_vocab=199, n_embd=64, n_head=4, n_head_kv=2, head_dim=16,
+HP = dict(n_vocab=288, n_embd=64, n_head=4, n_head_kv=2, head_dim=16,
           n_layer=2, n_ff=96, rope_base=10000.0, rms_eps=1e-5)
+
+
+def tiny_vocab(n_vocab):
+    """SPM-style vocab: specials + full byte fallback + filler words."""
+    tokens = ["<unk>", "<s>", "</s>"] + [f"<0x{b:02X}>" for b in range(256)]
+    scores = [0.0] * len(tokens)
+    types = [2, 3, 3] + [6] * 256  # UNKNOWN, CONTROL, CONTROL, BYTE...
+    words = ["▁hello", "▁world", "▁the", "▁a", "ing",
+             "er", "st", "on", "at", "en"]
+    i = 0
+    while len(tokens) < n_vocab:
+        w = words[i % len(words)] + ("" if i < len(words) else str(i))
+        tokens.append(w)
+        scores.append(-float(len(tokens)))
+        types.append(1)
+        i += 1
+    return tokens[:n_vocab], scores[:n_vocab], types[:n_vocab]
 
 
 def permute_gguf(w: np.ndarray, n_head: int, d: int) -> np.ndarray:
@@ -65,6 +82,17 @@ def make_tiny_gguf(path, seed=0, qtype=GGMLType.Q8_0):
         "llama.attention.layer_norm_rms_epsilon": hp["rms_eps"],
         "llama.vocab_size": v,
     }
+    toks, scores, types = tiny_vocab(v)
+    md.update({
+        "tokenizer.ggml.model": "llama",
+        "tokenizer.ggml.tokens": toks,
+        "tokenizer.ggml.scores": np.asarray(scores, np.float32),
+        "tokenizer.ggml.token_type": np.asarray(types, np.int32),
+        "tokenizer.ggml.bos_token_id": 1,
+        "tokenizer.ggml.eos_token_id": 2,
+        "tokenizer.ggml.unknown_token_id": 0,
+        "tokenizer.ggml.add_bos_token": True,
+    })
     for key, val in md.items():
         w.add_kv(key, val)
     for name, arr in wts.items():

@@ -16,7 +16,7 @@ def tp_model(tmp_path_factory):
 
     # n_ff: K of ffn_down must split into group-aligned (32) tp shards
     old = dict(test_engine.HP)
-    test_engine.HP = dict(old, n_vocab=200, n_ff=128)
+    test_engine.HP = dict(old, n_ff=128)
     try:
         wts = test_engine.make_tiny_gguf(path)
     finally:

@@ -1,0 +1,126 @@
+"""Continuous-batching scheduler tests (the parallel/batched examples +
+server update_slots behaviors)."""
+import numpy as np
+import pytest
+
+from test_engine import make_tiny_gguf
+
+
+@pytest.fixture(scope="module")
+def sched_model(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("m") / "tiny.gguf")
+    make_tiny_gguf(path)
+    from llama_cpp_test_tpu.runtime.engine import Model
+
+    return Model(path)
+
+
+def make_sched(model, n_slots=4, n_ctx=64):
+    from llama_cpp_test_tpu.runtime.engine import Context
+    from llama_cpp_test_tpu.runtime.scheduler import Scheduler
+
+    ctx = Context(model, n_ctx=n_ctx, n_seq_max=n_slots, block_size=8)
+    return Scheduler(ctx, n_slots=n_slots, chunk_size=16)
+
+
+def greedy(seed=0):
+    from llama_cpp_test_tpu.runtime.sampling import SamplerParams
+
+    return SamplerParams(temp=0.0, seed=seed)
+
+
+def test_single_request(sched_model):
+    from llama_cpp_test_tpu.runtime.scheduler import GenRequest
+
+    sched = make_sched(sched_model)
+    req = sched.submit(GenRequest([3, 17, 42], max_tokens=8,
+                                  sampling=greedy(), ignore_eos=True))
+    sched.run()
+    assert req.finish_reason in ("stop", "length")
+    assert 1 <= len(req.output_tokens) <= 8
+
+
+def test_matches_generate(sched_model):
+    """Scheduler greedy output == plain generate() output."""
+    from llama_cpp_test_tpu.runtime.engine import Context, generate
+    from llama_cpp_test_tpu.runtime.scheduler import GenRequest
+
+    ctx = Context(sched_model, n_ctx=64, n_seq_max=2, block_size=8)
+    ref = list(generate(ctx, [3, 17, 42], 8))
+
+    sched = make_sched(sched_model)
+    req = sched.submit(GenRequest([3, 17, 42], max_tokens=8, sampling=greedy(),
+                                  stop_tokens=set(), ignore_eos=True))
+    sched.run()
+    # generate() has no EOG handling for the random vocab; compare prefix
+    n = len(req.output_tokens)
+    assert n >= 1
+    assert req.output_tokens == ref[:n]
+
+
+def test_concurrent_requests(sched_model):
+    from llama_cpp_test_tpu.runtime.scheduler import GenRequest
+
+    sched = make_sched(sched_model, n_slots=4)
+    reqs = [sched.submit(GenRequest([3, 17, 42 + i], max_tokens=6,
+                                    sampling=greedy(), ignore_eos=True))
+            for i in range(6)]  # more requests than slots
+    sched.run()
+    for r in reqs:
+        assert r.finish_reason is not None
+        assert len(r.output_tokens) >= 1
+    # each request's output must equal its solo run
+    solo = make_sched(sched_model, n_slots=1)
+    r0 = solo.submit(GenRequest([3, 17, 42], max_tokens=6, sampling=greedy(),
+                     ignore_eos=True))
+    solo.run()
+    assert reqs[0].output_tokens == r0.output_tokens
+
+
+def test_prefix_reuse(sched_model):
+    from llama_cpp_test_tpu.runtime.scheduler import GenRequest
+
+    sched = make_sched(sched_model, n_slots=1)
+    r1 = sched.submit(GenRequest([3, 17, 42, 9, 5], max_tokens=4,
+                                 sampling=greedy(), ignore_eos=True))
+    sched.run()
+    before = sched.n_prompt_tokens
+    # same prefix -> slot should reuse cached KV
+    r2 = sched.submit(GenRequest([3, 17, 42, 9, 5], max_tokens=4,
+                                 sampling=greedy(), ignore_eos=True))
+    sched.run()
+    reused_prompt_tokens = sched.n_prompt_tokens - before
+    assert reused_prompt_tokens < 5  # only the tail was recomputed
+    assert r2.output_tokens == r1.output_tokens
+
+
+def test_stop_string(sched_model):
+    from llama_cpp_test_tpu.runtime.scheduler import GenRequest
+
+    # find what greedy emits, then stop on its text
+    tok = sched_model.tokenizer
+    sched = make_sched(sched_model)
+    probe = sched.submit(GenRequest([3, 17, 42], max_tokens=4,
+                                    sampling=greedy(), ignore_eos=True))
+    sched.run()
+    piece = tok.token_to_piece(probe.output_tokens[0])
+    if not piece:
+        pytest.skip("first token has empty piece")
+    r = sched.submit(GenRequest([3, 17, 42], max_tokens=8, sampling=greedy(),
+                                stop_strings=[piece], ignore_eos=True))
+    sched.run()
+    assert r.finish_reason == "stop"
+    assert len(r.output_tokens) <= len(probe.output_tokens) + 1
+
+
+def test_metrics(sched_model):
+    from llama_cpp_test_tpu.runtime.scheduler import GenRequest
+
+    sched = make_sched(sched_model)
+    sched.submit(GenRequest([3, 17, 42], max_tokens=4, sampling=greedy(),
+                     ignore_eos=True))
+    sched.run()
+    m = sched.metrics()
+    assert m["prompt_tokens_processed"] >= 3
+    assert m["gen_tokens_processed"] >= 1
+    assert m["slots_idle"] == m["slots_total"]
