@@ -83,6 +83,12 @@ def dequantize_xla(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
     )
 
 
+def _rows_from_group_major(s: jax.Array) -> jax.Array:
+    """[pack, G, npk] group-major scale planes -> [pack*npk, G] row order."""
+    return jnp.transpose(s, (0, 2, 1)).reshape(s.shape[0] * s.shape[2],
+                                               s.shape[1])
+
+
 def _dequant_planes(qs, scale, min_, lut, *, kind, group, dtype):
     if kind == "dense":
         return qs.astype(dtype)
@@ -95,9 +101,9 @@ def _dequant_planes(qs, scale, min_, lut, *, kind, group, dtype):
             qf = jnp.where(q == i, lut[i], qf)
     else:
         qf = q.astype(jnp.float32)
-    w = _expand_groups(scale, group) * qf
+    w = _expand_groups(_rows_from_group_major(scale), group) * qf
     if min_ is not None:
-        w = w - _expand_groups(min_, group)
+        w = w - _expand_groups(_rows_from_group_major(min_), group)
     return w.astype(dtype)
 
 
@@ -142,8 +148,8 @@ def _qmm_kernel(x_ref, qs_ref, scale_ref, min_ref, lut_ref, o_ref,
     refs:
       x_ref     [tm, tk]         bf16 activations
       qs_ref    [tnp, tk]        uint8/int8 packed plane
-      scale_ref [pack, tnp, tg]  f32
-      min_ref   [pack, tnp, tg]  f32 (or None)
+      scale_ref [pack, tg, tnp]  f32 (group-major: lane dim = output rows)
+      min_ref   [pack, tg, tnp]  f32 (or None)
       lut_ref   [1, n_lut]       f32 (or None)
       o_ref     [tm, pack, tnp]  f32
     """
@@ -172,14 +178,14 @@ def _qmm_kernel(x_ref, qs_ref, scale_ref, min_ref, lut_ref, o_ref,
         else:
             qf = q.astype(jnp.float32)
         s_exp = jax.lax.dot_general(
-            scale_ref[h], e, (((1,), (0,)), ((), ())),
+            scale_ref[h], e, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)  # [tnp, tk]
         w = (qf * s_exp).astype(jnp.bfloat16)
         acc = jax.lax.dot_general(x, w, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         if min_ref is not None:
             acc = acc - jax.lax.dot_general(
-                xsum, min_ref[h], (((1,), (1,)), ((), ())),
+                xsum, min_ref[h], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         accs.append(acc)
     update = jnp.stack(accs, axis=1)
@@ -207,6 +213,10 @@ def _qmm_call(x, qs, scale, min_, lut, *, kind, group, pack, n_lut,
         tile_k //= 2
     tg = tile_k // group
     g = k // group
+    if tg < 8 and tg != g:
+        # scale tile sublane dim must be >=8 or span the full group axis
+        tile_k = k
+        tg = g
     grid = (npk // tile_n, m // tile_m, k // tile_k)
 
     in_specs = [
@@ -214,15 +224,15 @@ def _qmm_call(x, qs, scale, min_, lut, *, kind, group, pack, n_lut,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((tile_n, tile_k), lambda n, mm, kk: (n, kk),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((pack, tile_n, tg), lambda n, mm, kk: (0, n, kk),
+        pl.BlockSpec((pack, tg, tile_n), lambda n, mm, kk: (0, kk, n),
                      memory_space=pltpu.VMEM),
     ]
-    args = [x.astype(jnp.bfloat16), qs, scale.reshape(pack, npk, g)]
+    args = [x.astype(jnp.bfloat16), qs, scale]
     if min_ is not None:
-        in_specs.append(pl.BlockSpec((pack, tile_n, tg),
-                                     lambda n, mm, kk: (0, n, kk),
+        in_specs.append(pl.BlockSpec((pack, tg, tile_n),
+                                     lambda n, mm, kk: (0, kk, n),
                                      memory_space=pltpu.VMEM))
-        args.append(min_.reshape(pack, npk, g))
+        args.append(min_)
     if lut is not None:
         in_specs.append(pl.BlockSpec((1, n_lut), lambda n, mm, kk: (0, 0),
                                      memory_space=pltpu.VMEM))
@@ -278,7 +288,7 @@ def qgather(ids: jax.Array, qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
         w = jnp.asarray(qt.qs)
         return w[ids].astype(dtype)
     qs = jnp.asarray(qt.qs)
-    scale = jnp.asarray(qt.scale, jnp.float32)
+    scale = jnp.asarray(qt.scale, jnp.float32)  # [pack, G, npk]
     npk = qs.shape[0]
     sub = ids // npk          # which packed sub-value
     row = ids % npk           # plane row
@@ -291,11 +301,11 @@ def qgather(ids: jax.Array, qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
         qf = lut[q]
     else:
         qf = q.astype(jnp.float32)
-    s = jnp.repeat(scale[ids], qt.group, axis=-1)
+    s = jnp.repeat(scale[sub, :, row], qt.group, axis=-1)  # [..., K]
     w = s * qf
     if qt.min_ is not None:
-        m = jnp.repeat(jnp.asarray(qt.min_, jnp.float32)[ids], qt.group, axis=-1)
-        w = w - m
+        m = jnp.asarray(qt.min_, jnp.float32)[sub, :, row]
+        w = w - jnp.repeat(m, qt.group, axis=-1)
     return w.astype(dtype)
 
 

@@ -23,14 +23,16 @@ from ..gguf.constants import GGMLType, GGML_BLOCK_SIZES, type_size
 from ..quant.repack import QTensor, repack
 
 
-def _concat_qt(parts: list[QTensor], axis: int) -> QTensor:
+def _concat_qt(parts: list[QTensor]) -> QTensor:
+    """Column-shard concat: qs planes stack on rows (axis 0); group-major
+    scale/min planes [pack, G, npk_local] stack on the npk axis (-1)."""
     q0 = parts[0]
-    cat = lambda xs: None if xs[0] is None else np.concatenate(xs, axis=axis)
+    cat = lambda xs, ax: None if xs[0] is None else np.concatenate(xs, axis=ax)
     return QTensor(
         q0.kind, q0.shape, q0.n_orig, q0.group,
-        cat([p.qs for p in parts]),
-        cat([p.scale for p in parts]),
-        cat([p.min_ for p in parts]),
+        cat([p.qs for p in parts], 0),
+        cat([p.scale for p in parts], -1),
+        cat([p.min_ for p in parts], -1),
         q0.lut,
         q0.ggml_type,
     )
@@ -55,7 +57,7 @@ def repack_sharded(raw: np.ndarray, ggml_type: GGMLType, n: int, k: int,
     local = n // shards
     parts = [repack(np.ascontiguousarray(rows[t * local:(t + 1) * local]),
                     ggml_type, local, k) for t in range(shards)]
-    return _concat_qt(parts, axis=0)
+    return _concat_qt(parts)
 
 
 def shard_qtensor_cols(qt: QTensor, shards: int) -> QTensor:

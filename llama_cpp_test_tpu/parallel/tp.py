@@ -50,18 +50,20 @@ def _qt_spec(qt: QTensor | None, mode: str) -> QTensor | None:
             dims[shard_axis] = "tp"
         return P(*dims)
 
+    # scale/min are group-major [pack, G, npk] (+ optional leading E):
+    # column shard = npk axis (-1); row (K) shard = G axis (-2)
     if mode == "rep":
         qs = spec(qt.qs, None)
         sc = spec(qt.scale, None)
         mn = spec(qt.min_, None)
     elif mode == "col":
         qs = spec(qt.qs, lead + 0)
-        sc = spec(qt.scale, lead + 0)
-        mn = spec(qt.min_, lead + 0)
-    else:  # row: contraction dim is the last axis of every plane
-        qs = spec(qt.qs, qt.qs.ndim - 1)
         sc = spec(qt.scale, qt.scale.ndim - 1) if qt.scale is not None else None
         mn = spec(qt.min_, qt.min_.ndim - 1) if qt.min_ is not None else None
+    else:  # row: contraction dim
+        qs = spec(qt.qs, qt.qs.ndim - 1)
+        sc = spec(qt.scale, qt.scale.ndim - 2) if qt.scale is not None else None
+        mn = spec(qt.min_, qt.min_.ndim - 2) if qt.min_ is not None else None
     lut = P(None) if qt.lut is not None else None
     return QTensor(qt.kind, qt.shape, qt.n_orig, qt.group, qs, sc, mn, lut,
                    qt.ggml_type)

@@ -10,9 +10,11 @@ At load time we decompose every quantized tensor into flat *planes*:
            the packed plane unpacks to `pack` full row-tiles — no lane
            interleave needed in the kernel, and the matmul output for the
            packed halves is just out.reshape(M, pack, N/pack) -> (M, N).
-  scale  — float32 [N, K/group]: per-group effective scale (super-block d
-           pre-multiplied with packed sub-scales at repack time).
-  min_   — optional float32 [N, K/group]: x = scale * q - min_.
+  scale  — float32 [pack, K/group, N/pack]: per-group effective scale
+           (super-block d pre-multiplied with packed sub-scales at repack
+           time), stored group-major so a kernel tile of shape
+           (tile_k/group, tile_n) is TPU lane-aligned (last dim 128).
+  min_   — optional float32, same layout: x = scale * q - min_.
   lut    — optional float32 [16] codebook (IQ4_NL/IQ4_XS).
 
 This is the TPU-native analogue of llama.cpp's runtime weight repacking
@@ -311,6 +313,20 @@ def _pad_rows(a: np.ndarray, n_to: int) -> np.ndarray:
     return np.concatenate([a, pad], axis=0)
 
 
+def _to_group_major(s: np.ndarray, pack: int) -> np.ndarray:
+    """[N, G] row-major scales -> [pack, G, N/pack] group-major planes."""
+    n, g = s.shape
+    return np.ascontiguousarray(
+        s.reshape(pack, n // pack, g).transpose(0, 2, 1))
+
+
+def scale_row_view(qt: "QTensor") -> np.ndarray:
+    """Group-major planes back to [N, G] logical row order (host/tests)."""
+    s = np.asarray(qt.scale)
+    pack, g, npk = s.shape
+    return s.transpose(0, 2, 1).reshape(pack * npk, g)
+
+
 def required_n_multiple(ggml_type: GGMLType, tile_n: int = 128) -> int:
     kind = _DECOMPOSERS.get(ggml_type, ("int8", None))[0]
     pack = {"dense": 1, "int8": 1, "u4": 2, "u2": 4, "u4lut": 2}[kind]
@@ -344,7 +360,8 @@ def repack(raw: np.ndarray, ggml_type: GGMLType, n: int, k: int,
         n_pad = -n % mult
         return QTensor("int8", (n + n_pad, k), n, g,
                        _pad_rows(q, n + n_pad),
-                       _pad_rows(s, n + n_pad), None, ggml_type=ggml_type)
+                       _to_group_major(_pad_rows(s, n + n_pad), 1),
+                       None, ggml_type=ggml_type)
 
     kind, fn = _DECOMPOSERS[ggml_type]
     b = _blocks(raw, ggml_type, n, k)
@@ -354,8 +371,9 @@ def repack(raw: np.ndarray, ggml_type: GGMLType, n: int, k: int,
     n_pad = -n % mult
     n_full = n + n_pad
     q = _pad_rows(q, n_full)
-    s = _pad_rows(s.astype(np.float32), n_full)
-    m = None if m is None else _pad_rows(m.astype(np.float32), n_full)
+    s = _to_group_major(_pad_rows(s.astype(np.float32), n_full), pack)
+    m = None if m is None else _to_group_major(
+        _pad_rows(m.astype(np.float32), n_full), pack)
     if kind == "int8":
         qs = q.astype(np.int8)
     else:
@@ -384,8 +402,9 @@ def dequantize_qtensor_np(qt: QTensor) -> np.ndarray:
         ).astype(np.float32)
     if qt.kind == "u4lut":
         q = np.asarray(qt.lut)[q.astype(np.int32)]
-    s = np.repeat(np.asarray(qt.scale, dtype=np.float32), qt.group, axis=1)
+    s = np.repeat(scale_row_view(qt).astype(np.float32), qt.group, axis=1)
     w = s * q
     if qt.min_ is not None:
-        w = w - np.repeat(np.asarray(qt.min_, dtype=np.float32), qt.group, axis=1)
+        mrow = np.asarray(qt.min_).transpose(0, 2, 1).reshape(s.shape[0], -1)
+        w = w - np.repeat(mrow.astype(np.float32), qt.group, axis=1)
     return w[: qt.n_orig]

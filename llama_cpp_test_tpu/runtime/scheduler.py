@@ -155,8 +155,15 @@ class Scheduler:
                 return  # admission control: wait for blocks to free up
             self.queue.popleft()
             slot.req = req
+            grammar_sampler = None
+            if req.sampling.grammar and self.tokenizer is not None:
+                from .grammar import GrammarSampler
+
+                grammar_sampler = GrammarSampler(req.sampling.grammar,
+                                                 self.tokenizer)
             slot.sampler = SamplerChain.from_params(
-                req.sampling, n_vocab=self.ctx.model.hp.n_vocab)
+                req.sampling, n_vocab=self.ctx.model.hp.n_vocab,
+                grammar_sampler=grammar_sampler)
             # prompt-cache reuse: if this slot's previous sequence shares a
             # prefix, keep that KV (truncate to the common part)
             reuse = 0

@@ -89,6 +89,18 @@ def _sampling_from_body(body: dict) -> SamplerParams:
             setattr(p, attr, type(getattr(p, attr))(body[k]))
     if "logit_bias" in body and body["logit_bias"]:
         p.logit_bias = {int(k): float(v) for k, v in body["logit_bias"].items()}
+    if body.get("grammar"):
+        p.grammar = str(body["grammar"])
+    elif (body.get("response_format") or {}).get("type") == "json_object":
+        from ..runtime.json_schema import JSON_GBNF
+
+        p.grammar = JSON_GBNF
+    elif (body.get("response_format") or {}).get("type") == "json_schema":
+        from ..runtime.json_schema import schema_to_gbnf
+
+        schema = (body["response_format"].get("json_schema") or {}).get(
+            "schema") or body["response_format"].get("schema") or {}
+        p.grammar = schema_to_gbnf(schema)
     return p
 
 
