@@ -29,13 +29,56 @@ import jax
 import jax.numpy as jnp
 
 
-def _pages_per_compute_block(block_size: int, nbmax: int) -> int:
-    # target ~512 kv positions per flash block, divisor of pages-per-seq
-    target = max(1, 512 // block_size)
-    ppcb = min(target, nbmax)
-    while nbmax % ppcb:
-        ppcb -= 1
-    return ppcb
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pa_kernel(lengths_ref, pages_ref, q_ref, k_ref, v_ref, o_ref,
+               m_scr, l_scr, acc_scr, *, bs: int, soft_cap: float | None):
+    """Flash-decoding over one (sequence, kv head): grid dim 2 walks the
+    sequence's physical pages (selected by the block-table index_map);
+    scratch carries the online-softmax state across pages.
+
+    q_ref [1, 1, G, D]; k_ref/v_ref [1, 1, BS, D]; o_ref [1, 1, G, D]
+    m/l scratch [G, 128] f32; acc scratch [G, D] f32.
+    """
+    b = pl.program_id(0)
+    c = pl.program_id(2)
+    n_chunks = pl.num_programs(2)
+    length = lengths_ref[b]
+
+    @pl.when(c == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, -1e30)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    @pl.when(c * bs < length)
+    def _():
+        q = q_ref[0, 0].astype(jnp.float32)            # [G, D]
+        k = k_ref[0, 0].astype(jnp.float32)            # [BS, D]
+        v = v_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [G, BS]
+        if soft_cap is not None:
+            s = jnp.tanh(s / soft_cap) * soft_cap
+        pos = c * bs + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(pos < length, s, -1e30)
+        m_prev = m_scr[:, 0:1]                          # [G, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)                          # [G, BS]
+        l_new = l_scr[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(c == n_chunks - 1)
+    def _():
+        denom = jnp.maximum(l_scr[:, 0:1], 1e-30)
+        o_ref[0, 0] = (acc_scr[:] / denom).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("soft_cap",))
@@ -43,17 +86,55 @@ def paged_attention_decode(q: jax.Array, k_pages: jax.Array,
                            v_pages: jax.Array, lengths: jax.Array,
                            page_indices: jax.Array,
                            soft_cap: float | None = None) -> jax.Array:
-    from jax.experimental.pallas.ops.tpu.paged_attention import (
-        paged_attention as _pa,
-    )
+    """Pallas paged flash-decoding.
 
+    q: [B, H, D] pre-scaled; k/v_pages: [KV, NB, BS, D]; lengths [B];
+    page_indices [B, NBmax]. Returns [B, H, D].
+    """
+    b, h, d = q.shape
+    kv, nb, bs, _ = k_pages.shape
+    g = h // kv
     nbmax = page_indices.shape[1]
-    bs = k_pages.shape[2]
-    return _pa.paged_attention(
-        q, k_pages, v_pages, lengths, page_indices,
-        pages_per_compute_block=_pages_per_compute_block(bs, nbmax),
-        attn_logits_soft_cap=soft_cap,
+    q4 = q.reshape(b, kv, g, d)
+
+    grid = (b, kv, nbmax)
+
+    def q_map(bi, ki, ci, lens, pages):
+        return (bi, ki, 0, 0)
+
+    def kv_map(bi, ki, ci, lens, pages):
+        return (ki, pages[bi, ci], 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, g, d), q_map),
+            pl.BlockSpec((1, 1, bs, d), kv_map),
+            pl.BlockSpec((1, 1, bs, d), kv_map),
+        ],
+        out_specs=pl.BlockSpec((1, 1, g, d), q_map),
+        scratch_shapes=[
+            pltpu.VMEM((g, 128), jnp.float32),
+            pltpu.VMEM((g, 128), jnp.float32),
+            pltpu.VMEM((g, d), jnp.float32),
+        ],
     )
+    kernel = functools.partial(_pa_kernel, bs=bs, soft_cap=soft_cap)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, kv, g, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * d * nbmax * bs,
+            bytes_accessed=2 * kv * nbmax * bs * d * b * 2,
+            transcendentals=b * h * nbmax * bs,
+        ),
+    )(lengths, page_indices, q4, k_pages, v_pages)
+    return out.reshape(b, h, d)
 
 
 def paged_attention_decode_xla(q: jax.Array, k_pages: jax.Array,

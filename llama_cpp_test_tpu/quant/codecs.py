@@ -210,18 +210,39 @@ def set_refine_iters(n: int) -> None:
     REFINE_ITERS = int(n)
 
 
+# Per-call importance weights (imatrix): set by quantize(weights=...) as a
+# blocks-aligned array; the fits reshape it to match their group view.
+_QW: np.ndarray | None = None
+
+
+def _qw_like(x: np.ndarray) -> np.ndarray | None:
+    if _QW is None:
+        return None
+    return _QW.reshape(x.shape)
+
+
 def _ls_refine_affine(x, scale, mn, nmax, iters=None):
-    """Alternating least-squares refinement of (scale, min) given rounding."""
+    """Alternating least-squares refinement of (scale, min) given rounding.
+    With an imatrix the fit minimizes the importance-weighted error
+    (the quantize_row_*_impl quant_weights path, reference ggml-quants.c)."""
     if iters is None:
         iters = REFINE_ITERS
+    w = _qw_like(x)
     for _ in range(iters):
         q = np.clip(np.rint((x + mn[..., None]) * _safe_inv(scale)[..., None]), 0, nmax)
-        # solve min_{s,m} sum (s*q - m - x)^2 per group
-        n = x.shape[-1]
-        sq = q.sum(-1)
-        sqq = (q * q).sum(-1)
-        sx = x.sum(-1)
-        sxq = (x * q).sum(-1)
+        # solve min_{s,m} sum w*(s*q - m - x)^2 per group
+        if w is None:
+            n = x.shape[-1]
+            sq = q.sum(-1)
+            sqq = (q * q).sum(-1)
+            sx = x.sum(-1)
+            sxq = (x * q).sum(-1)
+        else:
+            n = w.sum(-1)
+            sq = (w * q).sum(-1)
+            sqq = (w * q * q).sum(-1)
+            sx = (w * x).sum(-1)
+            sxq = (w * x * q).sum(-1)
         det = n * sqq - sq * sq
         with np.errstate(divide="ignore", invalid="ignore"):
             s_new = np.where(det > 0, (n * sxq - sq * sx) / det, scale)
@@ -238,10 +259,15 @@ def _signed_group_scale(x: np.ndarray, nmax: int, iters=None) -> np.ndarray:
         iters = REFINE_ITERS
     m = _max_by_abs(x)
     scale = (m / -(nmax + 1)).astype(np.float32)
+    w = _qw_like(x)
     for _ in range(iters):
         q = np.clip(np.rint(x * _safe_inv(scale)[..., None]), -(nmax + 1), nmax)
-        sqq = (q * q).sum(-1)
-        sxq = (x * q).sum(-1)
+        if w is None:
+            sqq = (q * q).sum(-1)
+            sxq = (x * q).sum(-1)
+        else:
+            sqq = (w * q * q).sum(-1)
+            sxq = (w * x * q).sum(-1)
         with np.errstate(divide="ignore", invalid="ignore"):
             s_new = np.where(sqq > 0, sxq / sqq, scale)
         scale = s_new.astype(np.float32)
@@ -877,8 +903,14 @@ def supported_dequantize_types() -> list[GGMLType]:
     return sorted(_DEQUANTIZERS, key=int)
 
 
-def quantize(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
-    """Quantize float rows (n, k) -> packed uint8 (n, row_bytes)."""
+def quantize(x: np.ndarray, ggml_type: GGMLType,
+             weights: np.ndarray | None = None) -> np.ndarray:
+    """Quantize float rows (n, k) -> packed uint8 (n, row_bytes).
+
+    weights: optional per-column importance [k] (imatrix second moments) —
+    the iterative fits minimize importance-weighted error.
+    """
+    global _QW
     if ggml_type == GGMLType.F32:
         return np.ascontiguousarray(x.astype(np.float32)).view(np.uint8)
     if ggml_type == GGMLType.F16:
@@ -896,7 +928,14 @@ def quantize(x: np.ndarray, ggml_type: GGMLType) -> np.ndarray:
     if k % blk:
         raise ValueError(f"row length {k} not divisible by block size {blk}")
     blocks = x.reshape(-1, blk)
-    out = fn(blocks)
+    if weights is not None:
+        wcol = np.asarray(weights, np.float32).reshape(k)
+        wcol = np.maximum(wcol, wcol.mean() * 1e-3 + 1e-12)
+        _QW = np.tile(wcol, x.size // k).reshape(-1, blk)
+    try:
+        out = fn(blocks)
+    finally:
+        _QW = None
     return out.reshape(*orig_rows, (k // blk) * nbytes)
 
 

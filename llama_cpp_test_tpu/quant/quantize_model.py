@@ -126,7 +126,13 @@ def quantize_model(src_path: str, dst_path: str, ftype: str,
                      GGMLType.BF16: np.float32}[target]),
                     ggml_type=target)
             else:
-                packed = codecs.quantize(flat.astype(np.float32), target)
+                iw = None
+                if imatrix is not None:
+                    iw = imatrix.get(name)
+                    if iw is not None and iw.size != info.shape[0]:
+                        iw = None  # shape mismatch (e.g. stacked experts)
+                packed = codecs.quantize(flat.astype(np.float32), target,
+                                         weights=iw)
                 w.add_tensor(name, packed, ggml_type=target,
                              raw_ggml_shape=info.shape)
             stats.tensors += 1
@@ -146,17 +152,24 @@ def main(argv=None) -> int:
     ap.add_argument("src")
     ap.add_argument("dst")
     ap.add_argument("ftype", help="e.g. Q4_K_M, Q8_0, Q6_K")
+    ap.add_argument("--imatrix", default=None,
+                    help="importance matrix .npz from llama-imatrix")
     ap.add_argument("--fast", action="store_true",
                     help="skip iterative scale refinement")
     args = ap.parse_args(argv)
     if args.fast:
         codecs.set_refine_iters(0)
+    imatrix = None
+    if args.imatrix:
+        from ..runtime.imatrix import IMatrixCollector
+
+        imatrix = IMatrixCollector.load(args.imatrix)
 
     def progress(name, i, n):
         print(f"[{i+1}/{n}] {name}", file=sys.stderr)
 
     st = quantize_model(args.src, args.dst, args.ftype.upper(),
-                        progress=progress)
+                        imatrix=imatrix, progress=progress)
     print(f"quantized {st.tensors} tensors: "
           f"{st.bytes_in/1e6:.1f} MB -> {st.bytes_out/1e6:.1f} MB "
           f"in {st.seconds:.1f}s")

@@ -122,6 +122,35 @@ def _decode_step(w: LlamaWeights, pools: KVPools, tokens, positions,
     return logits, pools
 
 
+@functools.partial(jax.jit, static_argnames=("hp", "n_steps"),
+                   donate_argnums=(1,))
+def _decode_greedy_loop(w: LlamaWeights, pools: KVPools, tok0, pos0,
+                        block_table, *, hp: HParams, n_steps: int):
+    """n_steps greedy decode steps fully on device (lax.scan): one dispatch
+    and one [n_steps, B] download per window instead of per-token logits
+    round-trips — essential when the host link is slow (TPU tunnel) and the
+    analogue of llama-cli's tight greedy loop. Slots are derived on device
+    from the position and the block table.
+
+    tok0 [B] int32; pos0 [B] positions of tok0; returns (tokens [n_steps, B]
+    = tok0's successors, pools)."""
+    bs = pools.block_size
+
+    def body(carry, _):
+        pools, tok, pos = carry
+        slots = (jnp.take_along_axis(
+            block_table, (pos // bs)[:, None], axis=1)[:, 0] * bs + pos % bs)
+        x, pools = _forward(w, pools, tok[:, None], pos[:, None], block_table,
+                            slots[:, None], pos + 1, hp=hp, decode=True)
+        logits = llama_mod.lm_head(w, hp, x)[:, 0]
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (pools, nxt, pos + 1), nxt
+
+    (pools, _, _), toks = jax.lax.scan(
+        body, (pools, tok0, pos0), None, length=n_steps)
+    return toks, pools
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -313,6 +342,30 @@ class Context:
             self.model.weights, self.pools, tok, pos, bt, slot_arr, kv_len,
             last_ix)
         return np.asarray(logits[row])
+
+    def decode_greedy_loop(self, s: SeqState, first_token: int,
+                           n_steps: int) -> list[int]:
+        """Generate n_steps tokens greedily in ONE device dispatch
+        (single-sequence, single-device path). Feeds first_token, then each
+        greedy successor, returning the n_steps generated tokens. The last
+        returned token's KV is not yet cached (same contract as decode())."""
+        if self.mesh is not None:
+            raise NotImplementedError("greedy loop: single-device only")
+        hp = self.model.hp
+        # reserve blocks for the whole window up front
+        s.table.append_tokens(n_steps)
+        self._drain_copies([s])
+        bt = self._table_arr([s])
+        tok0 = np.asarray([first_token], np.int32)
+        pos0 = np.asarray([s.n_cached], np.int32)
+        toks, self.pools = _decode_greedy_loop(
+            self.model.weights, self.pools, tok0, pos0, bt,
+            hp=hp, n_steps=n_steps)
+        toks = [int(t) for t in np.asarray(toks)[:, 0]]
+        s.tokens.append(int(first_token))
+        s.tokens.extend(toks[:-1])
+        s.n_cached += n_steps
+        return toks
 
     def prefill_nll(self, s: SeqState, tokens: list[int]) -> np.ndarray:
         """Prefill `tokens` and return per-position NLL of predicting

@@ -1,0 +1,254 @@
+"""HF checkpoint -> GGUF converter (the convert_hf_to_gguf.py analogue,
+reference convert_hf_to_gguf.py LlamaModel/MixtralModel/Qwen2Model).
+
+Reads a HuggingFace model directory (config.json + *.safetensors or
+pytorch_model*.bin) and writes a GGUF the engine loads directly. Handles:
+  - tensor-name remapping (model.layers.N.self_attn.q_proj -> blk.N.attn_q)
+  - the NORM-rope Q/K row permutation (convert_hf_to_gguf.py:1657) for
+    llama-family models
+  - Mixtral expert stacking (w1/w2/w3 -> ffn_{gate,down,up}_exps)
+  - SPM (tokenizer.model) and BPE (tokenizer.json) vocab export
+  - output dtype F16/BF16/F32/Q8_0 (quantize further with llama-quantize)
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+from typing import Iterator
+
+import numpy as np
+
+from ..gguf.constants import GGMLType
+from ..gguf.writer import GGUFWriter
+
+ARCH_MAP = {
+    "LlamaForCausalLM": "llama",
+    "MistralForCausalLM": "llama",
+    "MixtralForCausalLM": "llama",
+    "Qwen2ForCausalLM": "qwen2",
+    "TinyLlamaForCausalLM": "llama",
+}
+
+# HF suffix -> GGUF suffix (per-layer), mirroring gguf-py tensor_mapping
+LAYER_MAP = {
+    "self_attn.q_proj.weight": "attn_q.weight",
+    "self_attn.k_proj.weight": "attn_k.weight",
+    "self_attn.v_proj.weight": "attn_v.weight",
+    "self_attn.o_proj.weight": "attn_output.weight",
+    "self_attn.q_proj.bias": "attn_q.bias",
+    "self_attn.k_proj.bias": "attn_k.bias",
+    "self_attn.v_proj.bias": "attn_v.bias",
+    "mlp.gate_proj.weight": "ffn_gate.weight",
+    "mlp.up_proj.weight": "ffn_up.weight",
+    "mlp.down_proj.weight": "ffn_down.weight",
+    "input_layernorm.weight": "attn_norm.weight",
+    "post_attention_layernorm.weight": "ffn_norm.weight",
+    "block_sparse_moe.gate.weight": "ffn_gate_inp.weight",
+}
+
+TOP_MAP = {
+    "model.embed_tokens.weight": "token_embd.weight",
+    "model.norm.weight": "output_norm.weight",
+    "lm_head.weight": "output.weight",
+}
+
+
+def iter_hf_tensors(path: str) -> Iterator[tuple[str, np.ndarray]]:
+    """Yields (name, array) from safetensors or torch .bin shards."""
+    st_files = sorted(f for f in os.listdir(path)
+                      if f.endswith(".safetensors"))
+    if st_files:
+        from safetensors import safe_open
+
+        for f in st_files:
+            with safe_open(os.path.join(path, f), framework="np") as sf:
+                for name in sf.keys():
+                    yield name, sf.get_tensor(name)
+        return
+    bins = sorted(f for f in os.listdir(path)
+                  if f.startswith("pytorch_model") and f.endswith(".bin"))
+    if not bins:
+        raise FileNotFoundError(f"no safetensors/bin weights in {path}")
+    import torch
+
+    for f in bins:
+        sd = torch.load(os.path.join(path, f), map_location="cpu",
+                        weights_only=True)
+        for name, t in sd.items():
+            yield name, t.float().numpy()
+
+
+def permute_qk(w: np.ndarray, n_head: int) -> np.ndarray:
+    """HF half-split -> GGUF NORM interleaved rows (convert_hf_to_gguf:1657)."""
+    d = w.shape[0] // n_head
+    return (w.reshape(n_head, 2, d // 2, *w.shape[1:])
+             .swapaxes(1, 2).reshape(w.shape))
+
+
+def map_name(name: str) -> str | None:
+    if name in TOP_MAP:
+        return TOP_MAP[name]
+    if name.startswith("model.layers."):
+        rest = name[len("model.layers."):]
+        idx, _, suffix = rest.partition(".")
+        # Mixtral experts: block_sparse_moe.experts.E.w{1,2,3}.weight
+        if suffix.startswith("block_sparse_moe.experts."):
+            return None  # handled by the expert stacker
+        mapped = LAYER_MAP.get(suffix)
+        if mapped is None:
+            return None
+        return f"blk.{idx}.{mapped}"
+    return None
+
+
+def _vocab_metadata(path: str, cfg: dict) -> dict:
+    """Tokenizer metadata from tokenizer.model (SPM) or tokenizer.json (BPE)."""
+    md: dict = {}
+    spm_path = os.path.join(path, "tokenizer.model")
+    tok_json = os.path.join(path, "tokenizer.json")
+    if os.path.exists(tok_json):
+        with open(tok_json, encoding="utf-8") as f:
+            tj = json.load(f)
+        model = tj.get("model", {})
+        if model.get("type") == "BPE":
+            vocab = model["vocab"]
+            tokens = [None] * len(vocab)
+            for tok, i in vocab.items():
+                if i < len(tokens):
+                    tokens[i] = tok
+            added = tj.get("added_tokens", [])
+            max_id = max([len(tokens) - 1] + [a["id"] for a in added])
+            if max_id >= len(tokens):
+                tokens.extend([None] * (max_id + 1 - len(tokens)))
+            types = [1] * len(tokens)
+            for a in added:
+                tokens[a["id"]] = a["content"]
+                types[a["id"]] = 3 if a.get("special") else 4
+            tokens = [t if t is not None else f"[UNUSED_{i}]"
+                      for i, t in enumerate(tokens)]
+            merges = model.get("merges", [])
+            merges = [m if isinstance(m, str) else " ".join(m) for m in merges]
+            md.update({
+                "tokenizer.ggml.model": "gpt2",
+                "tokenizer.ggml.pre": "llama-bpe",
+                "tokenizer.ggml.tokens": tokens,
+                "tokenizer.ggml.token_type": np.asarray(types, np.int32),
+                "tokenizer.ggml.merges": merges,
+            })
+        elif model.get("type") in ("Unigram",) or os.path.exists(spm_path):
+            pass  # fall through to SPM below
+    if "tokenizer.ggml.model" not in md and os.path.exists(spm_path):
+        from . import spm_reader
+
+        tokens, scores, types = spm_reader.read_spm_vocab(spm_path)
+        md.update({
+            "tokenizer.ggml.model": "llama",
+            "tokenizer.ggml.tokens": tokens,
+            "tokenizer.ggml.scores": np.asarray(scores, np.float32),
+            "tokenizer.ggml.token_type": np.asarray(types, np.int32),
+        })
+    if md:
+        md["tokenizer.ggml.bos_token_id"] = int(cfg.get("bos_token_id") or 1)
+        md["tokenizer.ggml.eos_token_id"] = int(cfg.get("eos_token_id") or 2)
+        md["tokenizer.ggml.add_bos_token"] = True
+    return md
+
+
+def convert(path: str, out_path: str, dtype: str = "F16") -> None:
+    with open(os.path.join(path, "config.json"), encoding="utf-8") as f:
+        cfg = json.load(f)
+    archs = cfg.get("architectures", ["LlamaForCausalLM"])
+    arch = ARCH_MAP.get(archs[0])
+    if arch is None:
+        raise ValueError(f"unsupported architecture {archs[0]}; "
+                         f"known: {sorted(ARCH_MAP)}")
+    n_head = cfg["num_attention_heads"]
+    n_kv = cfg.get("num_key_value_heads", n_head)
+    n_embd = cfg["hidden_size"]
+    head_dim = cfg.get("head_dim", n_embd // n_head)
+    ggml_dtype = {"F16": GGMLType.F16, "BF16": GGMLType.BF16,
+                  "F32": GGMLType.F32, "Q8_0": GGMLType.Q8_0}[dtype]
+
+    w = GGUFWriter(out_path, arch=arch)
+    md = {
+        "general.architecture": arch,
+        "general.name": cfg.get("_name_or_path", os.path.basename(path)),
+        f"{arch}.context_length": cfg.get("max_position_embeddings", 4096),
+        f"{arch}.embedding_length": n_embd,
+        f"{arch}.block_count": cfg["num_hidden_layers"],
+        f"{arch}.attention.head_count": n_head,
+        f"{arch}.attention.head_count_kv": n_kv,
+        f"{arch}.attention.key_length": head_dim,
+        f"{arch}.attention.value_length": head_dim,
+        f"{arch}.feed_forward_length": cfg["intermediate_size"],
+        f"{arch}.rope.dimension_count": head_dim,
+        f"{arch}.rope.freq_base": cfg.get("rope_theta", 10000.0),
+        f"{arch}.attention.layer_norm_rms_epsilon": cfg.get("rms_norm_eps", 1e-5),
+        f"{arch}.vocab_size": cfg["vocab_size"],
+    }
+    if cfg.get("num_local_experts"):
+        md[f"{arch}.expert_count"] = cfg["num_local_experts"]
+        md[f"{arch}.expert_used_count"] = cfg.get("num_experts_per_tok", 2)
+    rope_scaling = cfg.get("rope_scaling") or {}
+    if rope_scaling.get("type") in ("linear", "yarn"):
+        md[f"{arch}.rope.scaling.type"] = rope_scaling["type"]
+        md[f"{arch}.rope.scaling.factor"] = float(rope_scaling.get("factor", 1.0))
+    md.update(_vocab_metadata(path, cfg))
+    for key, val in md.items():
+        w.add_kv(key, val)
+
+    is_norm_rope = arch == "llama"
+    experts: dict[tuple[int, str], dict[int, np.ndarray]] = {}
+    n_expert = cfg.get("num_local_experts", 0)
+    seen_output = False
+    for name, arr in iter_hf_tensors(path):
+        # Mixtral expert stacking
+        if ".block_sparse_moe.experts." in name:
+            parts = name.split(".")
+            li, ei, wn = int(parts[2]), int(parts[5]), parts[6]
+            key = (li, {"w1": "ffn_gate_exps", "w3": "ffn_up_exps",
+                        "w2": "ffn_down_exps"}[wn])
+            experts.setdefault(key, {})[ei] = arr.astype(np.float32)
+            if len(experts[key]) == n_expert:
+                stacked = np.stack([experts[key][e] for e in range(n_expert)])
+                w.add_tensor(f"blk.{key[0]}.{key[1]}.weight", stacked,
+                             ggml_type=ggml_dtype)
+                del experts[key]
+            continue
+        gname = map_name(name)
+        if gname is None:
+            continue
+        arr = np.asarray(arr)
+        if arr.dtype != np.float32:
+            arr = arr.astype(np.float32)
+        if is_norm_rope and gname.endswith("attn_q.weight"):
+            arr = permute_qk(arr, n_head)
+        elif is_norm_rope and gname.endswith("attn_k.weight"):
+            arr = permute_qk(arr, n_kv)
+        if gname == "output.weight":
+            seen_output = True
+        tgt = ggml_dtype if arr.ndim >= 2 else GGMLType.F32
+        if tgt not in (GGMLType.F32, GGMLType.F16, GGMLType.BF16) and \
+                arr.shape[-1] % 32:
+            tgt = GGMLType.F16
+        w.add_tensor(gname, arr, ggml_type=tgt)
+    w.write()
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    ap = argparse.ArgumentParser("convert-hf-to-gguf (tpu)")
+    ap.add_argument("model_dir")
+    ap.add_argument("-o", "--outfile", required=True)
+    ap.add_argument("--outtype", default="F16",
+                    choices=["F16", "BF16", "F32", "Q8_0"])
+    args = ap.parse_args(argv)
+    convert(args.model_dir, args.outfile, args.outtype)
+    print(f"wrote {args.outfile}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

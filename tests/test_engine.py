@@ -291,3 +291,26 @@ def test_generate_greedy(tiny_model):
     assert len(toks) == 8
     toks2 = list(generate(ctx, [3, 17, 42], 8))
     assert toks == toks2  # deterministic greedy
+
+
+def test_decode_greedy_loop_matches_stepwise(tiny_model):
+    path, wts, model = tiny_model
+    from llama_cpp_test_tpu.runtime.engine import Context
+
+    prompt = [3, 17, 42, 9]
+    ctx1 = Context(model, n_ctx=64, n_seq_max=1, block_size=8)
+    s1 = ctx1.new_seq()
+    logits = ctx1.prefill(s1, prompt)
+    t = int(np.argmax(logits))
+    ref = []
+    for _ in range(10):
+        lg = ctx1.decode([s1], [t])[0]
+        t = int(np.argmax(lg))
+        ref.append(t)
+
+    ctx2 = Context(model, n_ctx=64, n_seq_max=1, block_size=8)
+    s2 = ctx2.new_seq()
+    logits = ctx2.prefill(s2, prompt)
+    t0 = int(np.argmax(logits))
+    out = ctx2.decode_greedy_loop(s2, t0, 10)
+    assert out == ref
