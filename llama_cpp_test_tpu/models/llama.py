@@ -40,6 +40,22 @@ def linear(x: jax.Array, qt: QTensor, out_dtype=jnp.float32) -> jax.Array:
     return qmm_xla(x, qt, out_dtype=out_dtype)
 
 
+def linear_lora(x: jax.Array, qt: QTensor, lora, out_dtype=jnp.float32):
+    """linear() plus the low-rank update y += scale * (x A^T) B^T
+    (build_lora_mm analogue, reference llama-graph.h:418)."""
+    y = linear(x, qt, out_dtype=out_dtype)
+    if lora is not None:
+        a, b, sc = lora
+        u = jax.lax.dot_general(x.astype(jnp.bfloat16), a,
+                                (((x.ndim - 1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        d = jax.lax.dot_general(u.astype(jnp.bfloat16), b,
+                                (((x.ndim - 1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        y = y + (d * sc).astype(y.dtype)
+    return y
+
+
 @dataclasses.dataclass
 class LayerWeights:
     attn_norm: jax.Array
@@ -61,6 +77,8 @@ class LayerWeights:
     bq: jax.Array | None = None
     bk: jax.Array | None = None
     bv: jax.Array | None = None
+    # LoRA pairs: field name -> (A [r,K], B [N,r], scale) (models/lora.py)
+    lora: dict = dataclasses.field(default_factory=dict)
 
 
 @dataclasses.dataclass
@@ -314,10 +332,11 @@ def forward_layer(
     # local head counts under tensor parallelism (weights column-sharded)
     h, kvh, d = hp.n_head // tp, hp.n_head_kv // tp, hp.head_dim
 
+    lora = lw.lora or {}
     cur = layers.rms_norm(x, lw.attn_norm, hp.rms_eps)
-    q = linear(cur, lw.wq, out_dtype=jnp.float32)
-    k = linear(cur, lw.wk, out_dtype=jnp.float32)
-    v = linear(cur, lw.wv, out_dtype=jnp.float32)
+    q = linear_lora(cur, lw.wq, lora.get("wq"), out_dtype=jnp.float32)
+    k = linear_lora(cur, lw.wk, lora.get("wk"), out_dtype=jnp.float32)
+    v = linear_lora(cur, lw.wv, lora.get("wv"), out_dtype=jnp.float32)
     if lw.bq is not None:
         q = q + lw.bq
     if lw.bk is not None:
@@ -333,7 +352,7 @@ def forward_layer(
                       k.astype(jnp.bfloat16),
                       v.astype(jnp.bfloat16))
     attn_out = attn_out.reshape(b, tdim, h * d)
-    o = linear(attn_out, lw.wo, out_dtype=jnp.float32)
+    o = linear_lora(attn_out, lw.wo, lora.get("wo"), out_dtype=jnp.float32)
     if tp_axis is not None:
         # row-parallel wo: every device holds a partial sum over its heads
         o = jax.lax.psum(o, tp_axis)
@@ -343,9 +362,10 @@ def forward_layer(
     if lw.gate_inp is not None:
         ffn = moe_ffn(cur, lw, hp)
     else:
-        g = linear(cur, lw.w_gate)
-        u = linear(cur, lw.w_up)
-        ffn = linear(layers.swiglu(g, u), lw.w_down)
+        g = linear_lora(cur, lw.w_gate, lora.get("w_gate"))
+        u = linear_lora(cur, lw.w_up, lora.get("w_up"))
+        ffn = linear_lora(layers.swiglu(g, u), lw.w_down,
+                          lora.get("w_down"))
     if tp_axis is not None:
         ffn = jax.lax.psum(ffn, tp_axis)  # row-parallel ffn_down partials
     return x + ffn.astype(x.dtype)

@@ -333,10 +333,22 @@ def required_n_multiple(ggml_type: GGMLType, tile_n: int = 128) -> int:
     return pack * tile_n
 
 
+USE_NATIVE = True  # C++ fast path (native/ggufio.cpp) when available
+
+
 def repack(raw: np.ndarray, ggml_type: GGMLType, n: int, k: int,
            tile_n: int = 128) -> QTensor:
     """Packed GGUF row-major bytes for an (N=n rows, K=k cols) weight ->
     TPU plane layout. Rows padded so N/pack is a multiple of tile_n."""
+    if USE_NATIVE and tile_n == 128:
+        try:
+            from ..native import native_repack
+
+            qt = native_repack(raw, int(ggml_type), n, k, tile_n)
+            if qt is not None:
+                return qt
+        except Exception:
+            pass  # fall back to numpy
     if ggml_type in (GGMLType.F32, GGMLType.F16, GGMLType.BF16):
         w = codecs.dequantize(np.ascontiguousarray(raw), ggml_type).reshape(n, k)
         mult = tile_n

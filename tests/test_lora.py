@@ -1,0 +1,95 @@
+"""LoRA adapter tests: runtime-attached adapter must match the merged model."""
+import numpy as np
+import pytest
+
+from test_engine import HP, make_tiny_gguf, nmse, permute_gguf
+
+
+def make_lora_gguf(path, rng, alpha=8.0, rank=4):
+    """LoRA over attn_q and ffn_down of layer 0 (GGUF layout rows)."""
+    from llama_cpp_test_tpu.gguf.constants import GGMLType
+    from llama_cpp_test_tpu.gguf.writer import GGUFWriter
+
+    c, ff = HP["n_embd"], HP["n_ff"]
+    hq, d = HP["n_head"], HP["head_dim"]
+    pairs = {
+        "blk.0.attn_q.weight": (rng.standard_normal((rank, c)) * 0.1,
+                                rng.standard_normal((hq * d, rank)) * 0.1),
+        "blk.0.ffn_down.weight": (rng.standard_normal((rank, ff)) * 0.1,
+                                  rng.standard_normal((c, rank)) * 0.1),
+    }
+    w = GGUFWriter(path, arch="llama")
+    w.add_kv("general.architecture", "llama")
+    w.add_kv("adapter.type", "lora")
+    w.add_kv("adapter.lora.alpha", alpha)
+    for base, (a, b) in pairs.items():
+        w.add_tensor(base + ".lora_a", a.astype(np.float32),
+                     ggml_type=GGMLType.F32)
+        w.add_tensor(base + ".lora_b", b.astype(np.float32),
+                     ggml_type=GGMLType.F32)
+    w.write()
+    return pairs, alpha, rank
+
+
+def test_lora_matches_merged(tmp_path):
+    from llama_cpp_test_tpu.gguf.constants import GGMLType
+    from llama_cpp_test_tpu.gguf.reader import GGUFReader
+    from llama_cpp_test_tpu.gguf.writer import GGUFWriter
+    from llama_cpp_test_tpu.models.lora import attach_lora, load_lora
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    rng = np.random.default_rng(7)
+    base_path = str(tmp_path / "base.gguf")
+    make_tiny_gguf(base_path, qtype=GGMLType.F32)  # dense base for exactness
+    lora_path = str(tmp_path / "adapter.gguf")
+    pairs, alpha, rank = make_lora_gguf(lora_path, rng)
+
+    # merged model: bake delta into the GGUF tensors directly
+    merged_path = str(tmp_path / "merged.gguf")
+    with GGUFReader(base_path) as r:
+        w = GGUFWriter(merged_path)
+        for k, v in r.metadata.items():
+            w.add_kv(k, v)
+        for name, info in r.tensors.items():
+            dense = r.dequantize(name, np.float32)
+            if name in pairs:
+                a, b = pairs[name]
+                dense = dense + (b @ a).reshape(dense.shape) * (alpha / rank)
+            w.add_tensor(name, dense, ggml_type=GGMLType.F32)
+        w.write()
+
+    tokens = [3, 17, 42, 9]
+    m_merged = Model(merged_path)
+    ctx_m = Context(m_merged, n_ctx=64, n_seq_max=1, block_size=8)
+    ref = ctx_m.prefill(ctx_m.new_seq(), tokens, all_logits=True)
+
+    m_lora = Model(base_path)
+    adapter = load_lora(lora_path, m_lora.hp)
+    attach_lora(m_lora.weights, adapter)
+    ctx_l = Context(m_lora, n_ctx=64, n_seq_max=1, block_size=8)
+    got = ctx_l.prefill(ctx_l.new_seq(), tokens, all_logits=True)
+
+    assert nmse(ref, got) < 5e-5, nmse(ref, got)
+
+    # without the adapter, logits must differ
+    m_plain = Model(base_path)
+    ctx_p = Context(m_plain, n_ctx=64, n_seq_max=1, block_size=8)
+    plain = ctx_p.prefill(ctx_p.new_seq(), tokens, all_logits=True)
+    assert nmse(ref, plain) > 1e-5
+
+
+def test_merge_lora_tool(tmp_path):
+    from llama_cpp_test_tpu.gguf.constants import GGMLType
+    from llama_cpp_test_tpu.models.lora import merge_lora
+    from llama_cpp_test_tpu.runtime.engine import Model
+
+    rng = np.random.default_rng(8)
+    base_path = str(tmp_path / "base.gguf")
+    make_tiny_gguf(base_path, qtype=GGMLType.F32)
+    lora_path = str(tmp_path / "adapter.gguf")
+    make_lora_gguf(lora_path, rng)
+    out = str(tmp_path / "merged.gguf")
+    n = merge_lora(base_path, lora_path, out)
+    assert n == 2
+    m = Model(out)  # loads and runs
+    assert m.hp.n_layer == HP["n_layer"]
