@@ -40,19 +40,27 @@ def linear(x: jax.Array, qt: QTensor, out_dtype=jnp.float32) -> jax.Array:
     return qmm_xla(x, qt, out_dtype=out_dtype)
 
 
+def lora_delta(x: jax.Array, lora) -> jax.Array | None:
+    """scale * (x A^T) B^T, the low-rank update (build_lora_mm analogue,
+    reference llama-graph.h:418)."""
+    if lora is None:
+        return None
+    a, b, sc = lora
+    u = jax.lax.dot_general(x.astype(jnp.bfloat16), a,
+                            (((x.ndim - 1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    d = jax.lax.dot_general(u.astype(jnp.bfloat16), b,
+                            (((x.ndim - 1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return d * sc
+
+
 def linear_lora(x: jax.Array, qt: QTensor, lora, out_dtype=jnp.float32):
-    """linear() plus the low-rank update y += scale * (x A^T) B^T
-    (build_lora_mm analogue, reference llama-graph.h:418)."""
+    """linear() plus the optional low-rank update."""
     y = linear(x, qt, out_dtype=out_dtype)
-    if lora is not None:
-        a, b, sc = lora
-        u = jax.lax.dot_general(x.astype(jnp.bfloat16), a,
-                                (((x.ndim - 1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        d = jax.lax.dot_general(u.astype(jnp.bfloat16), b,
-                                (((x.ndim - 1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        y = y + (d * sc).astype(y.dtype)
+    d = lora_delta(x, lora)
+    if d is not None:
+        y = y + d.astype(y.dtype)
     return y
 
 
@@ -79,6 +87,11 @@ class LayerWeights:
     bv: jax.Array | None = None
     # LoRA pairs: field name -> (A [r,K], B [N,r], scale) (models/lora.py)
     lora: dict = dataclasses.field(default_factory=dict)
+    # fused projections (decode is kernel-count bound on TPU): wqkv packs
+    # q/k/v rows into one plane set, w_gateup packs gate+up. Built at load
+    # when the source tensors share quant type; None otherwise.
+    wqkv: QTensor | None = None
+    w_gateup: QTensor | None = None
 
 
 @dataclasses.dataclass
@@ -116,6 +129,28 @@ def _repack_2d(reader: GGUFReader, name: str,
         row_bytes = raw.size // n
         raw = np.ascontiguousarray(raw.reshape(n, row_bytes)[row_perm])
     return repack(raw, info.ggml_type, n, k)
+
+
+def _repack_fused(reader: GGUFReader, names_perms) -> QTensor | None:
+    """Concatenate same-type tensors along N (byte-row concat before repack)
+    so decode runs one fused kernel instead of 2-3 — the TPU answer to
+    per-kernel dispatch overhead. Returns None when types/K differ."""
+    infos = [reader.tensors[n] for n, _ in names_perms]
+    if len({i.ggml_type for i in infos}) != 1 or \
+            len({i.shape[0] for i in infos}) != 1:
+        return None
+    k = infos[0].shape[0]
+    rows = []
+    for (name, perm), info in zip(names_perms, infos):
+        n = info.shape[1]
+        raw = reader.tensor_bytes(name)
+        r = np.ascontiguousarray(raw).reshape(n, raw.size // n)
+        if perm is not None:
+            r = r[perm]
+        rows.append(r)
+    cat = np.ascontiguousarray(np.concatenate(rows, axis=0))
+    n_total = cat.shape[0]
+    return repack(cat.reshape(-1), infos[0].ggml_type, n_total, k)
 
 
 def _unpermute_rows(n_head: int, head_dim: int) -> np.ndarray:
@@ -218,6 +253,14 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
             wo=row(p + "attn_output.weight"),
             ffn_norm=_f32(reader, p + "ffn_norm.weight"),
         )
+        if tp == 1:
+            lw.wqkv = _repack_fused(reader, [
+                (p + "attn_q.weight", q_perm),
+                (p + "attn_k.weight", k_perm),
+                (p + "attn_v.weight", None),
+            ])
+            if lw.wqkv is not None:
+                lw.wq = lw.wk = lw.wv = None  # fused plane replaces them
         if p + "ffn_gate_inp.weight" in t:  # MoE (Mixtral)
             lw.gate_inp = _repack_2d(reader, p + "ffn_gate_inp.weight")
             lw.gate_exps = _repack_3d(reader, p + "ffn_gate_exps.weight", tp)
@@ -228,6 +271,13 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
             lw.w_gate = col(p + "ffn_gate.weight")
             lw.w_up = col(p + "ffn_up.weight")
             lw.w_down = row(p + "ffn_down.weight")
+            if tp == 1:
+                lw.w_gateup = _repack_fused(reader, [
+                    (p + "ffn_gate.weight", None),
+                    (p + "ffn_up.weight", None),
+                ])
+                if lw.w_gateup is not None:
+                    lw.w_gate = lw.w_up = None
         for bname, attr, perm in (("attn_q.bias", "bq", q_perm),
                                   ("attn_k.bias", "bk", k_perm),
                                   ("attn_v.bias", "bv", None)):
@@ -317,6 +367,52 @@ def _expert_slice(qt: QTensor, ei: int) -> QTensor:
     )
 
 
+def qkv_proj(cur: jax.Array, lw: LayerWeights, n_q: int, n_kv: int):
+    """Q/K/V projections, via the fused wqkv plane when available.
+    n_q/n_kv are the (local) output widths h*d and kvh*d."""
+    lora = lw.lora or {}
+    if lw.wqkv is not None:
+        qkv = linear(cur, lw.wqkv, out_dtype=jnp.float32)
+        q = qkv[..., :n_q]
+        k = qkv[..., n_q:n_q + n_kv]
+        v = qkv[..., n_q + n_kv:]
+        for name, dlt in (("wq", lora_delta(cur, lora.get("wq"))),
+                          ("wk", lora_delta(cur, lora.get("wk"))),
+                          ("wv", lora_delta(cur, lora.get("wv")))):
+            if dlt is not None:
+                if name == "wq":
+                    q = q + dlt
+                elif name == "wk":
+                    k = k + dlt
+                else:
+                    v = v + dlt
+    else:
+        q = linear_lora(cur, lw.wq, lora.get("wq"), out_dtype=jnp.float32)
+        k = linear_lora(cur, lw.wk, lora.get("wk"), out_dtype=jnp.float32)
+        v = linear_lora(cur, lw.wv, lora.get("wv"), out_dtype=jnp.float32)
+    return q, k, v
+
+
+def gateup_proj(cur: jax.Array, lw: LayerWeights):
+    """SwiGLU gate/up projections, fused when available."""
+    lora = lw.lora or {}
+    if lw.w_gateup is not None:
+        gu = linear(cur, lw.w_gateup, out_dtype=jnp.float32)
+        n_ff_local = gu.shape[-1] // 2
+        g = gu[..., :n_ff_local]
+        u = gu[..., n_ff_local:]
+        dg = lora_delta(cur, lora.get("w_gate"))
+        du = lora_delta(cur, lora.get("w_up"))
+        if dg is not None:
+            g = g + dg
+        if du is not None:
+            u = u + du
+    else:
+        g = linear_lora(cur, lw.w_gate, lora.get("w_gate"))
+        u = linear_lora(cur, lw.w_up, lora.get("w_up"))
+    return g, u
+
+
 def forward_layer(
     x: jax.Array,               # [B, T, C] bf16
     lw: LayerWeights,
@@ -334,9 +430,7 @@ def forward_layer(
 
     lora = lw.lora or {}
     cur = layers.rms_norm(x, lw.attn_norm, hp.rms_eps)
-    q = linear_lora(cur, lw.wq, lora.get("wq"), out_dtype=jnp.float32)
-    k = linear_lora(cur, lw.wk, lora.get("wk"), out_dtype=jnp.float32)
-    v = linear_lora(cur, lw.wv, lora.get("wv"), out_dtype=jnp.float32)
+    q, k, v = qkv_proj(cur, lw, h * d, kvh * d)
     if lw.bq is not None:
         q = q + lw.bq
     if lw.bk is not None:
@@ -362,8 +456,7 @@ def forward_layer(
     if lw.gate_inp is not None:
         ffn = moe_ffn(cur, lw, hp)
     else:
-        g = linear_lora(cur, lw.w_gate, lora.get("w_gate"))
-        u = linear_lora(cur, lw.w_up, lora.get("w_up"))
+        g, u = gateup_proj(cur, lw)
         ffn = linear_lora(layers.swiglu(g, u), lw.w_down,
                           lora.get("w_down"))
     if tp_axis is not None:

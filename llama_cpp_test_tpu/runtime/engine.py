@@ -97,6 +97,34 @@ def _prefill_all_logits_step(w: LlamaWeights, pools: KVPools, tokens,
     return logits, pools
 
 
+@functools.partial(jax.jit, static_argnames=("hp", "pooling"),
+                   donate_argnums=(1,))
+def _embed_step(w: LlamaWeights, pools: KVPools, tokens, positions,
+                block_table, slots, kv_len, n_valid, *, hp: HParams,
+                pooling: str):
+    """Prefill returning pooled, L2-normalized embeddings [B, C]
+    (the llama_get_embeddings + pooling-type path, reference llama.h pooling;
+    examples/embedding)."""
+    from ..ops import layers as _layers
+
+    x, pools = _forward(w, pools, tokens, positions, block_table, slots,
+                        kv_len, hp=hp, decode=False)
+    x = _layers.rms_norm(x, w.output_norm, hp.rms_eps).astype(jnp.float32)
+    tpos = jnp.arange(x.shape[1])[None, :]
+    valid = tpos < n_valid[:, None]
+    if pooling == "mean":
+        emb = jnp.sum(jnp.where(valid[..., None], x, 0.0), axis=1) / \
+            jnp.maximum(n_valid[:, None], 1)
+    elif pooling == "cls":
+        emb = x[:, 0]
+    else:  # last
+        emb = jnp.take_along_axis(
+            x, jnp.maximum(n_valid - 1, 0)[:, None, None], axis=1)[:, 0]
+    emb = emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True),
+                            1e-12)
+    return emb, pools
+
+
 @functools.partial(jax.jit, static_argnames=("hp",), donate_argnums=(1,))
 def _prefill_nll_step(w: LlamaWeights, pools: KVPools, tokens, positions,
                       block_table, slots, kv_len, targets, valid,
@@ -342,6 +370,34 @@ class Context:
             self.model.weights, self.pools, tok, pos, bt, slot_arr, kv_len,
             last_ix)
         return np.asarray(logits[row])
+
+    def embed(self, tokens: list[int], pooling: str = "mean") -> np.ndarray:
+        """Pooled L2-normalized embedding of a token sequence [n_embd]."""
+        if self.mesh is not None:
+            raise NotImplementedError("embed: single-device only")
+        hp = self.model.hp
+        s = self.new_seq()
+        try:
+            n = len(tokens)
+            if n == 0:
+                raise ValueError("embed: empty token list")
+            slots = s.table.append_tokens(n)
+            self._drain_copies([s])
+            tb = _bucket(n, TOKEN_BUCKETS)
+            tok = np.zeros((1, tb), np.int32)
+            tok[0, :n] = tokens
+            pos = np.zeros((1, tb), np.int32)
+            pos[0, :n] = np.arange(n)
+            slot_arr = np.full((1, tb), -1, np.int32)
+            slot_arr[0, :n] = slots
+            bt = self._table_arr([s])
+            kv_len = np.asarray([n], np.int32)
+            emb, self.pools = _embed_step(
+                self.model.weights, self.pools, tok, pos, bt, slot_arr,
+                kv_len, np.asarray([n], np.int32), hp=hp, pooling=pooling)
+            return np.asarray(emb[0])
+        finally:
+            self.free_seq(s)
 
     def decode_greedy_loop(self, s: SeqState, first_token: int,
                            n_steps: int) -> list[int]:

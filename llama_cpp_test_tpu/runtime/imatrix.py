@@ -53,11 +53,12 @@ def _imatrix_step(w: LlamaWeights, tokens, *, hp: HParams):
 
         # replicate forward_layer's attention inline so we can tap attn_out
         h, kvh, d = hp.n_head, hp.n_head_kv, hp.head_dim
-        from ..models.llama import linear
+        from ..models.llama import linear, qkv_proj
 
-        q = linear(cur, lw.wq).reshape(b, t, h, d)
-        k = linear(cur, lw.wk).reshape(b, t, kvh, d)
-        v = linear(cur, lw.wv).reshape(b, t, kvh, d)
+        q, k, v = qkv_proj(cur, lw, h * d, kvh * d)
+        q = q.reshape(b, t, h, d)
+        k = k.reshape(b, t, kvh, d)
+        v = v.reshape(b, t, kvh, d)
         q = layers.apply_rope(q, pos, w.rope_inv_freq, w.rope_mscale)
         k = layers.apply_rope(k, pos, w.rope_inv_freq, w.rope_mscale)
         att = attend(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
@@ -75,8 +76,9 @@ def _imatrix_step(w: LlamaWeights, tokens, *, hp: HParams):
         else:
             record(p + "ffn_gate.weight", cur)
             record(p + "ffn_up.weight", cur)
-            g = linear(cur, lw.w_gate)
-            u = linear(cur, lw.w_up)
+            from ..models.llama import gateup_proj
+
+            g, u = gateup_proj(cur, lw)
             act = layers.swiglu(g, u)
             record(p + "ffn_down.weight", act)
             x = x + linear(act, lw.w_down).astype(x.dtype)

@@ -43,6 +43,8 @@ class EngineThread:
         self._wake = threading.Event()
         self._stop = False
         self._lock = threading.Lock()
+        # serializes all Context access (scheduler steps vs. embed calls)
+        self.ctx_lock = threading.Lock()
         self._pending: list[GenRequest] = []
         self.thread = threading.Thread(target=self._loop, daemon=True)
 
@@ -66,7 +68,8 @@ class EngineThread:
                     self.sched.submit(r)
                 self._pending.clear()
             if self.sched.has_work():
-                self.sched.step()
+                with self.ctx_lock:
+                    self.sched.step()
             else:
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
@@ -216,6 +219,56 @@ class LlamaServer:
                                      body.get("messages", []))
         return web.json_response({"prompt": prompt})
 
+    async def embeddings(self, request):
+        """OpenAI /v1/embeddings + llama.cpp /embeddings."""
+        body = await request.json()
+        inputs = body.get("input") or body.get("content") or ""
+        if isinstance(inputs, (str, list)) and (
+                not isinstance(inputs, list) or
+                (inputs and isinstance(inputs[0], int))):
+            inputs = [inputs]
+        pooling = body.get("pooling", "mean")
+        loop = asyncio.get_running_loop()
+        out = []
+        for i, item in enumerate(inputs):
+            toks = self._tokenize_prompt(item)
+            def run(t=toks):
+                with self.engine.ctx_lock:
+                    return self.sched.ctx.embed(t, pooling)
+            emb = await loop.run_in_executor(None, run)
+            out.append({"object": "embedding", "index": i,
+                        "embedding": [float(x) for x in emb]})
+        return web.json_response({
+            "object": "list", "data": out, "model": self.alias,
+            "usage": {"prompt_tokens": sum(len(self._tokenize_prompt(x))
+                                           for x in inputs)},
+        })
+
+    async def rerank(self, request):
+        """Cosine-similarity rerank of documents against a query
+        (the /rerank endpoint analogue, embedding-based)."""
+        body = await request.json()
+        query = body.get("query", "")
+        docs = body.get("documents", [])
+        loop = asyncio.get_running_loop()
+
+        def emb_of(text):
+            toks = self._tokenize_prompt(text)
+            with self.engine.ctx_lock:
+                return self.sched.ctx.embed(toks, "mean")
+
+        qv = await loop.run_in_executor(None, emb_of, query)
+        results = []
+        for i, doc in enumerate(docs):
+            dv = await loop.run_in_executor(None, emb_of, doc)
+            results.append({"index": i,
+                            "relevance_score": float(qv @ dv)})
+        results.sort(key=lambda r: -r["relevance_score"])
+        top_n = body.get("top_n")
+        if top_n:
+            results = results[: int(top_n)]
+        return web.json_response({"model": self.alias, "results": results})
+
     async def completions(self, request):
         """llama.cpp-style /completion and OpenAI /v1/completions."""
         body = await request.json()
@@ -328,6 +381,10 @@ class LlamaServer:
         r.add_post("/completions", self.completions)
         r.add_post("/v1/completions", self.completions)
         r.add_post("/v1/chat/completions", self.chat_completions)
+        r.add_post("/embeddings", self.embeddings)
+        r.add_post("/v1/embeddings", self.embeddings)
+        r.add_post("/rerank", self.rerank)
+        r.add_post("/v1/rerank", self.rerank)
         return app
 
     def run(self, host: str = "127.0.0.1", port: int = 8080):

@@ -127,3 +127,24 @@ def test_concurrent_completions(client):
     assert len(results) == 4
     for b in results:
         assert b["choices"][0]["finish_reason"] is not None
+
+
+def test_embeddings_and_rerank(client):
+    c, loop = client
+
+    async def go():
+        r = await c.post("/v1/embeddings", json={"input": [3, 17, 42]})
+        body = await r.json()
+        emb = np.asarray(body["data"][0]["embedding"])
+        assert abs(float(np.linalg.norm(emb)) - 1.0) < 1e-3
+        # same input -> same embedding
+        r2 = await c.post("/v1/embeddings", json={"input": [3, 17, 42]})
+        emb2 = np.asarray((await r2.json())["data"][0]["embedding"])
+        assert np.allclose(emb, emb2, atol=1e-5)
+        r = await c.post("/rerank", json={
+            "query": "hello", "documents": ["hello", "zzz qqq"]})
+        res = (await r.json())["results"]
+        assert len(res) == 2
+        assert res[0]["relevance_score"] >= res[1]["relevance_score"]
+
+    loop.run_until_complete(go())
