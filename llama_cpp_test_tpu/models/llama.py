@@ -324,7 +324,8 @@ def device_put_weights(w: LlamaWeights, shardings: Any | None = None) -> LlamaWe
 # forward
 
 
-def moe_ffn(x: jax.Array, lw: LayerWeights, hp: HParams) -> jax.Array:
+def moe_ffn(x: jax.Array, lw: LayerWeights, hp: HParams,
+            ep_axis: str | None = None, ep: int = 1) -> jax.Array:
     """Mixtral-style top-k expert routing (build_moe_ffn analogue,
     reference src/llama-graph.cpp build_moe_ffn + GGML_OP_MUL_MAT_ID).
 
@@ -332,19 +333,27 @@ def moe_ffn(x: jax.Array, lw: LayerWeights, hp: HParams) -> jax.Array:
     a regular fused qmatmul over all tokens and results are combined with the
     (mostly zero) routing weights. On TPU this keeps the MXU busy with big
     static-shape matmuls; a ragged gather path can replace it later.
+
+    ep_axis: expert-parallel shard_map axis — the expert stacks hold
+    n_expert/ep local experts; each device computes its local experts'
+    masked contribution and the partial outputs are psum'ed over ep_axis
+    (the sharded MUL_MAT_ID the reference lacks, SURVEY.md §2.4).
     """
     b, tdim = x.shape[0], x.shape[1]
     xf = x.reshape(-1, x.shape[-1])
-    router = linear(xf, lw.gate_inp)                      # [M, E]
+    router = linear(xf, lw.gate_inp)                      # [M, E] (E global)
     probs = jax.nn.softmax(router, axis=-1)
     topv, topi = jax.lax.top_k(probs, hp.n_expert_used)   # [M, k]
     # normalize selected weights (norm_topk_prob default true for mixtral)
     topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
     weight = jnp.zeros_like(probs).at[
         jnp.arange(probs.shape[0])[:, None], topi].set(topv)  # [M, E]
-    e = hp.n_expert
+    e_local = hp.n_expert // ep
+    if ep_axis is not None and ep > 1:
+        off = jax.lax.axis_index(ep_axis) * e_local
+        weight = jax.lax.dynamic_slice_in_dim(weight, off, e_local, axis=1)
     out = jnp.zeros((xf.shape[0], hp.n_embd), jnp.float32)
-    for ei in range(e):
+    for ei in range(e_local):
         gate_e = _expert_slice(lw.gate_exps, ei)
         up_e = _expert_slice(lw.up_exps, ei)
         down_e = _expert_slice(lw.down_exps, ei)
@@ -353,6 +362,8 @@ def moe_ffn(x: jax.Array, lw: LayerWeights, hp: HParams) -> jax.Array:
         h = layers.swiglu(g, u)
         y = linear(h, down_e)
         out = out + y * weight[:, ei:ei + 1]
+    if ep_axis is not None and ep > 1:
+        out = jax.lax.psum(out, ep_axis)
     return out.reshape(b, tdim, hp.n_embd)
 
 
@@ -423,6 +434,8 @@ def forward_layer(
     attend,                     # fn(q, k_cur, v_cur) -> [B,T,H,D]; writes KV
     tp_axis: str | None = None,  # shard_map axis name for tensor parallelism
     tp: int = 1,                 # static size of that axis
+    ep_axis: str | None = None,  # expert-parallel axis (MoE layers)
+    ep: int = 1,
 ) -> jax.Array:
     b, tdim, c = x.shape
     # local head counts under tensor parallelism (weights column-sharded)
@@ -454,7 +467,7 @@ def forward_layer(
 
     cur = layers.rms_norm(x, lw.ffn_norm, hp.rms_eps)
     if lw.gate_inp is not None:
-        ffn = moe_ffn(cur, lw, hp)
+        ffn = moe_ffn(cur, lw, hp, ep_axis=ep_axis, ep=ep)
     else:
         g, u = gateup_proj(cur, lw)
         ffn = linear_lora(layers.swiglu(g, u), lw.w_down,

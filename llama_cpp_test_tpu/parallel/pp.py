@@ -1,0 +1,352 @@
+"""Full model parallelism: dp x pp x sp x ep x tp mesh step functions.
+
+Generalizes parallel/tp.py to the remaining parallel dimensions the reference
+either has natively or that the TPU mesh makes first-class (SURVEY.md §2.4):
+
+  dp — data parallel: batch rows + private KV block pools per group
+       (the analogue of independent engine replicas sharing weights).
+  pp — pipeline parallel over layer stages: contiguous layer ranges per
+       device (the LLAMA_SPLIT_MODE_LAYER analogue, reference
+       src/llama-model.cpp:1361-1415) with microbatch double-buffering over
+       jax.lax.ppermute — the scheduler's n_copies pipeline
+       (ggml-backend.cpp:662-667,1380-1476) re-done as an SPMD program.
+  sp — sequence parallel: prefill token axis sharded; per layer the freshly
+       projected K/V chunks are all-gathered over 'sp' before the paged-pool
+       scatter so every replica holds the full cache, while norms/FFN/matmuls
+       run on the local token chunk only.
+  ep — expert parallel for MoE: the expert dim of ffn_*_exps is sharded; each
+       device computes its local experts' masked contribution and the results
+       are psum'ed (the sharded MUL_MAT_ID the reference lacks — SURVEY §2.4
+       "experts not sharded across devices").
+  tp — Megatron tensor parallel (column/row sharded planes, parallel/tp.py).
+
+Layer weights are *stacked*: every LayerWeights leaf gains a leading L dim so
+the layer axis can be sharded over 'pp' (L % pp == 0). Inside the shard_map
+body each stage slices its local layers one at a time.
+
+Pipeline schedule (S stages, M = S microbatches over the batch axis):
+  tick t in [0, M+S-1): stage s processes microbatch m = t - s; stage 0
+  ingests embeddings, ppermute passes activations s -> s+1, the last stage
+  accumulates logits. Invalid (m out of range) ticks run with slot ids -1 so
+  their KV writes drop out (the write_kv scatter 'drop' mode).
+"""
+from __future__ import annotations
+
+import functools
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.hparams import HParams
+from ..models.llama import LayerWeights, LlamaWeights
+from ..quant.repack import QTensor
+from .tp import _qt_spec
+
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+MP_AXES = ("dp", "pp", "sp", "ep", "tp")
+
+
+def choose_parallel(n_devices: int, hp) -> dict:
+    """Factor n_devices over the five axes under model-shape constraints:
+    tp | n_head_kv, ep | n_expert (MoE only), pp | n_layer, sp and dp free."""
+    left = n_devices
+    axes = dict(dp=1, pp=1, sp=1, ep=1, tp=1)
+    if left % 2 == 0 and hp.n_head_kv % 2 == 0:
+        axes["tp"] = 2
+        left //= 2
+    if hp.n_expert and left % 2 == 0 and hp.n_expert % 2 == 0:
+        axes["ep"] = 2
+        left //= 2
+    if left % 2 == 0 and hp.n_layer % 2 == 0:
+        axes["pp"] = 2
+        left //= 2
+    if left % 2 == 0:
+        axes["sp"] = 2
+        left //= 2
+    axes["dp"] = left
+    return axes
+
+
+def make_mp_mesh(dp=1, pp=1, sp=1, ep=1, tp=1, devices=None) -> Mesh:
+    """Mesh with ('dp','pp','sp','ep','tp') axes; tp minor (ICI-adjacent)."""
+    if devices is None:
+        devices = jax.devices()
+    n = dp * pp * sp * ep * tp
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(dp, pp, sp, ep, tp)
+    return Mesh(arr, MP_AXES)
+
+
+# ---------------------------------------------------------------------------
+# stacked pools
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MPPools:
+    """Layer-stacked KV pools: [n_layer, n_kv_heads, NB, BS, D] bf16,
+    sharded P('pp','tp','dp')."""
+    k: jax.Array
+    v: jax.Array
+
+    @property
+    def num_blocks(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def block_size(self) -> int:
+        return self.k.shape[3]
+
+
+_POOL_SPEC = P("pp", "tp", "dp", None, None)
+
+
+def new_mp_pools(hp: HParams, num_blocks: int, block_size: int,
+                 mesh: Mesh) -> MPPools:
+    shape = (hp.n_layer, hp.n_head_kv, num_blocks, block_size, hp.head_dim)
+    s = NamedSharding(mesh, _POOL_SPEC)
+    z = jax.device_put(jnp.zeros(shape, jnp.bfloat16), s)
+    return MPPools(k=z, v=jax.device_put(jnp.zeros(shape, jnp.bfloat16), s))
+
+
+# ---------------------------------------------------------------------------
+# stacked weights
+
+
+def _tree_index(tree, i):
+    return jax.tree_util.tree_map(lambda a: a[i], tree)
+
+
+def stack_layers(layers: list[LayerWeights]) -> LayerWeights:
+    """Stack homogeneous per-layer leaves along a new leading L axis."""
+    return jax.tree_util.tree_map(
+        lambda *xs: np.stack([np.asarray(x) for x in xs]), *layers)
+
+
+def _mp_qt_spec(qt: QTensor | None, mode: str) -> QTensor | None:
+    """PartitionSpec tree for a *stacked* QTensor (leading L axis): 'pp' on
+    the layer axis, 'ep' on the expert axis (expert stacks), tp placement
+    from tp.py's per-layer _qt_spec."""
+    if qt is None:
+        return None
+    # per-layer view so _qt_spec sees the ranks it was written for
+    sl = lambda a: None if a is None else a[0]
+    per = QTensor(qt.kind, qt.shape, qt.n_orig, qt.group,
+                  sl(qt.qs), sl(qt.scale), sl(qt.min_), sl(qt.lut),
+                  qt.ggml_type)
+    base = _qt_spec(per, mode)
+    expert = per.qs.ndim == 3  # [E, plane-rows, K] expert stack
+
+    def lift(spec, arr, has_e):
+        if arr is None:
+            return None
+        s = tuple(spec) if spec is not None else ()
+        s = s + (None,) * (arr.ndim - 1 - len(s))
+        if has_e:
+            s = ("ep",) + s[1:]
+        return P("pp", *s)
+
+    return QTensor(
+        qt.kind, qt.shape, qt.n_orig, qt.group,
+        lift(base.qs, qt.qs, expert),
+        lift(base.scale, qt.scale, expert),
+        lift(base.min_, qt.min_, expert),
+        lift(base.lut, qt.lut, False),
+        qt.ggml_type,
+    )
+
+
+def stacked_layer_pspecs(st: LayerWeights) -> LayerWeights:
+    """Spec tree for the stacked LayerWeights."""
+    return LayerWeights(
+        attn_norm=P("pp"),
+        wq=_mp_qt_spec(st.wq, "col"),
+        wk=_mp_qt_spec(st.wk, "col"),
+        wv=_mp_qt_spec(st.wv, "col"),
+        wo=_mp_qt_spec(st.wo, "row"),
+        ffn_norm=P("pp"),
+        w_gate=_mp_qt_spec(st.w_gate, "col"),
+        w_up=_mp_qt_spec(st.w_up, "col"),
+        w_down=_mp_qt_spec(st.w_down, "row"),
+        gate_inp=_mp_qt_spec(st.gate_inp, "rep"),
+        gate_exps=_mp_qt_spec(st.gate_exps, "col"),
+        up_exps=_mp_qt_spec(st.up_exps, "col"),
+        down_exps=_mp_qt_spec(st.down_exps, "row"),
+        bq=None if st.bq is None else P("pp", "tp"),
+        bk=None if st.bk is None else P("pp", "tp"),
+        bv=None if st.bv is None else P("pp", "tp"),
+        wqkv=_mp_qt_spec(st.wqkv, "col"),
+        w_gateup=_mp_qt_spec(st.w_gateup, "col"),
+    )
+
+
+def mp_weight_pspecs(w: LlamaWeights) -> LlamaWeights:
+    """Spec tree for LlamaWeights whose layers == [stacked LayerWeights]."""
+    return LlamaWeights(
+        tok_embd=_qt_spec(w.tok_embd, "rep"),
+        output_norm=P(None),
+        output=_qt_spec(w.output, "col"),
+        layers=[stacked_layer_pspecs(w.layers[0])],
+        rope_inv_freq=P(None),
+        rope_mscale=w.rope_mscale,
+    )
+
+
+def shard_mp_weights(w: LlamaWeights, mesh: Mesh) -> LlamaWeights:
+    """Stack per-layer weights along L, device_put with mp NamedShardings.
+    Requires n_layer % pp == 0 and (for MoE) n_expert % ep == 0."""
+    stacked = LlamaWeights(
+        tok_embd=w.tok_embd,
+        output_norm=w.output_norm,
+        output=w.output,
+        layers=[stack_layers(w.layers)],
+        rope_inv_freq=w.rope_inv_freq,
+        rope_mscale=w.rope_mscale,
+    )
+    specs = mp_weight_pspecs(stacked)
+
+    def put(arr, spec):
+        return jax.device_put(jnp.asarray(arr), NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, stacked, specs)
+
+
+# ---------------------------------------------------------------------------
+# step builders
+
+
+def build_mp_steps(hp: HParams, mesh: Mesh, w_template: LlamaWeights,
+                   pools_template: MPPools):
+    """Returns (prefill_step, decode_step, copy_step) shard_map'ed over the
+    5-axis mesh. Batch layout: B = dp * M * B_mb rows (M = pp microbatches);
+    prefill token axis T must be divisible by sp."""
+    from ..models import llama as llama_mod
+    from ..runtime import kv_cache
+    import math
+
+    S = int(mesh.shape["pp"])
+    SP = int(mesh.shape["sp"])
+    EP = int(mesh.shape["ep"])
+    TP = int(mesh.shape["tp"])
+    M = S  # microbatch count == stage count (full pipeline occupancy)
+    wspec = mp_weight_pspecs(w_template)
+    scale = 1.0 / math.sqrt(hp.head_dim)
+    perm = [(i, (i + 1) % S) for i in range(S)]
+
+    def run_stage_layers(w, k_pool, v_pool, x, positions, block_table,
+                         slots, kv_len, decode):
+        """Apply this stage's local layers to x, writing local KV pools."""
+        st = w.layers[0]
+        n_local = k_pool.shape[0]
+        for l in range(n_local):
+            lw = _tree_index(st, l)
+
+            def attend(q, k_cur, v_cur, _l=l):
+                nonlocal k_pool, v_pool
+                if SP > 1 and not decode:
+                    k_all = jax.lax.all_gather(k_cur, "sp", axis=1, tiled=True)
+                    v_all = jax.lax.all_gather(v_cur, "sp", axis=1, tiled=True)
+                    s_all = jax.lax.all_gather(slots, "sp", axis=1, tiled=True)
+                else:
+                    k_all, v_all, s_all = k_cur, v_cur, slots
+                k_pool = k_pool.at[_l].set(
+                    kv_cache.write_kv(k_pool[_l], k_all, s_all))
+                v_pool = v_pool.at[_l].set(
+                    kv_cache.write_kv(v_pool[_l], v_all, s_all))
+                if decode:
+                    return kv_cache.attend_decode(
+                        q, k_pool[_l], v_pool[_l], block_table, kv_len,
+                        scale, hp.sliding_window)
+                return kv_cache.attend_prefill(
+                    q, k_pool[_l], v_pool[_l], block_table, positions,
+                    kv_len, scale, hp.sliding_window)
+
+            x = llama_mod.forward_layer(
+                x, lw, hp, positions, w.rope_inv_freq, w.rope_mscale, attend,
+                tp_axis="tp", tp=TP, ep_axis="ep", ep=EP)
+        return k_pool, v_pool, x
+
+    def mk(decode: bool):
+        # tokens/positions/slots: [B, T] — T sharded over sp in prefill
+        tok_spec = P("dp", "sp") if (not decode and SP > 1) else P("dp", None)
+        in_specs = (wspec, MPPools(_POOL_SPEC, _POOL_SPEC), tok_spec,
+                    tok_spec, P("dp", None), tok_spec, P("dp")) + \
+            (() if decode else (P("dp"),))
+        out_specs = (P("dp", None), MPPools(_POOL_SPEC, _POOL_SPEC))
+
+        def body(w, pools, tokens, positions, block_table, slots, kv_len,
+                 *rest):
+            k_pool, v_pool = pools.k, pools.v
+            bl, t = tokens.shape
+            b_mb = bl // M
+            stage = jax.lax.axis_index("pp")
+            emb = llama_mod.embed(w, tokens)  # [Bl, T, C]
+            c = emb.shape[-1]
+
+            def mb(a, m):
+                a2 = a.reshape((M, b_mb) + a.shape[1:])
+                return jax.lax.dynamic_index_in_dim(a2, m, 0, keepdims=False)
+
+            # lm_head all-gathers over tp, so accumulated rows are full-width
+            # (n_orig is the per-shard local width under tp)
+            v_dim = w.output.n_orig * (TP if TP > 1 else 1)
+            out = jnp.zeros((M, b_mb, v_dim), jnp.float32)
+            state = jnp.zeros((b_mb, t, c), emb.dtype)
+            for tick in range(M + S - 1):
+                m = tick - stage
+                valid = (m >= 0) & (m < M)
+                mc = jnp.clip(m, 0, M - 1)
+                x_in = mb(emb, mc)
+                state = jnp.where(stage == 0, x_in, state)
+                pos_m = mb(positions, mc)
+                bt_m = mb(block_table, mc)
+                slots_m = jnp.where(valid, mb(slots, mc), -1)
+                kvl_m = mb(kv_len, mc)
+                k_pool, v_pool, x = run_stage_layers(
+                    w, k_pool, v_pool, state, pos_m, bt_m, slots_m, kvl_m,
+                    decode)
+                nxt = jax.lax.ppermute(x, "pp", perm) if S > 1 else x
+                # last stage: logits for its current microbatch
+                if decode:
+                    h_last = x[:, 0][:, None]
+                else:
+                    (last_ix,) = rest
+                    xg = jax.lax.all_gather(x, "sp", axis=1, tiled=True) \
+                        if SP > 1 else x
+                    li = mb(last_ix, mc)
+                    h_last = jnp.take_along_axis(
+                        xg, li[:, None, None], axis=1)
+                logits = llama_mod.lm_head(
+                    w, hp, h_last, tp_axis="tp" if TP > 1 else None)[:, 0]
+                contrib = jnp.where(valid & (stage == S - 1),
+                                    logits, 0.0)
+                onehot = (jnp.arange(M) == mc).astype(jnp.float32)
+                out = out + onehot[:, None, None] * contrib[None]
+                state = nxt
+            logits_all = jax.lax.psum(out, "pp") if S > 1 else out
+            return logits_all.reshape(bl, -1), MPPools(k_pool, v_pool)
+
+        fn = shard_map(body, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+        return jax.jit(fn, donate_argnums=(1,))
+
+    def copy_body(pools, src, dst):
+        s, d = src[0], dst[0]
+        k = pools.k.at[:, :, d].set(pools.k[:, :, s], mode="drop")
+        v = pools.v.at[:, :, d].set(pools.v[:, :, s], mode="drop")
+        return MPPools(k, v)
+
+    copy_fn = shard_map(
+        copy_body, mesh=mesh,
+        in_specs=(MPPools(_POOL_SPEC, _POOL_SPEC), P("dp"), P("dp")),
+        out_specs=MPPools(_POOL_SPEC, _POOL_SPEC), check_vma=False)
+    return (mk(decode=False), mk(decode=True),
+            jax.jit(copy_fn, donate_argnums=(0,)))

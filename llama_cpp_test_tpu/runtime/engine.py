@@ -196,9 +196,15 @@ class Model:
         self.mesh = mesh
         tp = int(mesh.shape["tp"]) if mesh is not None else 1
         self.tp = tp
+        # 5-axis (dp,pp,sp,ep,tp) meshes take the model-parallel path
+        self.mp = mesh is not None and "pp" in mesh.axis_names
         self.reader = GGUFReader(path)
         self.hp, w = load_weights(self.reader, hp, tp=tp)
-        if mesh is not None:
+        if self.mp:
+            from ..parallel.pp import shard_mp_weights
+
+            self.weights = shard_mp_weights(w, mesh)
+        elif mesh is not None:
             from ..parallel.tp import shard_weights
 
             self.weights = shard_weights(w, mesh)
@@ -234,26 +240,38 @@ class Context:
         self.block_size = block_size
         self.mesh = model.mesh
         self.dp = int(self.mesh.shape["dp"]) if self.mesh is not None else 1
+        self.mp = getattr(model, "mp", False)
+        # pp microbatch count: batch rows per dp group come in multiples of M
+        self.M = int(self.mesh.shape["pp"]) if self.mp else 1
         if num_blocks is None:
             num_blocks = max(n_seq_max * (n_ctx // block_size), 8)
         # num_blocks is PER dp group (each group owns a private pool shard)
         self.num_blocks = num_blocks
-        self.pools = kv_cache.new_kv_pools(hp, num_blocks * self.dp,
-                                           block_size)
         self.mgrs = [BlockManager(num_blocks) for _ in range(self.dp)]
         self.seqs: dict[int, SeqState] = {}
         self._next_id = 0
         # block-table width bucket: full table for n_ctx
         self.nbmax = n_ctx // block_size
-        if self.mesh is not None:
+        if self.mp:
+            from ..parallel.pp import build_mp_steps, new_mp_pools
+
+            self.pools = new_mp_pools(hp, num_blocks * self.dp, block_size,
+                                      self.mesh)
+            self._prefill_fn, self._decode_fn, self._copy_fn = \
+                build_mp_steps(hp, self.mesh, model.weights, self.pools)
+            self._prefill_all_fn = None
+        elif self.mesh is not None:
             from ..parallel.tp import (build_copy_step, build_tp_steps,
                                        shard_pools)
 
+            self.pools = kv_cache.new_kv_pools(hp, num_blocks * self.dp,
+                                               block_size)
             self.pools = shard_pools(self.pools, self.mesh)
             self._prefill_fn, self._prefill_all_fn, self._decode_fn = \
                 build_tp_steps(hp, self.mesh, model.weights, self.pools)
             self._copy_fn = build_copy_step(self.mesh, self.pools)
         else:
+            self.pools = kv_cache.new_kv_pools(hp, num_blocks, block_size)
             self._prefill_fn = functools.partial(_prefill_step, hp=hp)
             self._prefill_all_fn = functools.partial(
                 _prefill_all_logits_step, hp=hp)
@@ -350,16 +368,24 @@ class Context:
         kv_len = np.asarray([t0 + n], np.int32)
         s.tokens.extend(tokens)
         s.n_cached += n
-        row = s.group  # batch row g goes to dp group g (one row per group)
-        if self.dp > 1:
+        # batch row layout: group g's rows are [g*M, (g+1)*M); the real
+        # prefill row rides microbatch 0, padded rows have slot ids -1 so
+        # their KV writes drop
+        row = s.group * self.M
+        if self.dp > 1 or self.M > 1:
+            nrows = self.dp * self.M
+
             def expand(a, fill):
-                out = np.full((self.dp,) + a.shape[1:], fill, a.dtype)
+                out = np.full((nrows,) + a.shape[1:], fill, a.dtype)
                 out[row] = a[0]
                 return out
             tok, pos, bt = expand(tok, 0), expand(pos, 0), expand(bt, 0)
             slot_arr = expand(slot_arr, -1)
             kv_len = expand(kv_len.reshape(1), 1)
         if all_logits:
+            if self._prefill_all_fn is None:
+                raise NotImplementedError(
+                    "all_logits prefill is not supported on a pipeline mesh")
             logits, self.pools = self._prefill_all_fn(
                 self.model.weights, self.pools, tok, pos, bt, slot_arr,
                 kv_len)
@@ -474,7 +500,13 @@ class Context:
         # varies batch size every step, and each size is a fresh XLA program
         # (the analogue of worst-case graph reservation, llama-context.cpp:289)
         r = max(1, max(len(g) for g in by_group))
-        r = 1 << (r - 1).bit_length()
+        if self.M > 1:
+            # pipeline mesh: rows per group = M microbatches x pow2 rows each
+            b_mb = -(-r // self.M)
+            b_mb = 1 << (b_mb - 1).bit_length()
+            r = self.M * b_mb
+        else:
+            r = 1 << (r - 1).bit_length()
         bsz = self.dp * r
         tok = np.zeros((bsz, 1), np.int32)
         pos = np.zeros((bsz, 1), np.int32)

@@ -74,3 +74,74 @@ def test_tp_batched_decode(tp_model):
     ctx1.prefill(s1, [5, 6, 7])
     single = ctx1.decode([s1], [1])[0]
     assert nmse(out[0], single) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# full model parallelism: dp x pp x sp x ep x tp (parallel/pp.py)
+
+
+@pytest.fixture(scope="module")
+def moe_model_path(tmp_path_factory):
+    import sys, os
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from __graft_entry__ import _tiny_gguf
+
+    path = str(tmp_path_factory.mktemp("m") / "tiny_moe.gguf")
+    _tiny_gguf(path, n_expert=4, n_expert_used=2)
+    return path
+
+
+@pytest.mark.parametrize("axes", [
+    dict(dp=1, pp=2, sp=1, ep=2, tp=2),   # pipeline + expert + tensor
+    dict(dp=1, pp=2, sp=2, ep=1, tp=2),   # pipeline + sequence + tensor
+    dict(dp=2, pp=2, sp=1, ep=1, tp=2),   # data + pipeline + tensor
+])
+def test_mp_matches_single_device(moe_model_path, axes):
+    from llama_cpp_test_tpu.parallel.pp import make_mp_mesh
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    path = moe_model_path
+    prompt = [1, 2, 3, 4, 5]
+    ref = Model(path)
+    rctx = Context(ref, n_ctx=128, n_seq_max=2, block_size=16)
+    rs = rctx.new_seq()
+    rp = rctx.prefill(rs, prompt)
+    rd = rctx.decode([rs], [6])[0]
+
+    mesh = make_mp_mesh(**axes)
+    m = Model(path, mesh=mesh)
+    ctx = Context(m, n_ctx=128, n_seq_max=4 * axes["dp"], block_size=16)
+    seqs = [ctx.new_seq() for _ in range(axes["dp"])]
+    for s in seqs:
+        lp = ctx.prefill(s, prompt)
+        np.testing.assert_allclose(lp, rp, atol=0.1)
+        assert np.argmax(lp) == np.argmax(rp)
+    out = ctx.decode(seqs, [6] * axes["dp"])
+    for row in out:
+        np.testing.assert_allclose(row, rd, atol=0.1)
+        assert np.argmax(row) == np.argmax(rd)
+
+
+def test_mp_multistep_decode(moe_model_path):
+    """Several decode steps through the pipeline keep matching the
+    single-device engine (KV writes land in the right stage pools)."""
+    from llama_cpp_test_tpu.parallel.pp import make_mp_mesh
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    path = moe_model_path
+    ref = Model(path)
+    rctx = Context(ref, n_ctx=128, n_seq_max=2, block_size=16)
+    rs = rctx.new_seq()
+    mesh = make_mp_mesh(dp=1, pp=2, sp=1, ep=2, tp=2)
+    m = Model(path, mesh=mesh)
+    ctx = Context(m, n_ctx=128, n_seq_max=4, block_size=16)
+    s = ctx.new_seq()
+    rp = rctx.prefill(rs, [7, 8, 9])
+    lp = ctx.prefill(s, [7, 8, 9])
+    tok = int(np.argmax(rp))
+    for _ in range(4):
+        rd = rctx.decode([rs], [tok])[0]
+        d = ctx.decode([s], [tok])[0]
+        np.testing.assert_allclose(d, rd, atol=0.1)
+        assert np.argmax(d) == np.argmax(rd)
+        tok = int(np.argmax(rd))
