@@ -50,11 +50,17 @@ TOKEN_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048)
 
 def _forward(w: LlamaWeights, pools: KVPools, tokens, positions, block_table,
              slots, kv_len, *, hp: HParams, decode: bool,
-             tp_axis: str | None = None, tp: int = 1):
+             tp_axis: str | None = None, tp: int = 1, rope_delta=None):
     """Shared forward: embeds, runs all layers (writing KV), final norm is NOT
-    applied (lm_head does it). Returns (hidden [B, T, C], pools)."""
+    applied (lm_head does it). Returns (hidden [B, T, C], pools).
+
+    positions are cache-index positions (mask ordering); rope_delta [B] is an
+    optional per-row offset added for the RoPE rotation only — nonzero after
+    Self-Extend grouped repositioning (SeqState.pos_offset)."""
     x = llama_mod.embed(w, tokens)
     scale = 1.0 / math.sqrt(hp.head_dim)
+    rope_pos = positions if rope_delta is None else \
+        positions + rope_delta[:, None]
     new_k, new_v = list(pools.k), list(pools.v)
     for li, lw in enumerate(w.layers):
         def attend(q, k_cur, v_cur, _li=li):
@@ -69,18 +75,19 @@ def _forward(w: LlamaWeights, pools: KVPools, tokens, positions, block_table,
                 scale, hp.sliding_window)
 
         x = llama_mod.forward_layer(
-            x, lw, hp, positions, w.rope_inv_freq, w.rope_mscale, attend,
+            x, lw, hp, rope_pos, w.rope_inv_freq, w.rope_mscale, attend,
             tp_axis=tp_axis, tp=tp)
     return x, KVPools(new_k, new_v)
 
 
 @functools.partial(jax.jit, static_argnames=("hp",), donate_argnums=(1,))
 def _prefill_step(w: LlamaWeights, pools: KVPools, tokens, positions,
-                  block_table, slots, kv_len, last_ix, *, hp: HParams):
+                  block_table, slots, kv_len, last_ix, rope_delta=None,
+                  *, hp: HParams):
     """Prefill a chunk; logits only for last_ix (out_ids row-gather analogue,
     reference llama-model.cpp:4110-4115). Returns (logits [B, V], pools)."""
     x, pools = _forward(w, pools, tokens, positions, block_table, slots,
-                        kv_len, hp=hp, decode=False)
+                        kv_len, hp=hp, decode=False, rope_delta=rope_delta)
     h_last = jnp.take_along_axis(x, last_ix[:, None, None], axis=1)[:, 0]
     logits = llama_mod.lm_head(w, hp, h_last[:, None])[:, 0]
     return logits, pools
@@ -142,10 +149,10 @@ def _prefill_nll_step(w: LlamaWeights, pools: KVPools, tokens, positions,
 
 @functools.partial(jax.jit, static_argnames=("hp",), donate_argnums=(1,))
 def _decode_step(w: LlamaWeights, pools: KVPools, tokens, positions,
-                 block_table, slots, kv_len, *, hp: HParams):
+                 block_table, slots, kv_len, rope_delta=None, *, hp: HParams):
     """One token per sequence. tokens: [B, 1]. Returns (logits [B, V], pools)."""
     x, pools = _forward(w, pools, tokens, positions, block_table, slots,
-                        kv_len, hp=hp, decode=True)
+                        kv_len, hp=hp, decode=True, rope_delta=rope_delta)
     logits = llama_mod.lm_head(w, hp, x)[:, 0]
     return logits, pools
 
@@ -227,6 +234,10 @@ class SeqState:
     table: SequenceBlockTable
     n_cached: int = 0  # tokens whose KV is in the pools
     group: int = 0     # dp group (owns a private block pool shard)
+    # RoPE position of the next token minus n_cached: 0 while positions are
+    # contiguous; Self-Extend grouped repositioning makes it negative
+    # (the llama_kv_cell.delta analogue, reference llama-kv-cache.h:28-46)
+    pos_offset: int = 0
 
 
 class Context:
@@ -311,6 +322,64 @@ class Context:
         self.seqs[child.seq_id] = child
         return child
 
+    # -- position edits on the live cache (K-shift) --------------------------
+
+    def _seq_slot(self, s: SeqState, i: int) -> int:
+        return s.table.blocks[i // self.block_size] * self.block_size + \
+            i % self.block_size
+
+    def _apply_shift(self, s: SeqState, src: list[int], dst: list[int],
+                     delta: list[int]) -> None:
+        if self.mesh is not None:
+            raise NotImplementedError("K-shift: single-device only")
+        # un-share any COW blocks first: the shift mutates pool data in place
+        for bi in range(len(s.table.blocks)):
+            s.table._ensure_writable(bi)
+        self._drain_copies([s])
+        w = self.model.weights
+        self.pools = kv_cache.apply_shift(
+            self.pools, np.asarray(src, np.int32), np.asarray(dst, np.int32),
+            np.asarray(delta, np.int32), w.rope_inv_freq, w.rope_mscale)
+
+    def shift_context(self, s: SeqState, n_keep: int, n_discard: int) -> None:
+        """Context shift: drop tokens [n_keep, n_keep+n_discard), slide the
+        tail down and re-rotate its K by -n_discard (llama-cli
+        main.cpp:583-608: seq_rm + seq_add(-n_discard) + K-shift)."""
+        n = s.n_cached
+        if n_discard <= 0 or n_keep + n_discard > n:
+            raise ValueError("shift_context: bad n_keep/n_discard")
+        src = [self._seq_slot(s, i) for i in range(n_keep + n_discard, n)]
+        dst = [self._seq_slot(s, i) for i in range(n_keep, n - n_discard)]
+        self._apply_shift(s, src, dst, [-n_discard] * len(src))
+        s.tokens = s.tokens[:n_keep] + s.tokens[n_keep + n_discard:]
+        s.n_cached = n - n_discard
+        s.table.truncate(s.n_cached)
+        # moved tokens keep their relative rope spacing, so pos_offset holds
+
+    def self_extend(self, s: SeqState, n_keep: int, group: int) -> None:
+        """Self-Extend grouped attention: compress cached rope positions
+        beyond n_keep by `group` (reference passkey.cpp:131-137,
+        llama_kv_self_seq_add + seq_div). Cache slots stay put; only the K
+        rotation is re-based, and future tokens continue from the compressed
+        position via SeqState.pos_offset."""
+        n = s.n_cached
+        if group <= 1 or n_keep >= n:
+            return
+        off = s.pos_offset
+        src, delta = [], []
+        base = n_keep + off
+        last_new = base - 1
+        for i in range(n_keep, n):
+            old_p = i + off
+            new_p = base + (old_p - base) // group
+            last_new = new_p
+            if new_p != old_p:
+                src.append(self._seq_slot(s, i))
+                delta.append(new_p - old_p)
+        if src:
+            self._apply_shift(s, src, src, delta)
+        s.pos_offset = last_new + 1 - n
+
     def _table_arr(self, seqs: Seq[SeqState]) -> np.ndarray:
         bt = np.zeros((len(seqs), self.nbmax), np.int32)
         for i, s in enumerate(seqs):
@@ -386,15 +455,25 @@ class Context:
             if self._prefill_all_fn is None:
                 raise NotImplementedError(
                     "all_logits prefill is not supported on a pipeline mesh")
+            if s.pos_offset:
+                raise NotImplementedError("all_logits after self_extend")
             logits, self.pools = self._prefill_all_fn(
                 self.model.weights, self.pools, tok, pos, bt, slot_arr,
                 kv_len)
             return np.asarray(logits[row, :n])
         last_ix = np.zeros((tok.shape[0],), np.int32)
         last_ix[row] = n - 1
-        logits, self.pools = self._prefill_fn(
-            self.model.weights, self.pools, tok, pos, bt, slot_arr, kv_len,
-            last_ix)
+        if s.pos_offset:
+            if self.mesh is not None:
+                raise NotImplementedError("pos_offset: single-device only")
+            rd = np.full((tok.shape[0],), s.pos_offset, np.int32)
+            logits, self.pools = self._prefill_fn(
+                self.model.weights, self.pools, tok, pos, bt, slot_arr,
+                kv_len, last_ix, rd)
+        else:
+            logits, self.pools = self._prefill_fn(
+                self.model.weights, self.pools, tok, pos, bt, slot_arr,
+                kv_len, last_ix)
         return np.asarray(logits[row])
 
     def embed(self, tokens: list[int], pooling: str = "mean") -> np.ndarray:
@@ -525,18 +604,34 @@ class Context:
                 slot_arr[row, 0] = slot_list[i]
                 bt[row] = bt_src[i]
                 kv_len[row] = s.n_cached + 1
+        rd = None
+        if any(s.pos_offset for s in seqs):
+            if self.mesh is not None:
+                raise NotImplementedError("pos_offset: single-device only")
+            rd = np.zeros((bsz,), np.int32)
+            for i, s in enumerate(seqs):
+                rd[rowmap[i]] = s.pos_offset
         for s, t in zip(seqs, tokens):
             s.tokens.append(int(t))
             s.n_cached += 1
-        logits, self.pools = self._decode_fn(
-            self.model.weights, self.pools, tok, pos, bt, slot_arr, kv_len)
+        if rd is not None:
+            logits, self.pools = self._decode_fn(
+                self.model.weights, self.pools, tok, pos, bt, slot_arr,
+                kv_len, rd)
+        else:
+            logits, self.pools = self._decode_fn(
+                self.model.weights, self.pools, tok, pos, bt, slot_arr,
+                kv_len)
         return np.asarray(logits)[rowmap]
 
 
 def generate(ctx: Context, prompt_tokens: list[int], max_new_tokens: int,
              sampler: Callable[[np.ndarray], int] | None = None,
-             eos_ids: set[int] | None = None) -> Iterator[int]:
-    """llama-cli style generation loop (reference examples/main/main.cpp)."""
+             eos_ids: set[int] | None = None,
+             n_keep: int = 0, ctx_shift: bool = True) -> Iterator[int]:
+    """llama-cli style generation loop (reference examples/main/main.cpp),
+    including context shift past n_ctx (main.cpp:583-608: keep n_keep head
+    tokens, discard half of the rest, K-shift the tail down)."""
     if sampler is None:
         sampler = lambda logits: int(np.argmax(logits))
     s = ctx.new_seq()
@@ -547,6 +642,10 @@ def generate(ctx: Context, prompt_tokens: list[int], max_new_tokens: int,
             if eos_ids and tok in eos_ids:
                 break
             yield tok
+            if ctx_shift and s.n_cached + 1 >= ctx.n_ctx \
+                    and ctx.mesh is None:
+                nk = min(n_keep, s.n_cached - 2)
+                ctx.shift_context(s, nk, max((s.n_cached - nk) // 2, 1))
             logits = ctx.decode([s], [tok])[0]
     finally:
         ctx.free_seq(s)

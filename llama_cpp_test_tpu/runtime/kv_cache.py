@@ -100,6 +100,39 @@ def apply_copies(pools: KVPools, src: jax.Array, dst: jax.Array) -> KVPools:
     return KVPools(k, v)
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def apply_shift(pools: KVPools, src: jax.Array, dst: jax.Array,
+                delta: jax.Array, inv_freq: jax.Array,
+                mscale: float) -> KVPools:
+    """Move cached tokens between slots, re-rotating K by a per-token
+    position delta — the K-shift graph analogue (reference
+    llama-context.cpp:719-755 kv_self_update: ggml_rope on k_l rows after
+    llama_kv_self_seq_add). Powers context shift (llama-cli
+    main.cpp:583-608) and Self-Extend grouped positions
+    (passkey.cpp:131-137 seq_add+seq_div).
+
+    src/dst/delta: [n] int32 slot ids and rope deltas; -1 in dst drops the
+    write (and makes the matching src a don't-care). RoPE rotations are
+    additive, so rotating the stored (already-roped) K by delta re-bases it
+    to position p+delta exactly. V moves without rotation.
+    """
+    kv, nb, bs, d = pools.k[0].shape
+    new_k, new_v = [], []
+    for k_pool, v_pool in zip(pools.k, pools.v):
+        kflat = k_pool.reshape(kv, nb * bs, d)
+        vflat = v_pool.reshape(kv, nb * bs, d)
+        kg = kflat[:, src].transpose(1, 0, 2)[None]      # [1, n, KV, D]
+        kg = layers.apply_rope(kg.astype(jnp.float32), delta[None],
+                               inv_freq, mscale)
+        kg = kg[0].transpose(1, 0, 2).astype(k_pool.dtype)
+        vg = vflat[:, src]
+        kflat = kflat.at[:, dst].set(kg, mode="drop")
+        vflat = vflat.at[:, dst].set(vg, mode="drop")
+        new_k.append(kflat.reshape(kv, nb, bs, d))
+        new_v.append(vflat.reshape(kv, nb, bs, d))
+    return KVPools(new_k, new_v)
+
+
 # ---------------------------------------------------------------------------
 # attention over the paged cache
 

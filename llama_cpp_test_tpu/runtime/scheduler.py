@@ -48,6 +48,7 @@ class GenRequest:
     stop_tokens: set[int] = dataclasses.field(default_factory=set)
     stop_strings: list[str] = dataclasses.field(default_factory=list)
     ignore_eos: bool = False  # --ignore-eos analogue
+    n_keep: int = 0  # tokens pinned at the context head on context shift
     # called with (token_id, text_piece or None, finished: str | None)
     on_token: Optional[Callable[[int, Optional[str], Optional[str]], None]] = None
     id: int = 0
@@ -92,8 +93,11 @@ def common_lcp(a: list[int], b: list[int]) -> int:
 
 class Scheduler:
     def __init__(self, ctx: Context, n_slots: int = 8,
-                 chunk_size: int = 512):
+                 chunk_size: int = 512, ctx_shift: bool = True):
         self.ctx = ctx
+        # context shift keeps long generations alive past n_ctx
+        # (server.cpp:2825+); K-shift is single-device for now
+        self.ctx_shift = ctx_shift and ctx.mesh is None
         self.slots = [Slot(i) for i in range(n_slots)]
         self.queue: deque[GenRequest] = deque()
         self.chunk = chunk_size
@@ -206,6 +210,16 @@ class Scheduler:
                if s.state == SlotState.GENERATING and s.next_token is not None]
         if not gen:
             return
+        # per-slot context shift (server.cpp:2825+): when a generating slot
+        # fills the context, discard the older half beyond n_keep and slide
+        # the cache down (single-device K-shift path)
+        if self.ctx_shift:
+            for s in gen:
+                if s.seq.n_cached + 1 >= self.ctx.n_ctx:
+                    n_keep = min(s.req.n_keep, s.seq.n_cached - 2)
+                    n_discard = max((s.seq.n_cached - n_keep) // 2, 1)
+                    self.ctx.shift_context(s.seq, n_keep, n_discard)
+                    del s.cache_tokens[n_keep:n_keep + n_discard]
         t0 = time.time()
         logits = self.ctx.decode([s.seq for s in gen],
                                  [s.next_token for s in gen])
@@ -242,9 +256,9 @@ class Scheduler:
                         break
             if finished is None and len(req.output_tokens) >= req.max_tokens:
                 finished = "length"
-            if finished is None and \
+            if finished is None and not self.ctx_shift and \
                     slot.seq.n_cached + 1 > self.ctx.n_ctx:
-                finished = "length"  # context full
+                finished = "length"  # context full (no shift configured)
         if finished is not None:
             # set completion state BEFORE the callback fires: stream bridges
             # resolve futures from the callback and read req fields

@@ -1,0 +1,132 @@
+"""Context shift + Self-Extend (K-shift on the paged cache).
+
+Reference behaviors: llama-cli context shift (main.cpp:583-608 —
+seq_rm + seq_add(-n) + K-shift graph llama-context.cpp:719-755) and
+Self-Extend grouped positions (passkey.cpp:131-137).
+"""
+import numpy as np
+import pytest
+
+from test_engine import make_tiny_gguf, nmse
+
+
+@pytest.fixture(scope="module")
+def model_path(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("m") / "tiny.gguf")
+    make_tiny_gguf(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def model_path_1l(tmp_path_factory):
+    """1-layer model: context shift is EXACTLY equivalent to a fresh prefill
+    of the surviving tokens (layer-0 KV depends only on embeddings). For
+    deeper models the shifted KV keeps values computed with the old context
+    — the same approximation the reference makes (it never recomputes)."""
+    import test_engine
+
+    path = str(tmp_path_factory.mktemp("m") / "tiny_1l.gguf")
+    old = dict(test_engine.HP)
+    test_engine.HP = dict(old, n_layer=1)
+    try:
+        make_tiny_gguf(path)
+    finally:
+        test_engine.HP = old
+    return path
+
+
+def test_shift_context_matches_fresh_prefill(model_path_1l):
+    """After shifting out tokens [n_keep, n_keep+n_discard), decode logits
+    must match a fresh context prefilled with the surviving tokens."""
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    m = Model(model_path_1l)
+    toks = [3, 17, 42, 9, 105, 77, 12, 54]
+    n_keep, n_discard = 2, 3
+    kept = toks[:n_keep] + toks[n_keep + n_discard:]
+
+    ctx = Context(m, n_ctx=64, n_seq_max=2, block_size=8)
+    s = ctx.new_seq()
+    ctx.prefill(s, toks)
+    ctx.shift_context(s, n_keep, n_discard)
+    assert s.tokens == kept
+    assert s.n_cached == len(kept)
+    out = ctx.decode([s], [7])[0]
+
+    ctx2 = Context(m, n_ctx=64, n_seq_max=2, block_size=8)
+    s2 = ctx2.new_seq()
+    ctx2.prefill(s2, kept)
+    ref = ctx2.decode([s2], [7])[0]
+
+    assert nmse(ref, out) < 1e-4, nmse(ref, out)
+    assert np.argmax(ref) == np.argmax(out)
+
+
+def test_shift_context_repeated(model_path_1l):
+    """Two consecutive shifts keep matching the fresh-prefill reference."""
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    m = Model(model_path_1l)
+    toks = list(range(3, 3 + 12))
+    ctx = Context(m, n_ctx=64, n_seq_max=2, block_size=8)
+    s = ctx.new_seq()
+    ctx.prefill(s, toks)
+    ctx.shift_context(s, 1, 4)        # -> toks[:1] + toks[5:]
+    ctx.shift_context(s, 2, 3)
+    kept = toks[:1] + toks[5:]
+    kept = kept[:2] + kept[5:]
+    assert s.tokens == kept
+
+    out = ctx.decode([s], [7])[0]
+    ctx2 = Context(m, n_ctx=64, n_seq_max=2, block_size=8)
+    s2 = ctx2.new_seq()
+    ctx2.prefill(s2, kept)
+    ref = ctx2.decode([s2], [7])[0]
+    assert nmse(ref, out) < 1e-4
+
+
+def test_self_extend_grouped_positions(model_path):
+    """Self-Extend compresses rope positions; decode stays finite and the
+    next-token position continues from the compressed endpoint."""
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    m = Model(model_path)
+    ctx = Context(m, n_ctx=64, n_seq_max=2, block_size=8)
+    s = ctx.new_seq()
+    ctx.prefill(s, [3, 17, 42, 9, 105, 77, 12, 54])
+    ctx.self_extend(s, n_keep=2, group=2)
+    # positions beyond n_keep become 2,2,3,3,4,4 -> last is 4, next is 5
+    assert s.pos_offset == 5 - 8
+    out = ctx.decode([s], [7])[0]
+    assert np.isfinite(out).all()
+    # the grouped cache attends over all 8 tokens (mask is index-based)
+    out2 = ctx.decode([s], [int(np.argmax(out))])[0]
+    assert np.isfinite(out2).all()
+
+
+def test_generate_with_context_shift(model_path):
+    """generate() survives past n_ctx via context shift (main.cpp loop)."""
+    from llama_cpp_test_tpu.runtime.engine import Context, Model, generate
+
+    m = Model(model_path)
+    ctx = Context(m, n_ctx=32, n_seq_max=2, block_size=8)
+    toks = list(generate(ctx, [3, 17, 42], 48, n_keep=1))
+    assert len(toks) == 48
+
+
+def test_scheduler_context_shift(model_path):
+    """A generating slot that fills the context keeps going (server
+    update_slots context-shift branch)."""
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+    from llama_cpp_test_tpu.runtime.scheduler import GenRequest, Scheduler
+    from llama_cpp_test_tpu.runtime.sampling import SamplerParams
+
+    m = Model(model_path)
+    ctx = Context(m, n_ctx=32, n_seq_max=2, block_size=8)
+    sched = Scheduler(ctx, n_slots=1, chunk_size=16)
+    req = sched.submit(GenRequest(
+        prompt_tokens=[3, 17, 42], max_tokens=48, ignore_eos=True,
+        sampling=SamplerParams(temp=0.0)))
+    sched.run()
+    assert req.finish_reason == "length"
+    assert len(req.output_tokens) == 48
