@@ -3,8 +3,9 @@ reference examples/server/server.cpp).
 
 Endpoints (mirroring server.cpp:4411-4438):
   GET  /health /props /metrics /v1/models /slots
-  POST /completion /completions /v1/completions
+  POST /completion /completions /v1/completions /infill
   POST /v1/chat/completions          (chat template + SSE streaming)
+  POST /embeddings /v1/embeddings /rerank /v1/rerank
   POST /tokenize /detokenize /apply-template
 
 Architecture: aiohttp front end; a dedicated engine thread runs the
@@ -292,6 +293,63 @@ class LlamaServer:
             "timings": self._timings(req),
         })
 
+    def _fim_prompt(self, body: dict) -> list[int]:
+        """Build the fill-in-the-middle prompt (reference server.cpp
+        /infill handler + format_infill): PSM order
+        fim_pre + prefix + fim_suf + suffix + fim_mid, with optional
+        extra-context repo chunks when the vocab has repo/sep tokens."""
+        tok = self.model.tokenizer
+        v = tok.vocab
+        if v.fim_pre_id < 0 or v.fim_suf_id < 0 or v.fim_mid_id < 0:
+            raise web.HTTPBadRequest(
+                text='{"error": "model lacks FIM (infill) tokens"}',
+                content_type="application/json")
+        ids: list[int] = []
+        extra = body.get("input_extra") or []
+        if extra and v.fim_rep_id >= 0:
+            ids.append(v.fim_rep_id)
+            for chunk in extra:
+                if v.fim_sep_id >= 0:
+                    ids.append(v.fim_sep_id)
+                    ids.extend(tok.encode(str(chunk.get("filename", "")),
+                                          add_special=False))
+                ids.extend(tok.encode(str(chunk.get("text", "")),
+                                      add_special=False))
+        ids.append(v.fim_pre_id)
+        ids.extend(tok.encode(body.get("input_prefix", ""),
+                              add_special=False))
+        ids.append(v.fim_suf_id)
+        ids.extend(tok.encode(body.get("input_suffix", ""),
+                              add_special=False))
+        ids.append(v.fim_mid_id)
+        if v.add_bos and (not ids or ids[0] != v.bos_id):
+            ids.insert(0, v.bos_id)
+        return ids
+
+    async def infill(self, request):
+        """Code-completion endpoint (reference server.cpp /infill)."""
+        body = await request.json()
+        prompt_tokens = self._fim_prompt(body)
+        rid = f"infill-{uuid.uuid4().hex[:12]}"
+        if body.get("stream"):
+            return await self._stream_completion(
+                request, body, prompt_tokens, rid, chat=False)
+        req = await self._run_request(prompt_tokens, body)
+        text = self._detok(req.output_tokens)
+        return web.json_response({
+            "id": rid, "object": "text_completion",
+            "created": int(time.time()), "model": self.alias,
+            "content": text,
+            "choices": [{"index": 0, "text": text,
+                         "finish_reason": req.finish_reason}],
+            "usage": {
+                "prompt_tokens": req.n_prompt,
+                "completion_tokens": len(req.output_tokens),
+                "total_tokens": req.n_prompt + len(req.output_tokens),
+            },
+            "timings": self._timings(req),
+        })
+
     async def chat_completions(self, request):
         body = await request.json()
         prompt = apply_chat_template(self.model.reader.metadata,
@@ -377,6 +435,7 @@ class LlamaServer:
         r.add_post("/tokenize", self.tokenize)
         r.add_post("/detokenize", self.detokenize)
         r.add_post("/apply-template", self.apply_template)
+        r.add_post("/infill", self.infill)
         r.add_post("/completion", self.completions)
         r.add_post("/completions", self.completions)
         r.add_post("/v1/completions", self.completions)

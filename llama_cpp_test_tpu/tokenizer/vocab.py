@@ -40,6 +40,14 @@ class Vocab:
     add_bos: bool = True
     add_eos: bool = False
     add_space_prefix: bool = True
+    # fill-in-the-middle token ids (reference llama.h:1021-1026
+    # llama_vocab_fim_pre/suf/mid/pad/rep/sep; -1 = absent)
+    fim_pre_id: int = -1
+    fim_suf_id: int = -1
+    fim_mid_id: int = -1
+    fim_pad_id: int = -1
+    fim_rep_id: int = -1
+    fim_sep_id: int = -1
 
     def __post_init__(self):
         self.token_to_id = {t: i for i, t in enumerate(self.tokens)}
@@ -85,6 +93,28 @@ def vocab_from_metadata(md: dict) -> Vocab:
     if merges is not None:
         merges = list(merges)
     model = get("tokenizer.ggml.model", "llama")
+
+    def fim_id(kind: str, names: tuple[str, ...]) -> int:
+        """FIM ids: explicit GGUF key first, then well-known token names
+        (the reference falls back the same way in load_vocab)."""
+        v = get(f"tokenizer.ggml.fim_{kind}_token_id")
+        if v is None:  # legacy keys
+            legacy = {"pre": "prefix", "suf": "suffix", "mid": "middle"}
+            if kind in legacy:
+                v = get(f"tokenizer.ggml.{legacy[kind]}_token_id")
+        if v is not None:
+            return int(v)
+        for i, t in enumerate(tokens):
+            if t in names:
+                return i
+        return -1
+
+    fim_pre = fim_id("pre", ("<|fim_prefix|>", "<fim-prefix>", "<PRE>",
+                             "<fim_prefix>", "<｜fim▁begin｜>"))
+    fim_suf = fim_id("suf", ("<|fim_suffix|>", "<fim-suffix>", "<SUF>",
+                             "<fim_suffix>", "<｜fim▁hole｜>"))
+    fim_mid = fim_id("mid", ("<|fim_middle|>", "<fim-middle>", "<MID>",
+                             "<fim_middle>", "<｜fim▁end｜>"))
     return Vocab(
         model=model,
         pre=get("tokenizer.ggml.pre", "default"),
@@ -99,6 +129,13 @@ def vocab_from_metadata(md: dict) -> Vocab:
         add_bos=bool(get("tokenizer.ggml.add_bos_token", model == "llama")),
         add_eos=bool(get("tokenizer.ggml.add_eos_token", False)),
         add_space_prefix=bool(get("tokenizer.ggml.add_space_prefix", model == "llama")),
+        fim_pre_id=fim_pre,
+        fim_suf_id=fim_suf,
+        fim_mid_id=fim_mid,
+        fim_pad_id=fim_id("pad", ("<|fim_pad|>", "<fim-pad>", "<PAD>")),
+        fim_rep_id=fim_id("rep", ("<|fim_repo|>", "<fim-repo>", "<REPO>",
+                                  "<|repo_name|>")),
+        fim_sep_id=fim_id("sep", ("<|file_sep|>",)),
     )
 
 
@@ -113,6 +150,18 @@ class Tokenizer:
             from .bpe import BPETokenizer
 
             self._impl = BPETokenizer(vocab)
+        elif vocab.model == "bert":
+            from .wpm import WPMTokenizer
+
+            self._impl = WPMTokenizer(vocab)
+        elif vocab.model == "t5":
+            from .ugm import UGMTokenizer
+
+            self._impl = UGMTokenizer(vocab)
+        elif vocab.model == "rwkv":
+            from .ugm import RWKVTokenizer
+
+            self._impl = RWKVTokenizer(vocab)
         else:
             raise NotImplementedError(f"tokenizer model {vocab.model!r}")
 

@@ -148,3 +148,37 @@ def test_embeddings_and_rerank(client):
         assert res[0]["relevance_score"] >= res[1]["relevance_score"]
 
     loop.run_until_complete(go())
+
+
+def test_infill_endpoint(client, server):
+    """/infill builds the PSM FIM prompt and completes (server.cpp /infill)."""
+    c, loop = client
+    v = server.model.tokenizer.vocab
+    # the tiny vocab has no FIM tokens: borrow control ids for the test
+    old = (v.fim_pre_id, v.fim_suf_id, v.fim_mid_id)
+    v.fim_pre_id, v.fim_suf_id, v.fim_mid_id = 1, 2, 0
+
+    async def go():
+        r = await c.post("/infill", json={
+            "input_prefix": "def add(a, b):\n", "input_suffix": "\n",
+            "n_predict": 4, "temperature": 0.0})
+        assert r.status == 200
+        body = await r.json()
+        assert "content" in body
+        assert body["usage"]["completion_tokens"] > 0
+
+    try:
+        loop.run_until_complete(go())
+    finally:
+        v.fim_pre_id, v.fim_suf_id, v.fim_mid_id = old
+
+
+def test_infill_missing_fim_tokens(client, server):
+    c, loop = client
+
+    async def go():
+        r = await c.post("/infill", json={"input_prefix": "x",
+                                          "input_suffix": "y"})
+        assert r.status == 400
+
+    loop.run_until_complete(go())

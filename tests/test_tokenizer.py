@@ -47,7 +47,7 @@ def run_golden(name):
 
 # every fixture with both a vocab gguf and .inp/.out in the reference tree
 GOLDEN_VOCABS = ["llama-spm", "phi-3", "gpt-2", "mpt", "starcoder", "refact",
-                 "deepseek-llm", "deepseek-coder", "falcon"]
+                 "deepseek-llm", "deepseek-coder", "falcon", "bert-bge"]
 
 
 @requires_reference
@@ -71,3 +71,60 @@ def test_bos_eos_flags():
         tok = load_tokenizer(r)
     ids = tok.encode("hi", add_special=True)
     assert ids[0] == tok.vocab.bos_id
+
+
+def test_ugm_viterbi_synthetic():
+    """UGM picks the highest-score segmentation (SentencePiece unigram)."""
+    import numpy as np
+    from llama_cpp_test_tpu.tokenizer.vocab import Tokenizer, TokenType, Vocab
+
+    tokens = ["<unk>", "<s>", "</s>", "▁", "▁he", "▁hello", "llo", "▁hell",
+              "o", "l", "h", "e", "▁wor", "ld", "▁world"]
+    scores = np.array([0, 0, 0, -5, -4, -2, -3, -3.5, -1.5, -2, -2, -2,
+                       -3, -2, -2.5], np.float32)
+    tt = np.full(len(tokens), int(TokenType.NORMAL), np.int32)
+    tt[0] = TokenType.UNKNOWN
+    tt[1] = tt[2] = TokenType.CONTROL
+    v = Vocab(model="t5", pre="default", tokens=tokens, scores=scores,
+              token_types=tt, bos_id=1, eos_id=2, unk_id=0,
+              add_bos=False, add_eos=False, add_space_prefix=True)
+    tok = Tokenizer(v)
+    ids = tok.encode("hello world", add_special=False)
+    # best: ▁hello(-2) < ▁hell+o(-5); ▁world(-2.5) beats ▁wor+ld(-5)
+    assert ids == [tokens.index("▁hello"), tokens.index("▁world")], \
+        [tokens[i] for i in ids]
+    # unknown char falls back to <unk> with penalty, doesn't crash
+    ids2 = tok.encode("hello Q world", add_special=False)
+    assert v.unk_id in ids2
+
+
+def test_rwkv_greedy_longest_match():
+    from llama_cpp_test_tpu.tokenizer.vocab import Tokenizer, Vocab
+    import numpy as np
+
+    tokens = ["a", "b", "ab", "abc", "c", " ", " a"]
+    v = Vocab(model="rwkv", pre="default", tokens=tokens, scores=None,
+              token_types=None, bos_id=-1, eos_id=-1, unk_id=0,
+              add_bos=False, add_eos=False, add_space_prefix=False)
+    tok = Tokenizer(v)
+    assert tok.encode("abc a b", add_special=False) == [
+        tokens.index("abc"), tokens.index(" a"), tokens.index(" "),
+        tokens.index("b")]
+    assert tok.decode(tok.encode("abc a b", add_special=False)) == "abc a b"
+
+
+def test_fim_token_discovery():
+    """FIM ids resolve from well-known token names (llama.h:1021-1026)."""
+    from llama_cpp_test_tpu.tokenizer.vocab import vocab_from_metadata
+
+    md = {
+        "tokenizer.ggml.model": "gpt2",
+        "tokenizer.ggml.tokens": ["a", "<|fim_prefix|>", "<|fim_suffix|>",
+                                  "<|fim_middle|>", "b"],
+        "tokenizer.ggml.merges": [],
+    }
+    v = vocab_from_metadata(md)
+    assert (v.fim_pre_id, v.fim_suf_id, v.fim_mid_id) == (1, 2, 3)
+    # explicit key wins
+    md["tokenizer.ggml.fim_pre_token_id"] = 4
+    assert vocab_from_metadata(md).fim_pre_id == 4
