@@ -41,6 +41,16 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--verbose-prompt", action="store_true")
     ap.add_argument("-tp", "--tensor-parallel", type=int, default=1,
                     help="shard over N local devices")
+    ap.add_argument("--lora", action="append", default=[],
+                    help="LoRA adapter GGUF (repeatable)")
+    ap.add_argument("--lora-scaled", action="append", nargs=2, default=[],
+                    metavar=("PATH", "SCALE"))
+    ap.add_argument("--control-vector", action="append", default=[],
+                    help="control-vector GGUF (repeatable)")
+    ap.add_argument("--control-vector-scaled", action="append", nargs=2,
+                    default=[], metavar=("PATH", "STRENGTH"))
+    ap.add_argument("--keep", type=int, default=0,
+                    help="tokens pinned at the head on context shift")
     return ap
 
 
@@ -64,6 +74,26 @@ def main(argv=None) -> int:
     if model.tokenizer is None:
         print("error: model has no tokenizer", file=sys.stderr)
         return 1
+
+    for path, scale in [(p, 1.0) for p in args.lora] + \
+            [(p, float(s)) for p, s in args.lora_scaled]:
+        from ..models.lora import attach_lora, load_lora
+
+        attach_lora(model.weights, load_lora(path, model.hp), scale)
+        print(f"# lora attached: {path} (scale {scale})", file=sys.stderr)
+    cv_specs = [(p, 1.0) for p in args.control_vector] + \
+        [(p, float(s)) for p, s in args.control_vector_scaled]
+    if cv_specs:
+        from ..models.cvec import attach_control_vector, load_control_vector
+        import numpy as _np
+
+        combined: dict[int, object] = {}
+        for path, strength in cv_specs:
+            for il, v in load_control_vector(path).items():
+                combined[il] = combined.get(il, 0) + v * strength
+        attach_control_vector(model.weights,
+                              {k: _np.asarray(v) for k, v in combined.items()})
+        print(f"# control vectors attached: {len(cv_specs)}", file=sys.stderr)
 
     ctx = Context(model, n_ctx=args.ctx_size, n_seq_max=1)
     sched = Scheduler(ctx, n_slots=1)

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import mmap
 import os
+import re
 import struct
 from dataclasses import dataclass, field
 from typing import Any, BinaryIO
@@ -219,3 +220,68 @@ class GGUFReader:
 
     def __exit__(self, *exc):
         self.close()
+
+
+# ---------------------------------------------------------------------------
+# multi-split support (reference llama_split_path include/llama.h:1367 and
+# llama-model-loader multi-split GGUF loading)
+
+SPLIT_RE = re.compile(r"-(\d{5})-of-(\d{5})\.gguf$")
+
+
+def split_path(prefix: str, split_no: int, split_count: int) -> str:
+    """<prefix>-%05d-of-%05d.gguf (llama_split_path)."""
+    return f"{prefix}-{split_no:05d}-of-{split_count:05d}.gguf"
+
+
+class SplitGGUFReader:
+    """GGUFReader-compatible view over a multi-split model: metadata from
+    shard 1, tensors unioned across all shards."""
+
+    def __init__(self, first_path: str):
+        m = SPLIT_RE.search(first_path)
+        if not m:
+            raise ValueError(f"{first_path}: not a -NNNNN-of-NNNNN.gguf path")
+        prefix = first_path[: m.start()]
+        n_split = int(m.group(2))
+        self.path = first_path
+        self._readers = [GGUFReader(split_path(prefix, i + 1, n_split))
+                         for i in range(n_split)]
+        self.metadata = self._readers[0].metadata
+        self.tensors: dict[str, GGUFTensorInfo] = {}
+        self._owner: dict[str, GGUFReader] = {}
+        for r in self._readers:
+            for name, info in r.tensors.items():
+                self.tensors[name] = info
+                self._owner[name] = r
+        want = self.metadata.get("split.tensors.count")
+        if want is not None and int(want) != len(self.tensors):
+            raise ValueError(
+                f"split model incomplete: {len(self.tensors)} tensors, "
+                f"expected {want}")
+
+    def tensor_bytes(self, name: str):
+        return self._owner[name].tensor_bytes(name)
+
+    def tensor_blocks(self, name: str):
+        return self._owner[name].tensor_blocks(name)
+
+    def dequantize(self, name: str, dtype=np.float32):
+        return self._owner[name].dequantize(name, dtype)
+
+    def close(self) -> None:
+        for r in self._readers:
+            r.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def open_gguf(path: str):
+    """Open a GGUF file, transparently handling -NNNNN-of-NNNNN splits."""
+    if SPLIT_RE.search(os.fspath(path)):
+        return SplitGGUFReader(os.fspath(path))
+    return GGUFReader(path)

@@ -87,6 +87,9 @@ class LayerWeights:
     bv: jax.Array | None = None
     # LoRA pairs: field name -> (A [r,K], B [N,r], scale) (models/lora.py)
     lora: dict = dataclasses.field(default_factory=dict)
+    # control vector: [n_embd] bias added to the layer output (models/cvec.py,
+    # the llama_adapter_cvec analogue)
+    cvec: jax.Array | None = None
     # fused projections (decode is kernel-count bound on TPU): wqkv packs
     # q/k/v rows into one plane set, w_gateup packs gate+up. Built at load
     # when the source tensors share quant type; None otherwise.
@@ -474,7 +477,10 @@ def forward_layer(
                           lora.get("w_down"))
     if tp_axis is not None:
         ffn = jax.lax.psum(ffn, tp_axis)  # row-parallel ffn_down partials
-    return x + ffn.astype(x.dtype)
+    x = x + ffn.astype(x.dtype)
+    if lw.cvec is not None:
+        x = x + lw.cvec.astype(x.dtype)
+    return x
 
 
 def embed(w: LlamaWeights, tokens: jax.Array) -> jax.Array:

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..gguf.reader import GGUFReader
+from ..gguf.reader import GGUFReader, open_gguf
 from ..models import llama as llama_mod
 from ..models.hparams import HParams, hparams_from_metadata
 from ..models.llama import LlamaWeights, device_put_weights, load_weights
@@ -205,7 +205,7 @@ class Model:
         self.tp = tp
         # 5-axis (dp,pp,sp,ep,tp) meshes take the model-parallel path
         self.mp = mesh is not None and "pp" in mesh.axis_names
-        self.reader = GGUFReader(path)
+        self.reader = open_gguf(path)
         self.hp, w = load_weights(self.reader, hp, tp=tp)
         if self.mp:
             from ..parallel.pp import shard_mp_weights
