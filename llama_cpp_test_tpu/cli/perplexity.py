@@ -26,10 +26,116 @@ def chunks(tokens: list[int], n_ctx: int, stride: int):
         yield start, tokens[start:start + n_ctx]
 
 
+def _ending_logprob(ctx, context_ids: list[int],
+                    full_ids: list[int]) -> tuple[float, int]:
+    """(sum logprob, n tokens) of full_ids beyond the context prefix."""
+    s = ctx.new_seq()
+    try:
+        nll = ctx.prefill_nll(s, full_ids)
+    finally:
+        ctx.free_seq(s)
+    # nll[i] is the NLL of full_ids[i+1]; ending spans indices >= len(ctx)-1
+    begin = max(len(context_ids) - 1, 0)
+    use = nll[begin:]
+    return -float(use.sum()), len(use)
+
+
+def hellaswag_score(ctx, tokenizer, text: str, max_tasks: int = 0) -> float:
+    """HellaSwag acc_norm (reference perplexity.cpp:741 hellaswag_score).
+    Datafile: 6 lines per task — 'activity: ctx', gold index, 4 endings.
+    Picks the ending with the highest length-normalized logprob."""
+    lines = text.splitlines()
+    if len(lines) % 6:
+        raise ValueError("hellaswag file: line count not a multiple of 6")
+    n_tasks = len(lines) // 6
+    if max_tasks:
+        n_tasks = min(n_tasks, max_tasks)
+    n_correct = 0
+    for ti in range(n_tasks):
+        base = ti * 6
+        context = lines[base]
+        gold = int(lines[base + 1])
+        ctx_ids = tokenizer.encode(context, add_special=True)
+        scores = []
+        for ei in range(4):
+            full = tokenizer.encode(context + " " + lines[base + 2 + ei],
+                                    add_special=True)
+            lp, cnt = _ending_logprob(ctx, ctx_ids, full)
+            scores.append(lp / max(cnt, 1))
+        if int(np.argmax(scores)) == gold:
+            n_correct += 1
+        acc = 100.0 * n_correct / (ti + 1)
+        print(f"{ti + 1}\t{acc:.8f}", file=sys.stderr)
+    return 100.0 * n_correct / max(n_tasks, 1)
+
+
+def winogrande_score(ctx, tokenizer, text: str, max_tasks: int = 0) -> float:
+    """Winogrande accuracy (reference perplexity.cpp:1084): CSV rows
+    index,sentence-with-_,option1,option2,answer(1|2); each option replaces
+    the blank and the trailing context is scored."""
+    import csv
+    import io
+
+    rows = list(csv.reader(io.StringIO(text)))
+    tasks = []
+    for row in rows:
+        if len(row) < 5 or row[0] == "" or not row[0].strip().isdigit():
+            continue
+        sentence, o1, o2, answer = row[1], row[2], row[3], row[4]
+        if "_" not in sentence:
+            continue
+        first, second = sentence.split("_", 1)
+        tasks.append((first, second, o1, o2, int(answer)))
+    if max_tasks:
+        tasks = tasks[:max_tasks]
+    n_correct = 0
+    for ti, (first, second, o1, o2, answer) in enumerate(tasks):
+        scores = []
+        for choice in (o1, o2):
+            ctx_ids = tokenizer.encode(first + choice, add_special=True)
+            full = tokenizer.encode(first + choice + second,
+                                    add_special=True)
+            lp, cnt = _ending_logprob(ctx, ctx_ids, full)
+            scores.append(lp / max(cnt, 1))
+        if int(np.argmax(scores)) + 1 == answer:
+            n_correct += 1
+        acc = 100.0 * n_correct / (ti + 1)
+        print(f"{ti + 1}\t{acc:.4f}", file=sys.stderr)
+    return 100.0 * n_correct / max(len(tasks), 1)
+
+
+def multiple_choice_score(ctx, tokenizer, text: str,
+                          max_tasks: int = 0) -> float:
+    """Generic multiple-choice accuracy (reference perplexity.cpp:1388;
+    JSON task list instead of the reference's ad-hoc binary format):
+    [{"question": str, "choices": [str, ...], "answer": int}, ...]"""
+    tasks = json.loads(text)
+    if max_tasks:
+        tasks = tasks[:max_tasks]
+    n_correct = 0
+    for ti, task in enumerate(tasks):
+        q = task["question"]
+        ctx_ids = tokenizer.encode(q, add_special=True)
+        scores = []
+        for choice in task["choices"]:
+            full = tokenizer.encode(q + " " + choice, add_special=True)
+            lp, cnt = _ending_logprob(ctx, ctx_ids, full)
+            scores.append(lp / max(cnt, 1))
+        if int(np.argmax(scores)) == int(task["answer"]):
+            n_correct += 1
+    return 100.0 * n_correct / max(len(tasks), 1)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser("llama-perplexity (tpu)")
     ap.add_argument("-m", "--model", required=True)
     ap.add_argument("-f", "--file", required=True, help="plain text file")
+    ap.add_argument("--hellaswag", action="store_true")
+    ap.add_argument("--hellaswag-tasks", type=int, default=400)
+    ap.add_argument("--winogrande", action="store_true")
+    ap.add_argument("--winogrande-tasks", type=int, default=0)
+    ap.add_argument("--multiple-choice", action="store_true")
+    ap.add_argument("--multiple-choice-tasks", type=int, default=0)
     ap.add_argument("-c", "--ctx-size", type=int, default=512)
     ap.add_argument("--chunks", type=int, default=0,
                     help="max chunks (0 = all)")
@@ -50,6 +156,21 @@ def main(argv=None) -> int:
         return 1
     with open(args.file, encoding="utf-8") as f:
         text = f.read()
+    if args.hellaswag or args.winogrande or args.multiple_choice:
+        ctx = Context(model, n_ctx=args.ctx_size, n_seq_max=1)
+        if args.hellaswag:
+            acc = hellaswag_score(ctx, model.tokenizer, text,
+                                  args.hellaswag_tasks)
+            print(json.dumps({"hellaswag_acc": round(acc, 4)}))
+        elif args.winogrande:
+            acc = winogrande_score(ctx, model.tokenizer, text,
+                                   args.winogrande_tasks)
+            print(json.dumps({"winogrande_acc": round(acc, 4)}))
+        else:
+            acc = multiple_choice_score(ctx, model.tokenizer, text,
+                                        args.multiple_choice_tasks)
+            print(json.dumps({"multiple_choice_acc": round(acc, 4)}))
+        return 0
     t0 = time.time()
     tokens = model.tokenizer.encode(text, add_special=True)
     print(f"# tokenized {len(tokens)} tokens in {time.time()-t0:.1f}s",

@@ -2,6 +2,8 @@
 import io
 import sys
 
+import numpy as np
+
 import pytest
 
 from test_engine import make_tiny_gguf
@@ -57,3 +59,83 @@ def test_perplexity_cli(tmp_path, model_path):
     rc = pmain(["-m", model_path, "-f", str(text), "-c", "32",
                 "--chunks", "2"])
     assert rc == 0
+
+
+def test_hellaswag_scorer(model_path):
+    """Labels set to the model's own preference => 100% accuracy; flipped
+    labels => 0% (exercises parsing + length-normalized scoring)."""
+    from llama_cpp_test_tpu.cli.perplexity import (_ending_logprob,
+                                                   hellaswag_score)
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    m = Model(model_path)
+    tok = m.tokenizer
+    ctx = Context(m, n_ctx=128, n_seq_max=1, block_size=8)
+    tasks = [("walking: the dog", ["ran fast", "sat down",
+                                   "flew away quickly", "is blue"]),
+             ("cooking: the pot", ["boiled over", "sang a song",
+                                   "went home", "was hot"])]
+    lines = []
+    for context, endings in tasks:
+        ctx_ids = tok.encode(context, add_special=True)
+        scores = []
+        for e in endings:
+            full = tok.encode(context + " " + e, add_special=True)
+            lp, cnt = _ending_logprob(ctx, ctx_ids, full)
+            scores.append(lp / max(cnt, 1))
+        gold = int(np.argmax(scores))
+        lines += [context, str(gold)] + endings
+    acc = hellaswag_score(ctx, tok, "\n".join(lines))
+    assert acc == 100.0
+    # flip the labels
+    for i in (1, 7):
+        lines[i] = str((int(lines[i]) + 1) % 4)
+    acc = hellaswag_score(ctx, tok, "\n".join(lines))
+    assert acc == 0.0
+
+
+def test_winogrande_scorer(model_path):
+    from llama_cpp_test_tpu.cli.perplexity import (_ending_logprob,
+                                                   winogrande_score)
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    m = Model(model_path)
+    tok = m.tokenizer
+    ctx = Context(m, n_ctx=128, n_seq_max=1, block_size=8)
+    first, second = "the trophy does not fit because ", " is too big"
+    o1, o2 = "the trophy", "the case"
+    scores = []
+    for choice in (o1, o2):
+        ctx_ids = tok.encode(first + choice, add_special=True)
+        full = tok.encode(first + choice + second, add_special=True)
+        lp, cnt = _ending_logprob(ctx, ctx_ids, full)
+        scores.append(lp / max(cnt, 1))
+    answer = int(np.argmax(scores)) + 1
+    csv_text = f'1,"{first}_{second}","{o1}","{o2}",{answer}\n'
+    assert winogrande_score(ctx, tok, csv_text) == 100.0
+    wrong = 2 if answer == 1 else 1
+    csv_text = f'1,"{first}_{second}","{o1}","{o2}",{wrong}\n'
+    assert winogrande_score(ctx, tok, csv_text) == 0.0
+
+
+def test_multiple_choice_scorer(model_path):
+    import json as _json
+
+    from llama_cpp_test_tpu.cli.perplexity import (_ending_logprob,
+                                                   multiple_choice_score)
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    m = Model(model_path)
+    tok = m.tokenizer
+    ctx = Context(m, n_ctx=128, n_seq_max=1, block_size=8)
+    q = "the sky is"
+    choices = ["blue today", "a potato", "running late"]
+    ctx_ids = tok.encode(q, add_special=True)
+    scores = []
+    for c in choices:
+        full = tok.encode(q + " " + c, add_special=True)
+        lp, cnt = _ending_logprob(ctx, ctx_ids, full)
+        scores.append(lp / max(cnt, 1))
+    gold = int(np.argmax(scores))
+    text = _json.dumps([{"question": q, "choices": choices, "answer": gold}])
+    assert multiple_choice_score(ctx, tok, text) == 100.0
