@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
                     default=[], metavar=("PATH", "STRENGTH"))
     ap.add_argument("--keep", type=int, default=0,
                     help="tokens pinned at the head on context shift")
+    ap.add_argument("-ctk", "--cache-type-kv", default="bf16",
+                    choices=["bf16", "f16", "q8_0"],
+                    help="KV cache data type (type_k/type_v analogue)")
     return ap
 
 
@@ -95,7 +98,8 @@ def main(argv=None) -> int:
                               {k: _np.asarray(v) for k, v in combined.items()})
         print(f"# control vectors attached: {len(cv_specs)}", file=sys.stderr)
 
-    ctx = Context(model, n_ctx=args.ctx_size, n_seq_max=1)
+    ctx = Context(model, n_ctx=args.ctx_size, n_seq_max=1,
+                  kv_type=args.cache_type_kv)
     sched = Scheduler(ctx, n_slots=1)
     sp = SamplerParams(
         seed=args.seed, temp=args.temp, top_k=args.top_k, top_p=args.top_p,

@@ -61,9 +61,26 @@ def _forward(w: LlamaWeights, pools: KVPools, tokens, positions, block_table,
     scale = 1.0 / math.sqrt(hp.head_dim)
     rope_pos = positions if rope_delta is None else \
         positions + rope_delta[:, None]
+    quant = pools.quantized
     new_k, new_v = list(pools.k), list(pools.v)
+    new_ks = list(pools.k_scale) if quant else None
+    new_vs = list(pools.v_scale) if quant else None
     for li, lw in enumerate(w.layers):
         def attend(q, k_cur, v_cur, _li=li):
+            if quant:
+                # q8_0 KV (type_k/type_v analogue): quantizing scatter,
+                # dequantizing gather, XLA attention path
+                new_k[_li], new_ks[_li] = kv_cache.write_kv_q8(
+                    new_k[_li], new_ks[_li], k_cur, slots)
+                new_v[_li], new_vs[_li] = kv_cache.write_kv_q8(
+                    new_v[_li], new_vs[_li], v_cur, slots)
+                k = kv_cache.gather_kv_q8(new_k[_li], new_ks[_li],
+                                          block_table)
+                v = kv_cache.gather_kv_q8(new_v[_li], new_vs[_li],
+                                          block_table)
+                pos = (kv_len - 1)[:, None] if decode else positions
+                return kv_cache.attend_gathered(
+                    q, k, v, pos, kv_len, scale, hp.sliding_window)
             new_k[_li] = kv_cache.write_kv(new_k[_li], k_cur, slots)
             new_v[_li] = kv_cache.write_kv(new_v[_li], v_cur, slots)
             if decode:
@@ -77,6 +94,8 @@ def _forward(w: LlamaWeights, pools: KVPools, tokens, positions, block_table,
         x = llama_mod.forward_layer(
             x, lw, hp, rope_pos, w.rope_inv_freq, w.rope_mscale, attend,
             tp_axis=tp_axis, tp=tp)
+    if quant:
+        return x, KVPools(new_k, new_v, new_ks, new_vs)
     return x, KVPools(new_k, new_v)
 
 
@@ -244,9 +263,11 @@ class Context:
     """KV pools + block manager + step dispatch (llama_context analogue)."""
 
     def __init__(self, model: Model, n_ctx: int = 2048, n_seq_max: int = 8,
-                 block_size: int = 16, num_blocks: int | None = None):
+                 block_size: int = 16, num_blocks: int | None = None,
+                 kv_type: str = "bf16"):
         self.model = model
         hp = model.hp
+        self.kv_type = kv_type
         self.n_ctx = n_ctx
         self.block_size = block_size
         self.mesh = model.mesh
@@ -263,6 +284,8 @@ class Context:
         self._next_id = 0
         # block-table width bucket: full table for n_ctx
         self.nbmax = n_ctx // block_size
+        if self.mesh is not None and kv_type != "bf16":
+            raise NotImplementedError("quantized KV: single-device only")
         if self.mp:
             from ..parallel.pp import build_mp_steps, new_mp_pools
 
@@ -282,7 +305,8 @@ class Context:
                 build_tp_steps(hp, self.mesh, model.weights, self.pools)
             self._copy_fn = build_copy_step(self.mesh, self.pools)
         else:
-            self.pools = kv_cache.new_kv_pools(hp, num_blocks, block_size)
+            self.pools = kv_cache.new_kv_pools(hp, num_blocks, block_size,
+                                               kv_type=kv_type)
             self._prefill_fn = functools.partial(_prefill_step, hp=hp)
             self._prefill_all_fn = functools.partial(
                 _prefill_all_logits_step, hp=hp)

@@ -37,10 +37,15 @@ from ..ops.paged_attention import paged_attention_decode
 class KVPools:
     """Pytree of per-layer KV pools.
 
-    k/v: lists of [n_kv_heads, num_blocks, block_size, head_dim] bf16.
+    k/v: lists of [n_kv_heads, num_blocks, block_size, head_dim] bf16 —
+    or int8 when quantized (the type_k/type_v analogue, reference
+    llama.h:338-339), with per-slot-per-head f32 scales in k_scale/v_scale
+    ([n_kv_heads, num_blocks, block_size], q8_0-style absmax/127 scaling).
     """
     k: list[jax.Array]
     v: list[jax.Array]
+    k_scale: list[jax.Array] | None = None
+    v_scale: list[jax.Array] | None = None
 
     @property
     def num_blocks(self) -> int:
@@ -50,17 +55,65 @@ class KVPools:
     def block_size(self) -> int:
         return self.k[0].shape[2]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
 
 def new_kv_pools(hp: HParams, num_blocks: int, block_size: int = 32,
-                 dtype=jnp.bfloat16) -> KVPools:
+                 dtype=jnp.bfloat16, kv_type: str = "bf16") -> KVPools:
     shape = (hp.n_head_kv, num_blocks, block_size, hp.head_dim)
-    k = [jnp.zeros(shape, dtype) for _ in range(hp.n_layer)]
-    v = [jnp.zeros(shape, dtype) for _ in range(hp.n_layer)]
+    if kv_type == "q8_0":
+        k = [jnp.zeros(shape, jnp.int8) for _ in range(hp.n_layer)]
+        v = [jnp.zeros(shape, jnp.int8) for _ in range(hp.n_layer)]
+        ks = [jnp.zeros(shape[:3], jnp.float32) for _ in range(hp.n_layer)]
+        vs = [jnp.zeros(shape[:3], jnp.float32) for _ in range(hp.n_layer)]
+        return KVPools(k, v, ks, vs)
+    if kv_type not in ("bf16", "f16"):
+        raise ValueError(f"kv_type {kv_type!r} (supported: bf16, f16, q8_0)")
+    dt = jnp.float16 if kv_type == "f16" else dtype
+    k = [jnp.zeros(shape, dt) for _ in range(hp.n_layer)]
+    v = [jnp.zeros(shape, dt) for _ in range(hp.n_layer)]
     return KVPools(k, v)
 
 
 def kv_bytes_per_token(hp: HParams, dtype_bytes: int = 2) -> int:
     return 2 * hp.n_layer * hp.n_head_kv * hp.head_dim * dtype_bytes
+
+
+def quantize_q8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """x [..., D] -> (int8 [..., D], scale [...]) with absmax/127 scaling."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scale = amax / 127.0
+    q = jnp.round(x.astype(jnp.float32) / jnp.maximum(scale[..., None],
+                                                      1e-12))
+    return q.astype(jnp.int8), scale
+
+
+def write_kv_q8(pool: jax.Array, pool_scale: jax.Array, new: jax.Array,
+                slots: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Quantizing scatter: new [B, T, KV, D] bf16 -> int8 pool + scales."""
+    kv, nb, bs, d = pool.shape
+    q, scale = quantize_q8(new)                       # [B,T,KV,D], [B,T,KV]
+    flat = pool.reshape(kv, nb * bs, d)
+    sflat = pool_scale.reshape(kv, nb * bs)
+    s = slots.reshape(-1)
+    vals = q.reshape(-1, kv, d).swapaxes(0, 1)
+    svals = scale.reshape(-1, kv).swapaxes(0, 1)
+    flat = flat.at[:, s].set(vals, mode="drop", unique_indices=True)
+    sflat = sflat.at[:, s].set(svals, mode="drop", unique_indices=True)
+    return flat.reshape(kv, nb, bs, d), sflat.reshape(kv, nb, bs)
+
+
+def gather_kv_q8(pool: jax.Array, pool_scale: jax.Array,
+                 block_table: jax.Array) -> jax.Array:
+    """Dequantizing gather -> [B, S, KV, D] bf16."""
+    kv, nb, bs, d = pool.shape
+    pages = pool[:, block_table].astype(jnp.float32)   # [KV, B, NBmax, BS, D]
+    scales = pool_scale[:, block_table]                # [KV, B, NBmax, BS]
+    deq = pages * scales[..., None]
+    b = block_table.shape[0]
+    return deq.reshape(kv, b, -1, d).transpose(1, 2, 0, 3).astype(jnp.bfloat16)
 
 
 def write_kv(pool: jax.Array, new: jax.Array, slots: jax.Array) -> jax.Array:
@@ -97,7 +150,11 @@ def copy_blocks(pool: jax.Array, src: jax.Array, dst: jax.Array) -> jax.Array:
 def apply_copies(pools: KVPools, src: jax.Array, dst: jax.Array) -> KVPools:
     k = [copy_blocks(p, src, dst) for p in pools.k]
     v = [copy_blocks(p, src, dst) for p in pools.v]
-    return KVPools(k, v)
+    if not pools.quantized:
+        return KVPools(k, v)
+    ks = [copy_blocks(p, src, dst) for p in pools.k_scale]
+    vs = [copy_blocks(p, src, dst) for p in pools.v_scale]
+    return KVPools(k, v, ks, vs)
 
 
 @partial(jax.jit, donate_argnums=(0,))
@@ -118,23 +175,53 @@ def apply_shift(pools: KVPools, src: jax.Array, dst: jax.Array,
     """
     kv, nb, bs, d = pools.k[0].shape
     new_k, new_v = [], []
-    for k_pool, v_pool in zip(pools.k, pools.v):
+    new_ks, new_vs = [], []
+    n_layer = len(pools.k)
+    for li in range(n_layer):
+        k_pool, v_pool = pools.k[li], pools.v[li]
         kflat = k_pool.reshape(kv, nb * bs, d)
         vflat = v_pool.reshape(kv, nb * bs, d)
-        kg = kflat[:, src].transpose(1, 0, 2)[None]      # [1, n, KV, D]
-        kg = layers.apply_rope(kg.astype(jnp.float32), delta[None],
-                               inv_freq, mscale)
-        kg = kg[0].transpose(1, 0, 2).astype(k_pool.dtype)
-        vg = vflat[:, src]
-        kflat = kflat.at[:, dst].set(kg, mode="drop")
-        vflat = vflat.at[:, dst].set(vg, mode="drop")
+        kg = kflat[:, src].astype(jnp.float32)           # [KV, n, D]
+        if pools.quantized:
+            ksflat = pools.k_scale[li].reshape(kv, nb * bs)
+            vsflat = pools.v_scale[li].reshape(kv, nb * bs)
+            kg = kg * ksflat[:, src, None]               # dequantize
+        kg = kg.transpose(1, 0, 2)[None]                 # [1, n, KV, D]
+        kg = layers.apply_rope(kg, delta[None], inv_freq, mscale)
+        kg = kg[0].transpose(1, 0, 2)
+        if pools.quantized:
+            kq, ksc = quantize_q8(kg)                    # requantize K
+            kflat = kflat.at[:, dst].set(kq, mode="drop")
+            ksflat = ksflat.at[:, dst].set(ksc, mode="drop")
+            vsflat = vsflat.at[:, dst].set(vsflat[:, src], mode="drop")
+            new_ks.append(ksflat.reshape(kv, nb, bs))
+            new_vs.append(vsflat.reshape(kv, nb, bs))
+        else:
+            kflat = kflat.at[:, dst].set(kg.astype(k_pool.dtype),
+                                         mode="drop")
+        vflat = vflat.at[:, dst].set(vflat[:, src], mode="drop")
         new_k.append(kflat.reshape(kv, nb, bs, d))
         new_v.append(vflat.reshape(kv, nb, bs, d))
+    if pools.quantized:
+        return KVPools(new_k, new_v, new_ks, new_vs)
     return KVPools(new_k, new_v)
 
 
 # ---------------------------------------------------------------------------
 # attention over the paged cache
+
+
+def attend_gathered(q: jax.Array, k: jax.Array, v: jax.Array,
+                    positions: jax.Array, kv_len: jax.Array, scale: float,
+                    window: int = 0) -> jax.Array:
+    """Masked attention over already-gathered KV [B, S, KV, D]."""
+    s = k.shape[1]
+    sidx = jnp.arange(s)[None, None, :]                  # [1, 1, S]
+    mask = sidx <= positions[:, :, None]                 # causal
+    mask = mask & (sidx < kv_len[:, None, None])
+    if window > 0:
+        mask = mask & (sidx > positions[:, :, None] - window)
+    return layers.attention(q, k, v, mask, scale)
 
 
 def attend_prefill(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
@@ -149,16 +236,9 @@ def attend_prefill(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
     indices <= positions[b, t] (cache index == sequence position since block
     tables are ordered).
     """
-    b, t, h, d = q.shape
     k = gather_kv(k_pool, block_table)  # [B, S, KV, D]
     v = gather_kv(v_pool, block_table)
-    s = k.shape[1]
-    sidx = jnp.arange(s)[None, None, :]                  # [1, 1, S]
-    mask = sidx <= positions[:, :, None]                 # causal
-    mask = mask & (sidx < kv_len[:, None, None])
-    if window > 0:
-        mask = mask & (sidx > positions[:, :, None] - window)
-    return layers.attention(q, k, v, mask, scale)
+    return attend_gathered(q, k, v, positions, kv_len, scale, window)
 
 
 def attend_decode_xla(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,

@@ -110,10 +110,12 @@ def _sampling_from_body(body: dict) -> SamplerParams:
 
 class LlamaServer:
     def __init__(self, model_path: str, n_ctx: int = 2048, n_slots: int = 4,
-                 mesh=None, model_alias: str | None = None):
+                 mesh=None, model_alias: str | None = None,
+                 kv_type: str = "bf16"):
         self.model = Model(model_path, mesh=mesh)
         self.alias = model_alias or model_path.rsplit("/", 1)[-1]
-        ctx = Context(self.model, n_ctx=n_ctx, n_seq_max=n_slots)
+        ctx = Context(self.model, n_ctx=n_ctx, n_seq_max=n_slots,
+                      kv_type=kv_type)
         self.sched = Scheduler(ctx, n_slots=n_slots)
         self.engine = EngineThread(self.sched)
         self.t_start = time.time()
@@ -462,9 +464,11 @@ def main(argv=None):
     ap.add_argument("-np", "--parallel", type=int, default=4,
                     help="number of server slots")
     ap.add_argument("--alias", default=None)
+    ap.add_argument("-ctk", "--cache-type-kv", default="bf16",
+                    choices=["bf16", "f16", "q8_0"])
     args = ap.parse_args(argv)
     srv = LlamaServer(args.model, n_ctx=args.ctx_size, n_slots=args.parallel,
-                      model_alias=args.alias)
+                      model_alias=args.alias, kv_type=args.cache_type_kv)
     srv.run(args.host, args.port)
 
 
