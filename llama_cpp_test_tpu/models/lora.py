@@ -97,6 +97,35 @@ def attach_lora(weights: LlamaWeights, adapter: LoraAdapter,
     return weights
 
 
+def attach_loras(weights: LlamaWeights,
+                 scaled: list[tuple[LoraAdapter, float]]) -> LlamaWeights:
+    """Attach several adapters at once (the server /lora-adapters analogue,
+    reference common_init_from_params multi-adapter loop). Pairs targeting the
+    same tensor are stacked along the rank axis with user scales folded into
+    B, so y = W x + sum_i s_i * B_i (A_i x) stays a single low-rank update:
+    A' = concat_r(A_i), B' = concat_r(s_i * scale_i * B_i), scale' = 1."""
+    import jax.numpy as jnp
+
+    for li, lw in enumerate(weights.layers):
+        lora = {}
+        for field, suffix in _TARGETS.items():
+            parts = []
+            for adapter, s in scaled:
+                if s == 0.0:
+                    continue
+                pair = adapter.pairs.get(f"blk.{li}.{suffix}")
+                if pair is not None:
+                    parts.append((pair.a, pair.b * (pair.scale * s)))
+            if not parts:
+                continue
+            a = np.concatenate([p[0] for p in parts], axis=0)
+            b = np.concatenate([p[1] for p in parts], axis=1)
+            lora[field] = (jnp.asarray(a, jnp.bfloat16),
+                           jnp.asarray(b, jnp.bfloat16), 1.0)
+        lw.lora = lora
+    return weights
+
+
 def merge_lora(src_model: str, lora_path: str, dst: str,
                user_scale: float = 1.0) -> int:
     """Bake a LoRA into a dense F16 GGUF (export-lora analogue).

@@ -111,7 +111,9 @@ def _sampling_from_body(body: dict) -> SamplerParams:
 class LlamaServer:
     def __init__(self, model_path: str, n_ctx: int = 2048, n_slots: int = 4,
                  mesh=None, model_alias: str | None = None,
-                 kv_type: str = "bf16"):
+                 kv_type: str = "bf16", slot_save_path: str | None = None,
+                 api_key: str | None = None,
+                 lora: list[tuple[str, float]] | None = None):
         self.model = Model(model_path, mesh=mesh)
         self.alias = model_alias or model_path.rsplit("/", 1)[-1]
         ctx = Context(self.model, n_ctx=n_ctx, n_seq_max=n_slots,
@@ -119,6 +121,24 @@ class LlamaServer:
         self.sched = Scheduler(ctx, n_slots=n_slots)
         self.engine = EngineThread(self.sched)
         self.t_start = time.time()
+        self.slot_save_path = slot_save_path
+        self.api_key = api_key
+        # LoRA adapters with hot-swappable scales (server /lora-adapters,
+        # reference server.cpp:4436 + common_init_from_params)
+        self.loras: list[dict] = []
+        if lora:
+            from ..models.lora import load_lora
+
+            for i, (path, scale) in enumerate(lora):
+                self.loras.append({"id": i, "path": path, "scale": scale,
+                                   "adapter": load_lora(path, self.model.hp)})
+            self._reattach_loras()
+
+    def _reattach_loras(self) -> None:
+        from ..models.lora import attach_loras
+
+        attach_loras(self.model.weights,
+                     [(l["adapter"], l["scale"]) for l in self.loras])
 
     # -- request plumbing ----------------------------------------------------
 
@@ -205,6 +225,114 @@ class LlamaServer:
                 "n_cached": s.seq.n_cached if s.seq else 0,
             })
         return web.json_response(out)
+
+    async def slots_action(self, request):
+        """POST /slots/{id}?action=save|restore|erase (server.cpp:4438):
+        persist / reload / drop a slot's KV cache + token prefix."""
+        slot_id = int(request.match_info["id"])
+        action = request.query.get("action", "")
+        if not (0 <= slot_id < len(self.sched.slots)):
+            raise web.HTTPNotFound(text='{"error": "no such slot"}',
+                                   content_type="application/json")
+        slot = self.sched.slots[slot_id]
+        if action in ("save", "restore") and not self.slot_save_path:
+            raise web.HTTPBadRequest(
+                text='{"error": "server started without --slot-save-path"}',
+                content_type="application/json")
+        body = {}
+        if request.can_read_body:
+            try:
+                body = await request.json()
+            except Exception:
+                body = {}
+        loop = asyncio.get_running_loop()
+
+        def run():
+            import os
+
+            from ..runtime import state as state_io
+
+            with self.engine.ctx_lock:
+                ctx = self.sched.ctx
+                if action == "save":
+                    if slot.seq is None:
+                        raise ValueError("slot holds no sequence")
+                    fn = str(body.get("filename") or f"slot{slot_id}.npz")
+                    if "/" in fn or fn.startswith("."):
+                        raise ValueError("invalid filename")
+                    path = os.path.join(self.slot_save_path, fn)
+                    t0 = time.time()
+                    n_written = state_io.save_seq_state(ctx, slot.seq, path)
+                    return {"id_slot": slot_id, "filename": fn,
+                            "n_saved": slot.seq.n_cached,
+                            "n_written": n_written,
+                            "timings": {"save_ms": round(
+                                (time.time() - t0) * 1000, 2)}}
+                if action == "restore":
+                    fn = str(body.get("filename") or f"slot{slot_id}.npz")
+                    if "/" in fn or fn.startswith("."):
+                        raise ValueError("invalid filename")
+                    path = os.path.join(self.slot_save_path, fn)
+                    t0 = time.time()
+                    s = state_io.load_seq_state(ctx, path)
+                    if slot.seq is not None:
+                        ctx.free_seq(slot.seq)
+                    slot.seq = s
+                    slot.cache_tokens = list(s.tokens)
+                    return {"id_slot": slot_id, "filename": fn,
+                            "n_restored": s.n_cached,
+                            "timings": {"restore_ms": round(
+                                (time.time() - t0) * 1000, 2)}}
+                if action == "erase":
+                    n = slot.seq.n_cached if slot.seq is not None else 0
+                    if slot.seq is not None:
+                        ctx.free_seq(slot.seq)
+                        slot.seq = None
+                    slot.cache_tokens = []
+                    return {"id_slot": slot_id, "n_erased": n}
+                raise ValueError(f"unknown action {action!r}")
+
+        try:
+            out = await loop.run_in_executor(None, run)
+        except FileNotFoundError as e:
+            raise web.HTTPNotFound(
+                text=json.dumps({"error": str(e)}),
+                content_type="application/json")
+        except ValueError as e:
+            raise web.HTTPBadRequest(
+                text=json.dumps({"error": str(e)}),
+                content_type="application/json")
+        return web.json_response(out)
+
+    async def lora_adapters_get(self, request):
+        return web.json_response([
+            {"id": l["id"], "path": l["path"], "scale": l["scale"]}
+            for l in self.loras])
+
+    async def lora_adapters_post(self, request):
+        """Set per-adapter scales: body [{"id": 0, "scale": 0.5}, ...]."""
+        body = await request.json()
+        if not isinstance(body, list):
+            raise web.HTTPBadRequest(
+                text='{"error": "expected a JSON list"}',
+                content_type="application/json")
+        by_id = {l["id"]: l for l in self.loras}
+        for item in body:
+            lid = int(item.get("id", -1))
+            if lid not in by_id:
+                raise web.HTTPBadRequest(
+                    text=json.dumps(
+                        {"error": f"invalid adapter id {lid}"}),
+                    content_type="application/json")
+            by_id[lid]["scale"] = float(item.get("scale", 1.0))
+        loop = asyncio.get_running_loop()
+
+        def run():
+            with self.engine.ctx_lock:
+                self._reattach_loras()
+
+        await loop.run_in_executor(None, run)
+        return await self.lora_adapters_get(request)
 
     async def tokenize(self, request):
         body = await request.json()
@@ -426,8 +554,26 @@ class LlamaServer:
 
     # -- app -----------------------------------------------------------------
 
+    def _auth_middleware(self):
+        """Bearer API-key check (reference server API-key security tests):
+        every endpoint except /health requires Authorization: Bearer <key>."""
+        @web.middleware
+        async def mw(request, handler):
+            if request.path == "/health":
+                return await handler(request)
+            auth = request.headers.get("Authorization", "")
+            if auth != f"Bearer {self.api_key}":
+                return web.json_response(
+                    {"error": {"message": "Invalid API Key",
+                               "type": "authentication_error"}},
+                    status=401)
+            return await handler(request)
+
+        return mw
+
     def make_app(self):
-        app = web.Application()
+        middlewares = [self._auth_middleware()] if self.api_key else []
+        app = web.Application(middlewares=middlewares)
         r = app.router
         r.add_get("/health", self.health)
         r.add_get("/props", self.props)
@@ -446,6 +592,9 @@ class LlamaServer:
         r.add_post("/v1/embeddings", self.embeddings)
         r.add_post("/rerank", self.rerank)
         r.add_post("/v1/rerank", self.rerank)
+        r.add_post("/slots/{id}", self.slots_action)
+        r.add_get("/lora-adapters", self.lora_adapters_get)
+        r.add_post("/lora-adapters", self.lora_adapters_post)
         return app
 
     def run(self, host: str = "127.0.0.1", port: int = 8080):
@@ -466,9 +615,22 @@ def main(argv=None):
     ap.add_argument("--alias", default=None)
     ap.add_argument("-ctk", "--cache-type-kv", default="bf16",
                     choices=["bf16", "f16", "q8_0"])
+    ap.add_argument("--slot-save-path", default=None,
+                    help="directory for /slots save/restore files")
+    ap.add_argument("--api-key", default=None,
+                    help="require Authorization: Bearer <key>")
+    ap.add_argument("--lora", action="append", default=[],
+                    help="LoRA adapter GGUF (repeatable)")
+    ap.add_argument("--lora-scaled", action="append", nargs=2, default=[],
+                    metavar=("PATH", "SCALE"),
+                    help="LoRA adapter GGUF with user scale (repeatable)")
     args = ap.parse_args(argv)
+    loras = [(p, 1.0) for p in args.lora] + \
+        [(p, float(s)) for p, s in args.lora_scaled]
     srv = LlamaServer(args.model, n_ctx=args.ctx_size, n_slots=args.parallel,
-                      model_alias=args.alias, kv_type=args.cache_type_kv)
+                      model_alias=args.alias, kv_type=args.cache_type_kv,
+                      slot_save_path=args.slot_save_path,
+                      api_key=args.api_key, lora=loras or None)
     srv.run(args.host, args.port)
 
 

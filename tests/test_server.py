@@ -182,3 +182,130 @@ def test_infill_missing_fim_tokens(client, server):
         assert r.status == 400
 
     loop.run_until_complete(go())
+
+
+def test_slot_save_restore_erase(client, server, tmp_path):
+    """/slots/{id}?action=save|restore|erase round-trip (server.cpp:4438)."""
+    c, loop = client
+    server.slot_save_path = str(tmp_path)
+
+    async def go():
+        # populate slot 0's cache with a completion
+        r = await c.post("/completion", json={
+            "prompt": [3, 5, 7, 9], "n_predict": 3, "temperature": 0.0})
+        assert r.status == 200
+        r = await c.post("/slots/0?action=save", json={"filename": "s0.npz"})
+        assert r.status == 200
+        body = await r.json()
+        assert body["filename"] == "s0.npz"
+        n_saved = body["n_saved"]
+        assert n_saved >= 4 and body["n_written"] > 0
+
+        r = await c.post("/slots/0?action=erase")
+        assert r.status == 200
+        assert (await r.json())["n_erased"] == n_saved
+
+        r = await c.post("/slots/0?action=restore", json={"filename": "s0.npz"})
+        assert r.status == 200
+        assert (await r.json())["n_restored"] == n_saved
+
+        # bad cases
+        r = await c.post("/slots/0?action=restore",
+                         json={"filename": "missing.npz"})
+        assert r.status == 404
+        r = await c.post("/slots/0?action=save",
+                         json={"filename": "../evil.npz"})
+        assert r.status == 400
+        r = await c.post("/slots/99?action=erase")
+        assert r.status == 404
+        r = await c.post("/slots/0?action=bogus")
+        assert r.status == 400
+
+    try:
+        loop.run_until_complete(go())
+    finally:
+        server.slot_save_path = None
+
+
+def test_slot_save_requires_path(client, server):
+    c, loop = client
+    assert server.slot_save_path is None
+
+    async def go():
+        r = await c.post("/slots/0?action=save", json={"filename": "x.npz"})
+        assert r.status == 400
+
+    loop.run_until_complete(go())
+
+
+def test_lora_adapters_endpoint(tmp_path):
+    """GET/POST /lora-adapters: list adapters, hot-swap scales."""
+    import numpy as np
+    from test_lora import make_lora_gguf
+    from llama_cpp_test_tpu.server.app import LlamaServer
+
+    mpath = str(tmp_path / "m.gguf")
+    make_tiny_gguf(mpath)
+    lpath = str(tmp_path / "l.gguf")
+    make_lora_gguf(lpath, np.random.default_rng(3))
+    srv = LlamaServer(mpath, n_ctx=64, n_slots=1, lora=[(lpath, 1.0)])
+    assert srv.model.weights.layers[0].lora  # attached at init
+
+    loop = asyncio.new_event_loop()
+
+    async def go():
+        from aiohttp.test_utils import TestClient, TestServer
+        c = TestClient(TestServer(srv.make_app()))
+        await c.start_server()
+        try:
+            r = await c.get("/lora-adapters")
+            body = await r.json()
+            assert body == [{"id": 0, "path": lpath, "scale": 1.0}]
+            r = await c.post("/lora-adapters", json=[{"id": 0, "scale": 0.0}])
+            assert r.status == 200
+            assert (await r.json())[0]["scale"] == 0.0
+            assert not srv.model.weights.layers[0].lora  # detached
+            r = await c.post("/lora-adapters", json=[{"id": 5, "scale": 1.0}])
+            assert r.status == 400
+        finally:
+            await c.close()
+
+    srv.engine.start()
+    try:
+        loop.run_until_complete(go())
+    finally:
+        srv.engine.stop()
+        loop.close()
+
+
+def test_api_key_auth(tmp_path):
+    """--api-key: 401 without Bearer key; /health stays public."""
+    from llama_cpp_test_tpu.server.app import LlamaServer
+
+    mpath = str(tmp_path / "m.gguf")
+    make_tiny_gguf(mpath)
+    srv = LlamaServer(mpath, n_ctx=64, n_slots=1, api_key="sk-test")
+    loop = asyncio.new_event_loop()
+
+    async def go():
+        from aiohttp.test_utils import TestClient, TestServer
+        c = TestClient(TestServer(srv.make_app()))
+        await c.start_server()
+        try:
+            assert (await c.get("/health")).status == 200
+            assert (await c.get("/props")).status == 401
+            r = await c.post("/tokenize", json={"content": "hi"},
+                             headers={"Authorization": "Bearer wrong"})
+            assert r.status == 401
+            r = await c.get("/props",
+                            headers={"Authorization": "Bearer sk-test"})
+            assert r.status == 200
+        finally:
+            await c.close()
+
+    srv.engine.start()
+    try:
+        loop.run_until_complete(go())
+    finally:
+        srv.engine.stop()
+        loop.close()
