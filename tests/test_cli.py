@@ -139,3 +139,86 @@ def test_multiple_choice_scorer(model_path):
     gold = int(np.argmax(scores))
     text = _json.dumps([{"question": q, "choices": choices, "answer": gold}])
     assert multiple_choice_score(ctx, tok, text) == 100.0
+
+
+def test_tokenize_cli(model_path, capsys):
+    from llama_cpp_test_tpu.cli.tokenize import main as tmain
+
+    rc = tmain(["-m", model_path, "-p", "hello world", "--show-count"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "->" in out and "Total number of tokens:" in out
+
+    rc = tmain(["-m", model_path, "-p", "hi", "--ids"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip()
+    assert out.startswith("[") and out.endswith("]")
+
+
+def test_gbnf_validator_cli(tmp_path, capsys):
+    from llama_cpp_test_tpu.cli.gbnf_validator import main as gmain
+
+    gpath = str(tmp_path / "g.gbnf")
+    with open(gpath, "w") as f:
+        f.write('root ::= "yes" | "no"\n')
+    ok_path = str(tmp_path / "ok.txt")
+    with open(ok_path, "w") as f:
+        f.write("yes")
+    bad_path = str(tmp_path / "bad.txt")
+    with open(bad_path, "w") as f:
+        f.write("maybe")
+    assert gmain([gpath, ok_path]) == 0
+    assert "valid" in capsys.readouterr().out
+    assert gmain([gpath, bad_path]) == 1
+    assert "invalid" in capsys.readouterr().out
+    # incomplete parse: prefix of a valid word
+    inc_path = str(tmp_path / "inc.txt")
+    with open(inc_path, "w") as f:
+        f.write("ye")
+    assert gmain([gpath, inc_path]) == 1
+
+
+def test_quantize_stats_cli(model_path, capsys):
+    from llama_cpp_test_tpu.cli.quantize_stats import main as qsmain
+
+    rc = qsmain(["-m", model_path, "-t", "Q8_0", "--per-layer"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "overall rmse" in out
+    # Q8_0 round-trip error should be small
+    import re
+
+    m = re.search(r"overall rmse ([0-9.]+)", out)
+    assert m and float(m.group(1)) < 0.01
+
+
+def test_save_load_state_cli(model_path, tmp_path, capsys):
+    from llama_cpp_test_tpu.cli.save_load_state import main as slmain
+
+    rc = slmain(["-m", model_path, "-n", "8",
+                 "--state-file", str(tmp_path / "st.npz")])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "OK: restored continuation matches" in out
+
+
+def test_llama_bench_cli(model_path, capsys):
+    from llama_cpp_test_tpu.cli.llama_bench import main as bmain
+
+    rc = bmain(["-m", model_path, "-p", "16", "-n", "4", "-r", "2",
+                "-o", "jsonl"])
+    assert rc == 0
+    import json as _json
+
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    rows = [_json.loads(l) for l in lines]
+    tests = {r["test"] for r in rows}
+    assert tests == {"pp16", "tg4"}
+    for r in rows:
+        assert r["avg_ts"] > 0 and "backend" in r
+
+    rc = bmain(["-m", model_path, "-p", "0", "-n", "4", "-r", "2",
+                "-pg", "8,4", "-o", "md"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "| model |" in out and "pp8+tg4" in out
