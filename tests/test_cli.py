@@ -222,3 +222,58 @@ def test_llama_bench_cli(model_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "| model |" in out and "pp8+tg4" in out
+
+
+def test_batched_cli(model_path, capsys):
+    from llama_cpp_test_tpu.cli.batched import main as bmain
+
+    rc = bmain(["-m", model_path, "-p", "hi", "-np", "3", "-n", "6",
+                "--temp", "0.8"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "sequence 0:" in out and "sequence 2:" in out
+
+
+def test_parallel_cli(model_path, capsys):
+    from llama_cpp_test_tpu.cli.parallel import main as pmain
+
+    rc = pmain(["-m", model_path, "-ns", "5", "-np", "2", "-n", "6",
+                "-c", "128"])
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert "=== request 4" in cap.out
+    assert "aggregate" in cap.err
+
+
+def test_embedding_cli(model_path, capsys):
+    from llama_cpp_test_tpu.cli.embedding import main as emain
+
+    rc = emain(["-m", model_path, "-p", "hello", "-p", "world",
+                "--similarity"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    rows = [l for l in out.splitlines() if l and not l.startswith("cosine")]
+    assert len(rows) == 2
+    # self-similarity on the diagonal is 1.00 after L2 norm
+    assert rows[0].split()[0] == "1.00"
+
+    rc = emain(["-m", model_path, "-p", "hello",
+                "--embd-output-format", "json"])
+    assert rc == 0
+    import json as _json
+
+    data = _json.loads(capsys.readouterr().out)
+    assert data["data"][0]["object"] == "embedding"
+
+
+def test_retrieval_cli(model_path, tmp_path, capsys):
+    from llama_cpp_test_tpu.cli.retrieval import main as rmain
+
+    doc = tmp_path / "doc.txt"
+    doc.write_text("the sky is blue today\n" * 3 +
+                   "bananas are yellow fruit\n" * 3)
+    rc = rmain(["-m", model_path, "-f", str(doc), "--chunk-size", "40",
+                "--top-k", "2", "--query", "the sky is blue today"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "top 1" in out and "top 2" in out
