@@ -482,8 +482,9 @@ class LlamaServer:
 
     async def chat_completions(self, request):
         body = await request.json()
+        tools = body.get("tools") or None
         prompt = apply_chat_template(self.model.reader.metadata,
-                                     body.get("messages", []))
+                                     body.get("messages", []), tools=tools)
         prompt_tokens = self._tokenize_prompt(prompt)
         rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
         if body.get("stream"):
@@ -491,12 +492,22 @@ class LlamaServer:
                 request, body, prompt_tokens, rid, chat=True)
         req = await self._run_request(prompt_tokens, body)
         text = self._detok(req.output_tokens)
+        message: dict = {"role": "assistant", "content": text}
+        finish = req.finish_reason
+        if tools:
+            from .chat import parse_tool_calls
+
+            content, calls = parse_tool_calls(text)
+            if calls:
+                message = {"role": "assistant",
+                           "content": content or None, "tool_calls": calls}
+                finish = "tool_calls"
         return web.json_response({
             "id": rid, "object": "chat.completion",
             "created": int(time.time()), "model": self.alias,
             "choices": [{"index": 0,
-                         "message": {"role": "assistant", "content": text},
-                         "finish_reason": req.finish_reason}],
+                         "message": message,
+                         "finish_reason": finish}],
             "usage": {
                 "prompt_tokens": req.n_prompt,
                 "completion_tokens": len(req.output_tokens),
