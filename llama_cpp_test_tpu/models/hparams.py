@@ -37,7 +37,16 @@ class HParams:
     n_ff_exp: int = 0
     # misc
     sliding_window: int = 0
+    # SWA layer pattern: with sliding_window set, layer li is GLOBAL when
+    # (li + 1) % swa_pattern == 0 (gemma2: 2 = alternating, gemma3: 6 = 5
+    # local : 1 global); 1 = every layer sliding (mistral)
+    swa_pattern: int = 1
     tie_embeddings: bool = False
+    # arch quirks (gemma family; reference llm_build_gemma/gemma2/gemma3)
+    act_fn: str = "silu"        # gated-FFN activation: silu | gelu
+    embd_scale: float = 1.0     # embedding multiplier (gemma: sqrt(n_embd))
+    attn_softcap: float = 0.0   # tanh cap on attention logits (gemma2: 50)
+    final_softcap: float = 0.0  # tanh cap on output logits (gemma2: 30)
     # GGUF rope convention: 'norm' (interleaved pairs — llama/mistral/mixtral,
     # reference llama-model.cpp:11818) or 'neox' (half-split — qwen2 etc.,
     # :11846). NORM-layout Q/K rows are un-permuted at load so device compute
@@ -80,6 +89,14 @@ def hparams_from_metadata(md: dict) -> HParams:
                    "starcoder2", "openelm", "gptneox", "codeshell", "nemotron",
                    "exaone", "minicpm3"}
     rope_type = "neox" if arch in neox_arches else "norm"
+    gemma_like = arch in {"gemma", "gemma2", "gemma3"}
+    import math as _math
+
+    swa_pattern = 1
+    if arch == "gemma2":
+        swa_pattern = 2       # alternating local/global (llm_build_gemma2)
+    elif arch == "gemma3":
+        swa_pattern = g("attention.sliding_window_pattern", 6)
     hp = HParams(
         arch=arch,
         n_vocab=n_vocab,
@@ -101,6 +118,22 @@ def hparams_from_metadata(md: dict) -> HParams:
         n_expert_used=g("expert_used_count", 0),
         n_ff_exp=g("expert_feed_forward_length", 0),
         sliding_window=g("attention.sliding_window", 0),
+        swa_pattern=max(1, swa_pattern),
         rope_type=rope_type,
+        act_fn="gelu" if gemma_like else "silu",
+        embd_scale=_math.sqrt(n_embd) if gemma_like else 1.0,
+        attn_softcap=g("attn_logit_softcapping",
+                       50.0 if arch == "gemma2" else 0.0),
+        final_softcap=g("final_logit_softcapping",
+                        30.0 if arch == "gemma2" else 0.0),
     )
     return hp
+
+
+def layer_window(hp: HParams, li: int) -> int:
+    """Per-layer sliding window: 0 = global attention for this layer."""
+    if hp.sliding_window <= 0:
+        return 0
+    if hp.swa_pattern > 1 and (li + 1) % hp.swa_pattern == 0:
+        return 0
+    return hp.sliding_window

@@ -85,6 +85,13 @@ class LayerWeights:
     bq: jax.Array | None = None
     bk: jax.Array | None = None
     bv: jax.Array | None = None
+    # optional per-head Q/K RMS norms (gemma3/qwen3-style, [head_dim])
+    attn_q_norm: jax.Array | None = None
+    attn_k_norm: jax.Array | None = None
+    # optional sandwich norms applied to the attn/ffn branch outputs before
+    # the residual add (gemma2/gemma3, llm_build_gemma2's post-norms)
+    attn_post_norm: jax.Array | None = None
+    ffn_post_norm: jax.Array | None = None
     # LoRA pairs: field name -> (A [r,K], B [N,r], scale) (models/lora.py)
     lora: dict = dataclasses.field(default_factory=dict)
     # control vector: [n_embd] bias added to the layer output (models/cvec.py,
@@ -287,6 +294,14 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
             if p + bname in t:
                 bias = _f32(reader, p + bname)
                 setattr(lw, attr, bias[perm] if perm is not None else bias)
+        for tname, attr in (("attn_q_norm.weight", "attn_q_norm"),
+                            ("attn_k_norm.weight", "attn_k_norm"),
+                            ("attn_post_norm.weight", "attn_post_norm"),
+                            ("post_attention_norm.weight", "attn_post_norm"),
+                            ("ffn_post_norm.weight", "ffn_post_norm"),
+                            ("post_ffw_norm.weight", "ffn_post_norm")):
+            if p + tname in t:
+                setattr(lw, attr, _f32(reader, p + tname))
         return lw
 
     tok_embd = _repack_2d(reader, "token_embd.weight")  # replicated (gather)
@@ -456,6 +471,10 @@ def forward_layer(
     q = q.reshape(b, tdim, h, d)
     k = k.reshape(b, tdim, kvh, d)
     v = v.reshape(b, tdim, kvh, d)
+    if lw.attn_q_norm is not None:  # per-head RMS (gemma3/qwen3)
+        q = layers.rms_norm(q, lw.attn_q_norm, hp.rms_eps)
+    if lw.attn_k_norm is not None:
+        k = layers.rms_norm(k, lw.attn_k_norm, hp.rms_eps)
     q = layers.apply_rope(q, positions, inv_freq, mscale)
     k = layers.apply_rope(k, positions, inv_freq, mscale)
     attn_out = attend(q.astype(jnp.bfloat16),
@@ -466,6 +485,8 @@ def forward_layer(
     if tp_axis is not None:
         # row-parallel wo: every device holds a partial sum over its heads
         o = jax.lax.psum(o, tp_axis)
+    if lw.attn_post_norm is not None:  # gemma2 sandwich norm
+        o = layers.rms_norm(o, lw.attn_post_norm, hp.rms_eps)
     x = x + o.astype(x.dtype)
 
     cur = layers.rms_norm(x, lw.ffn_norm, hp.rms_eps)
@@ -473,18 +494,24 @@ def forward_layer(
         ffn = moe_ffn(cur, lw, hp, ep_axis=ep_axis, ep=ep)
     else:
         g, u = gateup_proj(cur, lw)
-        ffn = linear_lora(layers.swiglu(g, u), lw.w_down,
+        ffn = linear_lora(layers.swiglu(g, u, hp.act_fn), lw.w_down,
                           lora.get("w_down"))
     if tp_axis is not None:
         ffn = jax.lax.psum(ffn, tp_axis)  # row-parallel ffn_down partials
+    if lw.ffn_post_norm is not None:
+        ffn = layers.rms_norm(ffn, lw.ffn_post_norm, hp.rms_eps)
     x = x + ffn.astype(x.dtype)
     if lw.cvec is not None:
         x = x + lw.cvec.astype(x.dtype)
     return x
 
 
-def embed(w: LlamaWeights, tokens: jax.Array) -> jax.Array:
-    return qgather(tokens, w.tok_embd, dtype=jnp.bfloat16)
+def embed(w: LlamaWeights, tokens: jax.Array,
+          scale: float = 1.0) -> jax.Array:
+    e = qgather(tokens, w.tok_embd, dtype=jnp.bfloat16)
+    if scale != 1.0:  # gemma scales embeddings by sqrt(n_embd)
+        e = (e.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+    return e
 
 
 def lm_head(w: LlamaWeights, hp: HParams, x: jax.Array,
@@ -497,4 +524,6 @@ def lm_head(w: LlamaWeights, hp: HParams, x: jax.Array,
     if tp_axis is not None:
         logits = jax.lax.all_gather(logits, tp_axis, axis=x.ndim - 1,
                                     tiled=True)
+    if hp.final_softcap > 0:  # gemma2 final logit softcapping
+        logits = jnp.tanh(logits / hp.final_softcap) * hp.final_softcap
     return logits

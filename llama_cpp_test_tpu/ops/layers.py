@@ -82,9 +82,15 @@ def apply_rope(x: jax.Array, positions: jax.Array, inv_freq: jax.Array,
     return jnp.concatenate([o1, o2], axis=-1).astype(x.dtype)
 
 
-def swiglu(gate: jax.Array, up: jax.Array) -> jax.Array:
+def swiglu(gate: jax.Array, up: jax.Array, act: str = "silu") -> jax.Array:
+    """Gated FFN activation: act(gate) * up. act 'silu' (llama SwiGLU) or
+    'gelu' (gemma GeGLU, tanh approximation like gelu_pytorch_tanh)."""
     g = gate.astype(jnp.float32)
-    return (jax.nn.silu(g) * up.astype(jnp.float32)).astype(gate.dtype)
+    if act == "gelu":
+        a = jax.nn.gelu(g, approximate=True)
+    else:
+        a = jax.nn.silu(g)
+    return (a * up.astype(jnp.float32)).astype(gate.dtype)
 
 
 def attention(q: jax.Array, k: jax.Array, v: jax.Array, mask: jax.Array,

@@ -26,6 +26,7 @@ import numpy as np
 
 from ..gguf.reader import GGUFReader, open_gguf
 from ..models import llama as llama_mod
+from ..models import hparams as hparams_mod
 from ..models.hparams import HParams, hparams_from_metadata
 from ..models.llama import LlamaWeights, device_put_weights, load_weights
 from ..tokenizer import load_tokenizer
@@ -57,8 +58,9 @@ def _forward(w: LlamaWeights, pools: KVPools, tokens, positions, block_table,
     positions are cache-index positions (mask ordering); rope_delta [B] is an
     optional per-row offset added for the RoPE rotation only — nonzero after
     Self-Extend grouped repositioning (SeqState.pos_offset)."""
-    x = llama_mod.embed(w, tokens)
+    x = llama_mod.embed(w, tokens, hp.embd_scale)
     scale = 1.0 / math.sqrt(hp.head_dim)
+    cap = hp.attn_softcap
     rope_pos = positions if rope_delta is None else \
         positions + rope_delta[:, None]
     quant = pools.quantized
@@ -80,16 +82,17 @@ def _forward(w: LlamaWeights, pools: KVPools, tokens, positions, block_table,
                                           block_table)
                 pos = (kv_len - 1)[:, None] if decode else positions
                 return kv_cache.attend_gathered(
-                    q, k, v, pos, kv_len, scale, hp.sliding_window)
+                    q, k, v, pos, kv_len, scale,
+                    hparams_mod.layer_window(hp, _li), cap)
             new_k[_li] = kv_cache.write_kv(new_k[_li], k_cur, slots)
             new_v[_li] = kv_cache.write_kv(new_v[_li], v_cur, slots)
             if decode:
                 return kv_cache.attend_decode(
                     q, new_k[_li], new_v[_li], block_table, kv_len, scale,
-                    hp.sliding_window)
+                    hparams_mod.layer_window(hp, _li), cap)
             return kv_cache.attend_prefill(
                 q, new_k[_li], new_v[_li], block_table, positions, kv_len,
-                scale, hp.sliding_window)
+                scale, hparams_mod.layer_window(hp, _li), cap)
 
         x = llama_mod.forward_layer(
             x, lw, hp, rope_pos, w.rope_inv_freq, w.rope_mscale, attend,

@@ -213,7 +213,7 @@ def apply_shift(pools: KVPools, src: jax.Array, dst: jax.Array,
 
 def attend_gathered(q: jax.Array, k: jax.Array, v: jax.Array,
                     positions: jax.Array, kv_len: jax.Array, scale: float,
-                    window: int = 0) -> jax.Array:
+                    window: int = 0, soft_cap: float = 0.0) -> jax.Array:
     """Masked attention over already-gathered KV [B, S, KV, D]."""
     s = k.shape[1]
     sidx = jnp.arange(s)[None, None, :]                  # [1, 1, S]
@@ -221,13 +221,13 @@ def attend_gathered(q: jax.Array, k: jax.Array, v: jax.Array,
     mask = mask & (sidx < kv_len[:, None, None])
     if window > 0:
         mask = mask & (sidx > positions[:, :, None] - window)
-    return layers.attention(q, k, v, mask, scale)
+    return layers.attention(q, k, v, mask, scale, softcap=soft_cap)
 
 
 def attend_prefill(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
                    block_table: jax.Array, positions: jax.Array,
                    kv_len: jax.Array, scale: float,
-                   window: int = 0) -> jax.Array:
+                   window: int = 0, soft_cap: float = 0.0) -> jax.Array:
     """Attention for a prefill chunk whose KV (incl. any cached prefix) is
     already written to the pools.
 
@@ -238,28 +238,32 @@ def attend_prefill(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
     """
     k = gather_kv(k_pool, block_table)  # [B, S, KV, D]
     v = gather_kv(v_pool, block_table)
-    return attend_gathered(q, k, v, positions, kv_len, scale, window)
+    return attend_gathered(q, k, v, positions, kv_len, scale, window,
+                           soft_cap)
 
 
 def attend_decode_xla(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
                       block_table: jax.Array, kv_len: jax.Array,
-                      scale: float, window: int = 0) -> jax.Array:
+                      scale: float, window: int = 0,
+                      soft_cap: float = 0.0) -> jax.Array:
     """Reference decode path (T==1 per sequence) via gather + masked softmax."""
     positions = (kv_len - 1)[:, None]
     return attend_prefill(q, k_pool, v_pool, block_table, positions, kv_len,
-                          scale, window)
+                          scale, window, soft_cap)
 
 
 def attend_decode(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
                   block_table: jax.Array, kv_len: jax.Array,
-                  scale: float, window: int = 0) -> jax.Array:
+                  scale: float, window: int = 0,
+                  soft_cap: float = 0.0) -> jax.Array:
     """Decode attention dispatch: Pallas paged kernel on TPU, XLA elsewhere.
 
     q: [B, 1, H, D] -> [B, 1, H, D].
     """
     if jax.default_backend() != "tpu" or window > 0:
         return attend_decode_xla(q, k_pool, v_pool, block_table, kv_len,
-                                 scale, window)
+                                 scale, window, soft_cap)
     out = paged_attention_decode(
-        (q[:, 0] * scale).astype(q.dtype), k_pool, v_pool, kv_len, block_table)
+        (q[:, 0] * scale).astype(q.dtype), k_pool, v_pool, kv_len, block_table,
+        soft_cap=soft_cap if soft_cap > 0 else None)
     return out[:, None].astype(q.dtype)

@@ -1,0 +1,209 @@
+"""Gemma-family architecture quirks vs an independent numpy reference:
+embedding scaling, GeGLU, Q/K per-head norms, sandwich (post) norms,
+attention/final logit softcapping, alternating sliding-window layers
+(reference llm_build_gemma2/gemma3, src/llama-model.cpp)."""
+import math
+
+import numpy as np
+
+from test_engine import nmse, tiny_vocab
+
+HP = dict(n_vocab=199, n_embd=64, n_head=4, n_head_kv=2, head_dim=16,
+          n_layer=2, n_ff=128, rope_base=10000.0, rms_eps=1e-5,
+          sliding_window=3, attn_softcap=50.0, final_softcap=30.0)
+
+
+def make_tiny_gemma2(path, seed=0, qk_norm=True):
+    from llama_cpp_test_tpu.gguf.constants import GGMLType
+    from llama_cpp_test_tpu.gguf.writer import GGUFWriter
+
+    rng = np.random.default_rng(seed)
+    hp = HP
+    c, hq, hkv, d = hp["n_embd"], hp["n_head"], hp["n_head_kv"], hp["head_dim"]
+    v, ff, L = hp["n_vocab"], hp["n_ff"], hp["n_layer"]
+
+    def rand(*shape, s=0.08):
+        return (rng.standard_normal(shape) * s).astype(np.float32)
+
+    wts = {
+        "token_embd.weight": rand(v, c, s=0.3),
+        "output_norm.weight": 1.0 + rand(c, s=0.05),
+        "output.weight": rand(v, c, s=0.2),
+    }
+    for i in range(L):
+        p = f"blk.{i}."
+        wts[p + "attn_norm.weight"] = 1.0 + rand(c, s=0.05)
+        wts[p + "attn_q.weight"] = rand(hq * d, c)
+        wts[p + "attn_k.weight"] = rand(hkv * d, c)
+        wts[p + "attn_v.weight"] = rand(hkv * d, c)
+        wts[p + "attn_output.weight"] = rand(c, hq * d)
+        wts[p + "attn_post_norm.weight"] = 1.0 + rand(c, s=0.05)
+        wts[p + "ffn_norm.weight"] = 1.0 + rand(c, s=0.05)
+        wts[p + "ffn_gate.weight"] = rand(ff, c)
+        wts[p + "ffn_up.weight"] = rand(ff, c)
+        wts[p + "ffn_down.weight"] = rand(c, ff)
+        wts[p + "ffn_post_norm.weight"] = 1.0 + rand(c, s=0.05)
+        if qk_norm:
+            wts[p + "attn_q_norm.weight"] = 1.0 + rand(d, s=0.05)
+            wts[p + "attn_k_norm.weight"] = 1.0 + rand(d, s=0.05)
+
+    w = GGUFWriter(path, arch="gemma2")
+    md = {
+        "general.architecture": "gemma2",
+        "gemma2.context_length": 256,
+        "gemma2.embedding_length": c,
+        "gemma2.block_count": L,
+        "gemma2.attention.head_count": hq,
+        "gemma2.attention.head_count_kv": hkv,
+        "gemma2.attention.key_length": d,
+        "gemma2.attention.value_length": d,
+        "gemma2.feed_forward_length": ff,
+        "gemma2.rope.dimension_count": d,
+        "gemma2.rope.freq_base": hp["rope_base"],
+        "gemma2.attention.layer_norm_rms_epsilon": hp["rms_eps"],
+        "gemma2.vocab_size": v,
+        "gemma2.attention.sliding_window": hp["sliding_window"],
+        "gemma2.attn_logit_softcapping": hp["attn_softcap"],
+        "gemma2.final_logit_softcapping": hp["final_softcap"],
+    }
+    toks, scores, types = tiny_vocab(v)
+    md.update({
+        "tokenizer.ggml.model": "llama",
+        "tokenizer.ggml.tokens": toks,
+        "tokenizer.ggml.scores": np.asarray(scores, np.float32),
+        "tokenizer.ggml.token_type": np.asarray(types, np.int32),
+        "tokenizer.ggml.bos_token_id": 1,
+        "tokenizer.ggml.eos_token_id": 2,
+        "tokenizer.ggml.unknown_token_id": 0,
+        "tokenizer.ggml.add_bos_token": True,
+    })
+    for key, val in md.items():
+        w.add_kv(key, val)
+    for name, arr in wts.items():
+        w.add_tensor(name, arr, ggml_type=GGMLType.F32)
+    w.write()
+    return wts
+
+
+def ref_forward_gemma2(wts, tokens, qk_norm=True):
+    """Independent float64 reference with all gemma2/3 quirks.
+    neox (half-split) rope — gemma is a neox-rope arch, so weights are
+    stored unpermuted."""
+    hp = HP
+    c, hq, hkv, d = hp["n_embd"], hp["n_head"], hp["n_head_kv"], hp["head_dim"]
+    L = hp["n_layer"]
+    eps = hp["rms_eps"]
+
+    def rms(x, wv):
+        return x / np.sqrt((x * x).mean(-1, keepdims=True) + eps) * wv
+
+    def rope(x, pos):
+        half = d // 2
+        inv = hp["rope_base"] ** (-2.0 * np.arange(half) / d)
+        th = pos[:, None] * inv[None, :]
+        cos, sin = np.cos(th)[:, None, :], np.sin(th)[:, None, :]
+        x1, x2 = x[..., :half], x[..., half:]
+        return np.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1)
+
+    def gelu_tanh(g):
+        return 0.5 * g * (1.0 + np.tanh(
+            math.sqrt(2.0 / math.pi) * (g + 0.044715 * g ** 3)))
+
+    T = len(tokens)
+    x = wts["token_embd.weight"][tokens] * math.sqrt(c)  # embd scale
+    pos = np.arange(T, dtype=np.float64)
+    for i in range(L):
+        p = f"blk.{i}."
+        cur = rms(x, wts[p + "attn_norm.weight"])
+        q = (cur @ wts[p + "attn_q.weight"].T).reshape(T, hq, d)
+        k = (cur @ wts[p + "attn_k.weight"].T).reshape(T, hkv, d)
+        vv = (cur @ wts[p + "attn_v.weight"].T).reshape(T, hkv, d)
+        if qk_norm:
+            q = rms(q, wts[p + "attn_q_norm.weight"])
+            k = rms(k, wts[p + "attn_k_norm.weight"])
+        q, k = rope(q, pos), rope(k, pos)
+        rep = hq // hkv
+        out = np.zeros((T, hq, d))
+        # gemma2 swa_pattern=2: layer 0 sliding, layer 1 global
+        window = hp["sliding_window"] if (i + 1) % 2 != 0 else 0
+        for h in range(hq):
+            kh, vh = k[:, h // rep], vv[:, h // rep]
+            logits = (q[:, h] @ kh.T) / math.sqrt(d)
+            cap = hp["attn_softcap"]
+            logits = np.tanh(logits / cap) * cap
+            mask = np.tril(np.ones((T, T), bool))
+            if window > 0:
+                ii, jj = np.mgrid[0:T, 0:T]
+                mask &= jj > ii - window
+            logits = np.where(mask, logits, -1e30)
+            pr = np.exp(logits - logits.max(-1, keepdims=True))
+            pr /= pr.sum(-1, keepdims=True)
+            out[:, h] = pr @ vh
+        o = out.reshape(T, hq * d) @ wts[p + "attn_output.weight"].T
+        o = rms(o, wts[p + "attn_post_norm.weight"])  # sandwich norm
+        x = x + o
+        cur = rms(x, wts[p + "ffn_norm.weight"])
+        g = cur @ wts[p + "ffn_gate.weight"].T
+        u = cur @ wts[p + "ffn_up.weight"].T
+        ffn = (gelu_tanh(g) * u) @ wts[p + "ffn_down.weight"].T
+        ffn = rms(ffn, wts[p + "ffn_post_norm.weight"])
+        x = x + ffn
+    x = rms(x, wts["output_norm.weight"])
+    logits = x @ wts["output.weight"].T
+    cap = hp["final_softcap"]
+    return np.tanh(logits / cap) * cap
+
+
+def test_gemma2_hparams_parsed(tmp_path):
+    from llama_cpp_test_tpu.models.hparams import (hparams_from_metadata,
+                                                   layer_window)
+    from llama_cpp_test_tpu.gguf.reader import GGUFReader
+
+    path = str(tmp_path / "g2.gguf")
+    make_tiny_gemma2(path)
+    with GGUFReader(path) as r:
+        hp = hparams_from_metadata(r.metadata)
+    assert hp.act_fn == "gelu"
+    assert abs(hp.embd_scale - math.sqrt(HP["n_embd"])) < 1e-9
+    assert hp.attn_softcap == HP["attn_softcap"]
+    assert hp.final_softcap == HP["final_softcap"]
+    assert hp.swa_pattern == 2
+    assert layer_window(hp, 0) == HP["sliding_window"]  # local layer
+    assert layer_window(hp, 1) == 0                      # global layer
+
+
+def test_gemma2_prefill_matches_reference(tmp_path):
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    path = str(tmp_path / "g2.gguf")
+    wts = make_tiny_gemma2(path)
+    tokens = [3, 17, 42, 9, 88, 123, 6, 54]
+    ref = ref_forward_gemma2(wts, tokens)
+
+    m = Model(path)
+    ctx = Context(m, n_ctx=64, n_seq_max=1, block_size=8)
+    got = ctx.prefill(ctx.new_seq(), tokens, all_logits=True)
+    assert got.shape == (len(tokens), HP["n_vocab"])
+    assert nmse(ref, got) < 2e-3, nmse(ref, got)
+    assert np.argmax(ref[-1]) == np.argmax(got[-1])
+
+
+def test_gemma2_decode_matches_prefill(tmp_path):
+    """Decode path (per-layer SWA + softcap) agrees with prefill logits."""
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    path = str(tmp_path / "g2.gguf")
+    make_tiny_gemma2(path)
+    m = Model(path)
+    tokens = [3, 17, 42, 9, 88]
+
+    ctx_a = Context(m, n_ctx=64, n_seq_max=1, block_size=8)
+    ref = ctx_a.prefill(ctx_a.new_seq(), tokens, all_logits=True)
+
+    ctx_b = Context(m, n_ctx=64, n_seq_max=1, block_size=8)
+    s = ctx_b.new_seq()
+    ctx_b.prefill(s, tokens[:1])
+    rows = []
+    for t in tokens[1:]:
+        rows.append(ctx_b.decode([s], [t])[0])
+    assert nmse(np.stack(rows), ref[1:]) < 1e-4
