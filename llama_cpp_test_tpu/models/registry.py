@@ -35,10 +35,23 @@ for _name in ("llama", "llama4", "mistral", "mixtral", "granite", "deci",
     register_arch(ArchSpec(_name, family="llama", rope_type="norm"))
 
 for _name in ("qwen2", "qwen2moe", "qwen", "stablelm", "starcoder2", "phi3",
-              "phi2", "phimoe", "gemma", "gemma2", "gemma3", "olmo2", "olmoe",
+              "phi2", "phimoe", "olmo2", "olmoe",
               "nemotron", "exaone", "minicpm3", "falcon", "grok", "dbrx",
               "gptneox", "codeshell", "openelm", "bitnet"):
     register_arch(ArchSpec(_name, family="llama", rope_type="neox"))
+
+# qwen3: llama-style + per-head Q/K RMS norms (attn_q_norm/attn_k_norm
+# tensors, handled by models/llama.py forward_layer)
+for _name in ("qwen3", "qwen3moe"):
+    register_arch(ArchSpec(_name, family="llama", rope_type="neox",
+                           notes="qk-norm"))
+
+# gemma family: GeGLU + sqrt(n_embd) embedding scale; gemma2 adds sandwich
+# norms, attn/final logit softcapping and alternating SWA; gemma3 adds
+# qk-norms and 5:1 local/global SWA (models/hparams.py quirk fields)
+for _name in ("gemma", "gemma2", "gemma3"):
+    register_arch(ArchSpec(_name, family="llama", rope_type="neox",
+                           notes="gelu, embd-scale, softcap, swa-pattern"))
 
 
 def get_arch(name: str) -> ArchSpec:

@@ -132,3 +132,117 @@ class SpeculativeDecoder:
         s.table.truncate(n)
         s.n_cached = n
         s.tokens = s.tokens[:n]
+
+
+@dataclasses.dataclass
+class TreeSpecParams:
+    n_draft: int = 8       # draft depth per round
+    n_seq_dft: int = 4     # max parallel draft branches (reference -ns)
+    p_split: float = 0.1   # branch when runner-up prob exceeds this
+    p_min: float = 0.0     # stop a branch when its best prob drops below
+
+
+class TreeSpeculativeDecoder:
+    """Tree-based speculative decoding — the examples/speculative analogue
+    (reference speculative.cpp:54-58,195-216: n_seq_dft parallel draft
+    branches split on p_draft_split, greedy acceptance).
+
+    The draft explores up to n_seq_dft branches per round: whenever the
+    draft's runner-up token carries more than p_split probability, the branch
+    forks (COW on the paged draft cache). Every branch is then verified
+    against the target with one teacher-forced prefill; the branch with the
+    longest accepted prefix wins. Greedy acceptance keeps the output
+    bit-identical to plain greedy decoding on the target."""
+
+    def __init__(self, target: Context, draft: Context,
+                 params: TreeSpecParams | None = None):
+        self.target = target
+        self.draft = draft
+        self.p = params or TreeSpecParams()
+        self.stats = SpecStats()
+        self.n_splits = 0
+
+    def generate(self, prompt_tokens: list[int], max_new_tokens: int,
+                 eos_ids: set[int] | None = None) -> list[int]:
+        p = self.p
+        st = self.target.new_seq()
+        sd = self.draft.new_seq()
+        out: list[int] = []
+        try:
+            tgt_logits = self.target.prefill(st, list(prompt_tokens))
+            self.draft.prefill(sd, list(prompt_tokens))
+            self.stats.n_target_calls += 1
+            last = int(np.argmax(tgt_logits))
+            out.append(last)
+            while len(out) < max_new_tokens:
+                if eos_ids and last in eos_ids:
+                    break
+                # --- draft tree ------------------------------------------
+                # branch = [fork of sd, proposed tokens, next feed token]
+                branches = [[self.draft.fork_seq(sd), [], last]]
+                for _ in range(p.n_draft):
+                    live = [b for b in branches if b[2] is not None]
+                    if not live:
+                        break
+                    logits = self.draft.decode([b[0] for b in live],
+                                               [b[2] for b in live])
+                    new_branches = []
+                    for b, lg in zip(live, logits):
+                        probs = _softmax(np.asarray(lg))
+                        order = np.argsort(-probs)
+                        t1, t2 = int(order[0]), int(order[1])
+                        if probs[t1] < p.p_min:
+                            b[2] = None  # dead end: stop extending
+                            continue
+                        if (len(branches) + len(new_branches) < p.n_seq_dft
+                                and probs[t2] > p.p_split):
+                            nb = [self.draft.fork_seq(b[0]),
+                                  b[1] + [t2], t2]
+                            new_branches.append(nb)
+                            self.n_splits += 1
+                        b[1] = b[1] + [t1]
+                        b[2] = t1
+                    branches.extend(new_branches)
+                self.stats.n_drafted += sum(len(b[1]) for b in branches)
+                for b in branches:
+                    self.draft.free_seq(b[0])
+                # --- verify every branch against the target ---------------
+                base = st.n_cached
+                best = ([], int(np.argmax(
+                    self.target.prefill(st, [last], all_logits=True)[-1])))
+                SpeculativeDecoder._truncate(st, base, self.target)
+                self.stats.n_target_calls += 1
+                for b in branches:
+                    toks = b[1]
+                    if not toks:
+                        continue
+                    logits = self.target.prefill(st, [last] + toks,
+                                                 all_logits=True)
+                    self.stats.n_target_calls += 1
+                    n_acc = 0
+                    for i, dt in enumerate(toks):
+                        if int(np.argmax(logits[i])) == dt:
+                            n_acc += 1
+                        else:
+                            break
+                    cand = (toks[:n_acc], int(np.argmax(logits[n_acc])))
+                    if len(cand[0]) > len(best[0]):
+                        best = cand
+                    SpeculativeDecoder._truncate(st, base, self.target)
+                accepted, bonus = best
+                self.stats.n_accepted += len(accepted)
+                # commit the winning path into both caches
+                self.target.prefill(st, [last] + accepted)
+                self.stats.n_target_calls += 1
+                self.draft.prefill(sd, [last] + accepted)
+                for t in accepted + [bonus]:
+                    out.append(t)
+                    if eos_ids and t in eos_ids:
+                        return out
+                    if len(out) >= max_new_tokens:
+                        break
+                last = out[-1]
+            return out
+        finally:
+            self.target.free_seq(st)
+            self.draft.free_seq(sd)
