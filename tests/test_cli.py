@@ -277,3 +277,19 @@ def test_retrieval_cli(model_path, tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "top 1" in out and "top 2" in out
+
+
+def test_speculative_cli(model_path, capsys):
+    from llama_cpp_test_tpu.cli.speculative import main as smain
+
+    # self-speculation: target == draft
+    rc = smain(["-m", model_path, "-md", model_path, "-p", "hi",
+                "-n", "10", "--n-draft", "4"])
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert "accepted" in cap.err
+
+    rc = smain(["-m", model_path, "-md", model_path, "-p", "hi",
+                "-n", "10", "--n-draft", "4", "-ns", "3"])
+    assert rc == 0
+    assert "splits" in capsys.readouterr().err
