@@ -37,6 +37,15 @@ class HParams:
     n_ff_exp: int = 0
     # misc
     sliding_window: int = 0
+    # RoPE freq base for sliding-window layers (gemma3: 10000 while global
+    # layers use the metadata base 1e6 — reference llama-model.cpp:888
+    # rope_freq_base_train_swa, selected per layer in llm_build_gemma3 :7572).
+    # 0 = same as rope_freq_base.
+    rope_freq_base_swa: float = 0.0
+    # attention scale override; 0 = default 1/sqrt(head_dim). gemma2-27B and
+    # gemma3-27B use 1/sqrt(n_embd/n_head) (reference llama-model.cpp:902,
+    # :7463 — f_attention_scale with n_embd/n_head 144/168 vs head_dim 128).
+    attn_scale: float = 0.0
     # SWA layer pattern: with sliding_window set, layer li is GLOBAL when
     # (li + 1) % swa_pattern == 0 (gemma2: 2 = alternating, gemma3: 6 = 5
     # local : 1 global); 1 = every layer sliding (mistral)
@@ -97,12 +106,20 @@ def hparams_from_metadata(md: dict) -> HParams:
         swa_pattern = 2       # alternating local/global (llm_build_gemma2)
     elif arch == "gemma3":
         swa_pattern = g("attention.sliding_window_pattern", 6)
+    n_layer = g("block_count", 32)
+    # gemma 27B variants scale attention by 1/sqrt(n_embd/n_head), not
+    # 1/sqrt(head_dim); the reference detects them by layer count
+    # (llama-model.cpp:902 gemma2 n_layer 46, :7463 gemma3 n_layer 62)
+    attn_scale = 0.0
+    if (arch == "gemma2" and n_layer == 46) or \
+            (arch == "gemma3" and n_layer == 62):
+        attn_scale = 1.0 / _math.sqrt(n_embd / max(n_head, 1))
     hp = HParams(
         arch=arch,
         n_vocab=n_vocab,
         n_ctx_train=g("context_length", 2048),
         n_embd=n_embd,
-        n_layer=g("block_count", 32),
+        n_layer=n_layer,
         n_head=n_head,
         n_head_kv=g("attention.head_count_kv", n_head),
         n_ff=g("feed_forward_length", 11008),
@@ -119,6 +136,9 @@ def hparams_from_metadata(md: dict) -> HParams:
         n_ff_exp=g("expert_feed_forward_length", 0),
         sliding_window=g("attention.sliding_window", 0),
         swa_pattern=max(1, swa_pattern),
+        rope_freq_base_swa=(g("rope.local_freq_base", 10000.0)
+                            if arch == "gemma3" else 0.0),
+        attn_scale=attn_scale,
         rope_type=rope_type,
         act_fn="gelu" if gemma_like else "silu",
         embd_scale=_math.sqrt(n_embd) if gemma_like else 1.0,
@@ -128,6 +148,14 @@ def hparams_from_metadata(md: dict) -> HParams:
                         30.0 if arch == "gemma2" else 0.0),
     )
     return hp
+
+
+def attn_scale_of(hp: HParams) -> float:
+    """Attention logit scale: hp.attn_scale override (gemma 27B) or the
+    default 1/sqrt(head_dim)."""
+    import math as _math
+    return hp.attn_scale if hp.attn_scale > 0 else \
+        1.0 / _math.sqrt(hp.head_dim)
 
 
 def layer_window(hp: HParams, li: int) -> int:

@@ -112,6 +112,16 @@ class LlamaWeights:
     layers: list[LayerWeights]
     rope_inv_freq: jax.Array
     rope_mscale: float
+    # inv_freq table for sliding-window layers (gemma3 uses base 10000 on
+    # SWA layers, reference llama-model.cpp:888/:7572); equals rope_inv_freq
+    # for every other arch
+    rope_inv_freq_swa: jax.Array | None = None
+
+    def inv_freq_for(self, window: int) -> jax.Array:
+        """Per-layer rope table: the SWA table when the layer is sliding."""
+        if window > 0 and self.rope_inv_freq_swa is not None:
+            return self.rope_inv_freq_swa
+        return self.rope_inv_freq
 
 
 for _cls in (LayerWeights, LlamaWeights):
@@ -312,6 +322,12 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
     else:
         output = tok_embd
     inv_freq, mscale = layers.rope_freqs(hp)
+    inv_freq_swa = None
+    if hp.rope_freq_base_swa > 0 and \
+            hp.rope_freq_base_swa != hp.rope_freq_base:
+        hp_swa = dataclasses.replace(hp, rope_freq_base=hp.rope_freq_base_swa,
+                                     rope_scaling="none")
+        inv_freq_swa = np.asarray(layers.rope_freqs(hp_swa)[0])
     w = LlamaWeights(
         tok_embd=tok_embd,
         output_norm=_f32(reader, "output_norm.weight"),
@@ -319,6 +335,7 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
         layers=[layer(i) for i in range(hp.n_layer)],
         rope_inv_freq=np.asarray(inv_freq),
         rope_mscale=float(mscale),
+        rope_inv_freq_swa=inv_freq_swa,
     )
     return hp, w
 

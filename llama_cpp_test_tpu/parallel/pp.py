@@ -197,6 +197,7 @@ def mp_weight_pspecs(w: LlamaWeights) -> LlamaWeights:
         layers=[stacked_layer_pspecs(w.layers[0])],
         rope_inv_freq=P(None),
         rope_mscale=w.rope_mscale,
+        rope_inv_freq_swa=None if w.rope_inv_freq_swa is None else P(None),
     )
 
 
@@ -210,6 +211,7 @@ def shard_mp_weights(w: LlamaWeights, mesh: Mesh) -> LlamaWeights:
         layers=[stack_layers(w.layers)],
         rope_inv_freq=w.rope_inv_freq,
         rope_mscale=w.rope_mscale,
+        rope_inv_freq_swa=w.rope_inv_freq_swa,
     )
     specs = mp_weight_pspecs(stacked)
 
@@ -238,7 +240,15 @@ def build_mp_steps(hp: HParams, mesh: Mesh, w_template: LlamaWeights,
     TP = int(mesh.shape["tp"])
     M = S  # microbatch count == stage count (full pipeline occupancy)
     wspec = mp_weight_pspecs(w_template)
-    scale = 1.0 / math.sqrt(hp.head_dim)
+    from ..models.hparams import attn_scale_of, layer_window
+    scale = attn_scale_of(hp)
+    n_local_layers = hp.n_layer // S
+    if hp.swa_pattern > 1 and n_local_layers % hp.swa_pattern:
+        # per-layer windows must repeat identically on every stage (the
+        # shard_map body is one program for all stages)
+        raise NotImplementedError(
+            f"pp over swa_pattern={hp.swa_pattern}: layers-per-stage "
+            f"({n_local_layers}) must be a multiple of the pattern")
     perm = [(i, (i + 1) % S) for i in range(S)]
 
     def run_stage_layers(w, k_pool, v_pool, x, positions, block_table,
@@ -249,7 +259,10 @@ def build_mp_steps(hp: HParams, mesh: Mesh, w_template: LlamaWeights,
         for l in range(n_local):
             lw = _tree_index(st, l)
 
-            def attend(q, k_cur, v_cur, _l=l):
+            wind = layer_window(hp, l)  # == layer_window for the global
+            # index since swa_pattern | n_local (checked at build)
+
+            def attend(q, k_cur, v_cur, _l=l, _w=wind):
                 nonlocal k_pool, v_pool
                 if SP > 1 and not decode:
                     k_all = jax.lax.all_gather(k_cur, "sp", axis=1, tiled=True)
@@ -264,14 +277,14 @@ def build_mp_steps(hp: HParams, mesh: Mesh, w_template: LlamaWeights,
                 if decode:
                     return kv_cache.attend_decode(
                         q, k_pool[_l], v_pool[_l], block_table, kv_len,
-                        scale, hp.sliding_window)
+                        scale, _w)
                 return kv_cache.attend_prefill(
                     q, k_pool[_l], v_pool[_l], block_table, positions,
-                    kv_len, scale, hp.sliding_window)
+                    kv_len, scale, _w)
 
             x = llama_mod.forward_layer(
-                x, lw, hp, positions, w.rope_inv_freq, w.rope_mscale, attend,
-                tp_axis="tp", tp=TP, ep_axis="ep", ep=EP)
+                x, lw, hp, positions, w.inv_freq_for(wind), w.rope_mscale,
+                attend, tp_axis="tp", tp=TP, ep_axis="ep", ep=EP)
         return k_pool, v_pool, x
 
     def mk(decode: bool):

@@ -98,6 +98,7 @@ def weight_pspecs(w: LlamaWeights) -> LlamaWeights:
         layers=[layer_spec(lw) for lw in w.layers],
         rope_inv_freq=P(None),
         rope_mscale=w.rope_mscale,
+        rope_inv_freq_swa=None if w.rope_inv_freq_swa is None else P(None),
     )
 
 

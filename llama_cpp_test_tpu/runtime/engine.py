@@ -59,7 +59,7 @@ def _forward(w: LlamaWeights, pools: KVPools, tokens, positions, block_table,
     optional per-row offset added for the RoPE rotation only — nonzero after
     Self-Extend grouped repositioning (SeqState.pos_offset)."""
     x = llama_mod.embed(w, tokens, hp.embd_scale)
-    scale = 1.0 / math.sqrt(hp.head_dim)
+    scale = hparams_mod.attn_scale_of(hp)
     cap = hp.attn_softcap
     rope_pos = positions if rope_delta is None else \
         positions + rope_delta[:, None]
@@ -95,8 +95,9 @@ def _forward(w: LlamaWeights, pools: KVPools, tokens, positions, block_table,
                 scale, hparams_mod.layer_window(hp, _li), cap)
 
         x = llama_mod.forward_layer(
-            x, lw, hp, rope_pos, w.rope_inv_freq, w.rope_mscale, attend,
-            tp_axis=tp_axis, tp=tp)
+            x, lw, hp, rope_pos,
+            w.inv_freq_for(hparams_mod.layer_window(hp, li)),
+            w.rope_mscale, attend, tp_axis=tp_axis, tp=tp)
     if quant:
         return x, KVPools(new_k, new_v, new_ks, new_vs)
     return x, KVPools(new_k, new_v)
@@ -366,7 +367,8 @@ class Context:
         w = self.model.weights
         self.pools = kv_cache.apply_shift(
             self.pools, np.asarray(src, np.int32), np.asarray(dst, np.int32),
-            np.asarray(delta, np.int32), w.rope_inv_freq, w.rope_mscale)
+            np.asarray(delta, np.int32), w.rope_inv_freq, w.rope_mscale,
+            w.rope_inv_freq_swa, hp=self.model.hp)
 
     def shift_context(self, s: SeqState, n_keep: int, n_discard: int) -> None:
         """Context shift: drop tokens [n_keep, n_keep+n_discard), slide the

@@ -32,8 +32,10 @@ def _imatrix_step(w: LlamaWeights, tokens, *, hp: HParams):
     """tokens [1, T] -> dict name -> per-column sum of squares."""
     b, t = tokens.shape
     x = llama_mod.embed(w, tokens)
+    from ..models.hparams import attn_scale_of, layer_window
+
     pos = jnp.arange(t, dtype=jnp.int32)[None, :]
-    scale = 1.0 / math.sqrt(hp.head_dim)
+    scale = attn_scale_of(hp)
     mask = jnp.tril(jnp.ones((t, t), bool))[None]
     stats = {}
 
@@ -59,8 +61,9 @@ def _imatrix_step(w: LlamaWeights, tokens, *, hp: HParams):
         q = q.reshape(b, t, h, d)
         k = k.reshape(b, t, kvh, d)
         v = v.reshape(b, t, kvh, d)
-        q = layers.apply_rope(q, pos, w.rope_inv_freq, w.rope_mscale)
-        k = layers.apply_rope(k, pos, w.rope_inv_freq, w.rope_mscale)
+        ifr = w.inv_freq_for(layer_window(hp, li))
+        q = layers.apply_rope(q, pos, ifr, w.rope_mscale)
+        k = layers.apply_rope(k, pos, ifr, w.rope_mscale)
         att = attend(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
                      v.astype(jnp.bfloat16)).reshape(b, t, h * d)
         record(p + "attn_output.weight", att)

@@ -157,10 +157,11 @@ def apply_copies(pools: KVPools, src: jax.Array, dst: jax.Array) -> KVPools:
     return KVPools(k, v, ks, vs)
 
 
-@partial(jax.jit, donate_argnums=(0,))
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("hp",))
 def apply_shift(pools: KVPools, src: jax.Array, dst: jax.Array,
                 delta: jax.Array, inv_freq: jax.Array,
-                mscale: float) -> KVPools:
+                mscale: float, inv_freq_swa: jax.Array | None = None,
+                *, hp: HParams | None = None) -> KVPools:
     """Move cached tokens between slots, re-rotating K by a per-token
     position delta — the K-shift graph analogue (reference
     llama-context.cpp:719-755 kv_self_update: ggml_rope on k_l rows after
@@ -172,7 +173,12 @@ def apply_shift(pools: KVPools, src: jax.Array, dst: jax.Array,
     write (and makes the matching src a don't-care). RoPE rotations are
     additive, so rotating the stored (already-roped) K by delta re-bases it
     to position p+delta exactly. V moves without rotation.
+
+    inv_freq_swa + hp: per-layer table selection for archs whose
+    sliding-window layers use a different rope base (gemma3).
     """
+    from ..models import hparams as _hparams
+
     kv, nb, bs, d = pools.k[0].shape
     new_k, new_v = [], []
     new_ks, new_vs = [], []
@@ -187,7 +193,11 @@ def apply_shift(pools: KVPools, src: jax.Array, dst: jax.Array,
             vsflat = pools.v_scale[li].reshape(kv, nb * bs)
             kg = kg * ksflat[:, src, None]               # dequantize
         kg = kg.transpose(1, 0, 2)[None]                 # [1, n, KV, D]
-        kg = layers.apply_rope(kg, delta[None], inv_freq, mscale)
+        ifr = inv_freq
+        if inv_freq_swa is not None and hp is not None and \
+                _hparams.layer_window(hp, li) > 0:
+            ifr = inv_freq_swa
+        kg = layers.apply_rope(kg, delta[None], ifr, mscale)
         kg = kg[0].transpose(1, 0, 2)
         if pools.quantized:
             kq, ksc = quantize_q8(kg)                    # requantize K

@@ -32,20 +32,24 @@ def _trace_step(w, pools, tokens, positions, block_table, slots, kv_len,
                 *, hp: HParams):
     """Prefill forward that also returns per-layer hidden states.
     Pools are NOT donated (the trace must not disturb engine state)."""
+    from ..models.hparams import attn_scale_of, layer_window
+
     x = llama_mod.embed(w, tokens)
-    scale = 1.0 / math.sqrt(hp.head_dim)
+    scale = attn_scale_of(hp)
     traces = [x]
     new_k, new_v = list(pools.k), list(pools.v)
     for li, lw in enumerate(w.layers):
-        def attend(q, k_cur, v_cur, _li=li):
+        wind = layer_window(hp, li)
+
+        def attend(q, k_cur, v_cur, _li=li, _w=wind):
             new_k[_li] = kv_cache.write_kv(new_k[_li], k_cur, slots)
             new_v[_li] = kv_cache.write_kv(new_v[_li], v_cur, slots)
             return kv_cache.attend_prefill(
                 q, new_k[_li], new_v[_li], block_table, positions, kv_len,
-                scale, hp.sliding_window)
+                scale, _w)
 
         x = llama_mod.forward_layer(
-            x, lw, hp, positions, w.rope_inv_freq, w.rope_mscale, attend)
+            x, lw, hp, positions, w.inv_freq_for(wind), w.rope_mscale, attend)
         traces.append(x)
     logits = llama_mod.lm_head(w, hp, x)
     traces.append(logits)

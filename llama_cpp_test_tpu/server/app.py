@@ -250,10 +250,18 @@ class LlamaServer:
         def run():
             import os
 
+            from ..runtime import scheduler as sched_mod
             from ..runtime import state as state_io
 
             with self.engine.ctx_lock:
                 ctx = self.sched.ctx
+                # a busy slot's SeqState is owned by the scheduler loop;
+                # swapping it mid-generation desyncs n_prompt_done /
+                # cache_tokens (the reference server defers slot actions and
+                # errors on busy slots)
+                if slot.state != sched_mod.SlotState.IDLE:
+                    raise ValueError(
+                        f"slot {slot_id} is busy ({slot.state.name})")
                 if action == "save":
                     if slot.seq is None:
                         raise ValueError("slot holds no sequence")
@@ -317,6 +325,9 @@ class LlamaServer:
                 text='{"error": "expected a JSON list"}',
                 content_type="application/json")
         by_id = {l["id"]: l for l in self.loras}
+        # validate the whole body before mutating any scale, so a bad id
+        # late in the list can't leave self.loras half-updated
+        staged: dict[int, float] = {}
         for item in body:
             lid = int(item.get("id", -1))
             if lid not in by_id:
@@ -324,7 +335,9 @@ class LlamaServer:
                     text=json.dumps(
                         {"error": f"invalid adapter id {lid}"}),
                     content_type="application/json")
-            by_id[lid]["scale"] = float(item.get("scale", 1.0))
+            staged[lid] = float(item.get("scale", 1.0))
+        for lid, sc in staged.items():
+            by_id[lid]["scale"] = sc
         loop = asyncio.get_running_loop()
 
         def run():

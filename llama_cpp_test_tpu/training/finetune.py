@@ -80,7 +80,8 @@ def _train_forward(w: LlamaWeights, hp: HParams, params: dict, scale: float,
     positions = jnp.broadcast_to(jnp.arange(t, dtype=jnp.int32)[None], (b, t))
     mask = jnp.tril(jnp.ones((t, t), bool))[None]
     mask = jnp.broadcast_to(mask, (b, t, t))
-    att_scale = 1.0 / math.sqrt(hp.head_dim)
+    from ..models.hparams import attn_scale_of
+    att_scale = attn_scale_of(hp)
 
     def attend(q, k_cur, v_cur):
         return layers.attention(q, k_cur, v_cur, mask, att_scale,
