@@ -24,8 +24,8 @@ import numpy as np
 from ..gguf.constants import GGMLType
 from ..gguf.reader import GGUFReader
 from ..ops import layers
-from ..ops.qmatmul import qgather, qmm, qmm_xla
-from ..quant.repack import QTensor, repack
+from ..ops.qmatmul import qgather, qmm, qmm_split, qmm_xla
+from ..quant.repack import QTensor, fuse_qtensors, repack
 from .hparams import HParams, hparams_from_metadata
 
 
@@ -138,7 +138,8 @@ for _cls in (LayerWeights, LlamaWeights):
 
 
 def _repack_2d(reader: GGUFReader, name: str,
-               row_perm: np.ndarray | None = None) -> QTensor:
+               row_perm: np.ndarray | None = None,
+               layout: str = "t") -> QTensor:
     info = reader.tensors[name]
     # ggml ne = (K, N): ne[0] is the contraction dim (row length)
     k, n = info.shape[0], info.shape[1] if len(info.shape) > 1 else 1
@@ -148,29 +149,7 @@ def _repack_2d(reader: GGUFReader, name: str,
         # rows is a pure byte-row shuffle of the packed data
         row_bytes = raw.size // n
         raw = np.ascontiguousarray(raw.reshape(n, row_bytes)[row_perm])
-    return repack(raw, info.ggml_type, n, k)
-
-
-def _repack_fused(reader: GGUFReader, names_perms) -> QTensor | None:
-    """Concatenate same-type tensors along N (byte-row concat before repack)
-    so decode runs one fused kernel instead of 2-3 — the TPU answer to
-    per-kernel dispatch overhead. Returns None when types/K differ."""
-    infos = [reader.tensors[n] for n, _ in names_perms]
-    if len({i.ggml_type for i in infos}) != 1 or \
-            len({i.shape[0] for i in infos}) != 1:
-        return None
-    k = infos[0].shape[0]
-    rows = []
-    for (name, perm), info in zip(names_perms, infos):
-        n = info.shape[1]
-        raw = reader.tensor_bytes(name)
-        r = np.ascontiguousarray(raw).reshape(n, raw.size // n)
-        if perm is not None:
-            r = r[perm]
-        rows.append(r)
-    cat = np.ascontiguousarray(np.concatenate(rows, axis=0))
-    n_total = cat.shape[0]
-    return repack(cat.reshape(-1), infos[0].ggml_type, n_total, k)
+    return repack(raw, info.ggml_type, n, k, layout=layout)
 
 
 def _unpermute_rows(n_head: int, head_dim: int) -> np.ndarray:
@@ -274,11 +253,7 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
             ffn_norm=_f32(reader, p + "ffn_norm.weight"),
         )
         if tp == 1:
-            lw.wqkv = _repack_fused(reader, [
-                (p + "attn_q.weight", q_perm),
-                (p + "attn_k.weight", k_perm),
-                (p + "attn_v.weight", None),
-            ])
+            lw.wqkv = fuse_qtensors([lw.wq, lw.wk, lw.wv])
             if lw.wqkv is not None:
                 lw.wq = lw.wk = lw.wv = None  # fused plane replaces them
         if p + "ffn_gate_inp.weight" in t:  # MoE (Mixtral)
@@ -292,10 +267,7 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
             lw.w_up = col(p + "ffn_up.weight")
             lw.w_down = row(p + "ffn_down.weight")
             if tp == 1:
-                lw.w_gateup = _repack_fused(reader, [
-                    (p + "ffn_gate.weight", None),
-                    (p + "ffn_up.weight", None),
-                ])
+                lw.w_gateup = fuse_qtensors([lw.w_gate, lw.w_up])
                 if lw.w_gateup is not None:
                     lw.w_gate = lw.w_up = None
         for bname, attr, perm in (("attn_q.bias", "bq", q_perm),
@@ -314,13 +286,13 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
                 setattr(lw, attr, _f32(reader, p + tname))
         return lw
 
-    tok_embd = _repack_2d(reader, "token_embd.weight")  # replicated (gather)
+    # embedding table keeps the row-gather layout; the (possibly tied) lm
+    # head gets its own matmul-layout planes
+    tok_embd = _repack_2d(reader, "token_embd.weight", layout="rows")
     if "output.weight" in t:
         output = col("output.weight")
-    elif tp > 1:
-        output = col("token_embd.weight")  # tied head needs its own shards
     else:
-        output = tok_embd
+        output = col("token_embd.weight")  # tied head: matmul-layout copy
     inv_freq, mscale = layers.rope_freqs(hp)
     inv_freq_swa = None
     if hp.rope_freq_base_swa > 0 and \
@@ -418,10 +390,8 @@ def qkv_proj(cur: jax.Array, lw: LayerWeights, n_q: int, n_kv: int):
     n_q/n_kv are the (local) output widths h*d and kvh*d."""
     lora = lw.lora or {}
     if lw.wqkv is not None:
-        qkv = linear(cur, lw.wqkv, out_dtype=jnp.float32)
-        q = qkv[..., :n_q]
-        k = qkv[..., n_q:n_q + n_kv]
-        v = qkv[..., n_q + n_kv:]
+        q, k, v = qmm_split(cur, lw.wqkv, out_dtype=jnp.float32,
+                            use_pallas=_use_pallas())
         for name, dlt in (("wq", lora_delta(cur, lora.get("wq"))),
                           ("wk", lora_delta(cur, lora.get("wk"))),
                           ("wv", lora_delta(cur, lora.get("wv")))):
@@ -443,10 +413,8 @@ def gateup_proj(cur: jax.Array, lw: LayerWeights):
     """SwiGLU gate/up projections, fused when available."""
     lora = lw.lora or {}
     if lw.w_gateup is not None:
-        gu = linear(cur, lw.w_gateup, out_dtype=jnp.float32)
-        n_ff_local = gu.shape[-1] // 2
-        g = gu[..., :n_ff_local]
-        u = gu[..., n_ff_local:]
+        g, u = qmm_split(cur, lw.w_gateup, out_dtype=jnp.float32,
+                         use_pallas=_use_pallas())
         dg = lora_delta(cur, lora.get("w_gate"))
         du = lora_delta(cur, lora.get("w_up"))
         if dg is not None:

@@ -63,7 +63,8 @@ def get_lib():
         return _lib
 
 
-def native_repack(raw, ggml_type: int, n: int, k: int, tile_n: int = 128):
+def native_repack(raw, ggml_type: int, n: int, k: int, tile_n: int = 256,
+                  layout: str = "t"):
     """C++ fast path for repack(); returns a QTensor or None if unsupported."""
     import numpy as np
 
@@ -71,7 +72,7 @@ def native_repack(raw, ggml_type: int, n: int, k: int, tile_n: int = 128):
     if lib is None or not lib.ggufio_supports(int(ggml_type)):
         return None
     from ..gguf.constants import GGMLType
-    from ..quant.repack import _DECOMPOSERS, QTensor
+    from ..quant.repack import _DECOMPOSERS, QTensor, bfloat16
 
     t = GGMLType(ggml_type)
     kind = _DECOMPOSERS[t][0]
@@ -100,5 +101,9 @@ def native_repack(raw, ggml_type: int, n: int, k: int, tile_n: int = 128):
     )
     if rc != 0:
         return None
+    if layout == "t":
+        qs = np.ascontiguousarray(qs.T)  # [K, NPK]
+        scale = scale.astype(bfloat16)
+        min_ = None if min_ is None else min_.astype(bfloat16)
     return QTensor(kind, (n_padded, k), n, group, qs, scale, min_,
-                   None, ggml_type=t)
+                   None, ggml_type=t, layout=layout)

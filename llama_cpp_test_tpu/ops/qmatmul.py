@@ -1,17 +1,29 @@
 """Fused dequant-matmul: y[M, N] = x[M, K] @ dequant(W)[N, K]^T.
 
 The TPU-native analogue of ggml-cuda's mmq.cu (prefill tiles) and mmvq.cu
-(decode matvec): weights stay in their packed plane layout in HBM
-(quant/repack.py); each kernel tile unpacks nibbles/crumbs with VPU bit ops,
-applies per-group scales, and feeds bf16 tiles to the MXU. One kernel serves
-both prefill (large M) and decode (M<=8, padded to the sublane tile).
+(decode matvec): weights stay in their packed layout-'t' planes in HBM
+(quant/repack.py — K on sublanes, N on lanes, bf16 group scales); each kernel
+tile unpacks nibbles/crumbs with VPU bit ops, expands per-group scales with a
+SUBLANE broadcast (free relayout, unlike the lane-axis repeat the round-1
+row-major layout forced through an MXU expansion matmul), and feeds bf16
+tiles to the MXU. The affine minimum is never expanded per-element: it folds
+into xsum @ min — the bsums trick of ggml_vec_dot_q4_K_q8_K (reference
+ggml/src/ggml-cpu/ggml-cpu-quants.c:6511).
+
+One kernel serves both regimes:
+  decode  (M<=8, padded to one sublane tile) — bandwidth-bound; the kernel's
+          job is to stream packed bytes at HBM speed.
+  prefill (large M tiles) — MXU-bound; dequant cost amortizes over M rows.
 
 Two paths:
-  qmm_xla   — pure-XLA reference (dequantize planes inside jit; XLA fuses).
-              Works on CPU; golden for conformance tests; used when Pallas
-              is unavailable.
-  qmm       — Pallas fused kernel (grid over N tiles x M tiles; full-K rows
-              per tile for round-1 simplicity).
+  qmm_xla — pure-XLA reference (dequantize planes inside jit; XLA fuses).
+            Works on CPU; golden for conformance tests; used when Pallas
+            is unavailable.
+  qmm     — Pallas fused kernel (grid over M x N x K tiles, K innermost,
+            accumulating into the output tile).
+
+Fused projections (wqkv / gate|up) are plane concatenations
+(repack.fuse_qtensors); `qmm_split` slices the per-constituent outputs.
 """
 from __future__ import annotations
 
@@ -25,105 +37,77 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..quant.repack import QTensor
 
-# Scale-expansion strategy inside kernels: 'repeat' uses jnp.repeat along
-# lanes; 'ematmul' multiplies by a 0/1 expansion matrix on the MXU (fallback
-# when Mosaic can't lower the repeat).
-_EXPAND_STRATEGY = "repeat"
+_BITS = {"u4": 4, "u2": 2, "u4lut": 4}
 
 
-def set_expand_strategy(s: str) -> None:
-    global _EXPAND_STRATEGY
-    assert s in ("repeat", "ematmul")
-    _EXPAND_STRATEGY = s
-
-
-def _expand_groups(s: jax.Array, group: int) -> jax.Array:
-    """[n, G] -> [n, G*group], each column repeated `group` times."""
-    if _EXPAND_STRATEGY == "repeat":
-        return jnp.repeat(s, group, axis=1)
-    n, g = s.shape
-    k = g * group
-    rows = jax.lax.broadcasted_iota(jnp.int32, (g, k), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (g, k), 1)
-    e = (cols // group == rows).astype(s.dtype)
-    return jax.lax.dot_general(s, e, (((1,), (0,)), ((), ())),
-                               preferred_element_type=s.dtype)
-
-
-def _unpack_plane(qs: jax.Array, kind: str, h: int) -> jax.Array:
-    """Extract sub-value h from a packed byte plane -> int32."""
-    q = qs.astype(jnp.int32)
+def _unpack(qs32: jax.Array, kind: str, h: int) -> jax.Array:
+    """Extract sub-value h from an int32-cast packed plane."""
     if kind == "int8":
-        return q
-    bits = {"u4": 4, "u2": 2, "u4lut": 4}[kind]
-    return (q >> (bits * h)) & ((1 << bits) - 1)
-
-
-def _lut_lookup(q: jax.Array, lut) -> jax.Array:
-    """16-entry LUT via select chain (VPU-friendly; no gather)."""
-    out = jnp.full(q.shape, float(lut[0]), dtype=jnp.float32)
-    for i in range(1, len(lut)):
-        out = jnp.where(q == i, float(lut[i]), out)
-    return out
+        return qs32
+    bits = _BITS[kind]
+    return (qs32 >> (bits * h)) & ((1 << bits) - 1)
 
 
 # ---------------------------------------------------------------------------
-# XLA reference path
+# XLA reference path (layout 't')
 
 
-def dequantize_xla(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
-    """Decode planes -> dense [N, K] inside jit (XLA fuses the elementwise
-    chain). N includes padding; slice with qt.n_orig if needed."""
-    return _dequant_planes(
-        jnp.asarray(qt.qs),
-        None if qt.scale is None else jnp.asarray(qt.scale, jnp.float32),
-        None if qt.min_ is None else jnp.asarray(qt.min_, jnp.float32),
-        None if qt.lut is None else jnp.asarray(qt.lut, jnp.float32),
-        kind=qt.kind, group=qt.group, dtype=dtype,
-    )
-
-
-def _rows_from_group_major(s: jax.Array) -> jax.Array:
-    """[pack, G, npk] group-major scale planes -> [pack*npk, G] row order."""
-    return jnp.transpose(s, (0, 2, 1)).reshape(s.shape[0] * s.shape[2],
-                                               s.shape[1])
-
-
-def _dequant_planes(qs, scale, min_, lut, *, kind, group, dtype):
+def _dequant_t(qs, scale, min_, lut, *, kind, group, dtype=jnp.bfloat16):
+    """Planes -> dense [K, N] (cols h-major: n = h*NPK + j), matching the
+    numpy reference repack.dequantize_qtensor_np (transposed)."""
     if kind == "dense":
         return qs.astype(dtype)
     pack = {"int8": 1, "u4": 2, "u2": 4, "u4lut": 2}[kind]
-    parts = [_unpack_plane(qs, kind, h) for h in range(pack)]
-    q = jnp.concatenate(parts, axis=0)
+    q32 = qs.astype(jnp.int32)
+    parts = [_unpack(q32, kind, h) for h in range(pack)]
+    q = jnp.concatenate(parts, axis=1) if pack > 1 else parts[0]  # [K, N]
     if kind == "u4lut":
         qf = jnp.zeros(q.shape, jnp.float32)
         for i in range(lut.shape[0]):
             qf = jnp.where(q == i, lut[i], qf)
     else:
         qf = q.astype(jnp.float32)
-    w = _expand_groups(_rows_from_group_major(scale), group) * qf
+    # scale [pack, G, NPK] -> [G, N] h-major cols -> repeat along K
+    s = jnp.concatenate([scale[h] for h in range(pack)], axis=-1) \
+        if pack > 1 else scale[0]
+    w = qf * jnp.repeat(s.astype(jnp.float32), group, axis=0)
     if min_ is not None:
-        w = w - _expand_groups(_rows_from_group_major(min_), group)
+        m = jnp.concatenate([min_[h] for h in range(pack)], axis=-1) \
+            if pack > 1 else min_[0]
+        w = w - jnp.repeat(m.astype(jnp.float32), group, axis=0)
     return w.astype(dtype)
 
 
+def dequantize_xla(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
+    """Decode layout-'t' planes -> dense [K, N] inside jit."""
+    assert qt.layout == "t", "dequantize_xla expects layout 't'"
+    return _dequant_t(
+        jnp.asarray(qt.qs),
+        None if qt.scale is None else jnp.asarray(qt.scale),
+        None if qt.min_ is None else jnp.asarray(qt.min_),
+        None if qt.lut is None else jnp.asarray(qt.lut, jnp.float32),
+        kind=qt.kind, group=qt.group, dtype=dtype,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("kind", "group", "n_orig"))
-def _qmm_xla_impl(x, qs, scale, min_, lut, *, kind, group, n_orig):
-    w = _dequant_planes(qs, scale, min_, lut, kind=kind, group=group,
-                        dtype=jnp.bfloat16)
+def _qmm_xla_t(x, qs, scale, min_, lut, *, kind, group, n_orig):
+    w = _dequant_t(qs, scale, min_, lut, kind=kind, group=group)
     y = jax.lax.dot_general(
         x.astype(jnp.bfloat16), w,
-        (((x.ndim - 1,), (1,)), ((), ())),
+        (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     return y[..., :n_orig]
 
 
 def qmm_xla(x: jax.Array, qt: QTensor, out_dtype=jnp.float32) -> jax.Array:
-    y = _qmm_xla_impl(
+    """XLA dequant-matmul reference: x [..., K] -> [..., n_orig]."""
+    assert qt.layout == "t", "qmm_xla expects layout 't'"
+    y = _qmm_xla_t(
         x, jnp.asarray(qt.qs),
-        None if qt.scale is None else jnp.asarray(qt.scale, jnp.float32),
-        None if qt.min_ is None else jnp.asarray(qt.min_, jnp.float32),
+        None if qt.scale is None else jnp.asarray(qt.scale),
+        None if qt.min_ is None else jnp.asarray(qt.min_),
         None if qt.lut is None else jnp.asarray(qt.lut, jnp.float32),
         kind=qt.kind, group=qt.group, n_orig=qt.n_orig,
     )
@@ -131,182 +115,151 @@ def qmm_xla(x: jax.Array, qt: QTensor, out_dtype=jnp.float32) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
-# Pallas fused kernel
+# Pallas fused kernel (layout 't')
 
 
-def _qmm_kernel(x_ref, qs_ref, scale_ref, min_ref, lut_ref, o_ref,
-                *, kind: str, group: int, pack: int, n_lut: int):
-    """One (tm, tk) x (pack, tnp, tk) -> (tm, pack, tnp) tile, accumulated
-    over the K grid dimension.
-
-    Mosaic can't lower lane-wise jnp.repeat, so per-group scales are expanded
-    to per-element with a 0/1 expansion matrix on the MXU (exact: E entries
-    are 0/1 so the "matmul" just copies scale values), and the affine minimum
-    never gets expanded at all: sum_k x*min[g(k)] = (x @ E^T) @ min^T — two
-    small MXU matmuls.
+def _qmm_t_kernel(x_ref, xsum_ref, qs_ref, scale_ref, min_ref, lut_ref,
+                  o_ref, *, kind: str, group: int, pack: int, n_lut: int):
+    """One (tm, tk) x (tk, tnp) -> (tm, pack, tnp) tile, accumulated over the
+    K grid dimension (innermost).
 
     refs:
       x_ref     [tm, tk]         bf16 activations
-      qs_ref    [tnp, tk]        uint8/int8 packed plane
-      scale_ref [pack, tg, tnp]  f32 (group-major: lane dim = output rows)
-      min_ref   [pack, tg, tnp]  f32 (or None)
+      xsum_ref  [tm, tg]         f32 per-group activation sums (affine kinds)
+      qs_ref    [tk, tnp]        uint8/int8 packed plane
+      scale_ref [pack, tg, tnp]  bf16 (group g scales rows [g*group, ...))
+      min_ref   [pack, tg, tnp]  bf16 (or None)
       lut_ref   [1, n_lut]       f32 (or None)
       o_ref     [tm, pack, tnp]  f32
     """
     kk = pl.program_id(2)
-    x = x_ref[:].astype(jnp.bfloat16)
-    qs = qs_ref[:]
-    tk = x.shape[1]
+    x = x_ref[...]
+    qs32 = qs_ref[...].astype(jnp.int32)
+    tk, tnp = qs_ref.shape
     tg = tk // group
-    rows = jax.lax.broadcasted_iota(jnp.int32, (tg, tk), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (tg, tk), 1)
-    # 0/1 expansion matrix: kept f32 so scale expansion is exact (a bf16
-    # round of the scales costs ~1e-5 NMSE vs the XLA reference path)
-    e = (cols // group == rows).astype(jnp.float32)  # [tg, tk]
-    if min_ref is not None:
-        # per-group activation sums: [tm, tg]
-        xsum = jax.lax.dot_general(x.astype(jnp.float32), e,
-                                   (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
     accs = []
     for h in range(pack):
-        q = _unpack_plane(qs, kind, h)
+        q = _unpack(qs32, kind, h)
         if kind == "u4lut":
-            qf = jnp.full(q.shape, 0.0, dtype=jnp.float32)
+            qf = jnp.zeros(q.shape, jnp.float32)
             for i in range(n_lut):
                 qf = jnp.where(q == i, lut_ref[0, i], qf)
         else:
             qf = q.astype(jnp.float32)
-        s_exp = jax.lax.dot_general(
-            scale_ref[h], e, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)  # [tnp, tk]
+        s = scale_ref[h].astype(jnp.float32)                     # [tg, tnp]
+        s_exp = jnp.broadcast_to(
+            s[:, None, :], (tg, group, tnp)).reshape(tk, tnp)
         w = (qf * s_exp).astype(jnp.bfloat16)
-        acc = jax.lax.dot_general(x, w, (((1,), (1,)), ((), ())),
+        acc = jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         if min_ref is not None:
             acc = acc - jax.lax.dot_general(
-                xsum, min_ref[h], (((1,), (0,)), ((), ())),
+                xsum_ref[...], min_ref[h].astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         accs.append(acc)
     update = jnp.stack(accs, axis=1)
 
     @pl.when(kk == 0)
     def _():
-        o_ref[:] = update
+        o_ref[...] = update
 
     @pl.when(kk != 0)
     def _():
-        o_ref[:] = o_ref[:] + update
+        o_ref[...] = o_ref[...] + update
 
 
-_MAX_TILE_K = 2048
+def _qmm_t_dispatch(x_ref, *rest, kind, group, pack, n_lut,
+                    has_xsum, has_min, has_lut):
+    refs = list(rest)
+    i = 0
+    xsum_ref = refs[i] if has_xsum else None
+    i += has_xsum
+    qs_ref = refs[i]; i += 1
+    scale_ref = refs[i]; i += 1
+    min_ref = refs[i] if has_min else None
+    i += has_min
+    lut_ref = refs[i] if has_lut else None
+    i += has_lut
+    o_ref = refs[i]
+    _qmm_t_kernel(x_ref, xsum_ref, qs_ref, scale_ref, min_ref, lut_ref,
+                  o_ref, kind=kind, group=group, pack=pack, n_lut=n_lut)
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "group", "pack", "n_lut",
-                                             "tile_m", "tile_n", "interpret"))
-def _qmm_call(x, qs, scale, min_, lut, *, kind, group, pack, n_lut,
-              tile_m, tile_n, interpret):
+def _pick_tile_k(k: int, group: int) -> int:
+    """Largest tile_k <= 2048 dividing k with >= 8 scale groups per tile
+    (keeps the f32/bf16 scale tile sublane-aligned) when possible."""
+    best = None
+    for tk in (2048, 1024, 512, 256, 128, 64, 32):
+        if k % tk == 0 and tk % group == 0:
+            if best is None:
+                best = tk
+            if tk // group >= 8:
+                return tk
+    return best if best is not None else k
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "kind", "group", "pack", "n_lut", "tile_m", "tile_n", "interpret"))
+def _qmm_t_call(x, qs, scale, min_, lut, *, kind, group, pack, n_lut,
+                tile_m, tile_n, interpret):
     m, k = x.shape
-    npk = qs.shape[0]  # N / pack
-    tile_k = k if k <= _MAX_TILE_K else _MAX_TILE_K
-    while k % tile_k:
-        tile_k //= 2
+    npk = qs.shape[1]
+    tile_k = _pick_tile_k(k, group)
     tg = tile_k // group
-    g = k // group
-    if tg < 8 and tg != g:
-        # scale tile sublane dim must be >=8 or span the full group axis
-        tile_k = k
-        tg = g
-    grid = (npk // tile_n, m // tile_m, k // tile_k)
+    while npk % tile_n:
+        tile_n //= 2
+    grid = (m // tile_m, npk // tile_n, k // tile_k)
 
+    has_min = min_ is not None
     in_specs = [
-        pl.BlockSpec((tile_m, tile_k), lambda n, mm, kk: (mm, kk),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile_n, tile_k), lambda n, mm, kk: (n, kk),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((pack, tg, tile_n), lambda n, mm, kk: (0, kk, n),
+        pl.BlockSpec((tile_m, tile_k), lambda mm, n, kk: (mm, kk),
                      memory_space=pltpu.VMEM),
     ]
-    args = [x.astype(jnp.bfloat16), qs, scale]
-    if min_ is not None:
+    args = [x.astype(jnp.bfloat16)]
+    if has_min:
+        xsum = x.astype(jnp.float32).reshape(m, k // group, group).sum(-1)
+        in_specs.append(pl.BlockSpec((tile_m, tg), lambda mm, n, kk: (mm, kk),
+                                     memory_space=pltpu.VMEM))
+        args.append(xsum)
+    in_specs.append(pl.BlockSpec((tile_k, tile_n), lambda mm, n, kk: (kk, n),
+                                 memory_space=pltpu.VMEM))
+    args.append(qs)
+    in_specs.append(pl.BlockSpec((pack, tg, tile_n),
+                                 lambda mm, n, kk: (0, kk, n),
+                                 memory_space=pltpu.VMEM))
+    args.append(scale)
+    if has_min:
         in_specs.append(pl.BlockSpec((pack, tg, tile_n),
-                                     lambda n, mm, kk: (0, kk, n),
+                                     lambda mm, n, kk: (0, kk, n),
                                      memory_space=pltpu.VMEM))
         args.append(min_)
     if lut is not None:
-        in_specs.append(pl.BlockSpec((1, n_lut), lambda n, mm, kk: (0, 0),
+        in_specs.append(pl.BlockSpec((1, n_lut), lambda mm, n, kk: (0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(lut.reshape(1, n_lut))
 
     kernel = functools.partial(
-        _qmm_kernel_dispatch, kind=kind, group=group, pack=pack, n_lut=n_lut,
-        has_min=min_ is not None, has_lut=lut is not None,
-    )
+        _qmm_t_dispatch, kind=kind, group=group, pack=pack, n_lut=n_lut,
+        has_xsum=has_min, has_min=has_min, has_lut=lut is not None)
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tile_m, pack, tile_n),
-                               lambda n, mm, kk: (mm, 0, n),
+                               lambda mm, n, kk: (mm, 0, n),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, pack, npk), jnp.float32),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * k * npk * pack,
             bytes_accessed=qs.size + m * k * 2 + m * npk * pack * 4,
             transcendentals=0,
         ),
     )(*args)
-    return out.reshape(m, pack * npk)
-
-
-def _qmm_kernel_dispatch(x_ref, qs_ref, scale_ref, *rest,
-                         kind, group, pack, n_lut, has_min, has_lut):
-    idx = 0
-    min_ref = None
-    lut_ref = None
-    refs = list(rest)
-    if has_min:
-        min_ref = refs[idx]; idx += 1
-    if has_lut:
-        lut_ref = refs[idx]; idx += 1
-    o_ref = refs[idx]
-    _qmm_kernel(x_ref, qs_ref, scale_ref, min_ref, lut_ref, o_ref,
-                kind=kind, group=group, pack=pack, n_lut=n_lut)
-
-
-def qgather(ids: jax.Array, qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
-    """Dequantize gathered rows: ids [...] -> [..., K].
-
-    The token-embedding lookup over a quantized [n_vocab, K] table (analogue
-    of GGML_OP_GET_ROWS on quantized src, reference ggml-cpu.c get_rows).
-    Row j of the logical weight lives in packed plane row j % npk at
-    sub-value j // npk, so per-token work is one plane-row gather plus
-    elementwise unpack — XLA fuses it.
-    """
-    if qt.kind == "dense":
-        w = jnp.asarray(qt.qs)
-        return w[ids].astype(dtype)
-    qs = jnp.asarray(qt.qs)
-    scale = jnp.asarray(qt.scale, jnp.float32)  # [pack, G, npk]
-    npk = qs.shape[0]
-    sub = ids // npk          # which packed sub-value
-    row = ids % npk           # plane row
-    q = qs[row].astype(jnp.int32)
-    if qt.kind != "int8":
-        bits = {"u4": 4, "u2": 2, "u4lut": 4}[qt.kind]
-        q = (q >> (bits * sub)[..., None]) & ((1 << bits) - 1)
-    if qt.kind == "u4lut":
-        lut = jnp.asarray(qt.lut, jnp.float32)
-        qf = lut[q]
-    else:
-        qf = q.astype(jnp.float32)
-    s = jnp.repeat(scale[sub, :, row], qt.group, axis=-1)  # [..., K]
-    w = s * qf
-    if qt.min_ is not None:
-        m = jnp.asarray(qt.min_, jnp.float32)[sub, :, row]
-        w = w - jnp.repeat(m, qt.group, axis=-1)
-    return w.astype(dtype)
+    return out
 
 
 def _pad_to(x: jax.Array, mult: int, axis: int) -> jax.Array:
@@ -319,34 +272,119 @@ def _pad_to(x: jax.Array, mult: int, axis: int) -> jax.Array:
     return jnp.pad(x, widths)
 
 
-def qmm(x: jax.Array, qt: QTensor, *, tile_m: int = 8, tile_n: int = 128,
+def _tile_m_for(m: int) -> int:
+    if m <= 8:
+        return 8
+    if m <= 64:
+        return 64
+    return 256
+
+
+def _qmm_planes(x2: jax.Array, qt: QTensor, tile_n: int,
+                interpret: bool) -> jax.Array:
+    """[Mpad, K] x planes -> [Mpad, pack, NPK] f32 (packed-column order)."""
+    qs = jnp.asarray(qt.qs)
+    scale = None if qt.scale is None else jnp.asarray(qt.scale)
+    min_ = None if qt.min_ is None else jnp.asarray(qt.min_)
+    lut = None if qt.lut is None else jnp.asarray(qt.lut, jnp.float32)
+    n_lut = 0 if lut is None else int(lut.shape[0])
+    m = x2.shape[0]
+    return _qmm_t_call(x2, qs, scale, min_, lut, kind=qt.kind,
+                       group=qt.group, pack=qt.pack, n_lut=n_lut,
+                       tile_m=_tile_m_for(m), tile_n=tile_n,
+                       interpret=interpret)
+
+
+def qmm(x: jax.Array, qt: QTensor, *, tile_n: int = 256,
         interpret: bool = False, out_dtype=jnp.float32) -> jax.Array:
     """Fused dequant-matmul. x: [..., K]; returns [..., n_orig]."""
+    assert qt.layout == "t", "qmm expects layout 't' (matmul planes)"
     if qt.kind == "dense":
         w = jnp.asarray(qt.qs, jnp.bfloat16)
         y = jax.lax.dot_general(x.astype(jnp.bfloat16), w,
-                                (((x.ndim - 1,), (1,)), ((), ())),
+                                (((x.ndim - 1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         return y[..., : qt.n_orig].astype(out_dtype)
     lead = x.shape[:-1]
     k = x.shape[-1]
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
-    # decode: one 8-row tile; prefill: larger M tiles for MXU efficiency
-    if m <= 8:
-        eff_tile_m = max(tile_m, 8)
-    elif m <= 64:
-        eff_tile_m = 64
-    else:
-        eff_tile_m = 256
-    x2 = _pad_to(x2, eff_tile_m, 0)
-    qs = jnp.asarray(qt.qs)
-    scale = jnp.asarray(qt.scale, jnp.float32)
-    min_ = None if qt.min_ is None else jnp.asarray(qt.min_, jnp.float32)
-    lut = None if qt.lut is None else jnp.asarray(qt.lut, jnp.float32)
-    n_lut = 0 if qt.lut is None else int(lut.shape[0])
-    y = _qmm_call(x2, qs, scale, min_, lut, kind=qt.kind, group=qt.group,
-                  pack=qt.pack, n_lut=n_lut, tile_m=eff_tile_m,
-                  tile_n=tile_n, interpret=interpret)
-    y = y[:m, : qt.n_orig]
+    x2 = _pad_to(x2, _tile_m_for(m), 0)
+    y = _qmm_planes(x2, qt, tile_n, interpret)
+    y = y.reshape(y.shape[0], -1)[:m, : qt.n_orig]
     return y.reshape(*lead, qt.n_orig).astype(out_dtype)
+
+
+def qmm_split(x: jax.Array, qt: QTensor, *, tile_n: int = 256,
+              interpret: bool = False, out_dtype=jnp.float32,
+              use_pallas: bool = True) -> list[jax.Array]:
+    """Fused-projection matmul: one kernel pass over a fuse_qtensors plane,
+    sliced back into per-constituent outputs [..., n_orig_i]."""
+    assert qt.parts is not None, "qmm_split needs a fused QTensor"
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    if qt.kind == "dense":
+        y = qmm_xla(x, qt, out_dtype) if not use_pallas else qmm(
+            x, qt, tile_n=tile_n, interpret=interpret, out_dtype=out_dtype)
+        outs, off = [], 0
+        for npk_i, n_orig_i in qt.parts:  # pack == 1
+            outs.append(y[..., off:off + n_orig_i])
+            off += npk_i
+        return outs
+    x2 = x.reshape(-1, k)
+    m = x2.shape[0]
+    if use_pallas:
+        x2p = _pad_to(x2, _tile_m_for(m), 0)
+        y3 = _qmm_planes(x2p, qt, tile_n, interpret)[:m]
+    else:
+        w = dequantize_xla(qt)
+        y = jax.lax.dot_general(x2.astype(jnp.bfloat16), w,
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        y3 = y.reshape(m, qt.pack, qt.npk)
+    outs, off = [], 0
+    for npk_i, n_orig_i in qt.parts:
+        yi = y3[:, :, off:off + npk_i].reshape(m, qt.pack * npk_i)
+        outs.append(yi[:, :n_orig_i].reshape(*lead, n_orig_i)
+                    .astype(out_dtype))
+        off += npk_i
+    return outs
+
+
+# ---------------------------------------------------------------------------
+# row-layout gather (embedding tables)
+
+
+def qgather(ids: jax.Array, qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
+    """Dequantize gathered rows: ids [...] -> [..., K].
+
+    The token-embedding lookup over a quantized [n_vocab, K] table (analogue
+    of GGML_OP_GET_ROWS on quantized src, reference ggml-cpu.c get_rows).
+    Requires layout 'rows': row j of the logical weight lives in packed plane
+    row j % npk at sub-value j // npk, so per-token work is one plane-row
+    gather plus elementwise unpack — XLA fuses it.
+    """
+    assert qt.layout == "rows", "qgather expects layout 'rows'"
+    if qt.kind == "dense":
+        w = jnp.asarray(qt.qs)
+        return w[ids].astype(dtype)
+    qs = jnp.asarray(qt.qs)
+    scale = jnp.asarray(qt.scale, jnp.float32)  # [pack, G, npk]
+    npk = qs.shape[0]
+    sub = ids // npk          # which packed sub-value
+    row = ids % npk           # plane row
+    q = qs[row].astype(jnp.int32)
+    if qt.kind != "int8":
+        bits = _BITS[qt.kind]
+        q = (q >> (bits * sub)[..., None]) & ((1 << bits) - 1)
+    if qt.kind == "u4lut":
+        lut = jnp.asarray(qt.lut, jnp.float32)
+        qf = lut[q]
+    else:
+        qf = q.astype(jnp.float32)
+    s = jnp.repeat(scale[sub, :, row], qt.group, axis=-1)  # [..., K]
+    w = s * qf
+    if qt.min_ is not None:
+        m = jnp.asarray(qt.min_, jnp.float32)[sub, :, row]
+        w = w - jnp.repeat(m, qt.group, axis=-1)
+    return w.astype(dtype)

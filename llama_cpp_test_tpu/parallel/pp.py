@@ -141,9 +141,9 @@ def _mp_qt_spec(qt: QTensor | None, mode: str) -> QTensor | None:
     sl = lambda a: None if a is None else a[0]
     per = QTensor(qt.kind, qt.shape, qt.n_orig, qt.group,
                   sl(qt.qs), sl(qt.scale), sl(qt.min_), sl(qt.lut),
-                  qt.ggml_type)
+                  qt.ggml_type, qt.layout, qt.parts)
     base = _qt_spec(per, mode)
-    expert = per.qs.ndim == 3  # [E, plane-rows, K] expert stack
+    expert = per.qs.ndim == 3  # [E, K-or-N, plane] expert stack
 
     def lift(spec, arr, has_e):
         if arr is None:
@@ -160,7 +160,7 @@ def _mp_qt_spec(qt: QTensor | None, mode: str) -> QTensor | None:
         lift(base.scale, qt.scale, expert),
         lift(base.min_, qt.min_, expert),
         lift(base.lut, qt.lut, False),
-        qt.ggml_type,
+        qt.ggml_type, qt.layout, qt.parts,
     )
 
 

@@ -24,17 +24,19 @@ from ..quant.repack import QTensor, repack
 
 
 def _concat_qt(parts: list[QTensor]) -> QTensor:
-    """Column-shard concat: qs planes stack on rows (axis 0); group-major
-    scale/min planes [pack, G, npk_local] stack on the npk axis (-1)."""
+    """Column-shard concat: layout-'t' qs planes stack on the N axis (-1),
+    row-layout planes on axis 0; group-major scale/min planes
+    [pack, G, npk_local] stack on the npk axis (-1)."""
     q0 = parts[0]
-    cat = lambda xs, ax: None if xs[0] is None else np.concatenate(xs, axis=ax)
+    cat = lambda xs, ax: None if xs[0] is None else np.concatenate(
+        [np.asarray(x) for x in xs], axis=ax)
     return QTensor(
         q0.kind, q0.shape, q0.n_orig, q0.group,
-        cat([p.qs for p in parts], 0),
+        cat([p.qs for p in parts], -1 if q0.layout == "t" else 0),
         cat([p.scale for p in parts], -1),
         cat([p.min_ for p in parts], -1),
         q0.lut,
-        q0.ggml_type,
+        q0.ggml_type, q0.layout, q0.parts,
     )
 
 
@@ -61,10 +63,11 @@ def repack_sharded(raw: np.ndarray, ggml_type: GGMLType, n: int, k: int,
 
 
 def shard_qtensor_cols(qt: QTensor, shards: int) -> QTensor:
-    """Row-parallel (contraction-dim) shard check: planes already have K as
-    the last axis, so an axis-1 NamedSharding works directly as long as the
-    scale-group boundary divides the shard width. Returns qt unchanged after
-    validating; metadata stays global (each device's local K = K/shards)."""
+    """Row-parallel (contraction-dim) shard check: a NamedSharding on the K
+    plane axis (axis -2 for layout 't' qs, -1 for 'rows'; G axis of scales)
+    works directly as long as the scale-group boundary divides the shard
+    width. Returns qt unchanged after validating; metadata stays global
+    (each device's local K = K/shards)."""
     n, k = qt.shape
     if k % shards:
         raise ValueError(f"K={k} not divisible by tp={shards}")

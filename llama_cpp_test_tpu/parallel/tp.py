@@ -35,12 +35,18 @@ except ImportError:  # older jax
 def _qt_spec(qt: QTensor | None, mode: str) -> QTensor | None:
     """Build a QTensor-shaped pytree of PartitionSpecs matching qt's leaves.
 
-    mode: 'col' (axis 0 of planes sharded), 'row' (last axis sharded),
+    mode: 'col' (output/N axis sharded), 'row' (contraction/K axis sharded),
     'rep' (replicated). 3D expert tensors get a leading None.
+
+    Plane axes by layout:
+      't'    — qs [.., K, NPK]: N shard = last axis, K shard = axis -2
+      'rows' — qs [.., NPK, K]: N shard = axis -2,  K shard = last axis
+    scale/min are group-major [pack, G, npk] either way:
+      N shard = npk axis (-1); K shard = G axis (-2)
     """
     if qt is None:
         return None
-    lead = qt.qs.ndim - 2  # 1 for [E, n, k] expert stacks, else 0
+    t = qt.layout == "t"
 
     def spec(arr, shard_axis):
         if arr is None:
@@ -50,23 +56,21 @@ def _qt_spec(qt: QTensor | None, mode: str) -> QTensor | None:
             dims[shard_axis] = "tp"
         return P(*dims)
 
-    # scale/min are group-major [pack, G, npk] (+ optional leading E):
-    # column shard = npk axis (-1); row (K) shard = G axis (-2)
     if mode == "rep":
         qs = spec(qt.qs, None)
         sc = spec(qt.scale, None)
         mn = spec(qt.min_, None)
     elif mode == "col":
-        qs = spec(qt.qs, lead + 0)
+        qs = spec(qt.qs, qt.qs.ndim - 1 if t else qt.qs.ndim - 2)
         sc = spec(qt.scale, qt.scale.ndim - 1) if qt.scale is not None else None
         mn = spec(qt.min_, qt.min_.ndim - 1) if qt.min_ is not None else None
     else:  # row: contraction dim
-        qs = spec(qt.qs, qt.qs.ndim - 1)
+        qs = spec(qt.qs, qt.qs.ndim - 2 if t else qt.qs.ndim - 1)
         sc = spec(qt.scale, qt.scale.ndim - 2) if qt.scale is not None else None
         mn = spec(qt.min_, qt.min_.ndim - 2) if qt.min_ is not None else None
     lut = P(None) if qt.lut is not None else None
     return QTensor(qt.kind, qt.shape, qt.n_orig, qt.group, qs, sc, mn, lut,
-                   qt.ggml_type)
+                   qt.ggml_type, qt.layout, qt.parts)
 
 
 def weight_pspecs(w: LlamaWeights) -> LlamaWeights:

@@ -2,35 +2,50 @@
 
 The ggml block layouts (interleaved nibbles, 6-bit packed scales, codebook
 indices) are great for SIMD byte shuffles but hostile to (8,128) lane tiling.
-At load time we decompose every quantized tensor into flat *planes*:
+At load time we decompose every quantized tensor into flat *planes*.
 
-  qs     — integer values: int8 [N, K], or nibbles packed along the OUTPUT
-           dim: uint8 [N/2, K] (byte b[j,k] = q[j,k] | q[j+N/2,k] << 4), or
-           crumbs uint8 [N/4, K]. Packing along N (not K) means a lane tile of
-           the packed plane unpacks to `pack` full row-tiles — no lane
-           interleave needed in the kernel, and the matmul output for the
-           packed halves is just out.reshape(M, pack, N/pack) -> (M, N).
-  scale  — float32 [pack, K/group, N/pack]: per-group effective scale
+Two layouts exist, selected per use:
+
+layout "t" (default — all matmul weights). K on sublanes, N on lanes, the
+natural MXU rhs orientation:
+
+  qs     — int8 [K, N], or nibbles packed along the OUTPUT dim:
+           uint8 [K, N/2] (byte b[k,j] = q[k,j] | q[k,j+N/2] << 4), or
+           crumbs uint8 [K, N/4]. Packing along N means the matmul output for
+           the packed sub-values is out.reshape(M, pack, N/pack) -> (M, N),
+           and the in-kernel per-group scale expansion is a SUBLANE broadcast
+           (scale row g copies to rows [g*group, (g+1)*group)) — cheap on the
+           VPU, unlike lane-axis repeats.
+  scale  — bfloat16 [pack, K/group, N/pack]: per-group effective scale
            (super-block d pre-multiplied with packed sub-scales at repack
-           time), stored group-major so a kernel tile of shape
-           (tile_k/group, tile_n) is TPU lane-aligned (last dim 128).
-  min_   — optional float32, same layout: x = scale * q - min_.
+           time), group-major so a kernel tile (tile_k/group, tile_n) is
+           lane-aligned. bf16 (not f32) halves the scale-plane HBM traffic;
+           the ~2^-9 relative rounding is far below the format's own
+           quantization error (reference stores d as fp16 anyway,
+           ggml-common.h:279).
+  min_   — optional, same layout: x = scale * q - min_. The kernels never
+           expand min_ per-element; the affine term folds into
+           (x-group-sums) @ min_ (the bsums trick of ggml_vec_dot_q4_K_q8_K,
+           reference ggml-cpu/ggml-cpu-quants.c:6511).
   lut    — optional float32 [16] codebook (IQ4_NL/IQ4_XS).
+
+layout "rows" (embedding tables — row gathers, never matmuls). The round-1
+layout: qs int8/packed [N(/pack), K] with f32 scales [pack, K/group, N/pack];
+token j's row is one plane row + sub-value select, so qgather is cheap.
 
 This is the TPU-native analogue of llama.cpp's runtime weight repacking
 (ggml-cpu-aarch64.cpp repack_q4_0_to_q4_0_4_bl etc.) — reshaping for the
 target ISA's tiling at load time.
-
-All quantized types are covered: 4-bit affine (Q4_0/Q4_1/Q4_K) and 2-bit
-(Q2_K) keep their packed bit width; 3/5/6-bit and codebook i-quants decompose
-to int8 planes in round 1 (hi-bit planes reclaim their bandwidth later).
 """
 from __future__ import annotations
 
 import dataclasses
 from typing import Any
 
+import ml_dtypes
 import numpy as np
+
+bfloat16 = ml_dtypes.bfloat16
 
 from ..gguf.constants import GGML_BLOCK_SIZES, GGMLType
 from . import codecs
@@ -58,10 +73,19 @@ class QTensor:
     min_: Any | None = None
     lut: Any | None = None
     ggml_type: GGMLType | None = None
+    layout: str = "t"  # 't' (K-major planes, matmul) | 'rows' (gather)
+    # fused tensors (wqkv, gate|up): (npk_i, n_orig_i) per constituent, in
+    # plane column order; None for plain tensors
+    parts: tuple | None = None
 
     @property
     def pack(self) -> int:
         return {"dense": 1, "int8": 1, "u4": 2, "u2": 4, "u4lut": 2}[self.kind]
+
+    @property
+    def npk(self) -> int:
+        """Packed-plane width: padded N / pack."""
+        return self.shape[0] // self.pack
 
     def astree(self):
         """(leaves, static) split for jit closures."""
@@ -78,19 +102,28 @@ class QTensor:
     # This lets whole models (dicts of QTensor) pass through jit/pjit/donation.
     def tree_flatten(self):
         leaves = (self.qs, self.scale, self.min_, self.lut)
-        aux = (self.kind, self.shape, self.n_orig, self.group, self.ggml_type)
+        aux = (self.kind, self.shape, self.n_orig, self.group, self.ggml_type,
+               self.layout, self.parts)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         qs, scale, min_, lut = leaves
-        kind, shape, n_orig, group, ggml_type = aux
-        return cls(kind, shape, n_orig, group, qs, scale, min_, lut, ggml_type)
+        kind, shape, n_orig, group, ggml_type, layout, parts = aux
+        return cls(kind, shape, n_orig, group, qs, scale, min_, lut,
+                   ggml_type, layout, parts)
+
+    def _put_dtypes(self):
+        import jax.numpy as jnp
+        sdt = jnp.bfloat16 if self.layout == "t" else jnp.float32
+        return (jnp.bfloat16 if self.kind == "dense" else None, sdt)
 
     def device_put(self, sharding=None) -> "QTensor":
         """Move planes to device (optionally with a jax.sharding.Sharding)."""
         import jax
         import jax.numpy as jnp
+
+        qdt, sdt = self._put_dtypes()
 
         def put(a, dtype=None):
             if a is None:
@@ -102,11 +135,11 @@ class QTensor:
 
         return QTensor(
             self.kind, self.shape, self.n_orig, self.group,
-            put(self.qs, jnp.bfloat16 if self.kind == "dense" else None),
-            put(self.scale, jnp.float32),
-            put(self.min_, jnp.float32),
+            put(self.qs, qdt),
+            put(self.scale, sdt),
+            put(self.min_, sdt),
             put(self.lut, jnp.float32),
-            self.ggml_type,
+            self.ggml_type, self.layout, self.parts,
         )
 
 
@@ -322,12 +355,12 @@ def _to_group_major(s: np.ndarray, pack: int) -> np.ndarray:
 
 def scale_row_view(qt: "QTensor") -> np.ndarray:
     """Group-major planes back to [N, G] logical row order (host/tests)."""
-    s = np.asarray(qt.scale)
+    s = np.asarray(np.asarray(qt.scale), np.float32)
     pack, g, npk = s.shape
     return s.transpose(0, 2, 1).reshape(pack * npk, g)
 
 
-def required_n_multiple(ggml_type: GGMLType, tile_n: int = 128) -> int:
+def required_n_multiple(ggml_type: GGMLType, tile_n: int = 256) -> int:
     kind = _DECOMPOSERS.get(ggml_type, ("int8", None))[0]
     pack = {"dense": 1, "int8": 1, "u4": 2, "u2": 4, "u4lut": 2}[kind]
     return pack * tile_n
@@ -336,26 +369,53 @@ def required_n_multiple(ggml_type: GGMLType, tile_n: int = 128) -> int:
 USE_NATIVE = True  # C++ fast path (native/ggufio.cpp) when available
 
 
+def _assemble(kind: str, q: np.ndarray, s: np.ndarray, m, g: int,
+              n: int, k: int, tile_n: int, layout: str, lut,
+              ggml_type: GGMLType) -> QTensor:
+    """Decomposed (q [N,K] ints, s/m [N,G]) -> QTensor in the given layout."""
+    pack = {"int8": 1, "u4": 2, "u2": 4, "u4lut": 2}[kind]
+    mult = pack * tile_n
+    n_full = n + (-n % mult)
+    q = _pad_rows(q, n_full)
+    sdt = bfloat16 if layout == "t" else np.float32
+    s = _to_group_major(_pad_rows(s.astype(np.float32), n_full),
+                        pack).astype(sdt)
+    m = None if m is None else _to_group_major(
+        _pad_rows(m.astype(np.float32), n_full), pack).astype(sdt)
+    if kind == "int8":
+        qs = q.astype(np.int8)
+    else:
+        bits = {"u4": 4, "u2": 2, "u4lut": 4}[kind]
+        qs = _pack_n(q, pack, bits)
+    if layout == "t":
+        qs = np.ascontiguousarray(qs.T)  # [K, NPK]
+    return QTensor(kind, (n_full, k), n, g, qs, s, m, lut,
+                   ggml_type=ggml_type, layout=layout)
+
+
 def repack(raw: np.ndarray, ggml_type: GGMLType, n: int, k: int,
-           tile_n: int = 128) -> QTensor:
+           tile_n: int = 256, layout: str = "t") -> QTensor:
     """Packed GGUF row-major bytes for an (N=n rows, K=k cols) weight ->
-    TPU plane layout. Rows padded so N/pack is a multiple of tile_n."""
-    if USE_NATIVE and tile_n == 128:
+    TPU plane layout (see module docstring). Rows padded so N/pack is a
+    multiple of tile_n."""
+    assert layout in ("t", "rows")
+    if USE_NATIVE:
         try:
             from ..native import native_repack
 
-            qt = native_repack(raw, int(ggml_type), n, k, tile_n)
+            qt = native_repack(raw, int(ggml_type), n, k, tile_n, layout)
             if qt is not None:
                 return qt
-        except Exception:
+        except ImportError:
             pass  # fall back to numpy
     if ggml_type in (GGMLType.F32, GGMLType.F16, GGMLType.BF16):
         w = codecs.dequantize(np.ascontiguousarray(raw), ggml_type).reshape(n, k)
-        mult = tile_n
-        n_pad = -n % mult
-        return QTensor("dense", (n + n_pad, k), n, k,
-                       _pad_rows(w.astype(np.float32), n + n_pad),
-                       ggml_type=ggml_type)
+        n_pad = -n % tile_n
+        w = _pad_rows(w.astype(np.float32), n + n_pad)
+        if layout == "t":
+            w = np.ascontiguousarray(w.T.astype(bfloat16))  # [K, N]
+        return QTensor("dense", (n + n_pad, k), n, k, w,
+                       ggml_type=ggml_type, layout=layout)
 
     if ggml_type in _IQ_GROUPS:
         g = _IQ_GROUPS[ggml_type]
@@ -368,55 +428,73 @@ def repack(raw: np.ndarray, ggml_type: GGMLType, n: int, k: int,
         with np.errstate(divide="ignore", invalid="ignore"):
             inv = np.where(s > 0, 1.0 / s, 0.0)
         q = np.rint(gv * inv[..., None]).astype(np.int8).reshape(n, k)
-        mult = tile_n
-        n_pad = -n % mult
-        return QTensor("int8", (n + n_pad, k), n, g,
-                       _pad_rows(q, n + n_pad),
-                       _to_group_major(_pad_rows(s, n + n_pad), 1),
-                       None, ggml_type=ggml_type)
+        return _assemble("int8", q, s, None, g, n, k, tile_n, layout, None,
+                         ggml_type)
 
     kind, fn = _DECOMPOSERS[ggml_type]
     b = _blocks(raw, ggml_type, n, k)
     q, s, m, g = fn(b, n, k)
-    pack = {"int8": 1, "u4": 2, "u2": 4, "u4lut": 2}[kind]
-    mult = pack * tile_n
-    n_pad = -n % mult
-    n_full = n + n_pad
-    q = _pad_rows(q, n_full)
-    s = _to_group_major(_pad_rows(s.astype(np.float32), n_full), pack)
-    m = None if m is None else _to_group_major(
-        _pad_rows(m.astype(np.float32), n_full), pack)
-    if kind == "int8":
-        qs = q.astype(np.int8)
-    else:
-        bits = {"u4": 4, "u2": 2, "u4lut": 4}[kind]
-        qs = _pack_n(q, pack, bits)
     lut = KVALUES_IQ4NL.copy() if kind == "u4lut" else None
-    return QTensor(kind, (n_full, k), n, g, qs, s, m, lut, ggml_type=ggml_type)
+    return _assemble(kind, q, s, m, g, n, k, tile_n, layout, lut, ggml_type)
+
+
+def fuse_qtensors(parts: list[QTensor]) -> QTensor | None:
+    """Concatenate already-repacked layout-'t' tensors along the plane-column
+    axis so decode runs ONE fused kernel for QKV / gate+up instead of 2-3.
+
+    The fused logical output is h-major per constituent: slice constituent i's
+    packed columns out of [M, pack, NPK_total] and reshape — see
+    ops/qmatmul.qmm_split. Requires identical kind/group/K/lut. Returns None
+    when the tensors can't fuse (mixed quant types)."""
+    q0 = parts[0]
+    if any(p.layout != "t" or p.kind != q0.kind or p.group != q0.group
+           or p.shape[1] != q0.shape[1] or p.parts is not None
+           for p in parts):
+        return None
+    if any((p.lut is None) != (q0.lut is None) or
+           (p.lut is not None and not np.array_equal(p.lut, q0.lut))
+           for p in parts):
+        return None
+    cat = lambda xs, ax: None if xs[0] is None else np.concatenate(
+        [np.asarray(x) for x in xs], axis=ax)
+    n_full = sum(p.shape[0] for p in parts)
+    return QTensor(
+        q0.kind, (n_full, q0.shape[1]), n_full, q0.group,
+        cat([p.qs for p in parts], 1),
+        cat([p.scale for p in parts], -1),
+        cat([p.min_ for p in parts], -1),
+        q0.lut, ggml_type=q0.ggml_type, layout="t",
+        parts=tuple((p.npk, p.n_orig) for p in parts),
+    )
 
 
 def dequantize_qtensor_np(qt: QTensor) -> np.ndarray:
-    """Reference decode of the plane layout back to float (numpy). Used by
-    tests and the XLA fallback path mirrors this math."""
+    """Reference decode of the plane layout back to float (numpy), logical
+    row-major [n_orig, K]. Used by tests; the XLA path mirrors this math."""
     n, k = qt.shape
     if qt.kind == "dense":
-        w = np.asarray(qt.qs, dtype=np.float32)
+        w = np.asarray(np.asarray(qt.qs), dtype=np.float32)
+        if qt.layout == "t":
+            w = w.T
         return w[: qt.n_orig]
     pack = qt.pack
+    qs = np.asarray(qt.qs)
+    if qt.layout == "t":
+        qs = qs.T  # back to [NPK, K]
     if qt.kind == "int8":
-        q = np.asarray(qt.qs).astype(np.float32)
+        q = qs.astype(np.float32)
     else:
         bits = {"u4": 4, "u2": 2, "u4lut": 4}[qt.kind]
         mask = (1 << bits) - 1
-        qs = np.asarray(qt.qs)
         q = np.concatenate(
             [((qs >> (bits * h)) & mask) for h in range(pack)], axis=0
         ).astype(np.float32)
     if qt.kind == "u4lut":
         q = np.asarray(qt.lut)[q.astype(np.int32)]
-    s = np.repeat(scale_row_view(qt).astype(np.float32), qt.group, axis=1)
+    s = np.repeat(scale_row_view(qt), qt.group, axis=1)
     w = s * q
     if qt.min_ is not None:
-        mrow = np.asarray(qt.min_).transpose(0, 2, 1).reshape(s.shape[0], -1)
-        w = w - np.repeat(mrow.astype(np.float32), qt.group, axis=1)
+        mrow = np.asarray(np.asarray(qt.min_), np.float32)
+        mrow = mrow.transpose(0, 2, 1).reshape(s.shape[0], -1)
+        w = w - np.repeat(mrow, qt.group, axis=1)
     return w[: qt.n_orig]

@@ -21,11 +21,11 @@ ALL_TYPES = [
 N, K = 256, 512
 
 
-def make_qtensor(qtype, n=N, k=K, seed=0):
+def make_qtensor(qtype, n=N, k=K, seed=0, layout="t"):
     rng = np.random.default_rng(seed)
     w = rng.standard_normal((n, k), dtype=np.float32) * 0.3
     raw = codecs.quantize(w, qtype)
-    return repack.repack(raw, qtype, n, k), raw
+    return repack.repack(raw, qtype, n, k, layout=layout), raw
 
 
 def nmse(a, b):
@@ -36,11 +36,23 @@ def nmse(a, b):
 
 
 @pytest.mark.parametrize("qtype", ALL_TYPES, ids=lambda t: t.name)
-def test_repack_matches_codec_dequant(qtype):
-    qt, raw = make_qtensor(qtype)
+def test_rows_repack_matches_codec_dequant(qtype):
+    # layout 'rows' keeps f32 scales -> exact reconstruction
+    qt, raw = make_qtensor(qtype, layout="rows")
     ours = repack.dequantize_qtensor_np(qt)
     golden = codecs.dequantize(raw, qtype).reshape(N, K)
     np.testing.assert_allclose(ours, golden, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("qtype", ALL_TYPES, ids=lambda t: t.name)
+def test_t_repack_matches_codec_dequant(qtype):
+    # layout 't' stores bf16 scales: reconstruction differs from the codec
+    # golden only by the ~2^-9 scale rounding (<< the format's own error)
+    qt, raw = make_qtensor(qtype, layout="t")
+    assert qt.layout == "t"
+    ours = repack.dequantize_qtensor_np(qt)
+    golden = codecs.dequantize(raw, qtype).reshape(N, K)
+    assert nmse(golden, ours) < 4e-5, f"nmse {nmse(golden, ours)}"
 
 
 @pytest.mark.parametrize("qtype", ALL_TYPES, ids=lambda t: t.name)
@@ -65,13 +77,39 @@ def test_pallas_interpret_matches_xla(qtype, m):
     rng = np.random.default_rng(2)
     x = rng.standard_normal((m, K), dtype=np.float32)
     # golden = float matmul on decoded weights; the Pallas kernel applies the
-    # affine min exactly (two small MXU matmuls) while the XLA path rounds
+    # affine min exactly (xsum @ min on the MXU) while the XLA path rounds
     # (s*q - m) to bf16 jointly, so compare both to the float golden rather
     # than to each other
     golden = x @ repack.dequantize_qtensor_np(qt).T
     y = qmatmul.qmm(jnp.asarray(x), qt, interpret=True)
     assert y.shape == (m, N)
     assert nmse(golden, y) < 5e-5, f"nmse {nmse(golden, y)}"
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_fused_split_matches_parts(use_pallas):
+    """fuse_qtensors + qmm_split == separate qmm on each constituent."""
+    rng = np.random.default_rng(5)
+    parts, raws = [], []
+    for i, n_i in enumerate((256, 128, 128)):
+        qt, raw = make_qtensor(GGMLType.Q4_K, n=n_i, seed=10 + i)
+        parts.append(qt)
+    fused = repack.fuse_qtensors(parts)
+    assert fused is not None and fused.parts is not None
+    x = jnp.asarray(rng.standard_normal((3, K), dtype=np.float32))
+    outs = qmatmul.qmm_split(x, fused, interpret=True, use_pallas=use_pallas)
+    assert len(outs) == 3
+    for qt, y in zip(parts, outs):
+        ref = (qmatmul.qmm(x, qt, interpret=True) if use_pallas
+               else qmatmul.qmm_xla(x, qt))
+        assert y.shape == ref.shape == (3, qt.n_orig)
+        assert nmse(np.asarray(ref), np.asarray(y)) < 1e-9
+
+
+def test_fuse_rejects_mixed_types():
+    a, _ = make_qtensor(GGMLType.Q4_K)
+    b, _ = make_qtensor(GGMLType.Q8_0)
+    assert repack.fuse_qtensors([a, b]) is None
 
 
 def test_iq2_repack_int8():
@@ -98,3 +136,11 @@ def test_batched_3d_input():
     x = rng.standard_normal((2, 3, K), dtype=np.float32)
     y = qmatmul.qmm_xla(jnp.asarray(x), qt)
     assert y.shape == (2, 3, N)
+
+
+def test_qgather_rows_layout():
+    qt, _ = make_qtensor(GGMLType.Q4_K, layout="rows")
+    w = repack.dequantize_qtensor_np(qt)
+    ids = jnp.asarray([0, 3, 255, 17])
+    got = np.asarray(qmatmul.qgather(ids, qt, dtype=jnp.float32))
+    assert nmse(w[np.asarray(ids)], got) < 1e-9
