@@ -1,0 +1,152 @@
+"""Device-side sampling for windowed decode loops.
+
+The host SamplerChain (runtime/sampling.py) mirrors llama-sampling.cpp
+exactly but costs a device->host logits round-trip per token — ~24ms on a
+tunneled TPU, which caps serving at ~40 tok/s no matter how fast the model
+runs. This module jit-compiles the COMMON chain (penalties -> top-k ->
+top-p -> min-p -> temperature -> dist, the default ordering of
+llama_sampler_chain_default_params, reference common/sampling.cpp) so the
+engine can scan N decode+sample steps per dispatch and only sync once per
+window.
+
+Approximation vs the host chain: candidates are pre-truncated to the top
+K_MAX=1024 logits (after penalties). With default top_k=40 this is exact;
+for top_k<=0 (disabled) the probability mass beyond rank 1024 at temp<=2 is
+negligible. Rows needing samplers outside this set (typical/XTC/mirostat/
+DRY/grammar/logit-bias/dynatemp) are ineligible — the scheduler falls back
+to the per-token host path for those batches (see Scheduler._decode_all).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+K_MAX = 1024      # candidate truncation after penalties
+HIST_LEN = 128    # penalty history ring length (>= default penalty_last_n 64)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DeviceSamplerParams:
+    """Per-row sampler parameters, all [B] arrays."""
+    temp: jax.Array          # f32; <= 0 means greedy
+    top_k: jax.Array         # i32; <= 0 means disabled (K_MAX candidates)
+    top_p: jax.Array         # f32; >= 1 disables
+    min_p: jax.Array         # f32; <= 0 disables
+    penalty_last_n: jax.Array   # i32; 0 disables penalties for the row
+    penalty_repeat: jax.Array   # f32 (1.0 = off)
+    penalty_freq: jax.Array     # f32 (0.0 = off)
+    penalty_present: jax.Array  # f32 (0.0 = off)
+
+    @classmethod
+    def from_rows(cls, rows: list, pad_to: int) -> "DeviceSamplerParams":
+        """rows: list of SamplerParams; padded rows sample greedily."""
+        def arr(get, default, dtype):
+            v = [get(r) for r in rows] + [default] * (pad_to - len(rows))
+            return jnp.asarray(np.asarray(v, dtype))
+        return cls(
+            temp=arr(lambda r: r.temp, 0.0, np.float32),
+            top_k=arr(lambda r: r.top_k, 1, np.int32),
+            top_p=arr(lambda r: r.top_p, 1.0, np.float32),
+            min_p=arr(lambda r: r.min_p, 0.0, np.float32),
+            penalty_last_n=arr(lambda r: max(0, min(r.penalty_last_n,
+                                                    HIST_LEN)), 0, np.int32),
+            penalty_repeat=arr(lambda r: r.penalty_repeat, 1.0, np.float32),
+            penalty_freq=arr(lambda r: r.penalty_freq, 0.0, np.float32),
+            penalty_present=arr(lambda r: r.penalty_present, 0.0, np.float32),
+        )
+
+
+def eligible(p) -> bool:
+    """True when a SamplerParams chain is exactly expressible on device."""
+    return (p.typ_p >= 1.0 and p.xtc_probability <= 0.0 and
+            p.top_n_sigma <= 0.0 and p.mirostat == 0 and
+            p.dry_multiplier <= 0.0 and not p.logit_bias and
+            not p.grammar and p.dynatemp_range <= 0.0 and
+            p.penalty_last_n <= HIST_LEN and 0 < p.top_k <= K_MAX)
+
+
+def apply_penalties(logits: jax.Array, hist: jax.Array, hist_valid: jax.Array,
+                    p: DeviceSamplerParams) -> jax.Array:
+    """Repeat/frequency/presence penalties over the history ring.
+
+    logits [B, V] f32; hist [B, HIST_LEN] i32 (-1 = empty slot);
+    hist_valid [B, HIST_LEN] bool (within the row's penalty_last_n).
+    Mirrors llama_sampler_penalties (reference src/llama-sampling.cpp).
+    """
+    b, v = logits.shape
+    on = (p.penalty_last_n > 0) & (
+        (p.penalty_repeat != 1.0) | (p.penalty_freq != 0.0) |
+        (p.penalty_present != 0.0))
+    idx = jnp.where(hist_valid & (hist >= 0), hist, v)  # v = dump slot
+    counts = jnp.zeros((b, v + 1), jnp.float32).at[
+        jnp.arange(b)[:, None], idx].add(1.0)[:, :v]
+    present = counts > 0
+    rep = jnp.where(on, p.penalty_repeat, 1.0)[:, None]
+    penalized = jnp.where(logits > 0, logits / rep, logits * rep)
+    out = jnp.where(present, penalized, logits)
+    out = out - counts * jnp.where(on, p.penalty_freq, 0.0)[:, None]
+    out = out - present * jnp.where(on, p.penalty_present, 0.0)[:, None]
+    return out
+
+
+def sample_tokens(logits: jax.Array, p: DeviceSamplerParams,
+                  hist: jax.Array, key: jax.Array) -> jax.Array:
+    """One sampling step: [B, V] f32 logits -> [B] i32 tokens.
+
+    hist: [B, HIST_LEN] i32 recent tokens, most recent LAST (-1 pads).
+    """
+    b, v = logits.shape
+    pos = jnp.arange(HIST_LEN)[None, :]
+    hist_valid = pos >= (HIST_LEN - p.penalty_last_n[:, None])
+    logits = apply_penalties(logits, hist, hist_valid, p)
+
+    k_max = min(K_MAX, v)
+    vals, ids = jax.lax.top_k(logits, k_max)       # sorted desc [B, k_max]
+
+    # top-k: threshold at the per-row kth value
+    k = jnp.clip(jnp.where(p.top_k <= 0, k_max, p.top_k), 1, k_max)
+    rank = jnp.arange(k_max)[None, :]
+    keep = rank < k[:, None]
+    vals = jnp.where(keep, vals, -jnp.inf)
+
+    # softmax over the candidate set (for top-p / min-p)
+    probs = jax.nn.softmax(vals, axis=-1)
+
+    # top-p: keep while the exclusive prefix sum is below top_p
+    cum = jnp.cumsum(probs, axis=-1)
+    keep_p = (cum - probs) < p.top_p[:, None]
+    keep_p = keep_p.at[:, 0].set(True)
+    vals = jnp.where(keep_p, vals, -jnp.inf)
+
+    # min-p: relative to the max prob (candidates are sorted)
+    keep_m = probs >= (p.min_p[:, None] * probs[:, 0:1])
+    keep_m = keep_m.at[:, 0].set(True)
+    vals = jnp.where(keep_m, vals, -jnp.inf)
+
+    # temperature + categorical via Gumbel-max; temp <= 0 -> greedy (rank 0)
+    temp = jnp.maximum(p.temp, 1e-6)[:, None]
+    g = jax.random.gumbel(key, (b, k_max), jnp.float32)
+    scores = vals / temp + g
+    choice = jnp.where(p.temp > 0, jnp.argmax(scores, axis=-1), 0)
+    return jnp.take_along_axis(ids, choice[:, None], axis=1)[:, 0] \
+        .astype(jnp.int32)
+
+
+def push_history(hist: jax.Array, tok: jax.Array) -> jax.Array:
+    """Append tok [B] to the ring (most recent last)."""
+    return jnp.concatenate([hist[:, 1:], tok[:, None]], axis=1)
+
+
+def make_history(token_lists: list, pad_to: int) -> np.ndarray:
+    """Host helper: [B, HIST_LEN] ring from per-row recent-token lists."""
+    h = np.full((pad_to, HIST_LEN), -1, np.int32)
+    for i, toks in enumerate(token_lists):
+        tail = toks[-HIST_LEN:]
+        if tail:
+            h[i, HIST_LEN - len(tail):] = tail
+    return h

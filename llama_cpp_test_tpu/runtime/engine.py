@@ -209,6 +209,43 @@ def _decode_greedy_loop(w: LlamaWeights, pools: KVPools, tok0, pos0,
     return toks, pools
 
 
+@functools.partial(jax.jit, static_argnames=("hp", "n_steps"),
+                   donate_argnums=(1,))
+def _decode_window_step(w: LlamaWeights, pools: KVPools, tok0, pos0,
+                        block_table, valid, params, hist0, key,
+                        *, hp: HParams, n_steps: int):
+    """n_steps decode+SAMPLE steps fully on device: the serving analogue of
+    _decode_greedy_loop. Samples with the jitted common chain
+    (runtime/device_sampling.py) so the scheduler syncs once per window
+    instead of once per token (reference analogue: the per-slot sampling
+    inside update_slots, server.cpp:2794 — but batched and device-resident).
+
+    tok0 [B]; pos0 [B]; valid [B] bool (padded batch rows False — their KV
+    writes drop); params: DeviceSamplerParams ([B] rows);
+    hist0 [B, HIST_LEN] penalty history (most recent last).
+    Returns (tokens [n_steps, B], pools)."""
+    from . import device_sampling as ds
+
+    bs = pools.block_size
+
+    def body(carry, step):
+        pools, tok, pos, hist = carry
+        slots = (jnp.take_along_axis(
+            block_table, (pos // bs)[:, None], axis=1)[:, 0] * bs + pos % bs)
+        slots = jnp.where(valid, slots, -1)
+        x, pools = _forward(w, pools, tok[:, None], pos[:, None], block_table,
+                            slots[:, None], pos + 1, hp=hp, decode=True)
+        logits = llama_mod.lm_head(w, hp, x)[:, 0]
+        hist = ds.push_history(hist, tok)
+        nxt = ds.sample_tokens(logits.astype(jnp.float32), params, hist,
+                               jax.random.fold_in(key, step))
+        return (pools, nxt, pos + 1, hist), nxt
+
+    (pools, _, _, _), toks = jax.lax.scan(
+        body, (pools, tok0, pos0, hist0), jnp.arange(n_steps))
+    return toks, pools
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -556,6 +593,67 @@ class Context:
         s.tokens.extend(toks[:-1])
         s.n_cached += n_steps
         return toks
+
+    def truncate_seq(self, s: SeqState, n: int) -> None:
+        """Roll the sequence's cache back to n tokens (frees trailing blocks).
+        Used by the windowed decode path to discard KV written after a stop
+        condition — the slot-restorer analogue (reference
+        llama-kv-cache.h:192-240) for speculative over-decode."""
+        if n > s.n_cached:
+            raise ValueError("truncate_seq: n > n_cached")
+        s.table.truncate(n)
+        s.tokens = s.tokens[:n]
+        s.n_cached = n
+
+    def decode_window(self, seqs: Seq[SeqState], tokens: Seq[int],
+                      samplers: Seq[Any], n_steps: int,
+                      seed: int = 0) -> np.ndarray:
+        """n_steps batched decode+sample steps in ONE device dispatch.
+
+        tokens[i] is sequence i's next input token; samplers[i] is a
+        SamplerParams eligible for device sampling (device_sampling.eligible).
+        Returns [n_steps, B] int32: step j's row i is the token sampled after
+        feeding j prior tokens. All n_steps tokens' KV except the last is
+        cached on return (same contract as decode_greedy_loop); callers that
+        stop early must truncate_seq back to the accepted length.
+        Single-device path."""
+        from . import device_sampling as ds
+
+        if self.mesh is not None:
+            raise NotImplementedError("decode_window: single-device only")
+        if any(s.pos_offset for s in seqs):
+            raise NotImplementedError("decode_window after self_extend")
+        hp = self.model.hp
+        b = len(seqs)
+        for s in seqs:
+            s.table.append_tokens(n_steps)
+        self._drain_copies(seqs)
+        bsz = 1 << (b - 1).bit_length()  # pow2 row bucket (recompile guard)
+        tok0 = np.zeros((bsz,), np.int32)
+        pos0 = np.zeros((bsz,), np.int32)
+        bt = np.zeros((bsz, self.nbmax), np.int32)
+        valid = np.zeros((bsz,), bool)
+        valid[:b] = True  # padded rows' KV writes drop (slot -1)
+        bt_src = self._table_arr(seqs)
+        hist_rows = []
+        for i, s in enumerate(seqs):
+            tok0[i] = tokens[i]
+            pos0[i] = s.n_cached
+            bt[i] = bt_src[i]
+            hist_rows.append(s.tokens)
+        params = ds.DeviceSamplerParams.from_rows(list(samplers), bsz)
+        hist0 = jnp.asarray(ds.make_history(hist_rows, bsz))
+        key = jax.random.PRNGKey(seed)
+        toks, self.pools = _decode_window_step(
+            self.model.weights, self.pools, jnp.asarray(tok0),
+            jnp.asarray(pos0), jnp.asarray(bt), jnp.asarray(valid), params,
+            hist0, key, hp=hp, n_steps=n_steps)
+        toks = np.asarray(toks)
+        for i, s in enumerate(seqs):
+            s.tokens.append(int(tokens[i]))
+            s.tokens.extend(int(t) for t in toks[:-1, i])
+            s.n_cached += n_steps
+        return toks[:, :b]
 
     def prefill_nll(self, s: SeqState, tokens: list[int]) -> np.ndarray:
         """Prefill `tokens` and return per-position NLL of predicting

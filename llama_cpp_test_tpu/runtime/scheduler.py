@@ -93,7 +93,8 @@ def common_lcp(a: list[int], b: list[int]) -> int:
 
 class Scheduler:
     def __init__(self, ctx: Context, n_slots: int = 8,
-                 chunk_size: int = 512, ctx_shift: bool = True):
+                 chunk_size: int = 512, ctx_shift: bool = True,
+                 decode_window: int = 16):
         self.ctx = ctx
         # context shift keeps long generations alive past n_ctx
         # (server.cpp:2825+); K-shift is single-device for now
@@ -101,6 +102,12 @@ class Scheduler:
         self.slots = [Slot(i) for i in range(n_slots)]
         self.queue: deque[GenRequest] = deque()
         self.chunk = chunk_size
+        # windowed device decode: up to this many decode+sample steps per
+        # dispatch when every generating slot's sampler runs on device
+        # (device_sampling.eligible) — the cure for per-token host
+        # round-trips on a high-latency device link
+        self.decode_window = decode_window if ctx.mesh is None else 1
+        self._step_count = 0
         self._req_ids = itertools.count()
         self.tokenizer = ctx.model.tokenizer
         # metrics (server /metrics analogue)
@@ -205,6 +212,30 @@ class Scheduler:
                 self._emit(slot, logits)
             return  # one prefill chunk per step keeps decode latency bounded
 
+    def _window_for(self, gen: list[Slot]) -> int:
+        """Window length for this decode round: >1 only when every
+        generating slot samples on device and has room for the window."""
+        from . import device_sampling as ds
+
+        if self.decode_window <= 1 or self.queue or \
+                any(s.state == SlotState.PROMPT for s in self.slots):
+            return 1  # pending prompt work: keep decode latency bounded
+        w = self.decode_window
+        most = 0
+        for s in gen:
+            if not ds.eligible(s.req.sampling) or s.seq.pos_offset:
+                return 1
+            w = min(w, self.ctx.n_ctx - s.seq.n_cached - 1)
+            most = max(most, s.req.max_tokens - len(s.req.output_tokens))
+        w = min(w, most)
+        if w <= 1:
+            return 1
+        # don't trigger pool eviction: each slot needs blocks for w tokens
+        need = sum(
+            (s.seq.n_cached + w + self.ctx.block_size - 1)
+            // self.ctx.block_size - len(s.seq.table.blocks) for s in gen)
+        return w if need <= self._free_blocks() else 1
+
     def _decode_all(self) -> None:
         gen = [s for s in self.slots
                if s.state == SlotState.GENERATING and s.next_token is not None]
@@ -220,6 +251,10 @@ class Scheduler:
                     n_discard = max((s.seq.n_cached - n_keep) // 2, 1)
                     self.ctx.shift_context(s.seq, n_keep, n_discard)
                     del s.cache_tokens[n_keep:n_keep + n_discard]
+        w = self._window_for(gen)
+        if w > 1:
+            self._decode_window_round(gen, w)
+            return
         t0 = time.time()
         logits = self.ctx.decode([s.seq for s in gen],
                                  [s.next_token for s in gen])
@@ -229,12 +264,41 @@ class Scheduler:
             s.cache_tokens.append(s.next_token)
             self._emit(s, lg)
 
+    def _decode_window_round(self, gen: list[Slot], w: int) -> None:
+        """One windowed decode: w device-side decode+sample steps, then host
+        post-processing (stop tokens/strings, budgets). Rows that stop
+        mid-window roll their cache back to the accepted length
+        (Context.truncate_seq) — KV written past the stop is discarded,
+        like the reference's kv-slot restorer on failed decode."""
+        self._step_count += 1
+        t0 = time.time()
+        toks = self.ctx.decode_window(
+            [s.seq for s in gen], [s.next_token for s in gen],
+            [s.req.sampling for s in gen], w,
+            seed=self._step_count * 65537)
+        self.t_gen += time.time() - t0
+        for i, s in enumerate(gen):
+            n0 = s.seq.n_cached - w  # position of s.next_token pre-window
+            for j in range(w):
+                tok = int(toks[j, i])
+                s.cache_tokens.append(s.next_token)
+                self.n_gen_tokens += 1
+                s.sampler.accept(tok)
+                self._process_token(s, tok)
+                if s.req is None:  # finished: discard overshoot KV
+                    self.ctx.truncate_seq(s.seq, n0 + 1 + j)
+                    del s.cache_tokens[n0 + 1 + j:]
+                    break
+
     # -- token processing (process_token analogue, server.cpp:1358) ----------
 
     def _emit(self, slot: Slot, logits: np.ndarray) -> None:
-        req = slot.req
         tok = slot.sampler.sample(logits)
         slot.sampler.accept(tok)
+        self._process_token(slot, tok)
+
+    def _process_token(self, slot: Slot, tok: int) -> None:
+        req = slot.req
         if not req.output_tokens:
             req.t_first_token = time.time()
         finished = None
