@@ -320,7 +320,15 @@ class Context:
             num_blocks = max(n_seq_max * (n_ctx // block_size), 8)
         # num_blocks is PER dp group (each group owns a private pool shard)
         self.num_blocks = num_blocks
-        self.mgrs = [BlockManager(num_blocks) for _ in range(self.dp)]
+        if self.mesh is None:
+            # host swap backing (swapBlocks): over-committed blocks move to
+            # host instead of corrupting live sequences
+            from .block_manager import HostSwapStore
+
+            store = HostSwapStore(self._read_block, self._write_block)
+            self.mgrs = [BlockManager(num_blocks, swap_store=store)]
+        else:
+            self.mgrs = [BlockManager(num_blocks) for _ in range(self.dp)]
         self.seqs: dict[int, SeqState] = {}
         self._next_id = 0
         # block-table width bucket: full table for n_ctx
@@ -358,6 +366,18 @@ class Context:
     def mgr(self) -> BlockManager:
         """Single-group manager (dp == 1 convenience, used by tests)."""
         return self.mgrs[0]
+
+    # -- host swap data plane (HostSwapStore callbacks) -----------------------
+
+    def _read_block(self, blk: int):
+        """Device -> host copy of one physical block across all layers."""
+        data = kv_cache.gather_block(self.pools, np.int32(blk))
+        return tuple(np.asarray(a) for a in data)
+
+    def _write_block(self, data, blk: int) -> None:
+        """Host -> device restore of a swapped block."""
+        self.pools = kv_cache.scatter_block(
+            self.pools, tuple(jnp.asarray(a) for a in data), np.int32(blk))
 
     # -- sequence management ------------------------------------------------
 
@@ -397,6 +417,7 @@ class Context:
                      delta: list[int]) -> None:
         if self.mesh is not None:
             raise NotImplementedError("K-shift: single-device only")
+        s.table.ensure_resident()
         # un-share any COW blocks first: the shift mutates pool data in place
         for bi in range(len(s.table.blocks)):
             s.table._ensure_writable(bi)
@@ -414,6 +435,7 @@ class Context:
         n = s.n_cached
         if n_discard <= 0 or n_keep + n_discard > n:
             raise ValueError("shift_context: bad n_keep/n_discard")
+        s.table.ensure_resident()
         src = [self._seq_slot(s, i) for i in range(n_keep + n_discard, n)]
         dst = [self._seq_slot(s, i) for i in range(n_keep, n - n_discard)]
         self._apply_shift(s, src, dst, [-n_discard] * len(src))
@@ -431,6 +453,7 @@ class Context:
         n = s.n_cached
         if group <= 1 or n_keep >= n:
             return
+        s.table.ensure_resident()
         off = s.pos_offset
         src, delta = [], []
         base = n_keep + off
@@ -449,7 +472,7 @@ class Context:
     def _table_arr(self, seqs: Seq[SeqState]) -> np.ndarray:
         bt = np.zeros((len(seqs), self.nbmax), np.int32)
         for i, s in enumerate(seqs):
-            blocks = s.table.blocks[: self.nbmax]
+            blocks = s.table.resident_blocks()[: self.nbmax]
             bt[i, : len(blocks)] = blocks
         return bt
 

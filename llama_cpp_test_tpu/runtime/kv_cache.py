@@ -146,6 +146,32 @@ def copy_blocks(pool: jax.Array, src: jax.Array, dst: jax.Array) -> jax.Array:
     return pool.at[:, dst].set(pages, mode="drop")
 
 
+@jax.jit
+def gather_block(pools: KVPools, blk) -> tuple:
+    """One physical block across all layers -> stacked arrays for host swap
+    (swapBlocks swap-out, reference tests/test_block_kv_cache.cpp:20-118).
+    Returns (k [L, KV, BS, D], v [L, KV, BS, D][, k_scale, v_scale])."""
+    k = jnp.stack([p[:, blk] for p in pools.k])
+    v = jnp.stack([p[:, blk] for p in pools.v])
+    if not pools.quantized:
+        return k, v
+    ks = jnp.stack([p[:, blk] for p in pools.k_scale])
+    vs = jnp.stack([p[:, blk] for p in pools.v_scale])
+    return k, v, ks, vs
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def scatter_block(pools: KVPools, data: tuple, blk) -> KVPools:
+    """Swap-in: write a gather_block payload into physical block blk."""
+    k = [p.at[:, blk].set(data[0][li]) for li, p in enumerate(pools.k)]
+    v = [p.at[:, blk].set(data[1][li]) for li, p in enumerate(pools.v)]
+    if not pools.quantized:
+        return KVPools(k, v)
+    ks = [p.at[:, blk].set(data[2][li]) for li, p in enumerate(pools.k_scale)]
+    vs = [p.at[:, blk].set(data[3][li]) for li, p in enumerate(pools.v_scale)]
+    return KVPools(k, v, ks, vs)
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def apply_copies(pools: KVPools, src: jax.Array, dst: jax.Array) -> KVPools:
     k = [copy_blocks(p, src, dst) for p in pools.k]
