@@ -15,6 +15,7 @@ Mixtral (MoE via ffn_gate_inp routing, the GGML_OP_MUL_MAT_ID analogue).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any
 
 import jax
@@ -288,11 +289,19 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
 
     # embedding table keeps the row-gather layout; the (possibly tied) lm
     # head gets its own matmul-layout planes
-    tok_embd = _repack_2d(reader, "token_embd.weight", layout="rows")
-    if "output.weight" in t:
-        output = col("output.weight")
-    else:
-        output = col("token_embd.weight")  # tied head: matmul-layout copy
+    # layers are independent: repack them in parallel (numpy ufuncs and the
+    # native C++ repacker both release the GIL). The analogue of the
+    # reference's threaded tensor upload (llama-model-loader.cpp:879).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as ex:
+        f_embd = ex.submit(_repack_2d, reader, "token_embd.weight", None,
+                           "rows")
+        f_out = ex.submit(col, "output.weight") if "output.weight" in t \
+            else ex.submit(col, "token_embd.weight")  # tied: matmul copy
+        layer_list = list(ex.map(layer, range(hp.n_layer)))
+        tok_embd = f_embd.result()
+        output = f_out.result()
     inv_freq, mscale = layers.rope_freqs(hp)
     inv_freq_swa = None
     if hp.rope_freq_base_swa > 0 and \
@@ -304,7 +313,7 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
         tok_embd=tok_embd,
         output_norm=_f32(reader, "output_norm.weight"),
         output=output,
-        layers=[layer(i) for i in range(hp.n_layer)],
+        layers=layer_list,
         rope_inv_freq=np.asarray(inv_freq),
         rope_mscale=float(mscale),
         rope_inv_freq_swa=inv_freq_swa,
@@ -314,16 +323,26 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
 
 def device_put_weights(w: LlamaWeights, shardings: Any | None = None) -> LlamaWeights:
     """Move all weights to device. `shardings` may be a pytree-prefix of
-    jax.sharding.Sharding (see parallel/), or None for single-device."""
+    jax.sharding.Sharding (see parallel/), or None for single-device.
+
+    Single-device: dtype-normalize on host, then ONE async jax.device_put of
+    the whole pytree — per-tensor puts each pay a full host<->device round
+    trip on a tunneled device (the round-1 460s load)."""
     if shardings is None:
-        def put(x):
+        def cast(x):
             if isinstance(x, QTensor):
-                return x.device_put()
-            if isinstance(x, np.ndarray):
-                return jnp.asarray(x)
+                qdt, sdt = x._put_dtypes()
+                conv = lambda a, dt: None if a is None else (
+                    np.asarray(a) if dt is None else
+                    np.asarray(np.asarray(a), dt))
+                return QTensor(
+                    x.kind, x.shape, x.n_orig, x.group,
+                    conv(x.qs, qdt), conv(x.scale, sdt), conv(x.min_, sdt),
+                    conv(x.lut, np.float32), x.ggml_type, x.layout, x.parts)
             return x
-        return jax.tree_util.tree_map(
-            put, w, is_leaf=lambda x: isinstance(x, QTensor))
+        host = jax.tree_util.tree_map(
+            cast, w, is_leaf=lambda x: isinstance(x, QTensor))
+        return jax.device_put(host)
     return jax.device_put(w, shardings)
 
 
