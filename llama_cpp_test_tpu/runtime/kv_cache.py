@@ -260,6 +260,17 @@ def attend_gathered(q: jax.Array, k: jax.Array, v: jax.Array,
     return layers.attention(q, k, v, mask, scale, softcap=soft_cap)
 
 
+def attend_prefill_xla(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
+                       block_table: jax.Array, positions: jax.Array,
+                       kv_len: jax.Array, scale: float,
+                       window: int = 0, soft_cap: float = 0.0) -> jax.Array:
+    """Reference prefill attention: full-cache gather + masked softmax."""
+    k = gather_kv(k_pool, block_table)  # [B, S, KV, D]
+    v = gather_kv(v_pool, block_table)
+    return attend_gathered(q, k, v, positions, kv_len, scale, window,
+                           soft_cap)
+
+
 def attend_prefill(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
                    block_table: jax.Array, positions: jax.Array,
                    kv_len: jax.Array, scale: float,
@@ -271,11 +282,19 @@ def attend_prefill(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
     kv_len: [B] total tokens now in cache. Token (b, t) attends to cache
     indices <= positions[b, t] (cache index == sequence position since block
     tables are ordered).
+
+    Dispatch: Pallas chunked-flash kernel on TPU (streams pages, O(page)
+    memory — ops/flash_prefill.py); XLA full-gather reference elsewhere.
     """
-    k = gather_kv(k_pool, block_table)  # [B, S, KV, D]
-    v = gather_kv(v_pool, block_table)
-    return attend_gathered(q, k, v, positions, kv_len, scale, window,
-                           soft_cap)
+    if jax.default_backend() != "tpu":
+        return attend_prefill_xla(q, k_pool, v_pool, block_table, positions,
+                                  kv_len, scale, window, soft_cap)
+    from ..ops.flash_prefill import flash_prefill
+
+    return flash_prefill(
+        (q.astype(jnp.float32) * scale).astype(q.dtype), k_pool, v_pool,
+        positions, kv_len, block_table, window=window,
+        soft_cap=soft_cap).astype(q.dtype)
 
 
 def attend_decode_xla(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
