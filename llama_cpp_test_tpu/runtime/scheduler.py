@@ -66,12 +66,16 @@ class Slot:
         self.id = slot_id
         self.state = SlotState.IDLE
         self.seq: SeqState | None = None
+        self.draft_seq: SeqState | None = None  # per-slot draft cache (spec)
         self.req: GenRequest | None = None
         self.sampler: SamplerChain | None = None
         self.n_prompt_done = 0
         self.next_token: int | None = None
         self.text_buf = ""
         self.cache_tokens: list[int] = []  # tokens whose KV this slot holds
+        # speculative metrics (server_slot n_draft_total/accepted analogue)
+        self.n_drafted = 0
+        self.n_draft_accepted = 0
 
     def reset(self):
         self.state = SlotState.IDLE
@@ -94,8 +98,17 @@ def common_lcp(a: list[int], b: list[int]) -> int:
 class Scheduler:
     def __init__(self, ctx: Context, n_slots: int = 8,
                  chunk_size: int = 512, ctx_shift: bool = True,
-                 decode_window: int = 16):
+                 decode_window: int = 16, draft_ctx: Context | None = None,
+                 n_draft: int = 8, p_draft_min: float = 0.75):
         self.ctx = ctx
+        # server-side speculative decoding: per-slot draft sequences inside
+        # the continuous-batching loop (reference examples/server/
+        # server.cpp:1861-1937,3250). Greedy draft + sample-and-accept-n on
+        # the target's teacher-forced logits keeps output identical to the
+        # non-speculative path for ANY sampler chain.
+        self.draft_ctx = draft_ctx
+        self.n_draft = n_draft
+        self.p_draft_min = p_draft_min
         # context shift keeps long generations alive past n_ctx
         # (server.cpp:2825+); K-shift is single-device for now
         self.ctx_shift = ctx_shift and ctx.mesh is None
@@ -166,6 +179,9 @@ class Scheduler:
                 return  # admission control: wait for blocks to free up
             self.queue.popleft()
             slot.req = req
+            if slot.draft_seq is not None:  # fresh draft cache per request
+                self.draft_ctx.free_seq(slot.draft_seq)
+                slot.draft_seq = None
             grammar_sampler = None
             if req.sampling.grammar and self.tokenizer is not None:
                 from .grammar import GrammarSampler
@@ -208,6 +224,14 @@ class Scheduler:
             self.n_prompt_tokens += len(chunk)
             self.t_prompt += time.time() - t0
             if slot.n_prompt_done >= len(req.prompt_tokens):
+                if self.draft_ctx is not None:
+                    # draft model ingests the full prompt (server.cpp:3250
+                    # slot.batch_spec prompt sync)
+                    slot.draft_seq = self.draft_ctx.new_seq()
+                    for i in range(0, len(req.prompt_tokens), self.chunk):
+                        self.draft_ctx.prefill(
+                            slot.draft_seq,
+                            req.prompt_tokens[i:i + self.chunk])
                 slot.state = SlotState.GENERATING
                 self._emit(slot, logits)
             return  # one prefill chunk per step keeps decode latency bounded
@@ -251,6 +275,9 @@ class Scheduler:
                     n_discard = max((s.seq.n_cached - n_keep) // 2, 1)
                     self.ctx.shift_context(s.seq, n_keep, n_discard)
                     del s.cache_tokens[n_keep:n_keep + n_discard]
+        if self.draft_ctx is not None:
+            self._decode_spec_round(gen)
+            return
         w = self._window_for(gen)
         if w > 1:
             self._decode_window_round(gen, w)
@@ -263,6 +290,73 @@ class Scheduler:
         for s, lg in zip(gen, logits):
             s.cache_tokens.append(s.next_token)
             self._emit(s, lg)
+
+    def _decode_spec_round(self, gen: list[Slot]) -> None:
+        """One speculative round per generating slot: greedy draft proposal,
+        teacher-forced target verification, sample-and-accept-n with the
+        slot's own sampler chain (so output is identical to non-speculative
+        serving for ANY sampler — the common_sampler_sample_and_accept_n
+        analogue, reference server.cpp:3250, common/sampling.h:79-82)."""
+        for s in gen:
+            t0 = time.time()
+            last = s.next_token
+            k_max = max(0, min(self.n_draft,
+                               self.ctx.n_ctx - s.seq.n_cached - 2))
+            dseq = s.draft_seq
+            base_d = dseq.n_cached
+            draft_toks: list[int] = []
+            if k_max > 0:
+                d_logits = self.draft_ctx.decode([dseq], [last])[0]
+                while True:
+                    e = np.exp(d_logits - d_logits.max())
+                    probs = e / e.sum()
+                    t = int(np.argmax(probs))
+                    if probs[t] < self.p_draft_min:
+                        break
+                    draft_toks.append(t)
+                    if len(draft_toks) >= k_max:
+                        break
+                    d_logits = self.draft_ctx.decode([dseq], [t])[0]
+            s.n_drafted += len(draft_toks)
+            # target scores [last] + proposal in one teacher-forced prefill;
+            # row i is the distribution after block[i]
+            base = s.seq.n_cached
+            logits = self.ctx.prefill(s.seq, [last] + draft_toks,
+                                      all_logits=True)
+            toks_out: list[int] = []
+            for i in range(len(draft_toks) + 1):
+                t_i = int(s.sampler.sample(logits[i]))
+                s.sampler.accept(t_i)
+                toks_out.append(t_i)
+                if i >= len(draft_toks) or t_i != draft_toks[i]:
+                    break
+            n_acc = len(toks_out) - 1
+            s.n_draft_accepted += n_acc
+            self.n_gen_tokens += len(toks_out)
+            # discard rejected target KV (slot-restorer analogue)
+            self.ctx.truncate_seq(s.seq, base + 1 + n_acc)
+            feeds = [last] + draft_toks[:n_acc]
+            finished_at = None
+            for j, tok in enumerate(toks_out):
+                s.cache_tokens.append(feeds[j])
+                self._process_token(s, tok)
+                if s.req is None:
+                    finished_at = j
+                    break
+            if finished_at is not None and finished_at < n_acc:
+                self.ctx.truncate_seq(s.seq, base + 1 + finished_at)
+                del s.cache_tokens[base + 1 + finished_at:]
+            # sync the draft cache to the accepted prefix: it must hold
+            # exactly [.., last, accepted...] before the next round
+            n_keep = finished_at if finished_at is not None else n_acc
+            want_d = base_d + 1 + n_keep
+            if want_d <= dseq.n_cached:
+                self.draft_ctx.truncate_seq(dseq, want_d)
+            else:
+                missing = ([last] + draft_toks)[dseq.n_cached - base_d:
+                                                want_d - base_d]
+                self.draft_ctx.prefill(dseq, missing)
+            self.t_gen += time.time() - t0
 
     def _decode_window_round(self, gen: list[Slot], w: int) -> None:
         """One windowed decode: w device-side decode+sample steps, then host
@@ -331,6 +425,9 @@ class Scheduler:
         if req.on_token is not None:
             req.on_token(tok, piece, finished)
         if finished is not None:
+            if slot.draft_seq is not None:  # draft caches are not reused
+                self.draft_ctx.free_seq(slot.draft_seq)
+                slot.draft_seq = None
             slot.reset()  # keep seq + cache_tokens for prefix reuse
         else:
             slot.next_token = tok

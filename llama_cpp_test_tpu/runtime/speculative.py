@@ -200,18 +200,19 @@ class TreeSpeculativeDecoder:
                                   b[1] + [t2], t2]
                             new_branches.append(nb)
                             self.n_splits += 1
+                            self.stats.n_drafted += 1  # the forked t2 only
                         b[1] = b[1] + [t1]
                         b[2] = t1
+                        self.stats.n_drafted += 1
                     branches.extend(new_branches)
-                self.stats.n_drafted += sum(len(b[1]) for b in branches)
                 for b in branches:
                     self.draft.free_seq(b[0])
                 # --- verify every branch against the target ---------------
+                # (row 0 of any branch's teacher-forced logits is the
+                # target's distribution after `last`, so the empty-candidate
+                # fallback needs no extra prefill)
                 base = st.n_cached
-                best = ([], int(np.argmax(
-                    self.target.prefill(st, [last], all_logits=True)[-1])))
-                SpeculativeDecoder._truncate(st, base, self.target)
-                self.stats.n_target_calls += 1
+                best = None
                 for b in branches:
                     toks = b[1]
                     if not toks:
@@ -219,6 +220,8 @@ class TreeSpeculativeDecoder:
                     logits = self.target.prefill(st, [last] + toks,
                                                  all_logits=True)
                     self.stats.n_target_calls += 1
+                    if best is None:
+                        best = ([], int(np.argmax(logits[0])))
                     n_acc = 0
                     for i, dt in enumerate(toks):
                         if int(np.argmax(logits[i])) == dt:
@@ -228,6 +231,11 @@ class TreeSpeculativeDecoder:
                     cand = (toks[:n_acc], int(np.argmax(logits[n_acc])))
                     if len(cand[0]) > len(best[0]):
                         best = cand
+                    SpeculativeDecoder._truncate(st, base, self.target)
+                if best is None:  # no branch proposed anything
+                    logits = self.target.prefill(st, [last], all_logits=True)
+                    self.stats.n_target_calls += 1
+                    best = ([], int(np.argmax(logits[-1])))
                     SpeculativeDecoder._truncate(st, base, self.target)
                 accepted, bonus = best
                 self.stats.n_accepted += len(accepted)

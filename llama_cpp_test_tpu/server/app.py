@@ -113,12 +113,22 @@ class LlamaServer:
                  mesh=None, model_alias: str | None = None,
                  kv_type: str = "bf16", slot_save_path: str | None = None,
                  api_key: str | None = None,
-                 lora: list[tuple[str, float]] | None = None):
+                 lora: list[tuple[str, float]] | None = None,
+                 draft_model_path: str | None = None, n_draft: int = 8,
+                 p_draft_min: float = 0.75):
         self.model = Model(model_path, mesh=mesh)
         self.alias = model_alias or model_path.rsplit("/", 1)[-1]
         ctx = Context(self.model, n_ctx=n_ctx, n_seq_max=n_slots,
                       kv_type=kv_type)
-        self.sched = Scheduler(ctx, n_slots=n_slots)
+        draft_ctx = None
+        if draft_model_path:
+            # server-side speculative decoding (-md analogue, reference
+            # server.cpp:1861-1937): one draft context shared by all slots
+            self.draft_model = Model(draft_model_path)
+            draft_ctx = Context(self.draft_model, n_ctx=n_ctx,
+                                n_seq_max=n_slots)
+        self.sched = Scheduler(ctx, n_slots=n_slots, draft_ctx=draft_ctx,
+                               n_draft=n_draft, p_draft_min=p_draft_min)
         self.engine = EngineThread(self.sched)
         self.t_start = time.time()
         self.slot_save_path = slot_save_path
@@ -648,13 +658,22 @@ def main(argv=None):
     ap.add_argument("--lora-scaled", action="append", nargs=2, default=[],
                     metavar=("PATH", "SCALE"),
                     help="LoRA adapter GGUF with user scale (repeatable)")
+    ap.add_argument("-md", "--model-draft", default=None,
+                    help="draft model GGUF for server-side speculative "
+                         "decoding")
+    ap.add_argument("--draft-max", type=int, default=8,
+                    help="max draft tokens per speculation round")
+    ap.add_argument("--draft-p-min", type=float, default=0.75,
+                    help="draft confidence floor")
     args = ap.parse_args(argv)
     loras = [(p, 1.0) for p in args.lora] + \
         [(p, float(s)) for p, s in args.lora_scaled]
     srv = LlamaServer(args.model, n_ctx=args.ctx_size, n_slots=args.parallel,
                       model_alias=args.alias, kv_type=args.cache_type_kv,
                       slot_save_path=args.slot_save_path,
-                      api_key=args.api_key, lora=loras or None)
+                      api_key=args.api_key, lora=loras or None,
+                      draft_model_path=args.model_draft,
+                      n_draft=args.draft_max, p_draft_min=args.draft_p_min)
     srv.run(args.host, args.port)
 
 
