@@ -112,11 +112,17 @@ def pools_pspecs(pools: KVPools) -> KVPools:
     Each dp group owns a private block pool (its sequences' block tables hold
     group-local block ids), so pool writes never need cross-dp reconciliation
     — the mesh analogue of independent engine replicas sharing weights.
+    Quantized (q8_0) pools shard their per-slot scales the same way.
     """
     spec = P("tp", "dp", None, None)
+    sspec = P("tp", "dp", None)
     return KVPools(
         k=[spec for _ in pools.k],
         v=[spec for _ in pools.v],
+        k_scale=None if pools.k_scale is None else
+        [sspec for _ in pools.k_scale],
+        v_scale=None if pools.v_scale is None else
+        [sspec for _ in pools.v_scale],
     )
 
 
@@ -132,10 +138,49 @@ def shard_weights(w: LlamaWeights, mesh: Mesh) -> LlamaWeights:
 
 def shard_pools(pools: KVPools, mesh: Mesh) -> KVPools:
     s = NamedSharding(mesh, P("tp", "dp", None, None))
+    ss = NamedSharding(mesh, P("tp", "dp", None))
     return KVPools(
         k=[jax.device_put(p, s) for p in pools.k],
         v=[jax.device_put(p, s) for p in pools.v],
+        k_scale=None if pools.k_scale is None else
+        [jax.device_put(p, ss) for p in pools.k_scale],
+        v_scale=None if pools.v_scale is None else
+        [jax.device_put(p, ss) for p in pools.v_scale],
     )
+
+
+def build_shift_step(hp: HParams, mesh: Mesh, w_template: LlamaWeights,
+                     pools_template: KVPools):
+    """shard_map'ed K-shift (context shift / Self-Extend re-rotation) over
+    the ('dp','tp') mesh: src/dst/delta are [dp, n] group-local slot arrays
+    (-1 pads). Each tp shard re-rotates its own kv heads; rope tables are
+    replicated. The mesh analogue of kv_cache.apply_shift (reference
+    llama-context.cpp:719-755 kv_self_update)."""
+    from ..runtime import kv_cache
+
+    pspec = pools_pspecs(pools_template)
+    swa = w_template.rope_inv_freq_swa is not None
+
+    def body(pools, src, dst, delta, inv_freq, mscale, inv_freq_swa):
+        return kv_cache.apply_shift(
+            pools, src[0], dst[0], delta[0], inv_freq, mscale[0],
+            inv_freq_swa, hp=hp)
+
+    in_specs = (pspec, P("dp"), P("dp"), P("dp"), P(None), P(None),
+                P(None) if swa else None)
+
+    def body_noswa(pools, src, dst, delta, inv_freq, mscale):
+        return kv_cache.apply_shift(
+            pools, src[0], dst[0], delta[0], inv_freq, mscale[0],
+            None, hp=hp)
+
+    if swa:
+        fn = shard_map(body, mesh=mesh, in_specs=in_specs, out_specs=pspec,
+                       check_vma=False)
+    else:
+        fn = shard_map(body_noswa, mesh=mesh, in_specs=in_specs[:-1],
+                       out_specs=pspec, check_vma=False)
+    return jax.jit(fn, donate_argnums=(0,))
 
 
 def build_copy_step(mesh: Mesh, pools_template: KVPools):
@@ -146,9 +191,10 @@ def build_copy_step(mesh: Mesh, pools_template: KVPools):
     pspec = pools_pspecs(pools_template)
 
     def body(pools, src, dst):
-        k = [kv_cache.copy_blocks(p, src[0], dst[0]) for p in pools.k]
-        v = [kv_cache.copy_blocks(p, src[0], dst[0]) for p in pools.v]
-        return KVPools(k, v)
+        cb = lambda ps: None if ps is None else [
+            kv_cache.copy_blocks(p, src[0], dst[0]) for p in ps]
+        return KVPools(cb(pools.k), cb(pools.v), cb(pools.k_scale),
+                       cb(pools.v_scale))
 
     fn = shard_map(body, mesh=mesh, in_specs=(pspec, P("dp"), P("dp")),
                    out_specs=pspec, check_vma=False)

@@ -333,8 +333,8 @@ class Context:
         self._next_id = 0
         # block-table width bucket: full table for n_ctx
         self.nbmax = n_ctx // block_size
-        if self.mesh is not None and kv_type != "bf16":
-            raise NotImplementedError("quantized KV: single-device only")
+        if self.mp and kv_type != "bf16":
+            raise NotImplementedError("quantized KV: not on a pipeline mesh")
         if self.mp:
             from ..parallel.pp import build_mp_steps, new_mp_pools
 
@@ -343,16 +343,19 @@ class Context:
             self._prefill_fn, self._decode_fn, self._copy_fn = \
                 build_mp_steps(hp, self.mesh, model.weights, self.pools)
             self._prefill_all_fn = None
+            self._shift_fn = None
         elif self.mesh is not None:
-            from ..parallel.tp import (build_copy_step, build_tp_steps,
-                                       shard_pools)
+            from ..parallel.tp import (build_copy_step, build_shift_step,
+                                       build_tp_steps, shard_pools)
 
             self.pools = kv_cache.new_kv_pools(hp, num_blocks * self.dp,
-                                               block_size)
+                                               block_size, kv_type=kv_type)
             self.pools = shard_pools(self.pools, self.mesh)
             self._prefill_fn, self._prefill_all_fn, self._decode_fn = \
                 build_tp_steps(hp, self.mesh, model.weights, self.pools)
             self._copy_fn = build_copy_step(self.mesh, self.pools)
+            self._shift_fn = build_shift_step(hp, self.mesh, model.weights,
+                                              self.pools)
         else:
             self.pools = kv_cache.new_kv_pools(hp, num_blocks, block_size,
                                                kv_type=kv_type)
@@ -415,18 +418,37 @@ class Context:
 
     def _apply_shift(self, s: SeqState, src: list[int], dst: list[int],
                      delta: list[int]) -> None:
-        if self.mesh is not None:
-            raise NotImplementedError("K-shift: single-device only")
+        if self.mp:
+            raise NotImplementedError("K-shift: not on a pipeline mesh")
         s.table.ensure_resident()
         # un-share any COW blocks first: the shift mutates pool data in place
         for bi in range(len(s.table.blocks)):
             s.table._ensure_writable(bi)
         self._drain_copies([s])
         w = self.model.weights
-        self.pools = kv_cache.apply_shift(
-            self.pools, np.asarray(src, np.int32), np.asarray(dst, np.int32),
-            np.asarray(delta, np.int32), w.rope_inv_freq, w.rope_mscale,
-            w.rope_inv_freq_swa, hp=self.model.hp)
+        if self.mesh is None:
+            self.pools = kv_cache.apply_shift(
+                self.pools, np.asarray(src, np.int32),
+                np.asarray(dst, np.int32), np.asarray(delta, np.int32),
+                w.rope_inv_freq, w.rope_mscale, w.rope_inv_freq_swa,
+                hp=self.model.hp)
+            return
+        # ('dp','tp') mesh: per-group slot arrays, -1 pads drop
+        n = max(len(src), 1)
+        sa = np.full((self.dp, n), -1, np.int32)
+        da = np.full((self.dp, n), -1, np.int32)
+        ta = np.zeros((self.dp, n), np.int32)
+        sa[s.group, :len(src)] = src
+        da[s.group, :len(dst)] = dst
+        ta[s.group, :len(delta)] = delta
+        ms = np.asarray([w.rope_mscale], np.float32)
+        if w.rope_inv_freq_swa is not None:
+            self.pools = self._shift_fn(self.pools, sa, da, ta,
+                                        w.rope_inv_freq, ms,
+                                        w.rope_inv_freq_swa)
+        else:
+            self.pools = self._shift_fn(self.pools, sa, da, ta,
+                                        w.rope_inv_freq, ms)
 
     def shift_context(self, s: SeqState, n_keep: int, n_discard: int) -> None:
         """Context shift: drop tokens [n_keep, n_keep+n_discard), slide the
@@ -793,7 +815,7 @@ def generate(ctx: Context, prompt_tokens: list[int], max_new_tokens: int,
                 break
             yield tok
             if ctx_shift and s.n_cached + 1 >= ctx.n_ctx \
-                    and ctx.mesh is None:
+                    and not ctx.mp:
                 nk = min(n_keep, s.n_cached - 2)
                 ctx.shift_context(s, nk, max((s.n_cached - nk) // 2, 1))
             logits = ctx.decode([s], [tok])[0]

@@ -110,8 +110,9 @@ class Scheduler:
         self.n_draft = n_draft
         self.p_draft_min = p_draft_min
         # context shift keeps long generations alive past n_ctx
-        # (server.cpp:2825+); K-shift is single-device for now
-        self.ctx_shift = ctx_shift and ctx.mesh is None
+        # (server.cpp:2825+); K-shift runs on single device or a
+        # ('dp','tp') mesh (not the pipeline mesh)
+        self.ctx_shift = ctx_shift and not getattr(ctx, "mp", False)
         self.slots = [Slot(i) for i in range(n_slots)]
         self.queue: deque[GenRequest] = deque()
         self.chunk = chunk_size

@@ -145,3 +145,82 @@ def test_mp_multistep_decode(moe_model_path):
         np.testing.assert_allclose(d, rd, atol=0.1)
         assert np.argmax(d) == np.argmax(rd)
         tok = int(np.argmax(rd))
+
+
+def test_tp_quantized_kv_matches_single_device(tp_model):
+    """q8_0 KV cache on a ('dp','tp') mesh (scales sharded alongside pools)."""
+    path, wts = tp_model
+    from llama_cpp_test_tpu.parallel.mesh import make_mesh
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    m1 = Model(path)
+    ctx1 = Context(m1, n_ctx=64, n_seq_max=2, block_size=8, kv_type="q8_0")
+    s1 = ctx1.new_seq()
+    ref_pf = ctx1.prefill(s1, [3, 17, 42, 9])
+    ref_dec = ctx1.decode([s1], [int(np.argmax(ref_pf))])[0]
+
+    mesh = make_mesh(dp=2, tp=2)
+    m2 = Model(path, mesh=mesh)
+    ctx2 = Context(m2, n_ctx=64, n_seq_max=2, block_size=8, kv_type="q8_0")
+    s2 = ctx2.new_seq()
+    tp_pf = ctx2.prefill(s2, [3, 17, 42, 9])
+    tp_dec = ctx2.decode([s2], [int(np.argmax(tp_pf))])[0]
+    assert nmse(ref_pf, tp_pf) < 1e-4, nmse(ref_pf, tp_pf)
+    assert nmse(ref_dec, tp_dec) < 1e-4
+    assert np.argmax(ref_dec) == np.argmax(tp_dec)
+
+
+def test_tp_context_shift_matches_single_device(tp_model):
+    """K-shift (context shift) on the ('dp','tp') mesh: logits after a shift
+    must match the single-device shift path."""
+    path, wts = tp_model
+    from llama_cpp_test_tpu.parallel.mesh import make_mesh
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    prompt = list(range(3, 19))
+
+    def run(mesh):
+        m = Model(path, mesh=mesh)
+        ctx = Context(m, n_ctx=64, n_seq_max=2, block_size=8)
+        s = ctx.new_seq()
+        lg = ctx.prefill(s, prompt)
+        tok = int(np.argmax(lg))
+        ctx.shift_context(s, n_keep=2, n_discard=6)
+        out = []
+        for _ in range(3):
+            lg = ctx.decode([s], [tok])[0]
+            tok = int(np.argmax(lg))
+            out.append(tok)
+        return out, lg
+
+    ref_out, ref_lg = run(None)
+    mesh = make_mesh(dp=2, tp=2)
+    tp_out, tp_lg = run(mesh)
+    assert ref_out == tp_out
+    assert nmse(ref_lg, tp_lg) < 1e-5
+
+
+def test_speculative_on_tp_mesh(tp_model):
+    """Linear speculative decoding with a mesh-sharded target (the 70B
+    multi-host + speculative shape, BASELINE config #5): greedy output must
+    match plain greedy on the same mesh."""
+    path, wts = tp_model
+    from llama_cpp_test_tpu.parallel.mesh import make_mesh
+    from llama_cpp_test_tpu.runtime.engine import Context, Model, generate
+    from llama_cpp_test_tpu.runtime.speculative import (SpecParams,
+                                                        SpeculativeDecoder)
+
+    mesh = make_mesh(dp=2, tp=2)
+    target_model = Model(path, mesh=mesh)
+    draft_model = Model(path)  # draft stays single-device
+    prompt = [3, 17, 42, 9]
+
+    ctx_plain = Context(target_model, n_ctx=64, n_seq_max=2, block_size=8)
+    plain = list(generate(ctx_plain, prompt, 10))
+
+    target = Context(target_model, n_ctx=64, n_seq_max=2, block_size=8)
+    draft = Context(draft_model, n_ctx=64, n_seq_max=2, block_size=8)
+    dec = SpeculativeDecoder(target, draft, SpecParams(n_draft=4, p_min=0.0))
+    spec = dec.generate(prompt, 10)
+    assert spec[:len(plain)] == plain
+    assert dec.stats.n_drafted > 0
