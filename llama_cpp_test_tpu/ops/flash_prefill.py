@@ -33,7 +33,9 @@ def _fp_kernel(lens_ref, pages_ref, pos_ref, q_ref, k_ref, v_ref, o_ref,
                window: int, soft_cap: float):
     """One (sequence b, kv head, q tile) x page chunk c.
 
-    lens/pages: scalar-prefetch; pos_ref [1, TT]; q_ref [1, 1, TT, G, D];
+    lens/pages: scalar-prefetch; pos_ref [B, TT] (full batch axis — a
+    (1, TT) block is Mosaic-illegal for B > 1: sublane dim 1 is neither
+    8-divisible nor the full axis); q_ref [1, 1, TT, G, D];
     k/v_ref [1, 1, BS, D]; o_ref [1, 1, TT, G, D];
     scratch m/l [TT*G, 128], acc [TT*G, D] f32 carried across pages.
     """
@@ -49,7 +51,7 @@ def _fp_kernel(lens_ref, pages_ref, pos_ref, q_ref, k_ref, v_ref, o_ref,
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
     length = lens_ref[b]
-    pos_t = pos_ref[0]                                   # [TT]
+    pos_t = pos_ref[b]                                   # [TT]
     # per-row positions: row r = t*G + g_idx -> pos[t]
     pos_rows = jnp.broadcast_to(pos_t.reshape(tt, 1),
                                 (tt, g)).reshape(rows, 1)
@@ -102,6 +104,10 @@ def flash_prefill(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
     g = h // kv
     nbmax = page_indices.shape[1]
     tt = min(t, 128)
+    if t % tt:
+        raise ValueError(
+            f"flash_prefill: T={t} must divide into {tt}-row tiles; pad T "
+            "to a multiple of 128 (the engine's token buckets already are)")
     q5 = q.reshape(b, t, kv, g, d).transpose(0, 2, 1, 3, 4)  # [B, KV, T, G, D]
 
     grid = (b, kv, t // tt, nbmax)
@@ -113,13 +119,13 @@ def flash_prefill(q: jax.Array, k_pages: jax.Array, v_pages: jax.Array,
         return (ki, pages[bi, ci], 0, 0)
 
     def pos_map(bi, ki, ti, ci, lens, pages):
-        return (bi, ti)
+        return (0, ti)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tt), pos_map),
+            pl.BlockSpec((b, tt), pos_map),
             pl.BlockSpec((1, 1, tt, g, d), q_map),
             pl.BlockSpec((1, 1, bs, d), kv_map),
             pl.BlockSpec((1, 1, bs, d), kv_map),

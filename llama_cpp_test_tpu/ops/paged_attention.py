@@ -8,9 +8,10 @@ physical pages in HBM, streams (block_size, head_dim) tiles to VMEM and
 accumulates an online softmax. No materialized [B, S, KV, D] gather.
 
 Two implementations:
-  - `paged_attention_decode`: dispatches to the tuned Pallas kernel that
-    ships with JAX (jax.experimental.pallas.ops.tpu.paged_attention) —
-    the platform-provided primitive, like cuBLAS in the CUDA build.
+  - `paged_attention_decode`: custom Pallas flash-decoding kernel — the
+    block table is a scalar-prefetch operand, so each page's index_map
+    resolves physical pages before the kernel body runs and tiles stream
+    HBM->VMEM without a gather.
   - `paged_attention_decode_xla`: pure-XLA reference used for conformance
     tests and non-TPU backends.
 

@@ -118,14 +118,13 @@ def qmm_xla(x: jax.Array, qt: QTensor, out_dtype=jnp.float32) -> jax.Array:
 # Pallas fused kernel (layout 't')
 
 
-def _qmm_t_kernel(x_ref, xsum_ref, qs_ref, scale_ref, min_ref, lut_ref,
+def _qmm_t_kernel(x_ref, qs_ref, scale_ref, min_ref, lut_ref,
                   o_ref, *, kind: str, group: int, pack: int, n_lut: int):
     """One (tm, tk) x (tk, tnp) -> (tm, pack, tnp) tile, accumulated over the
     K grid dimension (innermost).
 
     refs:
       x_ref     [tm, tk]         bf16 activations
-      xsum_ref  [tm, tg]         f32 per-group activation sums (affine kinds)
       qs_ref    [tk, tnp]        uint8/int8 packed plane
       scale_ref [pack, tg, tnp]  bf16 (group g scales rows [g*group, ...))
       min_ref   [pack, tg, tnp]  bf16 (or None)
@@ -137,6 +136,19 @@ def _qmm_t_kernel(x_ref, xsum_ref, qs_ref, scale_ref, min_ref, lut_ref,
     qs32 = qs_ref[...].astype(jnp.int32)
     tk, tnp = qs_ref.shape
     tg = tk // group
+    xsum = None
+    if min_ref is not None:
+        # Per-group activation sums for the affine min fold (bsums trick),
+        # computed IN-KERNEL from the resident x tile via a [tk, tg] 0/1
+        # group-membership matmul on the MXU. A host-side xsum input would
+        # need a (tm, tg) BlockSpec whose last dim (e.g. 16 for Q4_K
+        # tile_k=512) is neither 128-divisible nor the full G axis — illegal
+        # under Mosaic's tiling rules. Cost: tg/(pack*tnp) of the main dot.
+        kidx = jax.lax.broadcasted_iota(jnp.int32, (tk, tg), 0)
+        gidx = jax.lax.broadcasted_iota(jnp.int32, (tk, tg), 1)
+        member = (kidx // group == gidx).astype(jnp.bfloat16)
+        xsum = jax.lax.dot_general(x, member, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
     accs = []
     for h in range(pack):
         q = _unpack(qs32, kind, h)
@@ -154,7 +166,7 @@ def _qmm_t_kernel(x_ref, xsum_ref, qs_ref, scale_ref, min_ref, lut_ref,
                                   preferred_element_type=jnp.float32)
         if min_ref is not None:
             acc = acc - jax.lax.dot_general(
-                xsum_ref[...], min_ref[h].astype(jnp.float32),
+                xsum, min_ref[h].astype(jnp.float32),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         accs.append(acc)
@@ -170,11 +182,9 @@ def _qmm_t_kernel(x_ref, xsum_ref, qs_ref, scale_ref, min_ref, lut_ref,
 
 
 def _qmm_t_dispatch(x_ref, *rest, kind, group, pack, n_lut,
-                    has_xsum, has_min, has_lut):
+                    has_min, has_lut):
     refs = list(rest)
     i = 0
-    xsum_ref = refs[i] if has_xsum else None
-    i += has_xsum
     qs_ref = refs[i]; i += 1
     scale_ref = refs[i]; i += 1
     min_ref = refs[i] if has_min else None
@@ -182,21 +192,19 @@ def _qmm_t_dispatch(x_ref, *rest, kind, group, pack, n_lut,
     lut_ref = refs[i] if has_lut else None
     i += has_lut
     o_ref = refs[i]
-    _qmm_t_kernel(x_ref, xsum_ref, qs_ref, scale_ref, min_ref, lut_ref,
+    _qmm_t_kernel(x_ref, qs_ref, scale_ref, min_ref, lut_ref,
                   o_ref, kind=kind, group=group, pack=pack, n_lut=n_lut)
 
 
 def _pick_tile_k(k: int, group: int) -> int:
-    """Largest tile_k <= 2048 dividing k with >= 8 scale groups per tile
-    (keeps the f32/bf16 scale tile sublane-aligned) when possible."""
-    best = None
-    for tk in (2048, 1024, 512, 256, 128, 64, 32):
-        if k % tk == 0 and tk % group == 0:
-            if best is None:
-                best = tk
-            if tk // group >= 8:
-                return tk
-    return best if best is not None else k
+    """Largest tile_k <= 2048 dividing k whose scale tile stays Mosaic-legal:
+    the (pack, tile_k/group, tile_n) scale BlockSpec needs its sublane dim
+    tile_k/group to be a multiple of 8. Falls back to the whole K axis —
+    a block equal to the array dims is always legal."""
+    for tk in (2048, 1024, 512, 256, 128):
+        if k % tk == 0 and tk % group == 0 and (tk // group) % 8 == 0:
+            return tk
+    return k
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -217,11 +225,6 @@ def _qmm_t_call(x, qs, scale, min_, lut, *, kind, group, pack, n_lut,
                      memory_space=pltpu.VMEM),
     ]
     args = [x.astype(jnp.bfloat16)]
-    if has_min:
-        xsum = x.astype(jnp.float32).reshape(m, k // group, group).sum(-1)
-        in_specs.append(pl.BlockSpec((tile_m, tg), lambda mm, n, kk: (mm, kk),
-                                     memory_space=pltpu.VMEM))
-        args.append(xsum)
     in_specs.append(pl.BlockSpec((tile_k, tile_n), lambda mm, n, kk: (kk, n),
                                  memory_space=pltpu.VMEM))
     args.append(qs)
@@ -241,7 +244,7 @@ def _qmm_t_call(x, qs, scale, min_, lut, *, kind, group, pack, n_lut,
 
     kernel = functools.partial(
         _qmm_t_dispatch, kind=kind, group=group, pack=pack, n_lut=n_lut,
-        has_xsum=has_min, has_min=has_min, has_lut=lut is not None)
+        has_min=has_min, has_lut=lut is not None)
     out = pl.pallas_call(
         kernel,
         grid=grid,

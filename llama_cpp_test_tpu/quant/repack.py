@@ -367,6 +367,7 @@ def required_n_multiple(ggml_type: GGMLType, tile_n: int = 256) -> int:
 
 
 USE_NATIVE = True  # C++ fast path (native/ggufio.cpp) when available
+_NATIVE_WARNED = False
 
 
 def _assemble(kind: str, q: np.ndarray, s: np.ndarray, m, g: int,
@@ -406,8 +407,17 @@ def repack(raw: np.ndarray, ggml_type: GGMLType, n: int, k: int,
             qt = native_repack(raw, int(ggml_type), n, k, tile_n, layout)
             if qt is not None:
                 return qt
-        except ImportError:
-            pass  # fall back to numpy
+        except ImportError as e:
+            # Fall back to numpy, but say so ONCE: a broken .so would
+            # otherwise show up only as a silent load-time perf regression.
+            global _NATIVE_WARNED
+            if not _NATIVE_WARNED:
+                _NATIVE_WARNED = True
+                import warnings
+
+                warnings.warn(
+                    f"native repacker unavailable ({e}); using the slower "
+                    "numpy path", RuntimeWarning)
     if ggml_type in (GGMLType.F32, GGMLType.F16, GGMLType.BF16):
         w = codecs.dequantize(np.ascontiguousarray(raw), ggml_type).reshape(n, k)
         n_pad = -n % tile_n
@@ -447,7 +457,12 @@ def fuse_qtensors(parts: list[QTensor]) -> QTensor | None:
     ops/qmatmul.qmm_split. Requires identical kind/group/K/lut. Returns None
     when the tensors can't fuse (mixed quant types)."""
     q0 = parts[0]
+    # ggml_type equality (not just kind/group) matters: Q4_0/Q4_1/Q4_K all
+    # decompose to kind 'u4' group 32 but differ in min_ presence — fusing
+    # them would silently drop (or crash on) the affine minimum.
     if any(p.layout != "t" or p.kind != q0.kind or p.group != q0.group
+           or p.ggml_type != q0.ggml_type
+           or (p.min_ is None) != (q0.min_ is None)
            or p.shape[1] != q0.shape[1] or p.parts is not None
            for p in parts):
         return None

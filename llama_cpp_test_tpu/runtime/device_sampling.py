@@ -41,6 +41,7 @@ class DeviceSamplerParams:
     penalty_repeat: jax.Array   # f32 (1.0 = off)
     penalty_freq: jax.Array     # f32 (0.0 = off)
     penalty_present: jax.Array  # f32 (0.0 = off)
+    seed: jax.Array             # i32 per-row RNG seed (SamplerParams.seed)
 
     @classmethod
     def from_rows(cls, rows: list, pad_to: int) -> "DeviceSamplerParams":
@@ -58,6 +59,7 @@ class DeviceSamplerParams:
             penalty_repeat=arr(lambda r: r.penalty_repeat, 1.0, np.float32),
             penalty_freq=arr(lambda r: r.penalty_freq, 0.0, np.float32),
             penalty_present=arr(lambda r: r.penalty_present, 0.0, np.float32),
+            seed=arr(lambda r: r.seed & 0x7FFFFFFF, 0, np.int32),
         )
 
 
@@ -95,14 +97,20 @@ def apply_penalties(logits: jax.Array, hist: jax.Array, hist_valid: jax.Array,
 
 
 def sample_tokens(logits: jax.Array, p: DeviceSamplerParams,
-                  hist: jax.Array, key: jax.Array) -> jax.Array:
+                  hist: jax.Array, key: jax.Array,
+                  pos: jax.Array | None = None) -> jax.Array:
     """One sampling step: [B, V] f32 logits -> [B] i32 tokens.
 
     hist: [B, HIST_LEN] i32 recent tokens, most recent LAST (-1 pads).
+    pos:  optional [B] i32 sample positions. The Gumbel noise for a row is a
+    deterministic function of (key, row seed, pos) — a request with a fixed
+    SamplerParams.seed reproduces its output regardless of batch placement,
+    window phase, or co-resident slots (the host chain seeds a per-request
+    RNG; this is the batched analogue).
     """
     b, v = logits.shape
-    pos = jnp.arange(HIST_LEN)[None, :]
-    hist_valid = pos >= (HIST_LEN - p.penalty_last_n[:, None])
+    ring_pos = jnp.arange(HIST_LEN)[None, :]
+    hist_valid = ring_pos >= (HIST_LEN - p.penalty_last_n[:, None])
     logits = apply_penalties(logits, hist, hist_valid, p)
 
     k_max = min(K_MAX, v)
@@ -130,7 +138,13 @@ def sample_tokens(logits: jax.Array, p: DeviceSamplerParams,
 
     # temperature + categorical via Gumbel-max; temp <= 0 -> greedy (rank 0)
     temp = jnp.maximum(p.temp, 1e-6)[:, None]
-    g = jax.random.gumbel(key, (b, k_max), jnp.float32)
+    if pos is None:
+        pos = jnp.zeros((b,), jnp.int32)
+    row_keys = jax.vmap(
+        lambda s, q: jax.random.fold_in(jax.random.fold_in(key, s), q)
+    )(p.seed, pos)
+    g = jax.vmap(
+        lambda kk: jax.random.gumbel(kk, (k_max,), jnp.float32))(row_keys)
     scores = vals / temp + g
     choice = jnp.where(p.temp > 0, jnp.argmax(scores, axis=-1), 0)
     return jnp.take_along_axis(ids, choice[:, None], axis=1)[:, 0] \

@@ -228,7 +228,7 @@ def _decode_window_step(w: LlamaWeights, pools: KVPools, tok0, pos0,
 
     bs = pools.block_size
 
-    def body(carry, step):
+    def body(carry, _):
         pools, tok, pos, hist = carry
         slots = (jnp.take_along_axis(
             block_table, (pos // bs)[:, None], axis=1)[:, 0] * bs + pos % bs)
@@ -237,12 +237,14 @@ def _decode_window_step(w: LlamaWeights, pools: KVPools, tok0, pos0,
                             slots[:, None], pos + 1, hp=hp, decode=True)
         logits = llama_mod.lm_head(w, hp, x)[:, 0]
         hist = ds.push_history(hist, tok)
+        # per-row noise keyed on (key, row seed, position) — fixed-seed
+        # requests reproduce regardless of window phase or co-batching
         nxt = ds.sample_tokens(logits.astype(jnp.float32), params, hist,
-                               jax.random.fold_in(key, step))
+                               key, pos)
         return (pools, nxt, pos + 1, hist), nxt
 
     (pools, _, _, _), toks = jax.lax.scan(
-        body, (pools, tok0, pos0, hist0), jnp.arange(n_steps))
+        body, (pools, tok0, pos0, hist0), None, length=n_steps)
     return toks, pools
 
 
@@ -652,11 +654,16 @@ class Context:
 
     def decode_window(self, seqs: Seq[SeqState], tokens: Seq[int],
                       samplers: Seq[Any], n_steps: int,
-                      seed: int = 0) -> np.ndarray:
+                      seed: int = 0,
+                      histories: Seq[list[int]] | None = None) -> np.ndarray:
         """n_steps batched decode+sample steps in ONE device dispatch.
 
         tokens[i] is sequence i's next input token; samplers[i] is a
         SamplerParams eligible for device sampling (device_sampling.eligible).
+        histories[i] seeds row i's penalty ring — pass the GENERATED tokens
+        only to match the host SamplerChain, which accept()s sampled tokens
+        but never prompt tokens (defaults to s.tokens = prompt + generated,
+        for standalone use where the whole context should be penalized).
         Returns [n_steps, B] int32: step j's row i is the token sampled after
         feeding j prior tokens. All n_steps tokens' KV except the last is
         cached on return (same contract as decode_greedy_loop); callers that
@@ -685,7 +692,8 @@ class Context:
             tok0[i] = tokens[i]
             pos0[i] = s.n_cached
             bt[i] = bt_src[i]
-            hist_rows.append(s.tokens)
+            hist_rows.append(s.tokens if histories is None
+                             else list(histories[i]))
         params = ds.DeviceSamplerParams.from_rows(list(samplers), bsz)
         hist0 = jnp.asarray(ds.make_history(hist_rows, bsz))
         key = jax.random.PRNGKey(seed)

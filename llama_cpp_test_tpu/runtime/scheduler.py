@@ -276,6 +276,18 @@ class Scheduler:
                     n_discard = max((s.seq.n_cached - n_keep) // 2, 1)
                     self.ctx.shift_context(s.seq, n_keep, n_discard)
                     del s.cache_tokens[n_keep:n_keep + n_discard]
+                    if s.draft_seq is not None:
+                        # re-sync the draft cache to the shifted history —
+                        # its positions no longer match the target's, and an
+                        # unshifted draft would grow past its block table
+                        # (the reference re-syncs the draft prompt per
+                        # round, server.cpp:3250)
+                        self.draft_ctx.free_seq(s.draft_seq)
+                        s.draft_seq = self.draft_ctx.new_seq()
+                        for i in range(0, len(s.cache_tokens), self.chunk):
+                            self.draft_ctx.prefill(
+                                s.draft_seq,
+                                s.cache_tokens[i:i + self.chunk])
         if self.draft_ctx is not None:
             self._decode_spec_round(gen)
             return
@@ -367,10 +379,15 @@ class Scheduler:
         like the reference's kv-slot restorer on failed decode."""
         self._step_count += 1
         t0 = time.time()
+        # Penalty history = generated tokens only (the host SamplerChain
+        # accept()s sampled tokens, never the prompt), minus the token being
+        # fed — the device loop pushes each fed token into the ring itself.
+        # Base seed fixed at 0: per-row noise is keyed on (row seed, pos) so
+        # fixed-seed requests reproduce across scheduler states.
         toks = self.ctx.decode_window(
             [s.seq for s in gen], [s.next_token for s in gen],
-            [s.req.sampling for s in gen], w,
-            seed=self._step_count * 65537)
+            [s.req.sampling for s in gen], w, seed=0,
+            histories=[s.req.output_tokens[:-1] for s in gen])
         self.t_gen += time.time() - t0
         for i, s in enumerate(gen):
             n0 = s.seq.n_cached - w  # position of s.next_token pre-window

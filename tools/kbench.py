@@ -1,10 +1,17 @@
 """Microbenchmark harness for qmatmul kernel candidates on real TPU.
 
-Times a single dequant-matmul of decode shape (M=8) over a Q4_K-like weight
-(K x N) against the HBM roofline, for several kernel designs. Run on the TPU
-chip: python tools/kbench.py
+Times decode-shape (M=8) dequant-matmuls over a Q4_K-like weight against the
+HBM roofline. The axon TPU is behind a network tunnel, so per-dispatch
+latency is ~0.5-1ms — every candidate therefore runs N_ITER times INSIDE one
+jitted lax.scan (with an output->input dependency so XLA can't CSE the
+iterations away) and the dispatch cost amortizes to noise. Weights are
+loop-invariant but larger than VMEM, so each iteration re-streams them from
+HBM — exactly the serving decode access pattern.
+
+Run on the TPU chip: python tools/kbench.py
 """
 import functools
+import sys
 import time
 
 import jax
@@ -14,30 +21,36 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 HBM_BW = 819e9  # v5e bytes/s
+N_ITER = 64
+
+# Logical op: y[M,N] = x[M,K] @ w[K,N], w = s[g(k),n]*q[k,n], group=32 on K.
+M, K, N = 8, 2048, 11264  # fused gate+up of tinyllama-ish
+GROUP = 32
 
 
-def timeit(fn, *args, iters=50):
-    fn(*args)[0].block_until_ready() if isinstance(fn(*args), tuple) else \
-        jax.block_until_ready(fn(*args))
+def time_device(step, x, iters=N_ITER):
+    """step: x -> y. Runs `iters` chained invocations in ONE dispatch."""
+
+    @jax.jit
+    def loop(x0):
+        def body(carry, _):
+            y = step(carry)
+            # fold a scalar of y back into x: dependency chain, no CSE
+            return carry + (y.ravel()[0] * 0).astype(carry.dtype), ()
+
+        out, _ = jax.lax.scan(body, x0, None, length=iters)
+        return out
+
+    loop(x).block_until_ready()  # compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+    loop(x).block_until_ready()
     return (time.perf_counter() - t0) / iters
 
 
 def report(name, dt, nbytes):
     gbs = nbytes / dt / 1e9
-    print(f"{name:40s} {dt*1e6:9.1f} us  {gbs:7.1f} GB/s  "
-          f"({100*gbs*1e9/HBM_BW:5.1f}% of roofline)")
-
-
-# ---------------------------------------------------------------------------
-# candidate kernels. Logical op: y[M,N] = x[M,K] @ w[K,N],
-# w = s[g(k),n] * q[k,n] with group=32 along K.
-
-M, K, N = 8, 2048, 11264  # fused gate+up of tinyllama-ish
-GROUP = 32
+    print(f"{name:44s} {dt*1e6:9.1f} us  {gbs:7.1f} GB/s  "
+          f"({100*gbs*1e9/HBM_BW:5.1f}% of roofline)", flush=True)
 
 
 def make_data(seed=0):
@@ -48,204 +61,252 @@ def make_data(seed=0):
     return x, q, s
 
 
-# --- A: kmajor, u4 packed along N (plane [K, N/2]), bf16 scales,
-#        sublane-broadcast scale expansion, bf16 MXU
-def kernel_a(x_ref, qs_ref, s_ref, o_ref, *, nsteps):
-    kk = pl.program_id(1)
-    x = x_ref[:]
-    qs = qs_ref[:]
-    s = s_ref[:]  # [tg, 2, tn] bf16  (2 = lo/hi plane scales)
-    tk, tn = qs.shape
-    tg = tk // GROUP
-    lo = (qs & 0xF).astype(jnp.int8)
-    hi = (qs >> 4).astype(jnp.int8)
-    s_lo = jax.lax.broadcast_in_dim(s[:, 0, :], (tg, GROUP, tn), (0, 2))
-    s_lo = s_lo.reshape(tk, tn)
-    s_hi = jax.lax.broadcast_in_dim(s[:, 1, :], (tg, GROUP, tn), (0, 2))
-    s_hi = s_hi.reshape(tk, tn)
-    w_lo = lo.astype(jnp.bfloat16) * s_lo
-    w_hi = hi.astype(jnp.bfloat16) * s_hi
-    acc_lo = jnp.dot(x, w_lo, preferred_element_type=jnp.float32)
-    acc_hi = jnp.dot(x, w_hi, preferred_element_type=jnp.float32)
-    upd = jnp.concatenate([acc_lo, acc_hi], axis=1)
-
-    @pl.when(kk == 0)
-    def _():
-        o_ref[:] = upd
-
-    @pl.when(kk != 0)
-    def _():
-        o_ref[:] = o_ref[:] + upd
-
-
-def build_a(tile_n=256, tile_k=2048):
-    x, q, s = make_data()
-    # pack: byte[k, j] = q[k, j] | q[k, j + N/2] << 4
-    qs = np.asarray(q[:, : N // 2] | (q[:, N // 2:] << 4), np.uint8)
-    # scales [K/G, 2, N/2] bf16: [:,0,:] for lo cols, [:,1,:] for hi cols
-    s2 = np.stack([np.asarray(s)[:, : N // 2], np.asarray(s)[:, N // 2:]],
-                  axis=1)
-    qs = jnp.asarray(qs)
-    s2 = jnp.asarray(s2, jnp.bfloat16)
-    nh = N // 2
-    grid = (nh // tile_n, K // tile_k)
-    tg = tile_k // GROUP
-
-    f = pl.pallas_call(
-        functools.partial(kernel_a, nsteps=grid[1]),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((M, tile_k), lambda n, kk: (0, kk),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_k, tile_n), lambda n, kk: (kk, n),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tg, 2, tile_n), lambda n, kk: (kk, 0, n),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((M, 2 * tile_n), lambda n, kk: (0, n),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * M * K * N,
-            bytes_accessed=qs.size + s2.size * 2 + M * K * 2 + M * N * 4,
-            transcendentals=0),
-    )
-    fj = jax.jit(lambda xx: f(xx, qs, s2))
-    nbytes = qs.size + s2.size * 2
-    return fj, x, nbytes
-
-
-# --- B: same layout, int8 MXU with per-group partials via reshaped batched dot
-def kernel_b(x_ref, qs_ref, s_ref, o_ref):
-    kk = pl.program_id(1)
-    x = x_ref[:]          # [M, tk] bf16
-    qs = qs_ref[:]
-    s = s_ref[:]          # [tg, 2, tn] f32
-    tk, tn = qs.shape
-    tg = tk // GROUP
-    lo = (qs & 0xF).astype(jnp.bfloat16)
-    hi = (qs >> 4).astype(jnp.bfloat16)
-    # per-group partial sums: batched dot over tg groups
-    xg = x.reshape(M, tg, GROUP).swapaxes(0, 1)      # [tg, M, GROUP]
-    lg = lo.reshape(tg, GROUP, tn)
-    hg = hi.reshape(tg, GROUP, tn)
-    p_lo = jax.lax.dot_general(
-        xg, lg, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)           # [tg, M, tn]
-    p_hi = jax.lax.dot_general(
-        xg, hg, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    acc_lo = jnp.sum(p_lo * s[:, 0, :][:, None, :], axis=0)
-    acc_hi = jnp.sum(p_hi * s[:, 1, :][:, None, :], axis=0)
-    upd = jnp.concatenate([acc_lo, acc_hi], axis=1)
-
-    @pl.when(kk == 0)
-    def _():
-        o_ref[:] = upd
-
-    @pl.when(kk != 0)
-    def _():
-        o_ref[:] = o_ref[:] + upd
-
-
-def build_b(tile_n=256, tile_k=2048):
-    x, q, s = make_data()
-    qs = np.asarray(q[:, : N // 2] | (q[:, N // 2:] << 4), np.uint8)
-    s2 = np.stack([np.asarray(s)[:, : N // 2], np.asarray(s)[:, N // 2:]],
-                  axis=1)
-    qs = jnp.asarray(qs)
-    s2 = jnp.asarray(s2, jnp.float32)
-    nh = N // 2
-    grid = (nh // tile_n, K // tile_k)
-    tg = tile_k // GROUP
-    f = pl.pallas_call(
-        kernel_b,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((M, tile_k), lambda n, kk: (0, kk),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_k, tile_n), lambda n, kk: (kk, n),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tg, 2, tile_n), lambda n, kk: (kk, 0, n),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((M, 2 * tile_n), lambda n, kk: (0, n),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * M * K * N,
-            bytes_accessed=qs.size + s2.size * 4 + M * K * 2 + M * N * 4,
-            transcendentals=0),
-    )
-    fj = jax.jit(lambda xx: f(xx, qs, s2))
-    nbytes = qs.size + s2.size * 4
-    return fj, x, nbytes
-
-
-# --- C: dense bf16 matvec (what XLA does, 2 bytes/wt) — BW reference point
-def build_c():
-    x, q, s = make_data()
-    w = jnp.asarray(np.asarray(q, np.float32), jnp.bfloat16).reshape(K, N)
-    f = jax.jit(lambda xx: jnp.dot(xx, w, preferred_element_type=jnp.float32))
-    return f, x, w.size * 2
-
-
-# --- D: current repo kernel (nmajor, ematmul expansion, f32 scales)
-def build_d():
-    import sys
+# --- repo: the shipped qmm kernel on a Q4_K-shaped QTensor (with min planes)
+def build_repo_qmm():
     sys.path.insert(0, "/root/repo")
     from llama_cpp_test_tpu.ops.qmatmul import qmm
     from llama_cpp_test_tpu.quant.repack import QTensor
+
     x, q, s = make_data()
-    # build a QTensor in the current layout: qs [N/2, K] u8 packed along N
-    qn = np.asarray(q).T  # [N, K]
-    qs = (qn[: N // 2] | (qn[N // 2:] << 4)).astype(np.uint8)
-    srow = np.asarray(s).T.astype(np.float32)  # [N, G]
-    sgm = srow.reshape(2, N // 2, K // GROUP).transpose(0, 2, 1)
+    qn = np.asarray(q)  # [K, N] -> planes packed along N
+    qs = (qn[:, : N // 2] | (qn[:, N // 2:] << 4)).astype(np.uint8)
+    sgm = np.asarray(s).T.reshape(2, N // 2, K // GROUP).transpose(0, 2, 1)
+    mgm = (sgm * 0.1).astype(np.float32)
     qt = QTensor("u4", (N, K), N, GROUP, jnp.asarray(qs),
-                 jnp.asarray(sgm), None, None)
-    f = jax.jit(lambda xx: qmm(xx, qt))
-    return f, x, qs.size + sgm.size * 4
+                 jnp.asarray(sgm, jnp.bfloat16),
+                 jnp.asarray(mgm, jnp.bfloat16), None)
+    nbytes = qs.size + sgm.size * 2 * 2
+    return (lambda xx: qmm(xx, qt)), x, nbytes
 
 
-# --- E: pure HBM read benchmark (upper bound)
+def build_repo_qmm_nomin():
+    sys.path.insert(0, "/root/repo")
+    from llama_cpp_test_tpu.ops.qmatmul import qmm
+    from llama_cpp_test_tpu.quant.repack import QTensor
+
+    x, q, s = make_data()
+    qn = np.asarray(q)
+    qs = (qn[:, : N // 2] | (qn[:, N // 2:] << 4)).astype(np.uint8)
+    sgm = np.asarray(s).T.reshape(2, N // 2, K // GROUP).transpose(0, 2, 1)
+    qt = QTensor("u4", (N, K), N, GROUP, jnp.asarray(qs),
+                 jnp.asarray(sgm, jnp.bfloat16), None, None)
+    nbytes = qs.size + sgm.size * 2
+    return (lambda xx: qmm(xx, qt)), x, nbytes
+
+
+# --- F: lean u4 kernel — no f32 intermediate, 3D sublane-broadcast scale
+def kernel_f(x_ref, qs_ref, s_ref, o_ref):
+    kk = pl.program_id(2)
+    x = x_ref[...]
+    qs32 = qs_ref[...].astype(jnp.int32)
+    tk, tnp = qs_ref.shape
+    tg = tk // GROUP
+    accs = []
+    for h in range(2):
+        qh = (qs32 & 0xF) if h == 0 else (qs32 >> 4)
+        qf = qh.astype(jnp.bfloat16).reshape(tg, GROUP, tnp)
+        w = (qf * s_ref[h][:, None, :]).reshape(tk, tnp)
+        accs.append(jnp.dot(x, w, preferred_element_type=jnp.float32))
+    upd = jnp.stack(accs, axis=1)
+
+    @pl.when(kk == 0)
+    def _():
+        o_ref[...] = upd
+
+    @pl.when(kk != 0)
+    def _():
+        o_ref[...] = o_ref[...] + upd
+
+
+def build_f(tile_n=256, tile_k=2048):
+    x, q, s = make_data()
+    qn = np.asarray(q)
+    qs = jnp.asarray((qn[:, : N // 2] | (qn[:, N // 2:] << 4)).astype(np.uint8))
+    sgm = jnp.asarray(
+        np.asarray(s).T.reshape(2, N // 2, K // GROUP).transpose(0, 2, 1),
+        jnp.bfloat16)
+    npk = N // 2
+    tg = tile_k // GROUP
+    grid = (1, npk // tile_n, K // tile_k)
+    f = pl.pallas_call(
+        kernel_f,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((M, tile_k), lambda mm, n, kk: (mm, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_k, tile_n), lambda mm, n, kk: (kk, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, tg, tile_n), lambda mm, n, kk: (0, kk, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M, 2, tile_n), lambda mm, n, kk: (mm, 0, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, 2, npk), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * K * N, bytes_accessed=qs.size + sgm.size * 2,
+            transcendentals=0),
+    )
+    return (lambda xx: f(xx, qs, sgm)), x, qs.size + sgm.size * 2
+
+
+# --- G: native int4 dtype — Mosaic unpacks, cast to bf16 in kernel
+def kernel_g(x_ref, qs_ref, s_ref, o_ref):
+    kk = pl.program_id(2)
+    x = x_ref[...]
+    tk, tn = qs_ref.shape
+    tg = tk // GROUP
+    qf = qs_ref[...].astype(jnp.bfloat16).reshape(tg, GROUP, tn)
+    w = (qf * s_ref[...][:, None, :]).reshape(tk, tn)
+    upd = jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+    @pl.when(kk == 0)
+    def _():
+        o_ref[...] = upd
+
+    @pl.when(kk != 0)
+    def _():
+        o_ref[...] = o_ref[...] + upd
+
+
+def build_g(tile_n=512, tile_k=2048):
+    x, q, s = make_data()
+    qs = jnp.asarray(np.asarray(q, np.int8) - 8, jnp.int4)  # [K, N]
+    sg = jnp.asarray(np.asarray(s), jnp.bfloat16)           # [G, N]
+    tg = tile_k // GROUP
+    grid = (1, N // tile_n, K // tile_k)
+    f = pl.pallas_call(
+        kernel_g,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((M, tile_k), lambda mm, n, kk: (mm, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_k, tile_n), lambda mm, n, kk: (kk, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tg, tile_n), lambda mm, n, kk: (kk, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M, tile_n), lambda mm, n, kk: (mm, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * K * N, bytes_accessed=K * N // 2 + sg.size * 2,
+            transcendentals=0),
+    )
+    return (lambda xx: f(xx, qs, sg)), x, K * N // 2 + sg.size * 2
+
+
+# --- H: int8 weight plane (Q8_0-like), direct int8->bf16
+def kernel_h(x_ref, qs_ref, s_ref, o_ref):
+    kk = pl.program_id(2)
+    x = x_ref[...]
+    tk, tn = qs_ref.shape
+    tg = tk // GROUP
+    qf = qs_ref[...].astype(jnp.bfloat16).reshape(tg, GROUP, tn)
+    w = (qf * s_ref[...][:, None, :]).reshape(tk, tn)
+    upd = jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+    @pl.when(kk == 0)
+    def _():
+        o_ref[...] = upd
+
+    @pl.when(kk != 0)
+    def _():
+        o_ref[...] = o_ref[...] + upd
+
+
+def build_h(tile_n=256, tile_k=2048):
+    x, q, s = make_data()
+    qs = jnp.asarray(np.asarray(q, np.int8))  # [K, N] int8
+    sg = jnp.asarray(np.asarray(s), jnp.bfloat16)
+    tg = tile_k // GROUP
+    grid = (1, N // tile_n, K // tile_k)
+    f = pl.pallas_call(
+        kernel_h,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((M, tile_k), lambda mm, n, kk: (mm, kk),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_k, tile_n), lambda mm, n, kk: (kk, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tg, tile_n), lambda mm, n, kk: (kk, n),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M, tile_n), lambda mm, n, kk: (mm, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * K * N, bytes_accessed=qs.size + sg.size * 2,
+            transcendentals=0),
+    )
+    return (lambda xx: f(xx, qs, sg)), x, qs.size + sg.size * 2
+
+
+# --- C: dense bf16 matvec (XLA) — 2 bytes/weight bandwidth reference
+def build_c():
+    x, q, s = make_data()
+    w = jnp.asarray(np.asarray(q, np.float32), jnp.bfloat16).reshape(K, N)
+    return (lambda xx: jnp.dot(xx, w, preferred_element_type=jnp.float32)), \
+        x, w.size * 2
+
+
+# --- E: raw HBM streaming upper bound (pallas reduce over bytes)
 def build_e():
     nb = K * N // 2 + (K // GROUP) * N * 2
-    a = jnp.zeros((nb // 1024, 1024), jnp.uint8)
-
-    def k(a_ref, o_ref):
-        o_ref[0, 0] = jnp.sum(a_ref[:].astype(jnp.int32))
-
+    rows = nb // 1024
+    a = jnp.zeros((rows, 1024), jnp.uint8)
     tile = 512
+
+    def kern(x_ref, a_ref, o_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            o_ref[...] = jnp.zeros_like(o_ref)
+
+        o_ref[...] += jnp.sum(a_ref[...].astype(jnp.float32), axis=0,
+                              keepdims=True)[:, :128] + x_ref[0, 0]
+
     f = pl.pallas_call(
-        lambda a_ref, o_ref: k(a_ref, o_ref),
-        grid=(a.shape[0] // tile,),
-        in_specs=[pl.BlockSpec((tile, 1024), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
-                               memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        kern,
+        grid=(rows // tile,),
+        in_specs=[
+            pl.BlockSpec((1, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1024), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
     )
-    fj = jax.jit(lambda: f(a))
-    return (lambda _: fj()), jnp.zeros(()), a.size
+    x0 = jnp.zeros((1, 128), jnp.float32)
+    return (lambda xx: f(xx, a)), x0, a.size
 
 
 def main():
-    print(f"shape: M={M} K={K} N={N} group={GROUP}")
+    print(f"shape: M={M} K={K} N={N} group={GROUP}  ({N_ITER} iters/dispatch)")
     for name, builder in [
-        ("E: raw HBM read", build_e),
+        ("E: raw HBM stream (upper bound)", build_e),
         ("C: dense bf16 matvec (XLA)", build_c),
-        ("A: kmajor u4+bf16 scales, bf16 MXU", build_a),
-        ("B: kmajor u4, per-group batched dot", build_b),
-        ("D: current repo qmm (ematmul)", build_d),
+        ("repo: qmm u4+min (Q4_K planes)", build_repo_qmm),
+        ("repo: qmm u4 no-min (Q4_0 planes)", build_repo_qmm_nomin),
+        ("F: lean u4 (no f32 mid, 3D scale bcast)", build_f),
+        ("G: native int4 dtype", build_g),
+        ("H: int8 plane, direct int8->bf16", build_h),
     ]:
         try:
             f, x, nbytes = builder()
-            dt = timeit(f, x)
+            dt = time_device(f, x)
             report(name, dt, nbytes)
         except Exception as e:
-            print(f"{name:40s} FAILED: {type(e).__name__}: "
-                  f"{str(e).splitlines()[0][:120]}")
+            print(f"{name:44s} FAILED: {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:110]}", flush=True)
 
 
 if __name__ == "__main__":
