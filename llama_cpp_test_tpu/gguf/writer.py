@@ -94,6 +94,9 @@ class GGUFWriter:
     def add_kv(self, key: str, value: Any, vtype: GGUFValueType | None = None) -> None:
         if vtype is None:
             vtype = _infer_vtype(value)
+        # last write wins: the reference's gguf.cpp rejects files with
+        # duplicate keys outright (gguf_init_from_file "Duplicate key")
+        self._kv = [(k, t, v) for (k, t, v) in self._kv if k != key]
         self._kv.append((key, vtype, value))
 
     # -- tensors -------------------------------------------------------------
