@@ -61,6 +61,13 @@ class HParams:
     # :11846). NORM-layout Q/K rows are un-permuted at load so device compute
     # always runs the lane-friendly half-split rotation (models/llama.py).
     rope_type: str = "norm"
+    # phi2/falcon-family quirks (reference llm_build_phi2):
+    # parallel residual x + attn(norm(x)) + ffn(norm(x)) with ONE shared norm
+    parallel_residual: bool = False
+    # input/output norm flavor: 'rms' (llama) or 'ln' (LayerNorm with bias)
+    norm_type: str = "rms"
+    # gated FFN (SwiGLU/GeGLU) vs plain up->act->down (phi2)
+    ffn_gated: bool = True
 
     @property
     def n_embd_head(self) -> int:
@@ -93,7 +100,8 @@ def hparams_from_metadata(md: dict) -> HParams:
         n_vocab = len(toks) if toks is not None else 32000
     scaling = str(md.get(f"{arch}.rope.scaling.type", "none") or "none")
     neox_arches = {"falcon", "grok", "dbrx", "bert", "nomic-bert", "stablelm",
-                   "bitnet", "qwen", "qwen2", "qwen2moe", "olmo2", "olmoe",
+                   "bitnet", "qwen", "qwen2", "qwen2moe", "qwen3", "qwen3moe",
+                   "olmo2", "olmoe",
                    "phi2", "phi3", "phimoe", "gemma", "gemma2", "gemma3",
                    "starcoder2", "openelm", "gptneox", "codeshell", "nemotron",
                    "exaone", "minicpm3"}
@@ -114,6 +122,9 @@ def hparams_from_metadata(md: dict) -> HParams:
     if (arch == "gemma2" and n_layer == 46) or \
             (arch == "gemma3" and n_layer == 62):
         attn_scale = 1.0 / _math.sqrt(n_embd / max(n_head, 1))
+    # phi2 stores a plain layer_norm_epsilon (LayerNorm arch); reuse rms_eps
+    eps = g("attention.layer_norm_rms_epsilon",
+            g("attention.layer_norm_epsilon", 1e-5))
     hp = HParams(
         arch=arch,
         n_vocab=n_vocab,
@@ -124,7 +135,7 @@ def hparams_from_metadata(md: dict) -> HParams:
         n_head_kv=g("attention.head_count_kv", n_head),
         n_ff=g("feed_forward_length", 11008),
         head_dim=head_dim,
-        rms_eps=g("attention.layer_norm_rms_epsilon", 1e-5),
+        rms_eps=eps,
         rope_dim=g("rope.dimension_count", head_dim),
         rope_freq_base=g("rope.freq_base", 10000.0),
         rope_scaling=scaling,
@@ -140,7 +151,10 @@ def hparams_from_metadata(md: dict) -> HParams:
                             if arch == "gemma3" else 0.0),
         attn_scale=attn_scale,
         rope_type=rope_type,
-        act_fn="gelu" if gemma_like else "silu",
+        parallel_residual=arch == "phi2",
+        norm_type="ln" if arch == "phi2" else "rms",
+        ffn_gated=arch != "phi2",
+        act_fn="gelu" if (gemma_like or arch == "phi2") else "silu",
         embd_scale=_math.sqrt(n_embd) if gemma_like else 1.0,
         attn_softcap=g("attn_logit_softcapping",
                        50.0 if arch == "gemma2" else 0.0),

@@ -86,6 +86,12 @@ class LayerWeights:
     bq: jax.Array | None = None
     bk: jax.Array | None = None
     bv: jax.Array | None = None
+    # phi2-family (parallel residual) extras: LayerNorm bias for attn_norm,
+    # plus projection biases on attn_output / ffn_up / ffn_down
+    attn_norm_b: jax.Array | None = None
+    bo: jax.Array | None = None
+    b_up: jax.Array | None = None
+    b_down: jax.Array | None = None
     # optional per-head Q/K RMS norms (gemma3/qwen3-style, [head_dim])
     attn_q_norm: jax.Array | None = None
     attn_k_norm: jax.Array | None = None
@@ -117,6 +123,9 @@ class LlamaWeights:
     # SWA layers, reference llama-model.cpp:888/:7572); equals rope_inv_freq
     # for every other arch
     rope_inv_freq_swa: jax.Array | None = None
+    # phi2-family: LayerNorm bias on the final norm + LM-head bias
+    output_norm_b: jax.Array | None = None
+    output_b: jax.Array | None = None
 
     def inv_freq_for(self, window: int) -> jax.Array:
         """Per-layer rope table: the SWA table when the layer is sliding."""
@@ -214,6 +223,9 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
     """
     if hp is None:
         hp = hparams_from_metadata(reader.metadata)
+    from .registry import get_arch
+
+    get_arch(hp.arch)  # refuse archs with no implemented forward pass
     t = reader.tensors
     if tp > 1:
         from ..parallel.sharding import repack_sharded, shard_qtensor_cols
@@ -243,16 +255,52 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
         q_perm = _unpermute_rows(hp.n_head, hp.head_dim)
         k_perm = _unpermute_rows(hp.n_head_kv, hp.head_dim)
 
+    def split_qkv(i: int):
+        """GGUF fused attn_qkv rows [q; k; v] -> three QTensors (phi2-style
+        checkpoints; reference llm_load_tensors wqkv-optional path). Block
+        quantization is per-row, so the split is a packed byte-row slice."""
+        p = f"blk.{i}."
+        info = reader.tensors[p + "attn_qkv.weight"]
+        k, n = info.shape[0], info.shape[1]
+        raw = reader.tensor_bytes(p + "attn_qkv.weight")
+        row_bytes = raw.size // n
+        rows = raw.reshape(n, row_bytes)
+        n_q = hp.n_head * hp.head_dim
+        n_kv = hp.n_head_kv * hp.head_dim
+        mk = lambda lo, hi: repack(np.ascontiguousarray(rows[lo:hi]),
+                                   info.ggml_type, hi - lo, k)
+        return mk(0, n_q), mk(n_q, n_q + n_kv), mk(n_q + n_kv, n_q + 2 * n_kv)
+
     def layer(i: int) -> LayerWeights:
         p = f"blk.{i}."
+        fused_src = p + "attn_qkv.weight" in t
+        if fused_src:
+            wq, wk, wv = split_qkv(i)
+        else:
+            wq = col(p + "attn_q.weight", q_perm)
+            wk = col(p + "attn_k.weight", k_perm)
+            wv = col(p + "attn_v.weight")
         lw = LayerWeights(
             attn_norm=_f32(reader, p + "attn_norm.weight"),
-            wq=col(p + "attn_q.weight", q_perm),
-            wk=col(p + "attn_k.weight", k_perm),
-            wv=col(p + "attn_v.weight"),
+            wq=wq, wk=wk, wv=wv,
             wo=row(p + "attn_output.weight"),
-            ffn_norm=_f32(reader, p + "ffn_norm.weight"),
+            ffn_norm=(_f32(reader, p + "ffn_norm.weight")
+                      if p + "ffn_norm.weight" in t else None),
         )
+        if p + "attn_norm.bias" in t:
+            lw.attn_norm_b = _f32(reader, p + "attn_norm.bias")
+        for bname, attr in (("attn_output.bias", "bo"),
+                            ("ffn_up.bias", "b_up"),
+                            ("ffn_down.bias", "b_down")):
+            if p + bname in t:
+                setattr(lw, attr, _f32(reader, p + bname))
+        if p + "attn_qkv.bias" in t:
+            bias = _f32(reader, p + "attn_qkv.bias")
+            n_q = hp.n_head * hp.head_dim
+            n_kv = hp.n_head_kv * hp.head_dim
+            lw.bq = bias[:n_q]
+            lw.bk = bias[n_q:n_q + n_kv]
+            lw.bv = bias[n_q + n_kv:n_q + 2 * n_kv]
         if tp == 1:
             lw.wqkv = fuse_qtensors([lw.wq, lw.wk, lw.wv])
             if lw.wqkv is not None:
@@ -263,7 +311,7 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
             lw.up_exps = _repack_3d(reader, p + "ffn_up_exps.weight", tp)
             lw.down_exps = _repack_3d(reader, p + "ffn_down_exps.weight",
                                       tp, mode="row")
-        else:
+        elif p + "ffn_gate.weight" in t:
             lw.w_gate = col(p + "ffn_gate.weight")
             lw.w_up = col(p + "ffn_up.weight")
             lw.w_down = row(p + "ffn_down.weight")
@@ -271,6 +319,9 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
                 lw.w_gateup = fuse_qtensors([lw.w_gate, lw.w_up])
                 if lw.w_gateup is not None:
                     lw.w_gate = lw.w_up = None
+        else:  # non-gated FFN (phi2): up -> act -> down
+            lw.w_up = col(p + "ffn_up.weight")
+            lw.w_down = row(p + "ffn_down.weight")
         for bname, attr, perm in (("attn_q.bias", "bq", q_perm),
                                   ("attn_k.bias", "bk", k_perm),
                                   ("attn_v.bias", "bv", None)):
@@ -317,6 +368,10 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
         rope_inv_freq=np.asarray(inv_freq),
         rope_mscale=float(mscale),
         rope_inv_freq_swa=inv_freq_swa,
+        output_norm_b=(_f32(reader, "output_norm.bias")
+                       if "output_norm.bias" in t else None),
+        output_b=(_f32(reader, "output.bias")
+                  if "output.bias" in t else None),
     )
     return hp, w
 
@@ -463,6 +518,10 @@ def forward_layer(
     # local head counts under tensor parallelism (weights column-sharded)
     h, kvh, d = hp.n_head // tp, hp.n_head_kv // tp, hp.head_dim
 
+    if hp.parallel_residual:
+        return _forward_layer_parallel(x, lw, hp, positions, inv_freq,
+                                       mscale, attend, tp_axis, tp)
+
     lora = lw.lora or {}
     cur = layers.rms_norm(x, lw.attn_norm, hp.rms_eps)
     q, k, v = qkv_proj(cur, lw, h * d, kvh * d)
@@ -510,6 +569,48 @@ def forward_layer(
     return x
 
 
+def _forward_layer_parallel(x, lw, hp, positions, inv_freq, mscale, attend,
+                            tp_axis=None, tp=1):
+    """phi2-family layer: ONE LayerNorm feeds both branches and the residual
+    adds them in parallel — x + attn(ln(x)) + ffn(ln(x)) (reference
+    llm_build_phi2, llama-model.cpp; ffn input is attn_norm_output there
+    too). Partial rotary handled inside apply_rope (rope_dim < head_dim)."""
+    b, tdim, c = x.shape
+    h, kvh, d = hp.n_head // tp, hp.n_head_kv // tp, hp.head_dim
+    cur = layers.layer_norm(x, lw.attn_norm, lw.attn_norm_b, hp.rms_eps)
+    q, k, v = qkv_proj(cur, lw, h * d, kvh * d)
+    if lw.bq is not None:
+        q = q + lw.bq
+    if lw.bk is not None:
+        k = k + lw.bk
+    if lw.bv is not None:
+        v = v + lw.bv
+    q = q.reshape(b, tdim, h, d)
+    k = k.reshape(b, tdim, kvh, d)
+    v = v.reshape(b, tdim, kvh, d)
+    q = layers.apply_rope(q, positions, inv_freq, mscale)
+    k = layers.apply_rope(k, positions, inv_freq, mscale)
+    attn_out = attend(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                      v.astype(jnp.bfloat16))
+    o = linear(attn_out.reshape(b, tdim, h * d), lw.wo,
+               out_dtype=jnp.float32)
+    if tp_axis is not None:
+        o = jax.lax.psum(o, tp_axis)
+    if lw.bo is not None:
+        o = o + lw.bo
+    u = linear(cur, lw.w_up, out_dtype=jnp.float32)
+    if lw.b_up is not None:
+        u = u + lw.b_up
+    act = jax.nn.gelu(u, approximate=True) if hp.act_fn == "gelu" \
+        else jax.nn.silu(u)
+    ffn = linear(act.astype(jnp.bfloat16), lw.w_down, out_dtype=jnp.float32)
+    if tp_axis is not None:
+        ffn = jax.lax.psum(ffn, tp_axis)
+    if lw.b_down is not None:
+        ffn = ffn + lw.b_down
+    return x + (o + ffn).astype(x.dtype)
+
+
 def embed(w: LlamaWeights, tokens: jax.Array,
           scale: float = 1.0) -> jax.Array:
     e = qgather(tokens, w.tok_embd, dtype=jnp.bfloat16)
@@ -523,11 +624,16 @@ def lm_head(w: LlamaWeights, hp: HParams, x: jax.Array,
     """Final norm + output projection -> f32 logits [.., n_vocab].
     Under TP the head is column-sharded over the vocab; local logits are
     all-gathered (tiled) so every device returns full [.., n_vocab]."""
-    x = layers.rms_norm(x, w.output_norm, hp.rms_eps)
+    if hp.norm_type == "ln":
+        x = layers.layer_norm(x, w.output_norm, w.output_norm_b, hp.rms_eps)
+    else:
+        x = layers.rms_norm(x, w.output_norm, hp.rms_eps)
     logits = linear(x, w.output, out_dtype=jnp.float32)
     if tp_axis is not None:
         logits = jax.lax.all_gather(logits, tp_axis, axis=x.ndim - 1,
                                     tiled=True)
+    if w.output_b is not None:  # phi2 LM-head bias
+        logits = logits + w.output_b
     if hp.final_softcap > 0:  # gemma2 final logit softcapping
         logits = jnp.tanh(logits / hp.final_softcap) * hp.final_softcap
     return logits

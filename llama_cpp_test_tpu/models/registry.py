@@ -1,15 +1,27 @@
 """Architecture registry (the llama-arch.{h,cpp} analogue).
 
-Maps GGUF `general.architecture` strings to model builders. The reference
-enumerates 60 architectures (llama-arch.h:12-72); here each entry declares
-which forward-pass family serves it plus arch-specific quirks. The llama
-family (llama/mistral/mixtral/tinyllama) is first-class per BASELINE; more
-entries register with @register_arch.
+Maps GGUF `general.architecture` strings to model-forward families. The
+reference enumerates 60 architectures (llama-arch.h:12-72); this registry
+lists ONLY architectures whose forward pass is actually implemented and
+tested here — loading an unlisted arch raises instead of silently running
+the wrong math (models/llama.py load_weights enforces this).
+
+Families:
+  "llama"  — pre-norm sequential residual: RMSNorm -> QKV(+bias) -> RoPE ->
+             attn -> residual -> RMSNorm -> gated FFN (SwiGLU/GeGLU) or MoE
+             -> residual. Quirk axes handled by hparams/LayerWeights: rope
+             type (norm/neox), GQA, per-head QK norms (qwen3/gemma3),
+             sandwich norms + softcaps + SWA patterns (gemma2/3), embedding
+             scale (gemma), attention biases (qwen2), MoE routing (mixtral).
+             (reference llm_build_llama, llama-model.cpp:4037-4198)
+  "phi2"   — parallel residual: ONE LayerNorm feeds both attention and a
+             non-gated GELU FFN, x + attn(ln(x)) + ffn(ln(x)); partial
+             rotary (rope_dim < head_dim); biases everywhere incl. the LM
+             head. (reference llm_build_phi2, llama-model.cpp)
 """
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable
 
 
 @dataclasses.dataclass(frozen=True)
@@ -28,35 +40,38 @@ def register_arch(spec: ArchSpec) -> ArchSpec:
     return spec
 
 
-for _name in ("llama", "llama4", "mistral", "mixtral", "granite", "deci",
-              "minicpm", "cohere2", "deepseek", "deepseek2", "baichuan",
-              "orion", "internlm2", "xverse", "command-r", "olmo", "arctic",
-              "chatglm", "chameleon"):
+# llama family proper (tests: test_engine, test_reference_parity, llama.cpp
+# cross-engine parity; mixtral MoE: test_parallel MoE forward + dryrun)
+for _name in ("llama", "mistral", "mixtral"):
     register_arch(ArchSpec(_name, family="llama", rope_type="norm"))
 
-for _name in ("qwen2", "qwen2moe", "qwen", "stablelm", "starcoder2", "phi3",
-              "phi2", "phimoe", "olmo2", "olmoe",
-              "nemotron", "exaone", "minicpm3", "falcon", "grok", "dbrx",
-              "gptneox", "codeshell", "openelm", "bitnet"):
-    register_arch(ArchSpec(_name, family="llama", rope_type="neox"))
+# qwen2: llama + attention biases, neox rope (test_arch_quirks)
+register_arch(ArchSpec("qwen2", family="llama", rope_type="neox",
+                       notes="attn-bias"))
 
-# qwen3: llama-style + per-head Q/K RMS norms (attn_q_norm/attn_k_norm
-# tensors, handled by models/llama.py forward_layer)
-for _name in ("qwen3", "qwen3moe"):
-    register_arch(ArchSpec(_name, family="llama", rope_type="neox",
-                           notes="qk-norm"))
+# qwen3: qwen2 + per-head Q/K RMS norms (test_arch_quirks)
+register_arch(ArchSpec("qwen3", family="llama", rope_type="neox",
+                       notes="qk-norm"))
 
 # gemma family: GeGLU + sqrt(n_embd) embedding scale; gemma2 adds sandwich
 # norms, attn/final logit softcapping and alternating SWA; gemma3 adds
-# qk-norms and 5:1 local/global SWA (models/hparams.py quirk fields)
+# qk-norms and 5:1 local/global SWA with its own local rope base
+# (test_arch_quirks gemma2 suite covers the union of these quirk paths)
 for _name in ("gemma", "gemma2", "gemma3"):
     register_arch(ArchSpec(_name, family="llama", rope_type="neox",
                            notes="gelu, embd-scale, softcap, swa-pattern"))
+
+# phi2: parallel-residual family (test_arch_quirks phi2 suite)
+register_arch(ArchSpec("phi2", family="phi2", rope_type="neox",
+                       notes="parallel-residual, layernorm, partial-rope"))
 
 
 def get_arch(name: str) -> ArchSpec:
     spec = ARCHITECTURES.get(name)
     if spec is None:
         raise ValueError(
-            f"unknown architecture {name!r}; known: {sorted(ARCHITECTURES)}")
+            f"architecture {name!r} has no implemented forward pass; "
+            f"implemented: {sorted(ARCHITECTURES)}. (The reference maps 60 "
+            "arch names — entries are added here only once their forward "
+            "math exists and is tested, llama-arch.h:12-72.)")
     return spec

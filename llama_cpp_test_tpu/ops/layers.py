@@ -23,6 +23,19 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     return (xf * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)).astype(x.dtype)
 
 
+def layer_norm(x: jax.Array, weight: jax.Array, bias: jax.Array | None,
+               eps: float) -> jax.Array:
+    """Mean-centered LayerNorm with optional bias (phi2/falcon-style archs —
+    reference build_norm with LLM_NORM, llama-graph.cpp)."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) * (xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 # -- RoPE --------------------------------------------------------------------
 
 
@@ -65,21 +78,26 @@ def rope_freqs(hp: HParams) -> tuple[jax.Array, float]:
 
 def apply_rope(x: jax.Array, positions: jax.Array, inv_freq: jax.Array,
                mscale: float = 1.0) -> jax.Array:
-    """NEOX-style rotary embedding.
+    """NEOX-style rotary embedding, partial when rope_dim < head_dim.
 
-    x: [..., T, H, D]; positions: [..., T]. Rotates pairs (i, i+D/2) —
-    the GGML_ROPE_TYPE_NEOX convention used by llama-family models.
-    """
+    x: [..., T, H, D]; positions: [..., T]. Rotates pairs (i, i+R/2) within
+    the first R = 2*len(inv_freq) dims, passing the rest through unchanged —
+    the GGML_ROPE_TYPE_NEOX convention incl. phi2's partial rotary
+    (reference ggml rope with n_rot < n_embd_head)."""
     d = x.shape[-1]
-    half = d // 2
+    half = inv_freq.shape[-1]
+    rot = 2 * half
     theta = positions[..., None].astype(jnp.float32) * inv_freq  # [..., T, half]
     cos = (jnp.cos(theta) * mscale)[..., None, :]  # [..., T, 1, half]
     sin = (jnp.sin(theta) * mscale)[..., None, :]
     x1 = x[..., :half].astype(jnp.float32)
-    x2 = x[..., half:].astype(jnp.float32)
+    x2 = x[..., half:rot].astype(jnp.float32)
     o1 = x1 * cos - x2 * sin
     o2 = x2 * cos + x1 * sin
-    return jnp.concatenate([o1, o2], axis=-1).astype(x.dtype)
+    parts = [o1, o2]
+    if rot < d:
+        parts.append(x[..., rot:].astype(jnp.float32))
+    return jnp.concatenate(parts, axis=-1).astype(x.dtype)
 
 
 def swiglu(gate: jax.Array, up: jax.Array, act: str = "silu") -> jax.Array:

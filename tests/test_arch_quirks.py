@@ -207,3 +207,350 @@ def test_gemma2_decode_matches_prefill(tmp_path):
     for t in tokens[1:]:
         rows.append(ctx_b.decode([s], [t])[0])
     assert nmse(np.stack(rows), ref[1:]) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# phi2: parallel residual, LayerNorm+bias, partial rotary, non-gated GELU FFN
+
+
+PHI_HP = dict(n_vocab=199, n_embd=64, n_head=4, n_head_kv=4, head_dim=16,
+              n_layer=2, n_ff=128, rope_base=10000.0, eps=1e-5, n_rot=8)
+
+
+def make_tiny_phi2(path, seed=0, fused_qkv=True):
+    from llama_cpp_test_tpu.gguf.constants import GGMLType
+    from llama_cpp_test_tpu.gguf.writer import GGUFWriter
+
+    rng = np.random.default_rng(seed)
+    hp = PHI_HP
+    c, hq, d = hp["n_embd"], hp["n_head"], hp["head_dim"]
+    v, ff, L = hp["n_vocab"], hp["n_ff"], hp["n_layer"]
+
+    def rand(*shape, s=0.08):
+        return (rng.standard_normal(shape) * s).astype(np.float32)
+
+    wts = {
+        "token_embd.weight": rand(v, c, s=0.3),
+        "output_norm.weight": 1.0 + rand(c, s=0.05),
+        "output_norm.bias": rand(c, s=0.05),
+        "output.weight": rand(v, c, s=0.2),
+        "output.bias": rand(v, s=0.05),
+    }
+    for i in range(L):
+        p = f"blk.{i}."
+        wts[p + "attn_norm.weight"] = 1.0 + rand(c, s=0.05)
+        wts[p + "attn_norm.bias"] = rand(c, s=0.05)
+        wts[p + "attn_qkv.weight"] = rand(3 * hq * d, c)
+        wts[p + "attn_qkv.bias"] = rand(3 * hq * d, s=0.05)
+        wts[p + "attn_output.weight"] = rand(c, hq * d)
+        wts[p + "attn_output.bias"] = rand(c, s=0.05)
+        wts[p + "ffn_up.weight"] = rand(ff, c)
+        wts[p + "ffn_up.bias"] = rand(ff, s=0.05)
+        wts[p + "ffn_down.weight"] = rand(c, ff)
+        wts[p + "ffn_down.bias"] = rand(c, s=0.05)
+
+    w = GGUFWriter(path, arch="phi2")
+    md = {
+        "phi2.context_length": 256,
+        "phi2.embedding_length": c,
+        "phi2.block_count": L,
+        "phi2.attention.head_count": hq,
+        "phi2.attention.head_count_kv": hq,
+        "phi2.attention.key_length": d,
+        "phi2.attention.value_length": d,
+        "phi2.feed_forward_length": ff,
+        "phi2.rope.dimension_count": hp["n_rot"],
+        "phi2.rope.freq_base": hp["rope_base"],
+        "phi2.attention.layer_norm_epsilon": hp["eps"],
+        "phi2.vocab_size": v,
+    }
+    toks, scores, types = tiny_vocab(v)
+    md.update({
+        "tokenizer.ggml.model": "llama",
+        "tokenizer.ggml.tokens": toks,
+        "tokenizer.ggml.scores": np.asarray(scores, np.float32),
+        "tokenizer.ggml.token_type": np.asarray(types, np.int32),
+        "tokenizer.ggml.bos_token_id": 1,
+        "tokenizer.ggml.eos_token_id": 2,
+        "tokenizer.ggml.unknown_token_id": 0,
+        "tokenizer.ggml.add_bos_token": False,
+    })
+    from llama_cpp_test_tpu.gguf.constants import GGMLType
+    for key, val in md.items():
+        w.add_kv(key, val)
+    for name, arr in wts.items():
+        w.add_tensor(name, arr, ggml_type=GGMLType.F32)
+    w.write()
+    return wts
+
+
+def ref_forward_phi2(wts, tokens):
+    """Independent float64 reference: parallel residual, LN+bias, partial
+    neox rope over the first n_rot dims, gelu-tanh FFN, biased head."""
+    hp = PHI_HP
+    c, hq, d, L = hp["n_embd"], hp["n_head"], hp["head_dim"], hp["n_layer"]
+    eps, n_rot = hp["eps"], hp["n_rot"]
+
+    def ln(x, wv, bv):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        return (x - mu) / np.sqrt(var + eps) * wv + bv
+
+    def rope(x, pos):
+        half = n_rot // 2
+        inv = hp["rope_base"] ** (-2.0 * np.arange(half) / n_rot)
+        th = pos[:, None] * inv[None, :]
+        cos, sin = np.cos(th)[:, None, :], np.sin(th)[:, None, :]
+        x1, x2, rest = x[..., :half], x[..., half:n_rot], x[..., n_rot:]
+        return np.concatenate(
+            [x1 * cos - x2 * sin, x2 * cos + x1 * sin, rest], -1)
+
+    def gelu_tanh(g):
+        return 0.5 * g * (1.0 + np.tanh(
+            math.sqrt(2.0 / math.pi) * (g + 0.044715 * g ** 3)))
+
+    T = len(tokens)
+    x = wts["token_embd.weight"][tokens].astype(np.float64)
+    pos = np.arange(T, dtype=np.float64)
+    for i in range(L):
+        p = f"blk.{i}."
+        cur = ln(x, wts[p + "attn_norm.weight"], wts[p + "attn_norm.bias"])
+        qkv = cur @ wts[p + "attn_qkv.weight"].T + wts[p + "attn_qkv.bias"]
+        q = qkv[:, : hq * d].reshape(T, hq, d)
+        k = qkv[:, hq * d: 2 * hq * d].reshape(T, hq, d)
+        vv = qkv[:, 2 * hq * d:].reshape(T, hq, d)
+        q, k = rope(q, pos), rope(k, pos)
+        out = np.zeros((T, hq, d))
+        for h in range(hq):
+            logits = (q[:, h] @ k[:, h].T) / math.sqrt(d)
+            mask = np.tril(np.ones((T, T), bool))
+            logits = np.where(mask, logits, -1e30)
+            pr = np.exp(logits - logits.max(-1, keepdims=True))
+            pr /= pr.sum(-1, keepdims=True)
+            out[:, h] = pr @ vv[:, h]
+        o = out.reshape(T, hq * d) @ wts[p + "attn_output.weight"].T \
+            + wts[p + "attn_output.bias"]
+        u = cur @ wts[p + "ffn_up.weight"].T + wts[p + "ffn_up.bias"]
+        ffn = gelu_tanh(u) @ wts[p + "ffn_down.weight"].T \
+            + wts[p + "ffn_down.bias"]
+        x = x + o + ffn  # parallel residual
+    x = ln(x, wts["output_norm.weight"], wts["output_norm.bias"])
+    return x @ wts["output.weight"].T + wts["output.bias"]
+
+
+def test_phi2_hparams_parsed(tmp_path):
+    from llama_cpp_test_tpu.models.hparams import hparams_from_metadata
+    from llama_cpp_test_tpu.gguf.reader import GGUFReader
+
+    path = str(tmp_path / "p2.gguf")
+    make_tiny_phi2(path)
+    with GGUFReader(path) as r:
+        hp = hparams_from_metadata(r.metadata)
+    assert hp.parallel_residual
+    assert hp.norm_type == "ln"
+    assert not hp.ffn_gated
+    assert hp.rope_dim == PHI_HP["n_rot"]
+    assert hp.rope_type == "neox"
+
+
+def test_phi2_prefill_matches_reference(tmp_path):
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    path = str(tmp_path / "p2.gguf")
+    wts = make_tiny_phi2(path)
+    tokens = [3, 17, 42, 9, 88, 123, 6, 54]
+    ref = ref_forward_phi2(wts, tokens)
+    m = Model(path)
+    ctx = Context(m, n_ctx=64, n_seq_max=1, block_size=8)
+    got = ctx.prefill(ctx.new_seq(), tokens, all_logits=True)
+    assert got.shape == (len(tokens), PHI_HP["n_vocab"])
+    assert nmse(ref, got) < 2e-3, nmse(ref, got)
+    assert np.argmax(ref[-1]) == np.argmax(got[-1])
+
+
+def test_phi2_decode_matches_prefill(tmp_path):
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    path = str(tmp_path / "p2.gguf")
+    make_tiny_phi2(path)
+    m = Model(path)
+    tokens = [3, 17, 42, 9, 88]
+    ctx_a = Context(m, n_ctx=64, n_seq_max=1, block_size=8)
+    ref = ctx_a.prefill(ctx_a.new_seq(), tokens, all_logits=True)
+    ctx_b = Context(m, n_ctx=64, n_seq_max=1, block_size=8)
+    s = ctx_b.new_seq()
+    ctx_b.prefill(s, tokens[:1])
+    rows = [ctx_b.decode([s], [t])[0] for t in tokens[1:]]
+    assert nmse(np.stack(rows), ref[1:]) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# qwen2/qwen3: neox rope + attention biases (+ per-head qk-norms for qwen3)
+
+
+def make_tiny_qwen(path, arch="qwen2", seed=0):
+    from llama_cpp_test_tpu.gguf.constants import GGMLType
+    from llama_cpp_test_tpu.gguf.writer import GGUFWriter
+
+    rng = np.random.default_rng(seed)
+    hp = HP
+    c, hq, hkv, d = hp["n_embd"], hp["n_head"], hp["n_head_kv"], hp["head_dim"]
+    v, ff, L = hp["n_vocab"], hp["n_ff"], hp["n_layer"]
+    qk_norm = arch == "qwen3"
+
+    def rand(*shape, s=0.08):
+        return (rng.standard_normal(shape) * s).astype(np.float32)
+
+    wts = {
+        "token_embd.weight": rand(v, c, s=0.3),
+        "output_norm.weight": 1.0 + rand(c, s=0.05),
+        "output.weight": rand(v, c, s=0.2),
+    }
+    for i in range(L):
+        p = f"blk.{i}."
+        wts[p + "attn_norm.weight"] = 1.0 + rand(c, s=0.05)
+        wts[p + "attn_q.weight"] = rand(hq * d, c)
+        wts[p + "attn_k.weight"] = rand(hkv * d, c)
+        wts[p + "attn_v.weight"] = rand(hkv * d, c)
+        wts[p + "attn_output.weight"] = rand(c, hq * d)
+        wts[p + "ffn_norm.weight"] = 1.0 + rand(c, s=0.05)
+        wts[p + "ffn_gate.weight"] = rand(ff, c)
+        wts[p + "ffn_up.weight"] = rand(ff, c)
+        wts[p + "ffn_down.weight"] = rand(c, ff)
+        if qk_norm:
+            wts[p + "attn_q_norm.weight"] = 1.0 + rand(d, s=0.05)
+            wts[p + "attn_k_norm.weight"] = 1.0 + rand(d, s=0.05)
+        else:  # qwen2: attention biases
+            wts[p + "attn_q.bias"] = rand(hq * d, s=0.05)
+            wts[p + "attn_k.bias"] = rand(hkv * d, s=0.05)
+            wts[p + "attn_v.bias"] = rand(hkv * d, s=0.05)
+
+    w = GGUFWriter(path, arch=arch)
+    md = {
+        f"{arch}.context_length": 256,
+        f"{arch}.embedding_length": c,
+        f"{arch}.block_count": L,
+        f"{arch}.attention.head_count": hq,
+        f"{arch}.attention.head_count_kv": hkv,
+        f"{arch}.attention.key_length": d,
+        f"{arch}.feed_forward_length": ff,
+        f"{arch}.rope.dimension_count": d,
+        f"{arch}.rope.freq_base": hp["rope_base"],
+        f"{arch}.attention.layer_norm_rms_epsilon": hp["rms_eps"],
+        f"{arch}.vocab_size": v,
+    }
+    toks, scores, types = tiny_vocab(v)
+    md.update({
+        "tokenizer.ggml.model": "llama",
+        "tokenizer.ggml.tokens": toks,
+        "tokenizer.ggml.scores": np.asarray(scores, np.float32),
+        "tokenizer.ggml.token_type": np.asarray(types, np.int32),
+        "tokenizer.ggml.bos_token_id": 1,
+        "tokenizer.ggml.eos_token_id": 2,
+        "tokenizer.ggml.unknown_token_id": 0,
+        "tokenizer.ggml.add_bos_token": False,
+    })
+    for key, val in md.items():
+        w.add_kv(key, val)
+    for name, arr in wts.items():
+        w.add_tensor(name, arr, ggml_type=GGMLType.F32)
+    w.write()
+    return wts
+
+
+def ref_forward_qwen(wts, tokens, qk_norm=False):
+    """float64 reference: llama decoder, neox rope, biases or qk-norms."""
+    hp = HP
+    c, hq, hkv, d = hp["n_embd"], hp["n_head"], hp["n_head_kv"], hp["head_dim"]
+    L, eps = hp["n_layer"], hp["rms_eps"]
+
+    def rms(x, wv):
+        return x / np.sqrt((x * x).mean(-1, keepdims=True) + eps) * wv
+
+    def rope(x, pos):
+        half = d // 2
+        inv = hp["rope_base"] ** (-2.0 * np.arange(half) / d)
+        th = pos[:, None] * inv[None, :]
+        cos, sin = np.cos(th)[:, None, :], np.sin(th)[:, None, :]
+        x1, x2 = x[..., :half], x[..., half:]
+        return np.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1)
+
+    T = len(tokens)
+    x = wts["token_embd.weight"][tokens].astype(np.float64)
+    pos = np.arange(T, dtype=np.float64)
+    for i in range(L):
+        p = f"blk.{i}."
+        cur = rms(x, wts[p + "attn_norm.weight"])
+        q = cur @ wts[p + "attn_q.weight"].T
+        k = cur @ wts[p + "attn_k.weight"].T
+        vv = cur @ wts[p + "attn_v.weight"].T
+        if p + "attn_q.bias" in wts:
+            q = q + wts[p + "attn_q.bias"]
+            k = k + wts[p + "attn_k.bias"]
+            vv = vv + wts[p + "attn_v.bias"]
+        q = q.reshape(T, hq, d)
+        k = k.reshape(T, hkv, d)
+        vv = vv.reshape(T, hkv, d)
+        if qk_norm:
+            q = rms(q, wts[p + "attn_q_norm.weight"])
+            k = rms(k, wts[p + "attn_k_norm.weight"])
+        q, k = rope(q, pos), rope(k, pos)
+        rep = hq // hkv
+        out = np.zeros((T, hq, d))
+        for h in range(hq):
+            kh, vh = k[:, h // rep], vv[:, h // rep]
+            logits = (q[:, h] @ kh.T) / math.sqrt(d)
+            mask = np.tril(np.ones((T, T), bool))
+            logits = np.where(mask, logits, -1e30)
+            pr = np.exp(logits - logits.max(-1, keepdims=True))
+            pr /= pr.sum(-1, keepdims=True)
+            out[:, h] = pr @ vh
+        x = x + out.reshape(T, hq * d) @ wts[p + "attn_output.weight"].T
+        cur = rms(x, wts[p + "ffn_norm.weight"])
+        g = cur @ wts[p + "ffn_gate.weight"].T
+        u = cur @ wts[p + "ffn_up.weight"].T
+        silu = g / (1.0 + np.exp(-g))
+        x = x + (silu * u) @ wts[p + "ffn_down.weight"].T
+    x = rms(x, wts["output_norm.weight"])
+    return x @ wts["output.weight"].T
+
+
+def test_qwen2_prefill_matches_reference(tmp_path):
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    path = str(tmp_path / "q2.gguf")
+    wts = make_tiny_qwen(path, arch="qwen2")
+    tokens = [3, 17, 42, 9, 88, 123]
+    ref = ref_forward_qwen(wts, tokens)
+    m = Model(path)
+    ctx = Context(m, n_ctx=64, n_seq_max=1, block_size=8)
+    got = ctx.prefill(ctx.new_seq(), tokens, all_logits=True)
+    assert nmse(ref, got) < 2e-3, nmse(ref, got)
+    assert np.argmax(ref[-1]) == np.argmax(got[-1])
+
+
+def test_qwen3_prefill_matches_reference(tmp_path):
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    path = str(tmp_path / "q3.gguf")
+    wts = make_tiny_qwen(path, arch="qwen3")
+    tokens = [3, 17, 42, 9, 88, 123]
+    ref = ref_forward_qwen(wts, tokens, qk_norm=True)
+    m = Model(path)
+    ctx = Context(m, n_ctx=64, n_seq_max=1, block_size=8)
+    got = ctx.prefill(ctx.new_seq(), tokens, all_logits=True)
+    assert nmse(ref, got) < 2e-3, nmse(ref, got)
+    assert np.argmax(ref[-1]) == np.argmax(got[-1])
+
+
+def test_unknown_arch_refused(tmp_path):
+    """Registry honesty: an arch without an implemented forward raises at
+    load instead of silently producing llama logits."""
+    import pytest as _pytest
+
+    from llama_cpp_test_tpu.runtime.engine import Model
+
+    path = str(tmp_path / "dbrx.gguf")
+    make_tiny_qwen(path, arch="dbrx")
+    with _pytest.raises(ValueError, match="no implemented forward"):
+        Model(path)
