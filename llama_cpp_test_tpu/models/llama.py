@@ -410,14 +410,15 @@ def moe_ffn(x: jax.Array, lw: LayerWeights, hp: HParams,
     """Mixtral-style top-k expert routing (build_moe_ffn analogue,
     reference src/llama-graph.cpp build_moe_ffn + GGML_OP_MUL_MAT_ID).
 
-    Dense-per-expert compute with a routing-weight mask: every expert runs as
-    a regular fused qmatmul over all tokens and results are combined with the
-    (mostly zero) routing weights. On TPU this keeps the MXU busy with big
-    static-shape matmuls; a ragged gather path can replace it later.
+    On TPU this uses the grouped kernel (ops/gmm.py): tokens are sorted into
+    tile-aligned per-expert segments and ONE Pallas dispatch per projection
+    streams only the experts the batch actually routed to — compute scales
+    with M*top_k (not E*M) and decode HBM traffic with the chosen-expert
+    union. Off-TPU the dense-masked loop below is the exact XLA fallback.
 
     ep_axis: expert-parallel shard_map axis — the expert stacks hold
     n_expert/ep local experts; each device computes its local experts'
-    masked contribution and the partial outputs are psum'ed over ep_axis
+    contribution and the partial outputs are psum'ed over ep_axis
     (the sharded MUL_MAT_ID the reference lacks, SURVEY.md §2.4).
     """
     b, tdim = x.shape[0], x.shape[1]
@@ -427,25 +428,57 @@ def moe_ffn(x: jax.Array, lw: LayerWeights, hp: HParams,
     topv, topi = jax.lax.top_k(probs, hp.n_expert_used)   # [M, k]
     # normalize selected weights (norm_topk_prob default true for mixtral)
     topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
-    weight = jnp.zeros_like(probs).at[
-        jnp.arange(probs.shape[0])[:, None], topi].set(topv)  # [M, E]
     e_local = hp.n_expert // ep
+    off = jax.lax.axis_index(ep_axis) * e_local \
+        if ep_axis is not None and ep > 1 else 0
+    if _use_pallas():
+        out = _moe_grouped(xf, lw, hp, topi, topv, e_local, off)
+    else:
+        out = _moe_dense_masked(xf, lw, hp, topi, topv, e_local, off)
     if ep_axis is not None and ep > 1:
-        off = jax.lax.axis_index(ep_axis) * e_local
-        weight = jax.lax.dynamic_slice_in_dim(weight, off, e_local, axis=1)
-    out = jnp.zeros((xf.shape[0], hp.n_embd), jnp.float32)
+        out = jax.lax.psum(out, ep_axis)
+    return out.reshape(b, tdim, hp.n_embd)
+
+
+def _moe_grouped(xf, lw, hp, topi, topv, e_local, off):
+    """Grouped-kernel expert compute: route once, reuse the plan for
+    gate/up/down (all three share the same token->expert assignment)."""
+    from ..ops import gmm as gmm_mod
+
+    m = xf.shape[0]
+    r = m * hp.n_expert_used
+    tile_m = 8 if r <= 256 else 64
+    routing = gmm_mod.route_tokens(
+        topi, topv, n_expert=hp.n_expert, n_expert_local=e_local,
+        expert_offset=off, tile_m=tile_m)
+    # one gather into scratch-row space; gate -> swiglu -> down all stay
+    # there; ONE weighted scatter-add combines back per token
+    xs = xf[routing.tok_idx]
+    g = gmm_mod.gmm_apply(xs, lw.gate_exps, routing.tile_expert, tile_m)
+    u = gmm_mod.gmm_apply(xs, lw.up_exps, routing.tile_expert, tile_m)
+    h = layers.swiglu(g, u, hp.act_fn)
+    y = gmm_mod.gmm_apply(h, lw.down_exps, routing.tile_expert, tile_m)
+    return gmm_mod.combine(y, routing, m)
+
+
+def _moe_dense_masked(xf, lw, hp, topi, topv, e_local, off):
+    """Exact dense-per-expert fallback (CPU/XLA): every local expert runs
+    over all tokens, masked by the routing weights."""
+    m = xf.shape[0]
+    weight = jnp.zeros((m, hp.n_expert), topv.dtype).at[
+        jnp.arange(m)[:, None], topi].set(topv)           # [M, E]
+    weight = jax.lax.dynamic_slice_in_dim(weight, off, e_local, axis=1)
+    out = jnp.zeros((m, hp.n_embd), jnp.float32)
     for ei in range(e_local):
         gate_e = _expert_slice(lw.gate_exps, ei)
         up_e = _expert_slice(lw.up_exps, ei)
         down_e = _expert_slice(lw.down_exps, ei)
         g = linear(xf, gate_e)
         u = linear(xf, up_e)
-        h = layers.swiglu(g, u)
+        h = layers.swiglu(g, u, hp.act_fn)
         y = linear(h, down_e)
         out = out + y * weight[:, ei:ei + 1]
-    if ep_axis is not None and ep > 1:
-        out = jax.lax.psum(out, ep_axis)
-    return out.reshape(b, tdim, hp.n_embd)
+    return out
 
 
 def _expert_slice(qt: QTensor, ei: int) -> QTensor:

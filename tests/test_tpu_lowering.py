@@ -88,6 +88,33 @@ def test_qmm_lowers_on_tpu(m, kind, group, has_min, has_lut, n, k):
     lower_tpu(functools.partial(qmatmul.qmm, tile_n=256), x, qt)
 
 
+# Grouped expert matmul (ops/gmm.py): Mixtral-8x7B geometry shards
+# (E=8, gate/up 14336x4096 and down 4096x14336) and a small-expert edge.
+GMM_GEOS = [
+    (8, 14336, 4096, 8),     # mixtral gate/up, decode row tiles
+    (8, 4096, 14336, 64),    # mixtral down, prefill row tiles
+    (4, 1408, 2048, 8),      # qwen2moe-ish small experts
+]
+
+
+@pytest.mark.parametrize("kind,group,has_min,has_lut", PLANE_KINDS[:3],
+                         ids=lambda v: str(v))
+@pytest.mark.parametrize("e,n,k,tile_m", GMM_GEOS, ids=lambda v: str(v))
+def test_gmm_lowers_on_tpu(kind, group, has_min, has_lut, e, n, k, tile_m):
+    from llama_cpp_test_tpu.ops import gmm as gmm_mod
+
+    if k % group:
+        pytest.skip("geometry/group mismatch")
+    base = qt_spec(kind, n, k, group, has_min=has_min, has_lut=has_lut)
+    lead = lambda s: None if s is None else sds((e,) + s.shape, s.dtype)
+    qt = QTensor(base.kind, base.shape, base.n_orig, base.group,
+                 lead(base.qs), lead(base.scale), lead(base.min_), base.lut)
+    t = 4  # row tiles
+    xs = sds((t * tile_m, k), f32)
+    te = sds((t,), i32)
+    lower_tpu(functools.partial(gmm_mod.gmm_apply, tile_m=tile_m), xs, qt, te)
+
+
 def test_qmm_dense_lowers_on_tpu():
     qt = QTensor("dense", (2048, 2048), 2048, 2048, sds((2048, 2048), bf16))
     lower_tpu(qmatmul.qmm, sds((8, 2048), f32), qt)
