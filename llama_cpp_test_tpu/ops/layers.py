@@ -13,6 +13,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.hparams import HParams
 
@@ -39,20 +40,25 @@ def layer_norm(x: jax.Array, weight: jax.Array, bias: jax.Array | None,
 # -- RoPE --------------------------------------------------------------------
 
 
-def _yarn_ramp(low: float, high: float, dim: int) -> jax.Array:
-    i = jnp.arange(dim // 2, dtype=jnp.float32)
+def _yarn_ramp(low: float, high: float, dim: int) -> np.ndarray:
+    i = np.arange(dim // 2, dtype=np.float32)
     y = (i - low) / max(high - low, 1e-3)
-    return 1.0 - jnp.clip(y, 0.0, 1.0)
+    return 1.0 - np.clip(y, 0.0, 1.0)
 
 
-def rope_freqs(hp: HParams) -> tuple[jax.Array, float]:
+def rope_freqs(hp: HParams) -> tuple[np.ndarray, float]:
     """Per-pair inverse frequencies (dim/2,) and magnitude scale (YaRN mscale).
 
     Mirrors ggml_rope_ext's NEOX mode frequency computation with
     linear / YaRN scaling (reference ggml-cpu.c rope + llama-hparams.h:85-90).
+
+    Pure numpy ON PURPOSE: this runs on the model-load path, and on a
+    remote-compile device link every stray jnp op is a multi-minute XLA
+    program compile (observed: 269s of the bench load stuck in np.asarray
+    of a device-computed 32-float table).
     """
     half = hp.rope_dim // 2
-    i = jnp.arange(half, dtype=jnp.float32)
+    i = np.arange(half, dtype=np.float32)
     inv_freq = hp.rope_freq_base ** (-2.0 * i / hp.rope_dim)
     mscale = 1.0
     scaling = (hp.rope_scaling or "none").lower()
@@ -73,7 +79,7 @@ def rope_freqs(hp: HParams) -> tuple[jax.Array, float]:
         inv_freq_interp = inv_freq / factor
         inv_freq = inv_freq_interp * (1 - ramp) + inv_freq * ramp
         mscale = float(hp.rope_attn_factor) * (1.0 + 0.1 * math.log(factor))
-    return inv_freq, mscale
+    return np.asarray(inv_freq, np.float32), mscale
 
 
 def apply_rope(x: jax.Array, positions: jax.Array, inv_freq: jax.Array,

@@ -201,6 +201,64 @@ def build_copy_step(mesh: Mesh, pools_template: KVPools):
     return jax.jit(fn, donate_argnums=(0,))
 
 
+def build_window_step(hp: HParams, mesh: Mesh, w_template: LlamaWeights,
+                      pools_template: KVPools):
+    """Windowed decode+sample on the ('dp','tp') mesh: the shard_map analogue
+    of engine._decode_window_step. Returns make(n_steps) -> step fn; steps
+    are cached per window length.
+
+    Each dp group decodes its own batch shard; every tp shard of a group
+    computes identical logits (lm_head all-gathers over 'tp') and identical
+    samples (the PRNG key is replicated), so KV writes stay consistent
+    without cross-device token exchange. This removes the scheduler's
+    meshed-server regression to per-token host round trips
+    (reference analogue: the tight loop of examples/main/main.cpp)."""
+    from ..runtime import engine as eng
+    from ..runtime import device_sampling as ds
+    from ..models import llama as llama_mod
+
+    tp = mesh.shape["tp"]
+    wspec = weight_pspecs(w_template)
+    pspec = pools_pspecs(pools_template)
+    batch = P("dp")
+    pparams = ds.DeviceSamplerParams(*([batch] * 9))
+
+    @functools.lru_cache(maxsize=8)
+    def make(n_steps: int):
+        def body(w, pools, tok0, pos0, block_table, valid, params, hist0,
+                 key):
+            bs = pools.block_size
+
+            def step(carry, _):
+                pools, tok, pos, hist = carry
+                slots = (jnp.take_along_axis(
+                    block_table, (pos // bs)[:, None], axis=1)[:, 0] * bs
+                    + pos % bs)
+                slots = jnp.where(valid, slots, -1)
+                x, pools = eng._forward(
+                    w, pools, tok[:, None], pos[:, None], block_table,
+                    slots[:, None], pos + 1, hp=hp, decode=True,
+                    tp_axis="tp", tp=tp)
+                logits = llama_mod.lm_head(w, hp, x, tp_axis="tp")[:, 0]
+                hist = ds.push_history(hist, tok)
+                nxt = ds.sample_tokens(logits.astype(jnp.float32), params,
+                                       hist, key, pos)
+                return (pools, nxt, pos + 1, hist), nxt
+
+            (pools, _, _, _), toks = jax.lax.scan(
+                step, (pools, tok0, pos0, hist0), None, length=n_steps)
+            return toks, pools
+
+        fn = shard_map(
+            body, mesh=mesh,
+            in_specs=(wspec, pspec, batch, batch, batch, batch, pparams,
+                      batch, P()),
+            out_specs=(P(None, "dp"), pspec), check_vma=False)
+        return jax.jit(fn, donate_argnums=(1,))
+
+    return make
+
+
 def build_tp_steps(hp: HParams, mesh: Mesh, w_template: LlamaWeights,
                    pools_template: KVPools):
     """Returns (prefill_step, prefill_all_step, decode_step) shard_map'ed over

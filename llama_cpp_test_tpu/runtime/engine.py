@@ -211,6 +211,36 @@ def _decode_greedy_loop(w: LlamaWeights, pools: KVPools, tok0, pos0,
 
 @functools.partial(jax.jit, static_argnames=("hp", "n_steps"),
                    donate_argnums=(1,))
+def _draft_window_step(w: LlamaWeights, pools: KVPools, tok0, pos0,
+                       block_table, valid, *, hp: HParams, n_steps: int):
+    """n_steps greedy decode steps returning each step's token AND its
+    softmax probability — the batched draft-proposal loop for server-side
+    speculative decoding (the reference drafts per-token on the host,
+    common/speculative.cpp:270; here the whole proposal is one dispatch).
+    Returns (tokens [n_steps, B] i32, probs [n_steps, B] f32, pools)."""
+    bs = pools.block_size
+
+    def body(carry, _):
+        pools, tok, pos = carry
+        slots = (jnp.take_along_axis(
+            block_table, (pos // bs)[:, None], axis=1)[:, 0] * bs + pos % bs)
+        slots = jnp.where(valid, slots, -1)
+        x, pools = _forward(w, pools, tok[:, None], pos[:, None], block_table,
+                            slots[:, None], pos + 1, hp=hp, decode=True)
+        logits = llama_mod.lm_head(w, hp, x)[:, 0]
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        p = jnp.exp(jnp.take_along_axis(
+            logits, nxt[:, None], axis=1)[:, 0] - lse)
+        return (pools, nxt, pos + 1), (nxt, p)
+
+    (pools, _, _), (toks, ps) = jax.lax.scan(
+        body, (pools, tok0, pos0), None, length=n_steps)
+    return toks, ps, pools
+
+
+@functools.partial(jax.jit, static_argnames=("hp", "n_steps"),
+                   donate_argnums=(1,))
 def _decode_window_step(w: LlamaWeights, pools: KVPools, tok0, pos0,
                         block_table, valid, params, hist0, key,
                         *, hp: HParams, n_steps: int):
@@ -348,7 +378,8 @@ class Context:
             self._shift_fn = None
         elif self.mesh is not None:
             from ..parallel.tp import (build_copy_step, build_shift_step,
-                                       build_tp_steps, shard_pools)
+                                       build_tp_steps, build_window_step,
+                                       shard_pools)
 
             self.pools = kv_cache.new_kv_pools(hp, num_blocks * self.dp,
                                                block_size, kv_type=kv_type)
@@ -358,6 +389,8 @@ class Context:
             self._copy_fn = build_copy_step(self.mesh, self.pools)
             self._shift_fn = build_shift_step(hp, self.mesh, model.weights,
                                               self.pools)
+            self._window_fn = build_window_step(hp, self.mesh, model.weights,
+                                                self.pools)
         else:
             self.pools = kv_cache.new_kv_pools(hp, num_blocks, block_size,
                                                kv_type=kv_type)
@@ -641,6 +674,102 @@ class Context:
         s.n_cached += n_steps
         return toks
 
+    def draft_window(self, seqs: Seq[SeqState], tokens: Seq[int],
+                     n_steps: int) -> tuple[np.ndarray, np.ndarray]:
+        """Batched greedy proposal loop for speculative drafting: feeds
+        tokens[i] to sequence i and generates n_steps greedy successors in
+        ONE dispatch, returning ([n_steps, B] tokens, [n_steps, B] probs —
+        each token's softmax probability, the draft-confidence signal the
+        host truncates on (p_draft_min). All n_steps tokens' KV is cached;
+        callers roll back unaccepted tails with truncate_seq.
+        Single-device path (draft models are small)."""
+        if self.mesh is not None:
+            raise NotImplementedError("draft_window: single-device only")
+        hp = self.model.hp
+        b = len(seqs)
+        for s in seqs:
+            s.table.append_tokens(n_steps)
+        self._drain_copies(seqs)
+        bsz = 1 << (b - 1).bit_length()
+        tok0 = np.zeros((bsz,), np.int32)
+        pos0 = np.zeros((bsz,), np.int32)
+        bt = np.zeros((bsz, self.nbmax), np.int32)
+        valid = np.zeros((bsz,), bool)
+        valid[:b] = True
+        bt_src = self._table_arr(seqs)
+        for i, s in enumerate(seqs):
+            tok0[i] = tokens[i]
+            pos0[i] = s.n_cached
+            bt[i] = bt_src[i]
+        toks, ps, self.pools = _draft_window_step(
+            self.model.weights, self.pools, jnp.asarray(tok0),
+            jnp.asarray(pos0), jnp.asarray(bt), jnp.asarray(valid),
+            hp=hp, n_steps=n_steps)
+        toks = np.asarray(toks)
+        for i, s in enumerate(seqs):
+            s.tokens.append(int(tokens[i]))
+            s.tokens.extend(int(t) for t in toks[:-1, i])
+            s.n_cached += n_steps
+        return toks[:, :b], np.asarray(ps)[:, :b]
+
+    def prefill_batch(self, seqs: Seq[SeqState],
+                      rows: Seq[list[int]]) -> list[np.ndarray]:
+        """Teacher-forced batched prefill returning ALL-position logits
+        [B, T_i, V] (ragged rows padded on device, sliced on return) — the
+        batched verification pass of server-side speculative decoding: one
+        dispatch scores every generating slot's proposal (the reference
+        packs per-slot spec batches into one llama_decode,
+        server.cpp:3250)."""
+        hp = self.model.hp
+        b = len(seqs)
+        if any(s.pos_offset for s in seqs):
+            raise NotImplementedError("prefill_batch after self_extend")
+        lens = [len(r) for r in rows]
+        if min(lens) == 0:
+            raise ValueError("prefill_batch: empty token list")
+        tb = _bucket(max(lens), TOKEN_BUCKETS)
+        slot_rows = [s.table.append_tokens(n) for s, n in zip(seqs, lens)]
+        self._drain_copies(seqs)
+        by_group: list[list[int]] = [[] for _ in range(self.dp)]
+        for i, s in enumerate(seqs):
+            by_group[s.group].append(i)
+        r = max(1, max(len(g) for g in by_group))
+        if self.M > 1:
+            b_mb = -(-r // self.M)
+            b_mb = 1 << (b_mb - 1).bit_length()
+            r = self.M * b_mb
+        else:
+            r = 1 << (r - 1).bit_length()
+        bsz = self.dp * r
+        tok = np.zeros((bsz, tb), np.int32)
+        pos = np.zeros((bsz, tb), np.int32)
+        slot_arr = np.full((bsz, tb), -1, np.int32)
+        bt = np.zeros((bsz, self.nbmax), np.int32)
+        kv_len = np.ones((bsz,), np.int32)
+        rowmap = np.zeros(b, np.int64)
+        bt_src = self._table_arr(seqs)
+        for g, idxs in enumerate(by_group):
+            for j, i in enumerate(idxs):
+                row = g * r + j
+                rowmap[i] = row
+                s = seqs[i]
+                n = lens[i]
+                tok[row, :n] = rows[i]
+                pos[row, :n] = np.arange(s.n_cached, s.n_cached + n)
+                slot_arr[row, :n] = slot_rows[i]
+                bt[row] = bt_src[i]
+                kv_len[row] = s.n_cached + n
+        for s, toks_i in zip(seqs, rows):
+            s.tokens.extend(toks_i)
+            s.n_cached += len(toks_i)
+        if self._prefill_all_fn is None:
+            raise NotImplementedError(
+                "prefill_batch is not supported on a pipeline mesh")
+        logits, self.pools = self._prefill_all_fn(
+            self.model.weights, self.pools, tok, pos, bt, slot_arr, kv_len)
+        logits = np.asarray(logits)
+        return [logits[rowmap[i], : lens[i]] for i in range(b)]
+
     def truncate_seq(self, s: SeqState, n: int) -> None:
         """Roll the sequence's cache back to n tokens (frees trailing blocks).
         Used by the windowed decode path to discard KV written after a stop
@@ -668,11 +797,12 @@ class Context:
         feeding j prior tokens. All n_steps tokens' KV except the last is
         cached on return (same contract as decode_greedy_loop); callers that
         stop early must truncate_seq back to the accepted length.
-        Single-device path."""
+        Runs single-device or on the ('dp','tp') mesh (shard_map'ed window,
+        parallel/tp.build_window_step); not on the pipeline mesh."""
         from . import device_sampling as ds
 
-        if self.mesh is not None:
-            raise NotImplementedError("decode_window: single-device only")
+        if self.mp:
+            raise NotImplementedError("decode_window: not on a pipeline mesh")
         if any(s.pos_offset for s in seqs):
             raise NotImplementedError("decode_window after self_extend")
         hp = self.model.hp
@@ -680,33 +810,57 @@ class Context:
         for s in seqs:
             s.table.append_tokens(n_steps)
         self._drain_copies(seqs)
-        bsz = 1 << (b - 1).bit_length()  # pow2 row bucket (recompile guard)
+        # row layout: group g's rows at [g*r, (g+1)*r), r = pow2 bucket of
+        # the max group load (matches decode(); dp == 1 keeps rows 0..b-1)
+        by_group: list[list[int]] = [[] for _ in range(self.dp)]
+        for i, s in enumerate(seqs):
+            by_group[s.group].append(i)
+        r = max(1, max(len(g) for g in by_group))
+        r = 1 << (r - 1).bit_length()
+        bsz = self.dp * r
         tok0 = np.zeros((bsz,), np.int32)
         pos0 = np.zeros((bsz,), np.int32)
         bt = np.zeros((bsz, self.nbmax), np.int32)
         valid = np.zeros((bsz,), bool)
-        valid[:b] = True  # padded rows' KV writes drop (slot -1)
         bt_src = self._table_arr(seqs)
-        hist_rows = []
-        for i, s in enumerate(seqs):
-            tok0[i] = tokens[i]
-            pos0[i] = s.n_cached
-            bt[i] = bt_src[i]
-            hist_rows.append(s.tokens if histories is None
-                             else list(histories[i]))
-        params = ds.DeviceSamplerParams.from_rows(list(samplers), bsz)
+        hist_rows: list[list[int]] = [[] for _ in range(bsz)]
+        sampler_rows: list[Any | None] = [None] * bsz
+        rowmap = np.zeros(b, np.int64)
+        for g, idxs in enumerate(by_group):
+            for j, i in enumerate(idxs):
+                row = g * r + j
+                rowmap[i] = row
+                s = seqs[i]
+                tok0[row] = tokens[i]
+                pos0[row] = s.n_cached
+                bt[row] = bt_src[i]
+                valid[row] = True
+                hist_rows[row] = list(s.tokens) if histories is None \
+                    else list(histories[i])
+                sampler_rows[row] = samplers[i]
+        from .sampling import SamplerParams
+
+        greedy = SamplerParams(temp=0.0)
+        params = ds.DeviceSamplerParams.from_rows(
+            [sp if sp is not None else greedy for sp in sampler_rows], bsz)
         hist0 = jnp.asarray(ds.make_history(hist_rows, bsz))
         key = jax.random.PRNGKey(seed)
-        toks, self.pools = _decode_window_step(
-            self.model.weights, self.pools, jnp.asarray(tok0),
-            jnp.asarray(pos0), jnp.asarray(bt), jnp.asarray(valid), params,
-            hist0, key, hp=hp, n_steps=n_steps)
+        if self.mesh is not None:
+            toks, self.pools = self._window_fn(n_steps)(
+                self.model.weights, self.pools, jnp.asarray(tok0),
+                jnp.asarray(pos0), jnp.asarray(bt), jnp.asarray(valid),
+                params, hist0, key)
+        else:
+            toks, self.pools = _decode_window_step(
+                self.model.weights, self.pools, jnp.asarray(tok0),
+                jnp.asarray(pos0), jnp.asarray(bt), jnp.asarray(valid),
+                params, hist0, key, hp=hp, n_steps=n_steps)
         toks = np.asarray(toks)
         for i, s in enumerate(seqs):
             s.tokens.append(int(tokens[i]))
-            s.tokens.extend(int(t) for t in toks[:-1, i])
+            s.tokens.extend(int(t) for t in toks[:-1, rowmap[i]])
             s.n_cached += n_steps
-        return toks[:, :b]
+        return toks[:, rowmap]
 
     def prefill_nll(self, s: SeqState, tokens: list[int]) -> np.ndarray:
         """Prefill `tokens` and return per-position NLL of predicting

@@ -119,8 +119,10 @@ class Scheduler:
         # windowed device decode: up to this many decode+sample steps per
         # dispatch when every generating slot's sampler runs on device
         # (device_sampling.eligible) — the cure for per-token host
-        # round-trips on a high-latency device link
-        self.decode_window = decode_window if ctx.mesh is None else 1
+        # round-trips on a high-latency device link. Runs single-device or
+        # on the ('dp','tp') mesh; the pipeline mesh decodes per-token.
+        self.decode_window = decode_window if not getattr(ctx, "mp", False) \
+            else 1
         self._step_count = 0
         self._req_ids = itertools.count()
         self.tokenizer = ctx.model.tokenizer
@@ -255,6 +257,9 @@ class Scheduler:
         w = min(w, most)
         if w <= 1:
             return 1
+        # round down to a power of two: every distinct window length is a
+        # separate compiled program (minutes each on a tunneled device)
+        w = 1 << (w.bit_length() - 1)
         # don't trigger pool eviction: each slot needs blocks for w tokens
         need = sum(
             (s.seq.n_cached + w + self.ctx.block_size - 1)
@@ -305,43 +310,52 @@ class Scheduler:
             self._emit(s, lg)
 
     def _decode_spec_round(self, gen: list[Slot]) -> None:
-        """One speculative round per generating slot: greedy draft proposal,
-        teacher-forced target verification, sample-and-accept-n with the
-        slot's own sampler chain (so output is identical to non-speculative
-        serving for ANY sampler — the common_sampler_sample_and_accept_n
-        analogue, reference server.cpp:3250, common/sampling.h:79-82)."""
+        """One speculative round for ALL generating slots: batched greedy
+        draft proposal (one device dispatch, Context.draft_window), batched
+        teacher-forced target verification (one dispatch,
+        Context.prefill_batch), then per-slot sample-and-accept-n with the
+        slot's own sampler chain — so output is identical to non-speculative
+        serving for ANY sampler (the common_sampler_sample_and_accept_n
+        analogue; the reference packs per-slot spec batches into one
+        llama_decode, server.cpp:3250, common/sampling.h:79-82)."""
+        t0 = time.time()
+        # window: bounded by every slot's remaining context (the draft loop
+        # and verify run the same length for the whole batch)
+        k_max = self.n_draft
         for s in gen:
-            t0 = time.time()
-            last = s.next_token
-            k_max = max(0, min(self.n_draft,
-                               self.ctx.n_ctx - s.seq.n_cached - 2))
-            dseq = s.draft_seq
-            base_d = dseq.n_cached
-            draft_toks: list[int] = []
-            if k_max > 0:
-                d_logits = self.draft_ctx.decode([dseq], [last])[0]
-                while True:
-                    e = np.exp(d_logits - d_logits.max())
-                    probs = e / e.sum()
-                    t = int(np.argmax(probs))
-                    if probs[t] < self.p_draft_min:
-                        break
-                    draft_toks.append(t)
-                    if len(draft_toks) >= k_max:
-                        break
-                    d_logits = self.draft_ctx.decode([dseq], [t])[0]
-            s.n_drafted += len(draft_toks)
-            # target scores [last] + proposal in one teacher-forced prefill;
-            # row i is the distribution after block[i]
-            base = s.seq.n_cached
-            logits = self.ctx.prefill(s.seq, [last] + draft_toks,
-                                      all_logits=True)
+            k_max = min(k_max, self.ctx.n_ctx - s.seq.n_cached - 2,
+                        self.draft_ctx.n_ctx - s.draft_seq.n_cached - 1)
+        k_max = max(0, k_max)
+        lasts = [s.next_token for s in gen]
+        drafts: list[list[int]] = [[] for _ in gen]
+        bases_d = [s.draft_seq.n_cached for s in gen]
+        if k_max > 0:
+            dseqs = [s.draft_seq for s in gen]
+            toks, ps = self.draft_ctx.draft_window(dseqs, lasts, k_max)
+            # truncate each row at its first below-threshold confidence
+            for i, s in enumerate(gen):
+                keep = 0
+                while keep < k_max and ps[keep, i] >= self.p_draft_min:
+                    keep += 1
+                drafts[i] = [int(t) for t in toks[:keep, i]]
+                s.n_drafted += keep
+        # batched target verification: row i scores [last_i] + proposal_i;
+        # logits[j] is the distribution after feeding j+1 tokens
+        bases_t = [s.seq.n_cached for s in gen]
+        all_logits = self.ctx.prefill_batch(
+            [s.seq for s in gen],
+            [[lasts[i]] + drafts[i] for i in range(len(gen))])
+        for i, s in enumerate(gen):
+            logits = all_logits[i]
+            draft_toks = drafts[i]
+            last = lasts[i]
+            base = bases_t[i]
             toks_out: list[int] = []
-            for i in range(len(draft_toks) + 1):
-                t_i = int(s.sampler.sample(logits[i]))
-                s.sampler.accept(t_i)
-                toks_out.append(t_i)
-                if i >= len(draft_toks) or t_i != draft_toks[i]:
+            for j in range(len(draft_toks) + 1):
+                t_j = int(s.sampler.sample(logits[j]))
+                s.sampler.accept(t_j)
+                toks_out.append(t_j)
+                if j >= len(draft_toks) or t_j != draft_toks[j]:
                     break
             n_acc = len(toks_out) - 1
             s.n_draft_accepted += n_acc
@@ -359,8 +373,12 @@ class Scheduler:
             if finished_at is not None and finished_at < n_acc:
                 self.ctx.truncate_seq(s.seq, base + 1 + finished_at)
                 del s.cache_tokens[base + 1 + finished_at:]
+            if s.req is None:
+                continue  # finished: draft cache freed by _process_token
             # sync the draft cache to the accepted prefix: it must hold
             # exactly [.., last, accepted...] before the next round
+            dseq = s.draft_seq
+            base_d = bases_d[i]
             n_keep = finished_at if finished_at is not None else n_acc
             want_d = base_d + 1 + n_keep
             if want_d <= dseq.n_cached:
@@ -369,7 +387,7 @@ class Scheduler:
                 missing = ([last] + draft_toks)[dseq.n_cached - base_d:
                                                 want_d - base_d]
                 self.draft_ctx.prefill(dseq, missing)
-            self.t_gen += time.time() - t0
+        self.t_gen += time.time() - t0
 
     def _decode_window_round(self, gen: list[Slot], w: int) -> None:
         """One windowed decode: w device-side decode+sample steps, then host

@@ -200,6 +200,36 @@ def test_tp_context_shift_matches_single_device(tp_model):
     assert nmse(ref_lg, tp_lg) < 1e-5
 
 
+def test_decode_window_on_tp_mesh(tp_model):
+    """Windowed device decode on the ('dp','tp') mesh (shard_map'ed
+    build_window_step) must produce the same tokens as the single-device
+    window path, for a 2-sequence batch spread across dp groups."""
+    path, wts = tp_model
+    from llama_cpp_test_tpu.parallel.mesh import make_mesh
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+    from llama_cpp_test_tpu.runtime.sampling import SamplerParams
+
+    prompts = [[3, 17, 42, 9], [100, 101, 5]]
+    sp = SamplerParams(temp=0.0)
+
+    def run(mesh):
+        m = Model(path, mesh=mesh)
+        ctx = Context(m, n_ctx=64, n_seq_max=2, block_size=8)
+        seqs = []
+        toks = []
+        for p in prompts:
+            s = ctx.new_seq()
+            lg = ctx.prefill(s, p)
+            seqs.append(s)
+            toks.append(int(np.argmax(lg)))
+        out = ctx.decode_window(seqs, toks, [sp, sp], n_steps=4)
+        return np.asarray(out)
+
+    ref = run(None)
+    got = run(make_mesh(dp=2, tp=2))
+    np.testing.assert_array_equal(ref, got)
+
+
 def test_speculative_on_tp_mesh(tp_model):
     """Linear speculative decoding with a mesh-sharded target (the 70B
     multi-host + speculative shape, BASELINE config #5): greedy output must
