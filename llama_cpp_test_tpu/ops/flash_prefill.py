@@ -52,9 +52,16 @@ def _fp_kernel(lens_ref, pages_ref, pos_ref, q_ref, k_ref, v_ref, o_ref,
 
     length = lens_ref[b]
     pos_t = pos_ref[b]                                   # [TT]
-    # per-row positions: row r = t*G + g_idx -> pos[t]
-    pos_rows = jnp.broadcast_to(pos_t.reshape(tt, 1),
-                                (tt, g)).reshape(rows, 1)
+    # per-row positions: row r = t*G + g_idx -> pos[t]. Built as a masked
+    # sum over an iota expansion — NOT broadcast(tt, g).reshape(rows, 1),
+    # whose minor-dim collapse (128x8 -> 1024x1 shape cast) the real Mosaic
+    # backend rejects ("infer-vector-layout: unsupported shape cast"; the
+    # CPU-side AOT lowering gate can't see backend layout passes).
+    e_r = jax.lax.broadcasted_iota(jnp.int32, (rows, tt), 0) // g
+    e_t = jax.lax.broadcasted_iota(jnp.int32, (rows, tt), 1)
+    pos_b = jnp.broadcast_to(pos_t.reshape(1, tt), (rows, tt))
+    pos_rows = jnp.sum(jnp.where(e_r == e_t, pos_b, 0), axis=1,
+                       keepdims=True)                    # [rows, 1]
     chunk_lo = c * bs
     tile_max_pos = jnp.max(pos_t)
 

@@ -112,49 +112,62 @@ def combine(y_flat: jax.Array, routing: Routing, m: int) -> jax.Array:
 # Pallas kernel
 
 
+_KCHUNK = 2048  # in-kernel K-slice: bounds the int32 unpack intermediate
+
+
 def _gmm_kernel(te_ref, x_ref, qs_ref, scale_ref, min_ref, lut_ref, o_ref,
                 *, kind: str, group: int, pack: int, n_lut: int):
     """One (tile_m, K) x expert(K, tile_n) -> (tile_m, pack, tile_n) tile.
     Whole K resident per block: no accumulation grid dim, so the weight
     block index depends only on (tile_expert[i], n) and consecutive
-    same-expert tiles skip the HBM fetch."""
-    x = x_ref[...]
+    same-expert tiles skip the HBM fetch. The unpack/dequant/dot runs over
+    static K-chunks so VMEM holds only packed bytes plus one chunk of
+    int32/f32 intermediates (whole-K expansion OOMs at Mixtral's K=14336)."""
+    x_full = x_ref[...]
     if kind == "dense":
         o_ref[...] = jax.lax.dot_general(
-            x, qs_ref[0], (((1,), (0,)), ((), ())),
+            x_full, qs_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)[:, None, :]
         return
-    qs32 = qs_ref[0].astype(jnp.int32)
-    k, tnp = qs32.shape
-    tg = k // group
-    xsum = None
-    if min_ref is not None:
-        kidx = jax.lax.broadcasted_iota(jnp.int32, (k, tg), 0)
-        gidx = jax.lax.broadcasted_iota(jnp.int32, (k, tg), 1)
-        member = (kidx // group == gidx).astype(jnp.bfloat16)
-        xsum = jax.lax.dot_general(x, member, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-    accs = []
-    for h in range(pack):
-        q = _unpack(qs32, kind, h)
-        if kind == "u4lut":
-            qf = jnp.zeros(q.shape, jnp.float32)
-            for i in range(n_lut):
-                qf = jnp.where(q == i, lut_ref[0, i], qf)
-        else:
-            qf = q.astype(jnp.float32)
-        s = scale_ref[0, h].astype(jnp.float32)              # [tg, tnp]
-        s_exp = jnp.broadcast_to(
-            s[:, None, :], (tg, group, tnp)).reshape(k, tnp)
-        w = (qf * s_exp).astype(jnp.bfloat16)
-        acc = jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+    k, tnp = qs_ref.shape[1], qs_ref.shape[2]
+    kc = k
+    for cand in (2048, 1024, 512, 256):
+        if k % cand == 0 and cand % group == 0 and cand <= _KCHUNK:
+            kc = cand
+            break
+    tgc = kc // group
+    accs = [None] * pack
+    for c in range(k // kc):
+        qs32 = qs_ref[0, c * kc:(c + 1) * kc, :].astype(jnp.int32)
+        x = x_full[:, c * kc:(c + 1) * kc]
+        xsum = None
         if min_ref is not None:
-            acc = acc - jax.lax.dot_general(
-                xsum, min_ref[0, h].astype(jnp.float32),
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        accs.append(acc)
+            kidx = jax.lax.broadcasted_iota(jnp.int32, (kc, tgc), 0)
+            gidx = jax.lax.broadcasted_iota(jnp.int32, (kc, tgc), 1)
+            member = (kidx // group == gidx).astype(jnp.bfloat16)
+            xsum = jax.lax.dot_general(x, member, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+        for h in range(pack):
+            q = _unpack(qs32, kind, h)
+            if kind == "u4lut":
+                qf = jnp.zeros(q.shape, jnp.float32)
+                for i in range(n_lut):
+                    qf = jnp.where(q == i, lut_ref[0, i], qf)
+            else:
+                qf = q.astype(jnp.float32)
+            s = scale_ref[0, h, c * tgc:(c + 1) * tgc, :].astype(jnp.float32)
+            s_exp = jnp.broadcast_to(
+                s[:, None, :], (tgc, group, tnp)).reshape(kc, tnp)
+            w = (qf * s_exp).astype(jnp.bfloat16)
+            acc = jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+            if min_ref is not None:
+                acc = acc - jax.lax.dot_general(
+                    xsum, min_ref[0, h, c * tgc:(c + 1) * tgc, :]
+                    .astype(jnp.float32),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            accs[h] = acc if accs[h] is None else accs[h] + acc
     o_ref[...] = jnp.stack(accs, axis=1)
 
 
