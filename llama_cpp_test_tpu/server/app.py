@@ -115,11 +115,20 @@ class LlamaServer:
                  api_key: str | None = None,
                  lora: list[tuple[str, float]] | None = None,
                  draft_model_path: str | None = None, n_draft: int = 8,
-                 p_draft_min: float = 0.75):
+                 p_draft_min: float = 0.75, followers=None):
         self.model = Model(model_path, mesh=mesh)
         self.alias = model_alias or model_path.rsplit("/", 1)[-1]
-        ctx = Context(self.model, n_ctx=n_ctx, n_seq_max=n_slots,
-                      kv_type=kv_type)
+        if followers is not None:
+            # multi-host driver: every engine call is broadcast to follower
+            # ranks before running locally (parallel/driver.py); the list
+            # may still be empty here and be filled after construction
+            from ..parallel.driver import DriverContext
+
+            ctx = DriverContext(self.model, n_ctx=n_ctx, n_seq_max=n_slots,
+                                kv_type=kv_type, followers=followers)
+        else:
+            ctx = Context(self.model, n_ctx=n_ctx, n_seq_max=n_slots,
+                          kv_type=kv_type)
         draft_ctx = None
         if draft_model_path:
             # server-side speculative decoding (-md analogue, reference
@@ -665,15 +674,68 @@ def main(argv=None):
                     help="max draft tokens per speculation round")
     ap.add_argument("--draft-p-min", type=float, default=0.75,
                     help="draft confidence floor")
+    # multi-host (multi-controller) serving: one process per host, rank 0
+    # serves HTTP and drives the others (parallel/driver.py). Env mirrors
+    # let launchers configure ranks without editing argv.
+    import os as _os
+
+    ap.add_argument("--coordinator",
+                    default=_os.environ.get("LLAMA_COORDINATOR"),
+                    help="jax.distributed coordinator host:port "
+                         "(env LLAMA_COORDINATOR)")
+    ap.add_argument("--num-procs", type=int,
+                    default=int(_os.environ.get("LLAMA_NUM_PROCS", "0") or 0),
+                    help="total processes (env LLAMA_NUM_PROCS)")
+    ap.add_argument("--process-id", type=int,
+                    default=int(_os.environ.get("LLAMA_PROC_ID", "0") or 0),
+                    help="this process's rank (env LLAMA_PROC_ID)")
+    ap.add_argument("-tp", "--tensor-parallel", type=int, default=0,
+                    help="tp width (0 = all global devices)")
     args = ap.parse_args(argv)
     loras = [(p, 1.0) for p in args.lora] + \
         [(p, float(s)) for p, s in args.lora_scaled]
+    mesh = None
+    followers = None
+    if args.coordinator:
+        import jax
+
+        from ..parallel import driver as drv
+        from ..parallel.mesh import init_distributed, make_mesh
+
+        init_distributed(args.coordinator, args.num_procs, args.process_id)
+        tp = args.tensor_parallel or len(jax.devices())
+        mesh = make_mesh(dp=1, tp=tp)
+        host0 = args.coordinator.rsplit(":", 1)[0]
+        port = drv.command_port(args.coordinator)
+        if args.process_id != 0:
+            # follower rank: identical model/context, replay driver calls
+            # (context init before connect — see DriverContext docstring)
+            from ..runtime.engine import Context as _Ctx
+            from ..runtime.engine import Model as _Model
+
+            model = _Model(args.model, mesh=mesh)
+            ctx = _Ctx(model, n_ctx=args.ctx_size, n_seq_max=args.parallel,
+                       kv_type=args.cache_type_kv)
+            drv.follower_loop(ctx, host0, port, timeout=300.0)
+            return
+        followers = []
+    elif args.tensor_parallel > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=1, tp=args.tensor_parallel)
     srv = LlamaServer(args.model, n_ctx=args.ctx_size, n_slots=args.parallel,
-                      model_alias=args.alias, kv_type=args.cache_type_kv,
+                      mesh=mesh, model_alias=args.alias,
+                      kv_type=args.cache_type_kv,
                       slot_save_path=args.slot_save_path,
                       api_key=args.api_key, lora=loras or None,
                       draft_model_path=args.model_draft,
-                      n_draft=args.draft_max, p_draft_min=args.draft_p_min)
+                      n_draft=args.draft_max, p_draft_min=args.draft_p_min,
+                      followers=followers)
+    if followers is not None and args.coordinator and args.num_procs > 1:
+        from ..parallel import driver as drv
+
+        followers.extend(drv.serve_followers(
+            drv.command_port(args.coordinator), args.num_procs - 1))
     srv.run(args.host, args.port)
 
 

@@ -72,3 +72,53 @@ def test_two_process_distributed_decode(tmp_path):
         logits = ctx.decode([s], [toks[-1]])[0]
         toks.append(int(np.argmax(logits)))
     np.testing.assert_array_equal(r0[:-1], np.asarray(toks))
+
+
+def _run_serve_workers(tmp_path, path, num_procs):
+    coord = f"127.0.0.1:{_free_port()}"
+    outs = [str(tmp_path / f"srank{num_procs}_{r}.npy")
+            for r in range(num_procs)]
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "multihost_serve_worker.py"),
+             coord, str(num_procs), str(r), path, outs[r]],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for r in range(num_procs)
+    ]
+    logs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=540)
+        logs.append(out.decode(errors="replace"))
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"serve worker failed:\n{log[-3000:]}"
+    return np.load(outs[0])
+
+
+@pytest.mark.timeout(1200)
+def test_two_process_distributed_serving(tmp_path):
+    """Full serving stack across 2 coordinated processes: rank 0 runs the
+    Scheduler over a DriverContext, rank 1 replays via follower_loop
+    (parallel/driver.py — the ggml-rpc serve analogue). Output must match
+    a single-process (num_procs=1, no followers) run of the same
+    scheduler workload; the tok/s of both runs gives the scaling ratio."""
+    import test_engine
+
+    path = str(tmp_path / "tiny_mhs.gguf")
+    old = dict(test_engine.HP)
+    test_engine.HP = dict(old, n_head_kv=4, head_dim=32, n_embd=128,
+                          n_ff=128)
+    try:
+        make_tiny_gguf(path)
+    finally:
+        test_engine.HP = old
+    r1 = _run_serve_workers(tmp_path, path, 1)
+    r2 = _run_serve_workers(tmp_path, path, 2)
+    # same tokens (everything before the trailing tok/s element)
+    np.testing.assert_array_equal(r1[:-1], r2[:-1])
+    tok_s_1 = r1[-1] / 1000.0
+    tok_s_2 = r2[-1] / 1000.0
+    print(f"serving tok/s: 1-proc {tok_s_1:.1f}, 2-proc {tok_s_2:.1f}, "
+          f"ratio {tok_s_2 / max(tok_s_1, 1e-9):.2f}")

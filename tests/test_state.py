@@ -58,3 +58,50 @@ def test_bad_magic_rejected(model, tmp_path):
     ctx = Context(model, n_ctx=64, n_seq_max=1, block_size=8)
     with pytest.raises(ValueError):
         load_seq_state(ctx, path)
+
+
+def test_full_context_state_round_trip(model, tmp_path):
+    """Full-context blob (GGSN analogue): every live sequence restores with
+    its id and cache; continuations match the unsaved run."""
+    from llama_cpp_test_tpu.runtime.engine import Context
+    from llama_cpp_test_tpu.runtime.state import load_state, save_state
+
+    prompts = [[3, 17, 42, 9], [100, 101, 102]]
+    ctx1 = Context(model, n_ctx=64, n_seq_max=4, block_size=8)
+    seqs = []
+    nexts = []
+    for p in prompts:
+        s = ctx1.new_seq()
+        lg = ctx1.prefill(s, p)
+        seqs.append(s)
+        nexts.append(int(np.argmax(lg)))
+    ref = [ctx1.decode(seqs, nexts)]
+    for _ in range(2):
+        toks = [int(np.argmax(r)) for r in ref[-1]]
+        ref.append(ctx1.decode(seqs, toks))
+
+    ctx2 = Context(model, n_ctx=64, n_seq_max=4, block_size=8)
+    seqs2 = []
+    for p in prompts:
+        s = ctx2.new_seq()
+        ctx2.prefill(s, p)
+        seqs2.append(s)
+    path = str(tmp_path / "ctx.npz")
+    save_state(ctx2, path)
+
+    ctx3 = Context(model, n_ctx=64, n_seq_max=4, block_size=8)
+    restored = load_state(ctx3, path)
+    assert [s.seq_id for s in restored] == [s.seq_id for s in seqs2]
+    assert [s.tokens for s in restored] == prompts
+    out = [ctx3.decode(restored, nexts)]
+    for _ in range(2):
+        toks = [int(np.argmax(r)) for r in out[-1]]
+        out.append(ctx3.decode(restored, toks))
+    for r, o in zip(ref, out):
+        assert nmse(r, o) < 1e-5
+
+    # refuse restore into a non-empty context
+    ctx4 = Context(model, n_ctx=64, n_seq_max=4, block_size=8)
+    ctx4.new_seq()
+    with pytest.raises(ValueError):
+        load_state(ctx4, path)

@@ -1,0 +1,158 @@
+"""Decode-path kernel breakdown on real TPU.
+
+bench.py gives one end-to-end number (tok/s through the engine). This tool
+apportions it: a lax.scan with the SAME structure as the engine's device
+decode loop (N chained iterations per dispatch) whose body is one component
+of the per-token work over DISTINCT per-layer weights (so every iteration
+re-streams from HBM exactly like serving decode):
+
+  qmm      — the 22-layer x (wqkv, wo, gate|up, down) + lm_head fused
+             dequant-matmul chain (Pallas)
+  qmm_xla  — same chain through the XLA fallback path
+  dense    — same chain, bf16 dense weights (2 bytes/weight bandwidth ref)
+  attn     — 22 paged_attention_decode calls on a 512-token cache
+
+Run on the TPU machine:  python tools/dbench.py [qmm qmm_xla dense attn]
+Each variant costs one remote compile (~2-5 min) then runs in one dispatch.
+"""
+import functools
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llama_cpp_test_tpu.ops.qmatmul import qmm, qmm_xla
+from llama_cpp_test_tpu.quant.repack import QTensor
+
+HBM_BW = 819e9
+N_ITER = 16
+B = 8            # decode batch rows (engine pads to 8)
+GROUP = 32
+
+# TinyLlama-1.1B geometry (bench.py config #1)
+C, FF, NL, V = 2048, 5632, 22, 32000
+SHAPES = [
+    (2560, C),        # fused wqkv (32q+4k+4v heads x 64)
+    (C, C),           # wo
+    (2 * FF, C),      # fused gate|up
+    (C, FF),          # down
+]
+
+
+def mk_q4k(n, k, rng):
+    """Random Q4_K-like planes (u4 + bf16 scale/min), layout 't'."""
+    npk = (n + (-n % 512)) // 2
+    qs = jnp.asarray(rng.integers(0, 256, (k, npk), dtype=np.uint8))
+    sc = jnp.asarray(rng.standard_normal((2, k // GROUP, npk)) * 0.01,
+                     jnp.bfloat16)
+    mn = jnp.asarray(rng.standard_normal((2, k // GROUP, npk)) * 0.001,
+                     jnp.bfloat16)
+    qt = QTensor("u4", (npk * 2, k), n, GROUP, qs, sc, mn, None)
+    nbytes = qs.size + sc.size * 2 + mn.size * 2
+    return qt, nbytes
+
+
+def mk_dense(n, k, rng):
+    w = jnp.asarray(rng.standard_normal((k, n)) * 0.01, jnp.bfloat16)
+    qt = QTensor("dense", (n, k), n, k, w)
+    return qt, w.size * 2
+
+
+def build_chain(mk, matmul):
+    rng = np.random.default_rng(0)
+    layers = []
+    total = 0
+    for _ in range(NL):
+        row = []
+        for n, k in SHAPES:
+            qt, nb = mk(n, k, rng)
+            row.append(qt)
+            total += nb
+        layers.append(row)
+    head, nb = mk(V, C, rng)
+    total += nb
+
+    # weights are ARGUMENTS, not closures: the remote-compile path
+    # serializes closure constants into the program body (HTTP 413)
+    def step(x, ws):
+        lys, hd = ws
+        for wqkv, wo, wgu, wdn in lys:
+            y = matmul(x, wqkv)[:, :C]
+            y = matmul(y.astype(jnp.bfloat16), wo)
+            g = matmul(y.astype(jnp.bfloat16), wgu)
+            h = (g[:, :FF] * jax.nn.sigmoid(g[:, FF:2 * FF]))
+            x = matmul(h.astype(jnp.bfloat16), wdn)[:, :C] \
+                .astype(jnp.bfloat16)
+        logits = matmul(x, hd)
+        return x + (logits[:, :1] * 0).astype(x.dtype)
+
+    x0 = jnp.asarray(np.random.default_rng(1).standard_normal((B, C)),
+                     jnp.bfloat16)
+    return step, x0, (layers, head), total
+
+
+def build_attn():
+    from llama_cpp_test_tpu.ops.paged_attention import paged_attention_decode
+
+    rng = np.random.default_rng(0)
+    kvh, d, bs, nb_ = 4, 64, 16, 64     # 1024-slot pool, 512 cached
+    kv_len = jnp.asarray([512] * B, jnp.int32)
+    tables = jnp.asarray(
+        np.stack([rng.permutation(nb_)[:32] for _ in range(B)]), jnp.int32)
+    pools = []
+    total = 0
+    for _ in range(NL):
+        k = jnp.asarray(rng.standard_normal((kvh, nb_, bs, d)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((kvh, nb_, bs, d)), jnp.bfloat16)
+        pools.append((k, v))
+        total += int(k.size + v.size) * 2 // 2  # only 512 of 1024 slots read
+    h = 32
+
+    def step(q, ws):
+        out = q
+        for k, v in ws:
+            out = paged_attention_decode(out, k, v, kv_len, tables)
+        return out
+
+    q0 = jnp.asarray(rng.standard_normal((B, h, d)), jnp.bfloat16)
+    return step, q0, pools, total
+
+
+def time_scan(step, x0, ws):
+    @jax.jit
+    def loop(x, w):
+        return jax.lax.scan(lambda c, _: (step(c, w), ()), x, None,
+                            length=N_ITER)[0]
+
+    t0 = time.time()
+    loop(x0, ws).block_until_ready()
+    print(f"  compile+first: {time.time()-t0:.1f}s", flush=True)
+    t0 = time.perf_counter()
+    loop(x0, ws).block_until_ready()
+    return (time.perf_counter() - t0) / N_ITER
+
+
+def main():
+    which = sys.argv[1:] or ["qmm", "dense", "attn"]
+    builders = {
+        "qmm": lambda: build_chain(mk_q4k, qmm),
+        "qmm_xla": lambda: build_chain(mk_q4k, qmm_xla),
+        "dense": lambda: build_chain(mk_dense, lambda x, qt: jnp.dot(
+            x, qt.qs, preferred_element_type=jnp.float32)[:, :qt.n_orig]),
+        "attn": build_attn,
+    }
+    for name in which:
+        step, x0, ws, nbytes = builders[name]()
+        dt = time_scan(step, x0, ws)
+        gbs = nbytes / dt / 1e9
+        print(f"{name:8s} {dt*1e3:8.2f} ms/tok  {nbytes/1e6:7.1f} MB/tok  "
+              f"{gbs:7.1f} GB/s ({100*gbs*1e9/HBM_BW:5.1f}% roofline)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
