@@ -76,7 +76,7 @@ def native_repack(raw, ggml_type: int, n: int, k: int, tile_n: int = 256,
 
     t = GGMLType(ggml_type)
     kind = _DECOMPOSERS[t][0]
-    pack = {"int8": 1, "u4": 2, "u2": 4, "u4lut": 2}[kind]
+    pack = {"int8": 1, "u4": 2, "u2": 4, "u4lut": 2, "u2lut": 4}[kind]
     group = {GGMLType.Q8_0: 32, GGMLType.Q4_0: 32, GGMLType.Q4_1: 32,
              GGMLType.Q4_K: 32, GGMLType.Q6_K: 16}[t]
     has_min = t in (GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q4_K)

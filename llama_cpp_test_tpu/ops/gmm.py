@@ -149,7 +149,7 @@ def _gmm_kernel(te_ref, x_ref, qs_ref, scale_ref, min_ref, lut_ref, o_ref,
                                        preferred_element_type=jnp.float32)
         for h in range(pack):
             q = _unpack(qs32, kind, h)
-            if kind == "u4lut":
+            if kind in ("u4lut", "u2lut"):
                 qf = jnp.zeros(q.shape, jnp.float32)
                 for i in range(n_lut):
                     qf = jnp.where(q == i, lut_ref[0, i], qf)

@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..quant.repack import QTensor
 
-_BITS = {"u4": 4, "u2": 2, "u4lut": 4}
+_BITS = {"u4": 4, "u2": 2, "u4lut": 4, "u2lut": 2}
 
 
 def _unpack(qs32: jax.Array, kind: str, h: int) -> jax.Array:
@@ -57,11 +57,11 @@ def _dequant_t(qs, scale, min_, lut, *, kind, group, dtype=jnp.bfloat16):
     numpy reference repack.dequantize_qtensor_np (transposed)."""
     if kind == "dense":
         return qs.astype(dtype)
-    pack = {"int8": 1, "u4": 2, "u2": 4, "u4lut": 2}[kind]
+    pack = {"int8": 1, "u4": 2, "u2": 4, "u4lut": 2, "u2lut": 4}[kind]
     q32 = qs.astype(jnp.int32)
     parts = [_unpack(q32, kind, h) for h in range(pack)]
     q = jnp.concatenate(parts, axis=1) if pack > 1 else parts[0]  # [K, N]
-    if kind == "u4lut":
+    if kind in ("u4lut", "u2lut"):
         qf = jnp.zeros(q.shape, jnp.float32)
         for i in range(lut.shape[0]):
             qf = jnp.where(q == i, lut[i], qf)
@@ -152,7 +152,7 @@ def _qmm_t_kernel(x_ref, qs_ref, scale_ref, min_ref, lut_ref,
     accs = []
     for h in range(pack):
         q = _unpack(qs32, kind, h)
-        if kind == "u4lut":
+        if kind in ("u4lut", "u2lut"):
             qf = jnp.zeros(q.shape, jnp.float32)
             for i in range(n_lut):
                 qf = jnp.where(q == i, lut_ref[0, i], qf)
@@ -380,7 +380,7 @@ def qgather(ids: jax.Array, qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
     if qt.kind != "int8":
         bits = _BITS[qt.kind]
         q = (q >> (bits * sub)[..., None]) & ((1 << bits) - 1)
-    if qt.kind == "u4lut":
+    if qt.kind in ("u4lut", "u2lut"):
         lut = jnp.asarray(qt.lut, jnp.float32)
         qf = lut[q]
     else:

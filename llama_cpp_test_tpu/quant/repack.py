@@ -64,7 +64,7 @@ class QTensor:
     i.e. y[m, n] = sum_k x[m, k] * w[n, k] (ggml stores weights K-major the
     same way)."""
 
-    kind: str  # 'dense' | 'int8' | 'u4' | 'u2' | 'u4lut'
+    kind: str  # 'dense' | 'int8' | 'u4' | 'u2' | 'u4lut' | 'u2lut'
     shape: tuple[int, int]  # (N, K) logical (N possibly padded; see n_orig)
     n_orig: int
     group: int
@@ -80,7 +80,8 @@ class QTensor:
 
     @property
     def pack(self) -> int:
-        return {"dense": 1, "int8": 1, "u4": 2, "u2": 4, "u4lut": 2}[self.kind]
+        return {"dense": 1, "int8": 1, "u4": 2, "u2": 4, "u4lut": 2,
+                "u2lut": 4}[self.kind]
 
     @property
     def npk(self) -> int:
@@ -362,7 +363,8 @@ def scale_row_view(qt: "QTensor") -> np.ndarray:
 
 def required_n_multiple(ggml_type: GGMLType, tile_n: int = 256) -> int:
     kind = _DECOMPOSERS.get(ggml_type, ("int8", None))[0]
-    pack = {"dense": 1, "int8": 1, "u4": 2, "u2": 4, "u4lut": 2}[kind]
+    pack = {"dense": 1, "int8": 1, "u4": 2, "u2": 4, "u4lut": 2,
+            "u2lut": 4}[kind]
     return pack * tile_n
 
 
@@ -374,7 +376,7 @@ def _assemble(kind: str, q: np.ndarray, s: np.ndarray, m, g: int,
               n: int, k: int, tile_n: int, layout: str, lut,
               ggml_type: GGMLType) -> QTensor:
     """Decomposed (q [N,K] ints, s/m [N,G]) -> QTensor in the given layout."""
-    pack = {"int8": 1, "u4": 2, "u2": 4, "u4lut": 2}[kind]
+    pack = {"int8": 1, "u4": 2, "u2": 4, "u4lut": 2, "u2lut": 4}[kind]
     mult = pack * tile_n
     n_full = n + (-n % mult)
     q = _pad_rows(q, n_full)
@@ -386,7 +388,7 @@ def _assemble(kind: str, q: np.ndarray, s: np.ndarray, m, g: int,
     if kind == "int8":
         qs = q.astype(np.int8)
     else:
-        bits = {"u4": 4, "u2": 2, "u4lut": 4}[kind]
+        bits = {"u4": 4, "u2": 2, "u4lut": 4, "u2lut": 2}[kind]
         qs = _pack_n(q, pack, bits)
     if layout == "t":
         qs = np.ascontiguousarray(qs.T)  # [K, NPK]
@@ -428,17 +430,15 @@ def repack(raw: np.ndarray, ggml_type: GGMLType, n: int, k: int,
                        ggml_type=ggml_type, layout=layout)
 
     if ggml_type in _IQ_GROUPS:
-        g = _IQ_GROUPS[ggml_type]
-        x = codecs.dequantize(np.ascontiguousarray(raw), ggml_type).reshape(n, k)
-        # factor back into int8 q * per-group scale (lossless for grids whose
-        # values are integer multiples of the group scale is not guaranteed;
-        # use amax/127 requant — error << the format's own error)
-        gv = x.reshape(n, k // g, g)
-        s = (np.abs(gv).max(axis=-1) / 127.0).astype(np.float32)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            inv = np.where(s > 0, 1.0 / s, 0.0)
-        q = np.rint(gv * inv[..., None]).astype(np.int8).reshape(n, k)
-        return _assemble("int8", q, s, None, g, n, k, tile_n, layout, None,
+        # exact native-bitwidth decomposition (u4lut 4bpw / u2 2bpw planes;
+        # quant/iq_repack.py) — the round-1/2 int8 re-encode inflated these
+        # 1.5-3.4 bpw formats to 8+ bpw of serve-time HBM traffic
+        from .iq_repack import IQ_DECOMPOSERS
+
+        fn = IQ_DECOMPOSERS[ggml_type]
+        b = _blocks(raw, ggml_type, n, k)
+        kind, q, s, m, g, lut = fn(b, n, k)
+        return _assemble(kind, q, s, m, g, n, k, tile_n, layout, lut,
                          ggml_type)
 
     kind, fn = _DECOMPOSERS[ggml_type]
@@ -499,12 +499,12 @@ def dequantize_qtensor_np(qt: QTensor) -> np.ndarray:
     if qt.kind == "int8":
         q = qs.astype(np.float32)
     else:
-        bits = {"u4": 4, "u2": 2, "u4lut": 4}[qt.kind]
+        bits = {"u4": 4, "u2": 2, "u4lut": 4, "u2lut": 2}[qt.kind]
         mask = (1 << bits) - 1
         q = np.concatenate(
             [((qs >> (bits * h)) & mask) for h in range(pack)], axis=0
         ).astype(np.float32)
-    if qt.kind == "u4lut":
+    if qt.kind in ("u4lut", "u2lut"):
         q = np.asarray(qt.lut)[q.astype(np.int32)]
     s = np.repeat(scale_row_view(qt), qt.group, axis=1)
     w = s * q

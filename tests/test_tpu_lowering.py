@@ -37,14 +37,14 @@ def lower_tpu(f, *args):
 
 def qt_spec(kind, n, k, group, *, has_min=False, has_lut=False, tile_n=256):
     """QTensor pytree whose leaves are ShapeDtypeStructs (layout 't')."""
-    pack = {"int8": 1, "u4": 2, "u2": 4, "u4lut": 2}[kind]
+    pack = {"int8": 1, "u4": 2, "u2": 4, "u4lut": 2, "u2lut": 4}[kind]
     mult = pack * tile_n
     n_full = n + (-n % mult)
     npk = n_full // pack
     qs = sds((k, npk), i8 if kind == "int8" else u8)
     scale = sds((pack, k // group, npk), bf16)
     min_ = sds((pack, k // group, npk), bf16) if has_min else None
-    lut = sds((16,), f32) if has_lut else None
+    lut = sds((4,) if kind == "u2lut" else (16,), f32) if has_lut else None
     return QTensor(kind, (n_full, k), n, group, qs, scale, min_, lut)
 
 
@@ -58,6 +58,9 @@ PLANE_KINDS = [
     ("int8", 16, False, False),
     ("u2", 16, True, False),
     ("u4lut", 32, False, True),
+    ("u4lut", 16, False, True),   # iq2_xs/iq2_s/iq1_m repack
+    ("u2lut", 32, False, True),   # iq1_s repack
+    ("u2lut", 256, False, True),  # ternary TQ repack
 ]
 
 # Real matmul geometries (N, K): TinyLlama-1.1B wqkv/wo/gate+up/down/lm_head,

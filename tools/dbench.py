@@ -88,7 +88,7 @@ def build_chain(mk, matmul):
             x = matmul(h.astype(jnp.bfloat16), wdn)[:, :C] \
                 .astype(jnp.bfloat16)
         logits = matmul(x, hd)
-        return x + (logits[:, :1] * 0).astype(x.dtype)
+        return x + (logits[:, :1] * 1e-9).astype(x.dtype)
 
     x0 = jnp.asarray(np.random.default_rng(1).standard_normal((B, C)),
                      jnp.bfloat16)
@@ -128,11 +128,14 @@ def time_scan(step, x0, ws):
         return jax.lax.scan(lambda c, _: (step(c, w), ()), x, None,
                             length=N_ITER)[0]
 
+    # time through a host materialization: block_until_ready on the axon
+    # tunnel returns before device execution completes (observed 21 TB/s
+    # "bandwidth"), np.asarray cannot lie
     t0 = time.time()
-    loop(x0, ws).block_until_ready()
+    np.asarray(loop(x0, ws))
     print(f"  compile+first: {time.time()-t0:.1f}s", flush=True)
     t0 = time.perf_counter()
-    loop(x0, ws).block_until_ready()
+    np.asarray(loop(x0, ws))
     return (time.perf_counter() - t0) / N_ITER
 
 
