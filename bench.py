@@ -1,16 +1,24 @@
 """Benchmark driver (llama-bench analogue, examples/llama-bench).
 
-Measures single-chip decode tokens/s and prefill tokens/s on a synthesized
-TinyLlama-1.1B-geometry model (BASELINE config #1 architecture: n_embd 2048,
-22 layers, 32 q-heads / 4 kv-heads, ffn 5632, vocab 32000) quantized Q4_K,
-served through the full engine path: fused Pallas dequant-matmul + paged KV
-cache + jitted decode step.
+Measures, on one real TPU chip, through the full engine path (fused Pallas
+dequant-matmul + paged KV + jitted loops):
 
-Prints ONE JSON line:
-  {"metric": ..., "value": tok/s, "unit": "tok/s", "vs_baseline": ...}
-vs_baseline = fraction of the HBM-bandwidth decode roofline achieved on this
-chip (BASELINE.json target: >= 0.85). Roofline = BW / bytes-touched-per-token
-(weights + KV); weight-dominated at batch 1.
+  decode       single-seq device greedy loop, TinyLlama-1.1B-geometry Q4_K
+               (BASELINE config #1) — the headline metric
+  sched        serving-path tokens/s: 4 concurrent slots through the
+               Scheduler's windowed device decode + device sampling
+  batch64      64-sequence batched decode (continuous-batching throughput,
+               BASELINE config #2 shape)
+  moe          Mixtral-geometry (scaled) top-2/8 expert decode through the
+               grouped gmm kernel (BASELINE config #4 shape)
+  prefill      pp512
+
+Prints ONE JSON line: the headline decode row, with every other config in
+"extra" (metric -> {tok_s, vs_roofline}). Set BENCH_FAST=1 to skip the
+secondary configs (each costs one remote compile on a tunneled device).
+
+Rooflines are HBM-bandwidth based: bytes-touched-per-token = weight planes
+streamed + KV read, per config.
 """
 import json
 import os
@@ -22,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 MODEL_CACHE = "/tmp/bench_tinyllama_q4k.gguf"
+MOE_CACHE = "/tmp/bench_moe_q4k.gguf"
 
 HBM_BW = {  # bytes/s, per chip
     "v5e": 819e9,
@@ -48,12 +57,41 @@ def build_model(path):
                n_ff=hp["n_ff"], qtype=GGMLType.Q4_K)
 
 
-def quantized_bytes_per_token(hp, bits=4.5):
-    """Weight bytes every decode step must stream from HBM."""
+MOE_HP = dict(n_vocab=32000, n_embd=1024, n_head=16, n_head_kv=4,
+              head_dim=64, n_layer=8, n_ff=1408, n_expert=8, n_expert_used=2)
+
+
+def build_moe_model(path):
+    from llama_cpp_test_tpu.gguf.constants import GGMLType
+    from __graft_entry__ import _tiny_gguf
+
+    _tiny_gguf(path, qtype=GGMLType.Q4_K, **MOE_HP)
+
+
+def weight_bytes_per_token(hp, bits=4.5):
+    """Dense-model weight bytes every decode step streams from HBM."""
     c, ff, L, v = hp["n_embd"], hp["n_ff"], hp["n_layer"], hp["n_vocab"]
     hq, hkv, d = hp["n_head"], hp["n_head_kv"], hp["head_dim"]
     per_layer = (c * hq * d + 2 * c * hkv * d + hq * d * c + 3 * c * ff)
     total = L * per_layer + v * c  # + lm head
+    return total * bits / 8
+
+
+def kv_bytes_per_token(hp, kv_len, batch=1):
+    """KV pool bytes read per decode step (bf16 K+V, all layers)."""
+    return (2 * hp["n_head_kv"] * hp["head_dim"] * kv_len * 2 *
+            hp["n_layer"] * batch)
+
+
+def moe_bytes_per_token(hp, bits=4.5):
+    """MoE decode streams attn + router + top_k experts' FFN + lm head."""
+    c, ff, L, v = hp["n_embd"], hp["n_ff"], hp["n_layer"], hp["n_vocab"]
+    hq, hkv, d, e, ku = (hp["n_head"], hp["n_head_kv"], hp["head_dim"],
+                         hp["n_expert"], hp["n_expert_used"])
+    attn = c * hq * d + 2 * c * hkv * d + hq * d * c
+    ffn = ku * 3 * c * ff          # only the chosen experts stream
+    router = c * e
+    total = L * (attn + ffn + router) + v * c
     return total * bits / 8
 
 
@@ -63,6 +101,7 @@ def main():
     backend = jax.default_backend()
     gen = os.environ.get("PALLAS_AXON_TPU_GEN", backend)
     bw = HBM_BW.get(gen, HBM_BW.get(backend, 819e9))
+    fast = os.environ.get("BENCH_FAST") == "1"
 
     if not os.path.exists(MODEL_CACHE):
         from llama_cpp_test_tpu.quant import codecs
@@ -81,11 +120,13 @@ def main():
     model = Model(MODEL_CACHE)
     print(f"# load+repack {time.time()-t0:.1f}s", file=sys.stderr)
 
+    hp = tinyllama_hp()
     n_ctx = 1024
+    extra = {}
+
+    # ---- config #1: single-seq decode (headline) + prefill ----------------
     ctx = Context(model, n_ctx=n_ctx, n_seq_max=2, block_size=16)
     rng = np.random.default_rng(0)
-
-    # prefill (pp512 analogue): first call compiles; time the second
     warm = ctx.new_seq()
     ctx.prefill(warm, list(rng.integers(1, 30000, 512)))
     ctx.free_seq(warm)
@@ -94,40 +135,128 @@ def main():
     t0 = time.time()
     logits = ctx.prefill(s, prompt)
     np.asarray(logits)
-    prefill_s = time.time() - t0
-    pp_tok_s = len(prompt) / prefill_s
+    pp_tok_s = len(prompt) / (time.time() - t0)
 
-    # decode, python-loop (per-token host round trip — serving path)
     tok = int(np.argmax(logits))
-    for _ in range(2):
-        logits = ctx.decode([s], [tok])[0]
-        tok = int(np.argmax(logits))
-    n_py = 16
-    t0 = time.time()
-    for _ in range(n_py):
-        logits = ctx.decode([s], [tok])[0]
-        tok = int(np.argmax(logits))
-    tg_py = n_py / (time.time() - t0)
-
-    # decode, device-side greedy scan loop (llama-cli greedy path)
-    n_steps = 32
+    n_steps = 128  # long window amortizes the device-link round trip
     ctx.decode_greedy_loop(s, tok, n_steps)  # compile
     t0 = time.time()
     toks = ctx.decode_greedy_loop(s, tok, n_steps)
-    dt = time.time() - t0
-    tg_loop = n_steps / dt
+    tg_loop = n_steps / (time.time() - t0)
+    roof1 = bw / (weight_bytes_per_token(hp) + kv_bytes_per_token(hp, 560))
+    extra["prefill_pp512"] = {"tok_s": round(pp_tok_s, 1)}
 
-    hp = tinyllama_hp()
-    roofline = bw / quantized_bytes_per_token(hp)
+    # ---- serving path: scheduler windowed decode + device sampling --------
+    if not fast:
+        try:
+            from llama_cpp_test_tpu.runtime.sampling import SamplerParams
+            from llama_cpp_test_tpu.runtime.scheduler import (GenRequest,
+                                                              Scheduler)
+
+            from llama_cpp_test_tpu.runtime.scheduler import SlotState
+
+            ctx2 = Context(model, n_ctx=n_ctx, n_seq_max=4, block_size=16)
+            sch = Scheduler(ctx2, n_slots=4, chunk_size=512, decode_window=32)
+
+            def run_batch():
+                for i in range(4):
+                    sch.submit(GenRequest(
+                        list(rng.integers(1, 30000, 512)), max_tokens=64,
+                        sampling=SamplerParams(temp=0.7, top_k=40,
+                                               seed=i + 1),
+                        ignore_eos=True))
+                # phase the prompts first so decode runs at full batch
+                # through the windowed path (one window program)
+                sch._launch_queued()
+                while any(sl.state == SlotState.PROMPT for sl in sch.slots):
+                    sch._prefill_one()
+                n0 = sch.n_gen_tokens
+                t0 = time.time()
+                sch.run()
+                return sch.n_gen_tokens - n0, time.time() - t0
+
+            run_batch()                    # compile the window program
+            n_gen, dt = run_batch()        # steady-state measurement
+            sched_tok_s = n_gen / dt
+            roof_s = bw / (weight_bytes_per_token(hp) / 4 +
+                           kv_bytes_per_token(hp, 560))
+            extra["sched_4slot"] = {
+                "tok_s": round(sched_tok_s, 1),
+                "vs_roofline": round(sched_tok_s / roof_s, 4),
+                "per_seq_vs_device_loop": round(
+                    (sched_tok_s / 4) / tg_loop, 3),
+            }
+        except Exception as e:  # pragma: no cover
+            extra["sched_4slot"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+    # ---- 64-seq batched decode -------------------------------------------
+    if not fast:
+        try:
+            ctx3 = Context(model, n_ctx=256, n_seq_max=64, block_size=16,
+                           num_blocks=64 * 16)
+            seqs, toks64 = [], []
+            for i in range(64):
+                si = ctx3.new_seq()
+                lg = ctx3.prefill(si, list(rng.integers(1, 30000, 64)))
+                seqs.append(si)
+                toks64.append(int(np.argmax(lg)))
+            ctx3.decode(seqs, toks64)  # compile batch-64 step
+            nrounds = 8
+            t0 = time.time()
+            for _ in range(nrounds):
+                lg = ctx3.decode(seqs, toks64)
+            np.asarray(lg)
+            dt = time.time() - t0
+            b64_tok_s = 64 * nrounds / dt
+            roof64 = bw / (weight_bytes_per_token(hp) +
+                           kv_bytes_per_token(hp, 72, batch=64))
+            extra["decode_batch64"] = {
+                "tok_s": round(b64_tok_s, 1),
+                "vs_roofline": round(b64_tok_s / (roof64 * 64), 4),
+            }
+        except Exception as e:  # pragma: no cover
+            extra["decode_batch64"] = {
+                "error": f"{type(e).__name__}: {e}"[:200]}
+
+    # ---- MoE (Mixtral-shaped, scaled) ------------------------------------
+    if not fast:
+        try:
+            if not os.path.exists(MOE_CACHE):
+                from llama_cpp_test_tpu.quant import codecs
+
+                codecs.set_refine_iters(0)
+                try:
+                    build_moe_model(MOE_CACHE)
+                finally:
+                    codecs.set_refine_iters(2)
+            moe_model = Model(MOE_CACHE)
+            ctxm = Context(moe_model, n_ctx=256, n_seq_max=2, block_size=16)
+            sm = ctxm.new_seq()
+            lg = ctxm.prefill(sm, list(rng.integers(1, 30000, 64)))
+            tokm = int(np.argmax(lg))
+            ctxm.decode_greedy_loop(sm, tokm, 64)  # compile
+            t0 = time.time()
+            ctxm.decode_greedy_loop(sm, tokm, 64)
+            dt = time.time() - t0
+            moe_tok_s = 64 / dt
+            roof_m = bw / (moe_bytes_per_token(MOE_HP) +
+                           kv_bytes_per_token(MOE_HP, 100))
+            extra["moe_8x_top2"] = {
+                "tok_s": round(moe_tok_s, 1),
+                "vs_roofline": round(moe_tok_s / roof_m, 4),
+            }
+        except Exception as e:  # pragma: no cover
+            extra["moe_8x_top2"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
     result = {
         "metric": f"tinyllama1.1b_q4k_decode_tok_s_{backend}",
         "value": round(tg_loop, 2),
         "unit": "tok/s",
-        "vs_baseline": round(tg_loop / roofline, 4),
+        "vs_baseline": round(tg_loop / roof1, 4),
+        "extra": extra,
     }
-    print(f"# prefill pp512: {pp_tok_s:.1f} tok/s | decode py-loop: "
-          f"{tg_py:.1f} tok/s | decode device-loop: {tg_loop:.1f} tok/s | "
-          f"roofline {roofline:.0f} tok/s ({gen})", file=sys.stderr)
+    print(f"# decode {tg_loop:.1f} tok/s (roofline {roof1:.0f}) | "
+          f"prefill {pp_tok_s:.1f} | extra: {extra}", file=sys.stderr)
     print(json.dumps(result))
 
 

@@ -35,58 +35,65 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _pa_kernel(lengths_ref, pages_ref, q_ref, k_ref, v_ref, o_ref,
-               m_scr, l_scr, acc_scr, *, bs: int, soft_cap: float | None):
-    """Flash-decoding over one (sequence, kv head): grid dim 2 walks the
-    sequence's physical pages (selected by the block-table index_map);
-    scratch carries the online-softmax state across pages.
+               m_scr, l_scr, acc_scr, *, bs: int, kv: int,
+               soft_cap: float | None):
+    """Flash-decoding: one grid step = one sequence page, ALL kv heads.
 
-    q_ref [1, 1, G, D]; k_ref/v_ref [1, 1, BS, D]; o_ref [1, 1, G, D]
-    m/l scratch [G, 128] f32; acc scratch [G, D] f32.
+    Grid is (B, NBmax) — the round-1/2 kernel also iterated kv heads in the
+    grid, paying one Mosaic grid-step (~0.4us) per tiny (bs, d) block; with
+    kv heads batched into the block the step count drops kv-fold and the
+    per-step DMA grows kv-fold. The batched (KV, G, BS) dot rides one
+    dot_general.
+
+    q_ref [1, KV, G, D]; k_ref/v_ref [KV, 1, BS, D]; o_ref [1, KV, G, D]
+    m/l scratch [KV, G, 128] f32; acc scratch [KV, G, D] f32.
     """
     b = pl.program_id(0)
-    c = pl.program_id(2)
-    n_chunks = pl.num_programs(2)
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
     length = lengths_ref[b]
 
     @pl.when(c == 0)
     def _():
-        m_scr[:] = jnp.full_like(m_scr, -1e30)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
+        m_scr[...] = jnp.full_like(m_scr, -1e30)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
 
     @pl.when(c * bs < length)
     def _():
-        q = q_ref[0, 0].astype(jnp.float32)            # [G, D]
-        k = k_ref[0, 0].astype(jnp.float32)            # [BS, D]
-        v = v_ref[0, 0].astype(jnp.float32)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)  # [G, BS]
+        q = q_ref[0].astype(jnp.float32)               # [KV, G, D]
+        k = k_ref[:, 0].astype(jnp.float32)            # [KV, BS, D]
+        v = v_ref[:, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)        # [KV, G, BS]
         if soft_cap is not None:
             s = jnp.tanh(s / soft_cap) * soft_cap
-        pos = c * bs + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        pos = c * bs + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(pos < length, s, -1e30)
-        m_prev = m_scr[:, 0:1]                          # [G, 1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        m_prev = m_scr[:, :, 0:1]                      # [KV, G, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)                          # [G, BS]
-        l_new = l_scr[:, 0:1] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+        p = jnp.exp(s - m_new)                         # [KV, G, BS]
+        l_new = l_scr[:, :, 0:1] * alpha + jnp.sum(p, axis=2, keepdims=True)
+        acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)        # [KV, G, D]
+        m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
 
     @pl.when(c == n_chunks - 1)
     def _():
-        denom = jnp.maximum(l_scr[:, 0:1], 1e-30)
-        o_ref[0, 0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+        denom = jnp.maximum(l_scr[:, :, 0:1], 1e-30)
+        o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("soft_cap",))
+@functools.partial(jax.jit, static_argnames=("soft_cap", "interpret"))
 def paged_attention_decode(q: jax.Array, k_pages: jax.Array,
                            v_pages: jax.Array, lengths: jax.Array,
                            page_indices: jax.Array,
-                           soft_cap: float | None = None) -> jax.Array:
+                           soft_cap: float | None = None,
+                           interpret: bool = False) -> jax.Array:
     """Pallas paged flash-decoding.
 
     q: [B, H, D] pre-scaled; k/v_pages: [KV, NB, BS, D]; lengths [B];
@@ -98,36 +105,37 @@ def paged_attention_decode(q: jax.Array, k_pages: jax.Array,
     nbmax = page_indices.shape[1]
     q4 = q.reshape(b, kv, g, d)
 
-    grid = (b, kv, nbmax)
+    grid = (b, nbmax)
 
-    def q_map(bi, ki, ci, lens, pages):
-        return (bi, ki, 0, 0)
+    def q_map(bi, ci, lens, pages):
+        return (bi, 0, 0, 0)
 
-    def kv_map(bi, ki, ci, lens, pages):
-        return (ki, pages[bi, ci], 0, 0)
+    def kv_map(bi, ci, lens, pages):
+        return (0, pages[bi, ci], 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, g, d), q_map),
-            pl.BlockSpec((1, 1, bs, d), kv_map),
-            pl.BlockSpec((1, 1, bs, d), kv_map),
+            pl.BlockSpec((1, kv, g, d), q_map),
+            pl.BlockSpec((kv, 1, bs, d), kv_map),
+            pl.BlockSpec((kv, 1, bs, d), kv_map),
         ],
-        out_specs=pl.BlockSpec((1, 1, g, d), q_map),
+        out_specs=pl.BlockSpec((1, kv, g, d), q_map),
         scratch_shapes=[
-            pltpu.VMEM((g, 128), jnp.float32),
-            pltpu.VMEM((g, 128), jnp.float32),
-            pltpu.VMEM((g, d), jnp.float32),
+            pltpu.VMEM((kv, g, 128), jnp.float32),
+            pltpu.VMEM((kv, g, 128), jnp.float32),
+            pltpu.VMEM((kv, g, d), jnp.float32),
         ],
     )
-    kernel = functools.partial(_pa_kernel, bs=bs, soft_cap=soft_cap)
+    kernel = functools.partial(_pa_kernel, bs=bs, kv=kv, soft_cap=soft_cap)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, kv, g, d), q.dtype),
+        interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * b * h * d * nbmax * bs,

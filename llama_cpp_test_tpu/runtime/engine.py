@@ -51,14 +51,19 @@ TOKEN_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048)
 
 def _forward(w: LlamaWeights, pools: KVPools, tokens, positions, block_table,
              slots, kv_len, *, hp: HParams, decode: bool,
-             tp_axis: str | None = None, tp: int = 1, rope_delta=None):
+             tp_axis: str | None = None, tp: int = 1, rope_delta=None,
+             x_embd=None):
     """Shared forward: embeds, runs all layers (writing KV), final norm is NOT
     applied (lm_head does it). Returns (hidden [B, T, C], pools).
 
     positions are cache-index positions (mask ordering); rope_delta [B] is an
     optional per-row offset added for the RoPE rotation only — nonzero after
-    Self-Extend grouped repositioning (SeqState.pos_offset)."""
-    x = llama_mod.embed(w, tokens, hp.embd_scale)
+    Self-Extend grouped repositioning (SeqState.pos_offset).
+    x_embd [B, T, C]: pre-computed input embeddings (multimodal image
+    features, models/clip.py) replacing the token-embedding lookup — the
+    llava_eval_image_embed analogue (reference examples/llava/llava.cpp)."""
+    x = llama_mod.embed(w, tokens, hp.embd_scale) if x_embd is None \
+        else x_embd.astype(jnp.bfloat16)
     scale = hparams_mod.attn_scale_of(hp)
     cap = hp.attn_softcap
     rope_pos = positions if rope_delta is None else \
@@ -111,6 +116,19 @@ def _prefill_step(w: LlamaWeights, pools: KVPools, tokens, positions,
     reference llama-model.cpp:4110-4115). Returns (logits [B, V], pools)."""
     x, pools = _forward(w, pools, tokens, positions, block_table, slots,
                         kv_len, hp=hp, decode=False, rope_delta=rope_delta)
+    h_last = jnp.take_along_axis(x, last_ix[:, None, None], axis=1)[:, 0]
+    logits = llama_mod.lm_head(w, hp, h_last[:, None])[:, 0]
+    return logits, pools
+
+
+@functools.partial(jax.jit, static_argnames=("hp",), donate_argnums=(1,))
+def _prefill_embeds_step(w: LlamaWeights, pools: KVPools, x_embd, positions,
+                         block_table, slots, kv_len, last_ix,
+                         *, hp: HParams):
+    """Prefill a chunk of pre-computed embeddings (multimodal image
+    features). x_embd: [B, T, C] f32/bf16. Returns (logits [B, V], pools)."""
+    x, pools = _forward(w, pools, None, positions, block_table, slots,
+                        kv_len, hp=hp, decode=False, x_embd=x_embd)
     h_last = jnp.take_along_axis(x, last_ix[:, None, None], axis=1)[:, 0]
     logits = llama_mod.lm_head(w, hp, h_last[:, None])[:, 0]
     return logits, pools
@@ -621,6 +639,41 @@ class Context:
                 self.model.weights, self.pools, tok, pos, bt, slot_arr,
                 kv_len, last_ix)
         return np.asarray(logits[row])
+
+    def prefill_embeds(self, s: SeqState, embeds: np.ndarray,
+                       placeholder_token: int = -1) -> np.ndarray:
+        """Prefill pre-computed input embeddings [T, C] (multimodal image
+        features from models/clip.encode_image) instead of tokens — the
+        llava_eval_image_embed analogue. The sequence's token list records
+        `placeholder_token` for these positions. Returns last-position
+        logits [V]. Single-device path."""
+        if self.mesh is not None:
+            raise NotImplementedError("prefill_embeds: single-device only")
+        if s.pos_offset:
+            raise NotImplementedError("prefill_embeds after self_extend")
+        hp = self.model.hp
+        t0 = s.n_cached
+        n = embeds.shape[0]
+        if n == 0:
+            raise ValueError("prefill_embeds: empty embedding list")
+        slots = s.table.append_tokens(n)
+        self._drain_copies([s])
+        tb = _bucket(n, TOKEN_BUCKETS)
+        x = np.zeros((1, tb, hp.n_embd), np.float32)
+        x[0, :n] = np.asarray(embeds, np.float32)
+        pos = np.zeros((1, tb), np.int32)
+        pos[0, :n] = np.arange(t0, t0 + n)
+        slot_arr = np.full((1, tb), -1, np.int32)
+        slot_arr[0, :n] = slots
+        bt = self._table_arr([s])
+        kv_len = np.asarray([t0 + n], np.int32)
+        s.tokens.extend([placeholder_token] * n)
+        s.n_cached += n
+        last_ix = np.asarray([n - 1], np.int32)
+        logits, self.pools = _prefill_embeds_step(
+            self.model.weights, self.pools, jnp.asarray(x), pos, bt,
+            slot_arr, kv_len, last_ix, hp=hp)
+        return np.asarray(logits[0])
 
     def embed(self, tokens: list[int], pooling: str = "mean") -> np.ndarray:
         """Pooled L2-normalized embedding of a token sequence [n_embd]."""

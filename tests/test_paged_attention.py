@@ -31,16 +31,8 @@ def nmse(a, b):
 
 
 def _pallas_interpret(q, k, v, lengths, pages, soft_cap=None):
-    import functools
-    with jax.disable_jit():
-        from unittest import mock
-        # run the pallas_call in interpreter mode on CPU
-        orig = pa.pl.pallas_call
-        with mock.patch.object(
-                pa.pl, "pallas_call",
-                functools.partial(orig, interpret=True)):
-            return pa.paged_attention_decode.__wrapped__(
-                q, k, v, lengths, pages, soft_cap=soft_cap)
+    return pa.paged_attention_decode(q, k, v, lengths, pages,
+                                     soft_cap=soft_cap, interpret=True)
 
 
 @pytest.mark.parametrize("seed", [0, 1])

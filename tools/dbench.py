@@ -28,13 +28,17 @@ import numpy as np
 from llama_cpp_test_tpu.ops.qmatmul import qmm, qmm_xla
 from llama_cpp_test_tpu.quant.repack import QTensor
 
-HBM_BW = 819e9
-N_ITER = 16
-B = 8            # decode batch rows (engine pads to 8)
-GROUP = 32
+import os
 
-# TinyLlama-1.1B geometry (bench.py config #1)
-C, FF, NL, V = 2048, 5632, 22, 32000
+HBM_BW = 819e9
+N_ITER = int(os.environ.get("DB_ITERS", "64"))
+B = int(os.environ.get("DB_B", "8"))   # decode batch rows (engine pads to 8)
+GROUP = 32
+TILE_N = int(os.environ.get("DB_TILE_N", "256"))
+
+# TinyLlama-1.1B geometry (bench.py config #1); DB_NL trims layers to cut
+# the remote-compile time when A/B-ing kernel variants (~40s/layer)
+C, FF, NL, V = 2048, 5632, int(os.environ.get("DB_NL", "22")), 32000
 SHAPES = [
     (2560, C),        # fused wqkv (32q+4k+4v heads x 64)
     (C, C),           # wo
@@ -122,6 +126,29 @@ def build_attn():
     return step, q0, pools, total
 
 
+_RTT = None
+
+
+def _rtt() -> float:
+    """One dispatch+download round trip over the device link — measured
+    once and subtracted from every scan timing. At 16 iters the tunnel's
+    ~30ms RTT shows up as a phantom 1.9ms/iter "fixed cost" (which round 3
+    initially chased as kernel overhead)."""
+    global _RTT
+    if _RTT is None:
+        f = jax.jit(lambda x: x + 1.0)
+        x = jnp.zeros((8, 128), jnp.float32)
+        np.asarray(f(x))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(f(x))
+            ts.append(time.perf_counter() - t0)
+        _RTT = min(ts)
+        print(f"  link RTT: {_RTT*1e3:.1f}ms", flush=True)
+    return _RTT
+
+
 def time_scan(step, x0, ws):
     @jax.jit
     def loop(x, w):
@@ -136,13 +163,14 @@ def time_scan(step, x0, ws):
     print(f"  compile+first: {time.time()-t0:.1f}s", flush=True)
     t0 = time.perf_counter()
     np.asarray(loop(x0, ws))
-    return (time.perf_counter() - t0) / N_ITER
+    return (time.perf_counter() - t0 - _rtt()) / N_ITER
 
 
 def main():
     which = sys.argv[1:] or ["qmm", "dense", "attn"]
     builders = {
-        "qmm": lambda: build_chain(mk_q4k, qmm),
+        "qmm": lambda: build_chain(
+            mk_q4k, lambda x, qt: qmm(x, qt, tile_n=TILE_N)),
         "qmm_xla": lambda: build_chain(mk_q4k, qmm_xla),
         "dense": lambda: build_chain(mk_dense, lambda x, qt: jnp.dot(
             x, qt.qs, preferred_element_type=jnp.float32)[:, :qt.n_orig]),
