@@ -15,46 +15,25 @@ import numpy as np
 
 
 def build_parser() -> argparse.ArgumentParser:
-    ap = argparse.ArgumentParser(
-        "llama-cli (tpu)",
-        description="TPU-native llama.cpp-compatible text generation")
-    ap.add_argument("-m", "--model", required=True, help="GGUF model path")
-    ap.add_argument("-p", "--prompt", default="")
-    ap.add_argument("-f", "--file", default=None, help="prompt from file")
-    ap.add_argument("-n", "--n-predict", type=int, default=128)
-    ap.add_argument("-c", "--ctx-size", type=int, default=2048)
-    ap.add_argument("-i", "--interactive", action="store_true")
-    ap.add_argument("--temp", type=float, default=0.8)
-    ap.add_argument("--top-k", type=int, default=40)
-    ap.add_argument("--top-p", type=float, default=0.95)
-    ap.add_argument("--min-p", type=float, default=0.05)
-    ap.add_argument("--typical", type=float, default=1.0)
-    ap.add_argument("--repeat-penalty", type=float, default=1.0)
-    ap.add_argument("--repeat-last-n", type=int, default=64)
-    ap.add_argument("--frequency-penalty", type=float, default=0.0)
-    ap.add_argument("--presence-penalty", type=float, default=0.0)
-    ap.add_argument("--mirostat", type=int, default=0)
-    ap.add_argument("--mirostat-tau", type=float, default=5.0)
-    ap.add_argument("--mirostat-eta", type=float, default=0.1)
-    ap.add_argument("-s", "--seed", type=int, default=0)
-    ap.add_argument("--no-display-prompt", action="store_true")
-    ap.add_argument("--verbose-prompt", action="store_true")
-    ap.add_argument("-tp", "--tensor-parallel", type=int, default=1,
-                    help="shard over N local devices")
-    ap.add_argument("--lora", action="append", default=[],
-                    help="LoRA adapter GGUF (repeatable)")
-    ap.add_argument("--lora-scaled", action="append", nargs=2, default=[],
-                    metavar=("PATH", "SCALE"))
-    ap.add_argument("--control-vector", action="append", default=[],
-                    help="control-vector GGUF (repeatable)")
-    ap.add_argument("--control-vector-scaled", action="append", nargs=2,
-                    default=[], metavar=("PATH", "STRENGTH"))
-    ap.add_argument("--keep", type=int, default=0,
-                    help="tokens pinned at the head on context shift")
-    ap.add_argument("-ctk", "--cache-type-kv", default="bf16",
-                    choices=["bf16", "f16", "q8_0"],
-                    help="KV cache data type (type_k/type_v analogue)")
-    return ap
+    """Flags come from the declarative registry (common/args.py — the
+    common/arg.h analogue) with env mirrors; only llama-cli-specific
+    extras are declared here."""
+    from ..common.args import Arg, build_parser as registry_parser
+
+    extras = [
+        Arg(("-p", "--prompt"), "prompt", str, "", "prompt text",
+            examples=("main",)),
+        Arg(("-f", "--file"), "file", str, None, "prompt from file",
+            examples=("main",)),
+        Arg(("-i", "--interactive"), "interactive", "store_true", False,
+            "interactive chat mode", examples=("main",)),
+        Arg(("--no-display-prompt",), "no_display_prompt", "store_true",
+            False, "", examples=("main",)),
+        Arg(("--verbose-prompt",), "verbose_prompt", "store_true", False,
+            "", examples=("main",)),
+    ]
+    return registry_parser("llama-cli (tpu)",
+                           examples=("main", "sampling"), extra=extras)
 
 
 def main(argv=None) -> int:

@@ -117,11 +117,16 @@ class BlockManager:
                 victim = blk
                 break
         if victim is None:
-            raise RuntimeError("BlockManager: nothing evictable (all pinned)")
+            from .errors import NoKvSlotError
+
+            raise NoKvSlotError(
+                "BlockManager: nothing evictable (all pinned)")
         owners = self._owners.get(victim, ())
         if owners:
             if self.swap is None:
-                raise RuntimeError(
+                from .errors import NoKvSlotError
+
+                raise NoKvSlotError(
                     f"BlockManager: block {victim} is mapped by a live "
                     f"sequence and no swap store is attached — refusing to "
                     f"corrupt it (allocate fewer/shorter sequences or enable "

@@ -381,6 +381,10 @@ class Context:
             self.mgrs = [BlockManager(num_blocks) for _ in range(self.dp)]
         self.seqs: dict[int, SeqState] = {}
         self._next_id = 0
+        # abort callback (ggml_abort_callback analogue, reference
+        # llama-context.cpp:1302-1305): checked at every engine yield point;
+        # a True return raises DecodeAborted (recoverable, code 2)
+        self.abort_callback = None
         # block-table width bucket: full table for n_ctx
         self.nbmax = n_ctx // block_size
         if self.mp and kv_type != "bf16":
@@ -417,6 +421,13 @@ class Context:
                 _prefill_all_logits_step, hp=hp)
             self._decode_fn = functools.partial(_decode_step, hp=hp)
             self._copy_fn = None
+
+
+    def _check_abort(self) -> None:
+        if self.abort_callback is not None and self.abort_callback():
+            from .errors import DecodeAborted
+
+            raise DecodeAborted("decode aborted by callback")
 
     @property
     def mgr(self) -> BlockManager:
@@ -581,6 +592,7 @@ class Context:
                 all_logits: bool = False) -> np.ndarray:
         """Append tokens to the sequence and run prefill. Returns last-token
         logits [V] (or [T, V] when all_logits)."""
+        self._check_abort()
         hp = self.model.hp
         t0 = s.n_cached
         n = len(tokens)
@@ -854,6 +866,7 @@ class Context:
         parallel/tp.build_window_step); not on the pipeline mesh."""
         from . import device_sampling as ds
 
+        self._check_abort()
         if self.mp:
             raise NotImplementedError("decode_window: not on a pipeline mesh")
         if any(s.pos_offset for s in seqs):
@@ -952,6 +965,7 @@ class Context:
         """One decode step for a batch of sequences. Returns logits [B, V]
         in the caller's order. Rows are arranged so each dp group's pinned
         sequences land on its shard of the batch axis."""
+        self._check_abort()
         hp = self.model.hp
         b = len(seqs)
         slot_list = []

@@ -376,16 +376,56 @@ class Grammar:
 
 class GrammarSampler:
     """Sampler-chain element: masks tokens the grammar rejects
-    (llama_sampler_init_grammar analogue)."""
+    (llama_sampler_init_grammar analogue).
 
-    def __init__(self, grammar_text: str, tokenizer):
+    Lazy mode (llama_sampler_init_grammar_lazy_patterns analogue, reference
+    src/llama-grammar.h:124-132): the grammar waits for a trigger before
+    constraining — output is buffered, and when a trigger token fires or a
+    trigger word/pattern matches the buffered text, the grammar is fed the
+    text from the trigger onward and sampling becomes constrained. Used for
+    tool-call formats where free text precedes a structured block.
+    """
+
+    def __init__(self, grammar_text: str, tokenizer, *, lazy: bool = False,
+                 trigger_words: tuple = (), trigger_tokens: tuple = (),
+                 trigger_patterns: tuple = ()):
         self.text = grammar_text
         self.tok = tokenizer
         self.grammar = GrammarParser(grammar_text).parse()
         self._piece_cache: dict[int, str] = {}
+        self.lazy = bool(lazy)
+        self.awaiting_trigger = self.lazy
+        self.trigger_buffer = ""
+        self.trigger_tokens = tuple(int(t) for t in trigger_tokens)
+        # words become anchored patterns like the reference's
+        # llama_sampler_init_grammar_lazy (word match anywhere, constrained
+        # text starts AT the word)
+        import re as _re
+
+        pats = [(_re.compile(p), True) for p in trigger_patterns]
+        pats += [(_re.compile(".*?(" + _re.escape(w) + ")", _re.DOTALL),
+                  True) for w in trigger_words]
+        self.trigger_patterns = pats
 
     def reset(self):
         self.grammar.reset()
+        self.awaiting_trigger = self.lazy
+        self.trigger_buffer = ""
+
+    def _feed(self, text: str) -> None:
+        for c in text:
+            if not self.grammar.accept_char(ord(c)):
+                break
+
+    def _check_trigger(self) -> None:
+        for pat, _ in self.trigger_patterns:
+            mm = pat.match(self.trigger_buffer)
+            if mm is not None:
+                start = mm.start(1) if mm.groups() else mm.start()
+                self.awaiting_trigger = False
+                self._feed(self.trigger_buffer[start:])
+                self.trigger_buffer = ""
+                return
 
     def _piece(self, tid: int) -> str:
         p = self._piece_cache.get(tid)
@@ -395,6 +435,8 @@ class GrammarSampler:
         return p
 
     def apply(self, st) -> None:
+        if self.awaiting_trigger:
+            return  # unconstrained until a trigger fires
         eog = getattr(self.tok, "vocab", None)
         keep = np.zeros(len(st.ids), bool)
         for i, tid in enumerate(st.ids):
@@ -411,6 +453,14 @@ class GrammarSampler:
 
     def accept(self, token: int) -> None:
         piece = self._piece(int(token))
-        for c in piece:
-            if not self.grammar.accept_char(ord(c)):
-                break
+        if self.awaiting_trigger:
+            if int(token) in self.trigger_tokens:
+                # trigger token: constrained text starts WITH its piece
+                self.awaiting_trigger = False
+                self.trigger_buffer = ""
+                self._feed(piece)
+                return
+            self.trigger_buffer += piece
+            self._check_trigger()
+            return
+        self._feed(piece)

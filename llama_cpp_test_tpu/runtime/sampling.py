@@ -420,6 +420,12 @@ class SamplerParams:
     mirostat_eta: float = 0.1
     logit_bias: dict = dataclasses.field(default_factory=dict)
     grammar: str = ""
+    # lazy grammar triggers (llama-grammar.h:124-132): constrain sampling
+    # only after a trigger word/pattern/token appears in the output
+    grammar_lazy: bool = False
+    grammar_trigger_words: tuple = ()
+    grammar_trigger_tokens: tuple = ()
+    grammar_trigger_patterns: tuple = ()
 
 
 class SamplerChain:

@@ -189,8 +189,12 @@ class Scheduler:
             if req.sampling.grammar and self.tokenizer is not None:
                 from .grammar import GrammarSampler
 
-                grammar_sampler = GrammarSampler(req.sampling.grammar,
-                                                 self.tokenizer)
+                sp = req.sampling
+                grammar_sampler = GrammarSampler(
+                    sp.grammar, self.tokenizer, lazy=sp.grammar_lazy,
+                    trigger_words=sp.grammar_trigger_words,
+                    trigger_tokens=sp.grammar_trigger_tokens,
+                    trigger_patterns=sp.grammar_trigger_patterns)
             slot.sampler = SamplerChain.from_params(
                 req.sampling, n_vocab=self.ctx.model.hp.n_vocab,
                 grammar_sampler=grammar_sampler)

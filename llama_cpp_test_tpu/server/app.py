@@ -95,6 +95,20 @@ def _sampling_from_body(body: dict) -> SamplerParams:
         p.logit_bias = {int(k): float(v) for k, v in body["logit_bias"].items()}
     if body.get("grammar"):
         p.grammar = str(body["grammar"])
+        # lazy triggers (server.cpp grammar_lazy + grammar_triggers)
+        p.grammar_lazy = bool(body.get("grammar_lazy", False))
+        words, toks, pats = [], [], []
+        for trig in body.get("grammar_triggers") or []:
+            t = trig.get("type", "word")
+            if t in ("word", 1):
+                words.append(str(trig["value"]))
+            elif t in ("token", 0):
+                toks.append(int(trig["value"]))
+            else:  # pattern / pattern_full
+                pats.append(str(trig["value"]))
+        p.grammar_trigger_words = tuple(words)
+        p.grammar_trigger_tokens = tuple(toks)
+        p.grammar_trigger_patterns = tuple(pats)
     elif (body.get("response_format") or {}).get("type") == "json_object":
         from ..runtime.json_schema import JSON_GBNF
 
@@ -646,51 +660,9 @@ class LlamaServer:
 
 
 def main(argv=None):
-    import argparse
+    from ..common.args import build_parser
 
-    ap = argparse.ArgumentParser("llama-server (tpu)")
-    ap.add_argument("-m", "--model", required=True)
-    ap.add_argument("--host", default="127.0.0.1")
-    ap.add_argument("--port", type=int, default=8080)
-    ap.add_argument("-c", "--ctx-size", type=int, default=2048)
-    ap.add_argument("-np", "--parallel", type=int, default=4,
-                    help="number of server slots")
-    ap.add_argument("--alias", default=None)
-    ap.add_argument("-ctk", "--cache-type-kv", default="bf16",
-                    choices=["bf16", "f16", "q8_0"])
-    ap.add_argument("--slot-save-path", default=None,
-                    help="directory for /slots save/restore files")
-    ap.add_argument("--api-key", default=None,
-                    help="require Authorization: Bearer <key>")
-    ap.add_argument("--lora", action="append", default=[],
-                    help="LoRA adapter GGUF (repeatable)")
-    ap.add_argument("--lora-scaled", action="append", nargs=2, default=[],
-                    metavar=("PATH", "SCALE"),
-                    help="LoRA adapter GGUF with user scale (repeatable)")
-    ap.add_argument("-md", "--model-draft", default=None,
-                    help="draft model GGUF for server-side speculative "
-                         "decoding")
-    ap.add_argument("--draft-max", type=int, default=8,
-                    help="max draft tokens per speculation round")
-    ap.add_argument("--draft-p-min", type=float, default=0.75,
-                    help="draft confidence floor")
-    # multi-host (multi-controller) serving: one process per host, rank 0
-    # serves HTTP and drives the others (parallel/driver.py). Env mirrors
-    # let launchers configure ranks without editing argv.
-    import os as _os
-
-    ap.add_argument("--coordinator",
-                    default=_os.environ.get("LLAMA_COORDINATOR"),
-                    help="jax.distributed coordinator host:port "
-                         "(env LLAMA_COORDINATOR)")
-    ap.add_argument("--num-procs", type=int,
-                    default=int(_os.environ.get("LLAMA_NUM_PROCS", "0") or 0),
-                    help="total processes (env LLAMA_NUM_PROCS)")
-    ap.add_argument("--process-id", type=int,
-                    default=int(_os.environ.get("LLAMA_PROC_ID", "0") or 0),
-                    help="this process's rank (env LLAMA_PROC_ID)")
-    ap.add_argument("-tp", "--tensor-parallel", type=int, default=0,
-                    help="tp width (0 = all global devices)")
+    ap = build_parser("llama-server (tpu)", examples=("server",))
     args = ap.parse_args(argv)
     loras = [(p, 1.0) for p in args.lora] + \
         [(p, float(s)) for p, s in args.lora_scaled]
@@ -709,7 +681,7 @@ def main(argv=None):
         port = drv.command_port(args.coordinator)
         if args.process_id != 0:
             # follower rank: identical model/context, replay driver calls
-            # (context init before connect — see DriverContext docstring)
+            # (context init before connect -- see DriverContext docstring)
             from ..runtime.engine import Context as _Ctx
             from ..runtime.engine import Model as _Model
 

@@ -314,3 +314,37 @@ def test_decode_greedy_loop_matches_stepwise(tiny_model):
     t0 = int(np.argmax(logits))
     out = ctx2.decode_greedy_loop(s2, t0, 10)
     assert out == ref
+
+
+def test_abort_callback_and_recoverable_errors(tmp_path):
+    """Abort callback (code 2) + NoKvSlotError (code 1) — the recoverable
+    llama_decode return-code contract (llama-context.cpp:1302-1305)."""
+    import pytest
+
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+    from llama_cpp_test_tpu.runtime.errors import (DecodeAborted,
+                                                   DecodeError,
+                                                   NoKvSlotError)
+
+    path = str(tmp_path / "m.gguf")
+    make_tiny_gguf(path)
+    m = Model(path)
+    ctx = Context(m, n_ctx=64, n_seq_max=2, block_size=8)
+    s = ctx.new_seq()
+    calls = []
+
+    def abort():
+        calls.append(1)
+        return len(calls) > 1  # allow the first call, abort the second
+
+    ctx.abort_callback = abort
+    lg = ctx.prefill(s, [3, 17, 42])
+    with pytest.raises(DecodeAborted) as ei:
+        ctx.decode([s], [int(lg.argmax())])
+    assert ei.value.code == 2
+    ctx.abort_callback = None
+    # recoverable: engine still serviceable after the abort
+    out = ctx.decode([s], [int(lg.argmax())])
+    assert out.shape[0] == 1
+    assert issubclass(NoKvSlotError, DecodeError)
+    assert NoKvSlotError.code == 1

@@ -135,3 +135,73 @@ def test_grammar_sampler_masks(tmp_path):
     # accept a digit then EOG-completability
     gs.accept(kept[0])
     assert gs.grammar.is_complete()
+
+
+def test_lazy_grammar_trigger_word(tmp_path):
+    """Lazy grammar (llama-grammar.h:124-132): unconstrained until the
+    trigger word appears in output; constrained from the trigger onward."""
+    import numpy as np
+    from test_engine import make_tiny_gguf
+
+    from llama_cpp_test_tpu.gguf.reader import GGUFReader
+    from llama_cpp_test_tpu.runtime.grammar import GrammarSampler
+    from llama_cpp_test_tpu.runtime.sampling import SampleState
+    from llama_cpp_test_tpu.tokenizer import load_tokenizer
+
+    path = str(tmp_path / "m.gguf")
+    make_tiny_gguf(path)
+    with GGUFReader(path) as r:
+        tok = load_tokenizer(r)
+    gs = GrammarSampler('root ::= "<t>" [0-9]+', tok, lazy=True,
+                        trigger_words=("<t>",))
+    n = tok.vocab.n_tokens
+    # before the trigger: no masking at all
+    st = SampleState.from_logits(np.zeros(n, np.float32))
+    gs.apply(st)
+    assert np.isfinite(st.logits).all()
+    # free-text tokens accepted without constraining
+    for ch in "hi ":
+        tid = next(t for t in range(n) if tok.token_to_piece(t) == ch)
+        gs.accept(tid)
+    assert gs.awaiting_trigger
+    # the trigger word arrives (piece-by-piece across tokens)
+    for ch in "<t>":
+        tid = next(t for t in range(n) if tok.token_to_piece(t) == ch)
+        gs.accept(tid)
+    assert not gs.awaiting_trigger
+    # now constrained: only digit pieces survive
+    st = SampleState.from_logits(np.zeros(n, np.float32))
+    gs.apply(st)
+    kept = [int(t) for t, lg in zip(st.ids, st.logits) if np.isfinite(lg)]
+    assert kept
+    for t in kept[:20]:
+        piece = tok.token_to_piece(t)
+        assert piece and all(c in "0123456789" for c in piece), (t, piece)
+
+
+def test_lazy_grammar_trigger_token(tmp_path):
+    import numpy as np
+    from test_engine import make_tiny_gguf
+
+    from llama_cpp_test_tpu.gguf.reader import GGUFReader
+    from llama_cpp_test_tpu.runtime.grammar import GrammarSampler
+    from llama_cpp_test_tpu.runtime.sampling import SampleState
+    from llama_cpp_test_tpu.tokenizer import load_tokenizer
+
+    path = str(tmp_path / "m2.gguf")
+    make_tiny_gguf(path)
+    with GGUFReader(path) as r:
+        tok = load_tokenizer(r)
+    n = tok.vocab.n_tokens
+    trig = next(t for t in range(n) if tok.token_to_piece(t) == "7")
+    gs = GrammarSampler('root ::= [0-9]+', tok, lazy=True,
+                        trigger_tokens=(trig,))
+    assert gs.awaiting_trigger
+    gs.accept(next(t for t in range(n) if tok.token_to_piece(t) == "x"))
+    assert gs.awaiting_trigger
+    gs.accept(trig)  # trigger token's own piece feeds the grammar
+    assert not gs.awaiting_trigger
+    st = SampleState.from_logits(np.zeros(n, np.float32))
+    gs.apply(st)
+    kept = [int(t) for t, lg in zip(st.ids, st.logits) if np.isfinite(lg)]
+    assert kept
