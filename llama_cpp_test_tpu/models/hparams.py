@@ -151,10 +151,11 @@ def hparams_from_metadata(md: dict) -> HParams:
                             if arch == "gemma3" else 0.0),
         attn_scale=attn_scale,
         rope_type=rope_type,
-        parallel_residual=arch == "phi2",
-        norm_type="ln" if arch == "phi2" else "rms",
-        ffn_gated=arch != "phi2",
-        act_fn="gelu" if (gemma_like or arch == "phi2") else "silu",
+        parallel_residual=arch in ("phi2", "falcon", "gptneox"),
+        norm_type="ln" if arch in ("phi2", "falcon", "gptneox") else "rms",
+        ffn_gated=arch not in ("phi2", "falcon", "gptneox"),
+        act_fn="gelu" if (gemma_like or arch in ("phi2", "falcon",
+                                                 "gptneox")) else "silu",
         embd_scale=_math.sqrt(n_embd) if gemma_like else 1.0,
         attn_softcap=g("attn_logit_softcapping",
                        50.0 if arch == "gemma2" else 0.0),

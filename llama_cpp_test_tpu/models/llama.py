@@ -89,6 +89,9 @@ class LayerWeights:
     # phi2-family (parallel residual) extras: LayerNorm bias for attn_norm,
     # plus projection biases on attn_output / ffn_up / ffn_down
     attn_norm_b: jax.Array | None = None
+    # falcon-40B: separate LayerNorm feeding the parallel FFN branch
+    attn_norm_2: jax.Array | None = None
+    attn_norm_2_b: jax.Array | None = None
     bo: jax.Array | None = None
     b_up: jax.Array | None = None
     b_down: jax.Array | None = None
@@ -289,6 +292,10 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
         )
         if p + "attn_norm.bias" in t:
             lw.attn_norm_b = _f32(reader, p + "attn_norm.bias")
+        if p + "attn_norm_2.weight" in t:  # falcon-40B parallel-FFN norm
+            lw.attn_norm_2 = _f32(reader, p + "attn_norm_2.weight")
+            if p + "attn_norm_2.bias" in t:
+                lw.attn_norm_2_b = _f32(reader, p + "attn_norm_2.bias")
         for bname, attr in (("attn_output.bias", "bo"),
                             ("ffn_up.bias", "b_up"),
                             ("ffn_down.bias", "b_down")):
@@ -611,6 +618,11 @@ def _forward_layer_parallel(x, lw, hp, positions, inv_freq, mscale, attend,
     b, tdim, c = x.shape
     h, kvh, d = hp.n_head // tp, hp.n_head_kv // tp, hp.head_dim
     cur = layers.layer_norm(x, lw.attn_norm, lw.attn_norm_b, hp.rms_eps)
+    # falcon-40B routes the FFN branch through its own LayerNorm; phi2 and
+    # falcon-7B feed both branches from the same one (llm_build_falcon:
+    # "use the attn norm, not the result")
+    ffn_in = cur if lw.attn_norm_2 is None else layers.layer_norm(
+        x, lw.attn_norm_2, lw.attn_norm_2_b, hp.rms_eps)
     q, k, v = qkv_proj(cur, lw, h * d, kvh * d)
     if lw.bq is not None:
         q = q + lw.bq
@@ -631,7 +643,7 @@ def _forward_layer_parallel(x, lw, hp, positions, inv_freq, mscale, attend,
         o = jax.lax.psum(o, tp_axis)
     if lw.bo is not None:
         o = o + lw.bo
-    u = linear(cur, lw.w_up, out_dtype=jnp.float32)
+    u = linear(ffn_in, lw.w_up, out_dtype=jnp.float32)
     if lw.b_up is not None:
         u = u + lw.b_up
     act = jax.nn.gelu(u, approximate=True) if hp.act_fn == "gelu" \

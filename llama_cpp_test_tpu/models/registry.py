@@ -65,6 +65,13 @@ for _name in ("gemma", "gemma2", "gemma3"):
 register_arch(ArchSpec("phi2", family="phi2", rope_type="neox",
                        notes="parallel-residual, layernorm, partial-rope"))
 
+# falcon: same parallel-residual family; full-head rope, bias-free
+# projections, falcon-40B's attn_norm_2 feeds the FFN branch
+# (reference llm_build_falcon, llama-model.cpp:4583-4690;
+# test_arch_quirks falcon suite)
+register_arch(ArchSpec("falcon", family="phi2", rope_type="neox",
+                       notes="parallel-residual, layernorm, attn_norm_2"))
+
 
 def get_arch(name: str) -> ArchSpec:
     spec = ARCHITECTURES.get(name)

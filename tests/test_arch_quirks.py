@@ -5,6 +5,7 @@ attention/final logit softcapping, alternating sliding-window layers
 import math
 
 import numpy as np
+import pytest
 
 from test_engine import nmse, tiny_vocab
 
@@ -554,3 +555,154 @@ def test_unknown_arch_refused(tmp_path):
     make_tiny_qwen(path, arch="dbrx")
     with _pytest.raises(ValueError, match="no implemented forward"):
         Model(path)
+
+
+# ---------------------------------------------------------------------------
+# falcon: parallel residual like phi2, but full-head neox rope, GQA,
+# bias-free projections, and (40B-style) attn_norm_2 feeding the FFN branch
+
+
+FALCON_HP = dict(n_vocab=199, n_embd=96, n_head=4, n_head_kv=2, head_dim=24,
+                 n_ff=192, n_layer=2, eps=1e-5, rope_base=10000.0)
+
+
+def make_tiny_falcon(path, seed=0, norm2=True):
+    from llama_cpp_test_tpu.gguf.constants import GGMLType
+    from llama_cpp_test_tpu.gguf.writer import GGUFWriter
+
+    rng = np.random.default_rng(seed)
+    hp = FALCON_HP
+    c, hq, hkv, d = hp["n_embd"], hp["n_head"], hp["n_head_kv"], hp["head_dim"]
+    v, ff, L = hp["n_vocab"], hp["n_ff"], hp["n_layer"]
+
+    def rand(*shape, s=0.08):
+        return (rng.standard_normal(shape) * s).astype(np.float32)
+
+    wts = {
+        "token_embd.weight": rand(v, c, s=0.3),
+        "output_norm.weight": 1.0 + rand(c, s=0.05),
+        "output_norm.bias": rand(c, s=0.05),
+        "output.weight": rand(v, c, s=0.2),
+    }
+    for i in range(L):
+        p = f"blk.{i}."
+        wts[p + "attn_norm.weight"] = 1.0 + rand(c, s=0.05)
+        wts[p + "attn_norm.bias"] = rand(c, s=0.05)
+        if norm2:
+            wts[p + "attn_norm_2.weight"] = 1.0 + rand(c, s=0.05)
+            wts[p + "attn_norm_2.bias"] = rand(c, s=0.05)
+        wts[p + "attn_qkv.weight"] = rand((hq + 2 * hkv) * d, c)
+        wts[p + "attn_output.weight"] = rand(c, hq * d)
+        wts[p + "ffn_up.weight"] = rand(ff, c)
+        wts[p + "ffn_down.weight"] = rand(c, ff)
+    w = GGUFWriter(path, arch="falcon")
+    md = {
+        "falcon.context_length": 256,
+        "falcon.embedding_length": c,
+        "falcon.block_count": L,
+        "falcon.attention.head_count": hq,
+        "falcon.attention.head_count_kv": hkv,
+        "falcon.attention.key_length": d,
+        "falcon.attention.value_length": d,
+        "falcon.feed_forward_length": ff,
+        "falcon.rope.dimension_count": d,
+        "falcon.rope.freq_base": hp["rope_base"],
+        "falcon.attention.layer_norm_epsilon": hp["eps"],
+        "falcon.vocab_size": v,
+        "tokenizer.ggml.model": "llama",
+        "tokenizer.ggml.tokens": [f"<t{i}>" for i in range(v)],
+        "tokenizer.ggml.scores": [0.0] * v,
+        "tokenizer.ggml.token_type": [1] * v,
+    }
+    for k_, v_ in md.items():
+        w.add_kv(k_, v_)
+    for name, arr in wts.items():
+        w.add_tensor(name, arr, ggml_type=GGMLType.F32)
+    w.write()
+    return wts
+
+
+def ref_forward_falcon(wts, tokens, norm2=True):
+    """Independent float64 reference for falcon-40B-style layers."""
+    hp = FALCON_HP
+    c, hq, hkv, d = hp["n_embd"], hp["n_head"], hp["n_head_kv"], hp["head_dim"]
+    L, eps = hp["n_layer"], hp["eps"]
+
+    def ln(x, wv, bv):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        return (x - mu) / np.sqrt(var + eps) * wv + bv
+
+    def rope(x, pos):
+        half = d // 2
+        inv = hp["rope_base"] ** (-2.0 * np.arange(half) / d)
+        th = pos[:, None] * inv[None, :]
+        cos, sin = np.cos(th)[:, None, :], np.sin(th)[:, None, :]
+        x1, x2 = x[..., :half], x[..., half:]
+        return np.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1)
+
+    def gelu_tanh(g):
+        return 0.5 * g * (1.0 + np.tanh(
+            math.sqrt(2.0 / math.pi) * (g + 0.044715 * g ** 3)))
+
+    T = len(tokens)
+    x = wts["token_embd.weight"][tokens].astype(np.float64)
+    pos = np.arange(T, dtype=np.float64)
+    for i in range(L):
+        p = f"blk.{i}."
+        cur = ln(x, wts[p + "attn_norm.weight"], wts[p + "attn_norm.bias"])
+        ffn_in = ln(x, wts[p + "attn_norm_2.weight"],
+                    wts[p + "attn_norm_2.bias"]) if norm2 else cur
+        qkv = cur @ wts[p + "attn_qkv.weight"].T
+        q = qkv[:, : hq * d].reshape(T, hq, d)
+        k = qkv[:, hq * d: (hq + hkv) * d].reshape(T, hkv, d)
+        vv = qkv[:, (hq + hkv) * d:].reshape(T, hkv, d)
+        q, k = rope(q, pos), rope(k, pos)
+        g = hq // hkv
+        out = np.zeros((T, hq, d))
+        for h in range(hq):
+            kh = k[:, h // g]
+            logits = (q[:, h] @ kh.T) / math.sqrt(d)
+            mask = np.tril(np.ones((T, T), bool))
+            logits = np.where(mask, logits, -1e30)
+            pr = np.exp(logits - logits.max(-1, keepdims=True))
+            pr /= pr.sum(-1, keepdims=True)
+            out[:, h] = pr @ vv[:, h // g]
+        o = out.reshape(T, hq * d) @ wts[p + "attn_output.weight"].T
+        u = ffn_in @ wts[p + "ffn_up.weight"].T
+        ffn = gelu_tanh(u) @ wts[p + "ffn_down.weight"].T
+        x = x + o + ffn
+    x = ln(x, wts["output_norm.weight"], wts["output_norm.bias"])
+    return x @ wts["output.weight"].T
+
+
+@pytest.mark.parametrize("norm2", [True, False], ids=["40b", "7b"])
+def test_falcon_prefill_matches_reference(tmp_path, norm2):
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    path = str(tmp_path / f"f{norm2}.gguf")
+    wts = make_tiny_falcon(path, norm2=norm2)
+    tokens = [3, 17, 42, 9, 88, 123, 6, 54]
+    ref = ref_forward_falcon(wts, tokens, norm2=norm2)
+    m = Model(path)
+    assert m.hp.parallel_residual and m.hp.norm_type == "ln"
+    ctx = Context(m, n_ctx=64, n_seq_max=1, block_size=8)
+    got = ctx.prefill(ctx.new_seq(), tokens, all_logits=True)
+    assert nmse(ref, got) < 2e-3, nmse(ref, got)
+    assert np.argmax(ref[-1]) == np.argmax(got[-1])
+
+
+def test_falcon_decode_matches_prefill(tmp_path):
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    path = str(tmp_path / "fd.gguf")
+    make_tiny_falcon(path)
+    m = Model(path)
+    tokens = [3, 17, 42, 9, 88]
+    ctx_a = Context(m, n_ctx=64, n_seq_max=1, block_size=8)
+    ref = ctx_a.prefill(ctx_a.new_seq(), tokens, all_logits=True)
+    ctx_b = Context(m, n_ctx=64, n_seq_max=1, block_size=8)
+    s = ctx_b.new_seq()
+    ctx_b.prefill(s, tokens[:1])
+    rows = [ctx_b.decode([s], [t])[0] for t in tokens[1:]]
+    assert nmse(np.stack(rows), ref[1:]) < 1e-4
