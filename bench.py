@@ -58,7 +58,7 @@ def build_model(path):
 
 
 MOE_HP = dict(n_vocab=32000, n_embd=1024, n_head=16, n_head_kv=4,
-              head_dim=64, n_layer=8, n_ff=1408, n_expert=8, n_expert_used=2)
+              head_dim=64, n_layer=8, n_ff=1536, n_expert=8, n_expert_used=2)
 
 
 def build_moe_model(path):
@@ -125,7 +125,9 @@ def main():
     extra = {}
 
     # ---- config #1: single-seq decode (headline) + prefill ----------------
-    ctx = Context(model, n_ctx=n_ctx, n_seq_max=2, block_size=16)
+    # block_size 64: decode attention cost is Mosaic grid steps (~0.4us x
+    # B x n_ctx/block_size x n_layer), so bigger KV pages cut it 4x
+    ctx = Context(model, n_ctx=n_ctx, n_seq_max=2, block_size=64)
     rng = np.random.default_rng(0)
     warm = ctx.new_seq()
     ctx.prefill(warm, list(rng.integers(1, 30000, 512)))
@@ -155,7 +157,7 @@ def main():
 
             from llama_cpp_test_tpu.runtime.scheduler import SlotState
 
-            ctx2 = Context(model, n_ctx=n_ctx, n_seq_max=4, block_size=16)
+            ctx2 = Context(model, n_ctx=n_ctx, n_seq_max=4, block_size=32)
             sch = Scheduler(ctx2, n_slots=4, chunk_size=512, decode_window=32)
 
             def run_batch():
@@ -192,27 +194,33 @@ def main():
     # ---- 64-seq batched decode -------------------------------------------
     if not fast:
         try:
-            ctx3 = Context(model, n_ctx=256, n_seq_max=64, block_size=16,
-                           num_blocks=64 * 16)
+            from llama_cpp_test_tpu.runtime.sampling import SamplerParams
+
+            ctx3 = Context(model, n_ctx=256, n_seq_max=64, block_size=32,
+                           num_blocks=64 * 8 + 16)
             seqs, toks64 = [], []
             for i in range(64):
                 si = ctx3.new_seq()
                 lg = ctx3.prefill(si, list(rng.integers(1, 30000, 64)))
                 seqs.append(si)
                 toks64.append(int(np.argmax(lg)))
-            ctx3.decode(seqs, toks64)  # compile batch-64 step
-            nrounds = 8
+            # windowed batched decode: device sampling, int-only downloads
+            # (a host decode() call downloads B x 128KB of logits per step
+            # over a ~10MB/s link — the windowed path is the serving path)
+            greedy = [SamplerParams(temp=0.0)] * 64
+            w64 = 16
+            out = ctx3.decode_window(seqs, toks64, greedy, w64)  # compile
+            toks_n = [int(t) for t in out[-1]]
             t0 = time.time()
-            for _ in range(nrounds):
-                lg = ctx3.decode(seqs, toks64)
-            np.asarray(lg)
+            out = ctx3.decode_window(seqs, toks_n, greedy, w64)
             dt = time.time() - t0
-            b64_tok_s = 64 * nrounds / dt
-            roof64 = bw / (weight_bytes_per_token(hp) +
-                           kv_bytes_per_token(hp, 72, batch=64))
+            b64_tok_s = 64 * w64 / dt
+            # aggregate roofline: one step streams weights once + 64 KV reads
+            roof64 = bw / (weight_bytes_per_token(hp) / 64 +
+                           kv_bytes_per_token(hp, 100))
             extra["decode_batch64"] = {
                 "tok_s": round(b64_tok_s, 1),
-                "vs_roofline": round(b64_tok_s / (roof64 * 64), 4),
+                "vs_roofline": round(b64_tok_s / roof64, 4),
             }
         except Exception as e:  # pragma: no cover
             extra["decode_batch64"] = {
@@ -230,7 +238,7 @@ def main():
                 finally:
                     codecs.set_refine_iters(2)
             moe_model = Model(MOE_CACHE)
-            ctxm = Context(moe_model, n_ctx=256, n_seq_max=2, block_size=16)
+            ctxm = Context(moe_model, n_ctx=256, n_seq_max=2, block_size=32)
             sm = ctxm.new_seq()
             lg = ctxm.prefill(sm, list(rng.integers(1, 30000, 64)))
             tokm = int(np.argmax(lg))
