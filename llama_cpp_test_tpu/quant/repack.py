@@ -417,6 +417,10 @@ def repack(raw: np.ndarray, ggml_type: GGMLType, n: int, k: int,
                 _NATIVE_WARNED = True
                 import warnings
 
+                from ..common import log
+
+                log.warn("native repacker unavailable (%s); using the "
+                         "slower numpy path", e)
                 warnings.warn(
                     f"native repacker unavailable ({e}); using the slower "
                     "numpy path", RuntimeWarning)

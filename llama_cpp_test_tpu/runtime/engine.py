@@ -315,8 +315,14 @@ class Model:
         self.tp = tp
         # 5-axis (dp,pp,sp,ep,tp) meshes take the model-parallel path
         self.mp = mesh is not None and "pp" in mesh.axis_names
+        from ..common import log
+
+        t0 = time.time()
         self.reader = open_gguf(path)
         self.hp, w = load_weights(self.reader, hp, tp=tp)
+        log.info("model %s: arch=%s n_layer=%d n_vocab=%d (load %.1fs)",
+                 path.rsplit("/", 1)[-1], self.hp.arch, self.hp.n_layer,
+                 self.hp.n_vocab, time.time() - t0)
         if self.mp:
             from ..parallel.pp import shard_mp_weights
 
