@@ -310,7 +310,7 @@ def _qmm_planes(x2: jax.Array, qt: QTensor, tile_n: int,
                        interpret=interpret)
 
 
-def qmm(x: jax.Array, qt: QTensor, *, tile_n: int = 256,
+def qmm(x: jax.Array, qt: QTensor, *, tile_n: int = 512,
         interpret: bool = False, out_dtype=jnp.float32) -> jax.Array:
     """Fused dequant-matmul. x: [..., K]; returns [..., n_orig]."""
     assert qt.layout == "t", "qmm expects layout 't' (matmul planes)"
@@ -330,7 +330,7 @@ def qmm(x: jax.Array, qt: QTensor, *, tile_n: int = 256,
     return y.reshape(*lead, qt.n_orig).astype(out_dtype)
 
 
-def qmm_split(x: jax.Array, qt: QTensor, *, tile_n: int = 256,
+def qmm_split(x: jax.Array, qt: QTensor, *, tile_n: int = 512,
               interpret: bool = False, out_dtype=jnp.float32,
               use_pallas: bool = True) -> list[jax.Array]:
     """Fused-projection matmul: one kernel pass over a fuse_qtensors plane,

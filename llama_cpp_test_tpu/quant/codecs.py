@@ -920,6 +920,15 @@ def quantize(x: np.ndarray, ggml_type: GGMLType,
         return (f32.view(np.uint32) >> 16).astype(np.uint16).view(np.uint8)
     fn = _QUANTIZERS.get(ggml_type)
     if fn is None:
+        # codebook i-quant encoders live in their own module (they import
+        # this one for grids/f16 helpers); register lazily
+        from .iq_quantize import IQ_QUANTIZERS
+
+        base = IQ_QUANTIZERS.get(ggml_type)
+        if base is not None:
+            fn = lambda blocks: base(blocks, _QW)
+            _QUANTIZERS[ggml_type] = fn
+    if fn is None:
         raise NotImplementedError(f"quantize to {ggml_type.name} not supported")
     x = np.asarray(x, dtype=np.float32)
     orig_rows = x.shape[:-1]

@@ -35,6 +35,13 @@ FTYPES = {
     "Q6_K": GGMLType.Q6_K,
     "IQ4_NL": GGMLType.IQ4_NL,
     "IQ4_XS": GGMLType.IQ4_XS,
+    # codebook i-quants (encoders: quant/iq_quantize.py). The reference
+    # bumps attn_v/ffn_down and keeps embeddings/head higher for these
+    # (llama-quant.cpp IQ2 rules) — mirrored in tensor_target_type.
+    "IQ2_XXS": GGMLType.IQ2_XXS,
+    "IQ2_XS": GGMLType.IQ2_XS,
+    "IQ3_XXS": GGMLType.IQ3_XXS,
+    "IQ1_S": GGMLType.IQ1_S,
     "F16": GGMLType.F16,
     "BF16": GGMLType.BF16,
 }
@@ -47,17 +54,30 @@ def tensor_target_type(name: str, ftype: str, base: GGMLType,
             name.endswith(".bias"):
         return GGMLType.F32
     if name == "output.weight":
-        # lm head always >= Q6_K for K-quants (llama-quant.cpp:160)
+        # lm head always >= Q6_K for K-quants (llama-quant.cpp:160);
+        # i-quant files keep a Q5_K head (llama-quant.cpp IQ rules)
+        if base in (GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ3_XXS,
+                    GGMLType.IQ1_S):
+            return GGMLType.Q5_K
         if base in (GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K,
                     GGMLType.Q5_K, GGMLType.Q4_0, GGMLType.Q4_1):
             return GGMLType.Q6_K
         return base
     if name == "token_embd.weight":
+        if base in (GGMLType.IQ2_XXS, GGMLType.IQ2_XS, GGMLType.IQ1_S):
+            return GGMLType.Q2_K      # llama-quant.cpp: iq2/iq1 embd -> q2_K
+        if base == GGMLType.IQ3_XXS:
+            return GGMLType.Q3_K
         if base == GGMLType.Q2_K:
             return GGMLType.Q2_K
         if ftype.endswith("_M") or ftype.endswith("_L"):
             return base
         return base
+    if ftype in ("IQ2_XXS", "IQ2_XS", "IQ1_S"):
+        if ".attn_v.weight" in name:
+            return GGMLType.Q4_K      # llama-quant.cpp iq2 attn_v rule
+        if ".ffn_down" in name:
+            return GGMLType.IQ3_XXS if ftype != "IQ1_S" else GGMLType.IQ2_XXS
     if ftype in ("Q4_K_M", "Q5_K_M"):
         if ".attn_v.weight" in name or ".ffn_down" in name:
             return GGMLType.Q6_K

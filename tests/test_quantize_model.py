@@ -61,3 +61,35 @@ def test_requantize_q8_to_q4k_256(tmp_path):
         assert r.tensors["blk.0.ffn_down.weight"].ggml_type == GGMLType.Q6_K
         assert r.tensors["blk.0.attn_v.weight"].ggml_type == GGMLType.Q6_K
         assert r.tensors["output.weight"].ggml_type == GGMLType.Q6_K
+
+
+def test_quantize_to_iq2_xs_end_to_end(tmp_path):
+    """Full pipeline: f32 GGUF -> IQ2_XS file (codebook encoder) -> engine
+    loads it onto native u4lut planes and decodes."""
+    import sys
+    sys.path.insert(0, "tests")
+    import numpy as np
+    from test_engine import make_tiny_gguf
+
+    from llama_cpp_test_tpu.gguf.constants import GGMLType
+    from llama_cpp_test_tpu.quant.quantize_model import quantize_model
+    from llama_cpp_test_tpu.runtime.engine import Context, Model, generate
+
+    src = str(tmp_path / "f32.gguf")
+    import test_engine
+    old = dict(test_engine.HP)
+    test_engine.HP = dict(old, n_embd=256, n_head=4, n_head_kv=2,
+                          head_dim=64, n_ff=256)
+    try:
+        make_tiny_gguf(src, qtype=GGMLType.F32)
+    finally:
+        test_engine.HP = old
+    dst = str(tmp_path / "iq2.gguf")
+    quantize_model(src, dst, "IQ2_XS")
+    m = Model(dst)
+    kinds = {qt.kind for lw in m.weights.layers
+             for qt in (lw.wqkv, lw.wq) if qt is not None}
+    assert "u4lut" in kinds, kinds  # native-bitwidth planes, not int8
+    ctx = Context(m, n_ctx=64, n_seq_max=2, block_size=8)
+    out = list(generate(ctx, [3, 17, 42], 6))
+    assert len(out) == 6
