@@ -227,6 +227,12 @@ def _qmm_t_call(x, qs, scale, min_, lut, *, kind, group, pack, n_lut,
     npk = qs.shape[1]
     tile_k = _pick_tile_k(k, group)
     tg = tile_k // group
+    # wider n tiles amortize per-grid-step cost (v5e: 418 -> 474 -> 518 GB/s
+    # at 256/512/1024 on the decode chain) but the in-kernel int32 unpack
+    # materializes tile_k x tile_n x 4 bytes — clamp the product so VMEM
+    # holds the intermediate plus double-buffered inputs
+    while tile_n > 256 and tile_k * tile_n > 2 * 1024 * 1024:
+        tile_n //= 2
     while npk % tile_n:
         tile_n //= 2
     grid = (m // tile_m, npk // tile_n, k // tile_k)
@@ -310,7 +316,7 @@ def _qmm_planes(x2: jax.Array, qt: QTensor, tile_n: int,
                        interpret=interpret)
 
 
-def qmm(x: jax.Array, qt: QTensor, *, tile_n: int = 512,
+def qmm(x: jax.Array, qt: QTensor, *, tile_n: int = 1024,
         interpret: bool = False, out_dtype=jnp.float32) -> jax.Array:
     """Fused dequant-matmul. x: [..., K]; returns [..., n_orig]."""
     assert qt.layout == "t", "qmm expects layout 't' (matmul planes)"
@@ -330,7 +336,7 @@ def qmm(x: jax.Array, qt: QTensor, *, tile_n: int = 512,
     return y.reshape(*lead, qt.n_orig).astype(out_dtype)
 
 
-def qmm_split(x: jax.Array, qt: QTensor, *, tile_n: int = 512,
+def qmm_split(x: jax.Array, qt: QTensor, *, tile_n: int = 1024,
               interpret: bool = False, out_dtype=jnp.float32,
               use_pallas: bool = True) -> list[jax.Array]:
     """Fused-projection matmul: one kernel pass over a fuse_qtensors plane,
