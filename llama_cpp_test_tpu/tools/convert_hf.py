@@ -27,7 +27,12 @@ ARCH_MAP = {
     "MistralForCausalLM": "llama",
     "MixtralForCausalLM": "llama",
     "Qwen2ForCausalLM": "qwen2",
+    "Qwen3ForCausalLM": "qwen3",
     "TinyLlamaForCausalLM": "llama",
+    "PhiForCausalLM": "phi2",
+    "FalconForCausalLM": "falcon",
+    "GemmaForCausalLM": "gemma",
+    "Gemma2ForCausalLM": "gemma2",
 }
 
 # HF suffix -> GGUF suffix (per-layer), mirroring gguf-py tensor_mapping
@@ -45,6 +50,54 @@ LAYER_MAP = {
     "input_layernorm.weight": "attn_norm.weight",
     "post_attention_layernorm.weight": "ffn_norm.weight",
     "block_sparse_moe.gate.weight": "ffn_gate_inp.weight",
+    # qwen3 per-head q/k norms
+    "self_attn.q_norm.weight": "attn_q_norm.weight",
+    "self_attn.k_norm.weight": "attn_k_norm.weight",
+}
+
+# phi2 (HF PhiForCausalLM): dense attn out, fc1/fc2 MLP, LayerNorm biases
+PHI2_LAYER_MAP = {
+    "self_attn.q_proj.weight": "attn_q.weight",
+    "self_attn.q_proj.bias": "attn_q.bias",
+    "self_attn.k_proj.weight": "attn_k.weight",
+    "self_attn.k_proj.bias": "attn_k.bias",
+    "self_attn.v_proj.weight": "attn_v.weight",
+    "self_attn.v_proj.bias": "attn_v.bias",
+    "self_attn.dense.weight": "attn_output.weight",
+    "self_attn.dense.bias": "attn_output.bias",
+    "mlp.fc1.weight": "ffn_up.weight",
+    "mlp.fc1.bias": "ffn_up.bias",
+    "mlp.fc2.weight": "ffn_down.weight",
+    "mlp.fc2.bias": "ffn_down.bias",
+    "input_layernorm.weight": "attn_norm.weight",
+    "input_layernorm.bias": "attn_norm.bias",
+}
+PHI2_TOP_MAP = {
+    "model.embed_tokens.weight": "token_embd.weight",
+    "model.final_layernorm.weight": "output_norm.weight",
+    "model.final_layernorm.bias": "output_norm.bias",
+    "lm_head.weight": "output.weight",
+    "lm_head.bias": "output.bias",
+}
+
+# falcon (HF FalconForCausalLM, transformer.h.N. prefix)
+FALCON_LAYER_MAP = {
+    "self_attention.query_key_value.weight": "attn_qkv.weight",
+    "self_attention.dense.weight": "attn_output.weight",
+    "mlp.dense_h_to_4h.weight": "ffn_up.weight",
+    "mlp.dense_4h_to_h.weight": "ffn_down.weight",
+    "input_layernorm.weight": "attn_norm.weight",
+    "input_layernorm.bias": "attn_norm.bias",
+    "ln_attn.weight": "attn_norm.weight",
+    "ln_attn.bias": "attn_norm.bias",
+    "ln_mlp.weight": "attn_norm_2.weight",
+    "ln_mlp.bias": "attn_norm_2.bias",
+}
+FALCON_TOP_MAP = {
+    "transformer.word_embeddings.weight": "token_embd.weight",
+    "transformer.ln_f.weight": "output_norm.weight",
+    "transformer.ln_f.bias": "output_norm.bias",
+    "lm_head.weight": "output.weight",
 }
 
 TOP_MAP = {
@@ -86,20 +139,37 @@ def permute_qk(w: np.ndarray, n_head: int) -> np.ndarray:
              .swapaxes(1, 2).reshape(w.shape))
 
 
-def map_name(name: str) -> str | None:
-    if name in TOP_MAP:
-        return TOP_MAP[name]
-    if name.startswith("model.layers."):
-        rest = name[len("model.layers."):]
+def map_name(name: str, arch: str = "llama") -> str | None:
+    top = {"phi2": PHI2_TOP_MAP, "falcon": FALCON_TOP_MAP}.get(arch, TOP_MAP)
+    lay = {"phi2": PHI2_LAYER_MAP, "falcon": FALCON_LAYER_MAP}.get(
+        arch, LAYER_MAP)
+    if name in top:
+        return top[name]
+    prefix = "transformer.h." if arch == "falcon" else "model.layers."
+    if name.startswith(prefix):
+        rest = name[len(prefix):]
         idx, _, suffix = rest.partition(".")
         # Mixtral experts: block_sparse_moe.experts.E.w{1,2,3}.weight
         if suffix.startswith("block_sparse_moe.experts."):
             return None  # handled by the expert stacker
-        mapped = LAYER_MAP.get(suffix)
+        mapped = lay.get(suffix)
         if mapped is None:
             return None
         return f"blk.{idx}.{mapped}"
     return None
+
+
+def deinterleave_falcon_qkv(w: np.ndarray, n_head: int, n_kv: int,
+                            head_dim: int) -> np.ndarray:
+    """Falcon's fused query_key_value stores heads interleaved per kv group
+    ((g q-heads, 1 k, 1 v) x n_kv); the GGUF layout is [all q; all k; all v]
+    (reference convert_hf_to_gguf.py FalconModel.modify_tensors)."""
+    g = n_head // n_kv
+    rows = w.reshape(n_kv, g + 2, head_dim, *w.shape[1:])
+    q = rows[:, :g].reshape(n_head * head_dim, *w.shape[1:])
+    k = rows[:, g].reshape(n_kv * head_dim, *w.shape[1:])
+    v = rows[:, g + 1].reshape(n_kv * head_dim, *w.shape[1:])
+    return np.concatenate([q, k, v], axis=0)
 
 
 def _vocab_metadata(path: str, cfg: dict) -> dict:
@@ -164,7 +234,14 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
         raise ValueError(f"unsupported architecture {archs[0]}; "
                          f"known: {sorted(ARCH_MAP)}")
     n_head = cfg["num_attention_heads"]
-    n_kv = cfg.get("num_key_value_heads", n_head)
+    if arch == "falcon":
+        # old (7B) arch: multi-query unless new_decoder_architecture
+        if cfg.get("new_decoder_architecture"):
+            n_kv = cfg.get("num_kv_heads", n_head)
+        else:
+            n_kv = 1 if cfg.get("multi_query", True) else n_head
+    else:
+        n_kv = cfg.get("num_key_value_heads", n_head)
     n_embd = cfg["hidden_size"]
     head_dim = cfg.get("head_dim", n_embd // n_head)
     ggml_dtype = {"F16": GGMLType.F16, "BF16": GGMLType.BF16,
@@ -181,12 +258,24 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
         f"{arch}.attention.head_count_kv": n_kv,
         f"{arch}.attention.key_length": head_dim,
         f"{arch}.attention.value_length": head_dim,
-        f"{arch}.feed_forward_length": cfg["intermediate_size"],
+        f"{arch}.feed_forward_length": cfg.get("intermediate_size",
+                                               4 * n_embd),
         f"{arch}.rope.dimension_count": head_dim,
         f"{arch}.rope.freq_base": cfg.get("rope_theta", 10000.0),
         f"{arch}.attention.layer_norm_rms_epsilon": cfg.get("rms_norm_eps", 1e-5),
         f"{arch}.vocab_size": cfg["vocab_size"],
     }
+    if arch == "phi2":
+        # partial rotary + plain LayerNorm epsilon (PhiConfig)
+        md[f"{arch}.rope.dimension_count"] = int(
+            head_dim * cfg.get("partial_rotary_factor", 0.5))
+        md[f"{arch}.attention.layer_norm_epsilon"] = cfg.get(
+            "layer_norm_eps", 1e-5)
+        del md[f"{arch}.attention.layer_norm_rms_epsilon"]
+    if arch == "falcon":
+        md[f"{arch}.attention.layer_norm_epsilon"] = cfg.get(
+            "layer_norm_epsilon", 1e-5)
+        del md[f"{arch}.attention.layer_norm_rms_epsilon"]
     if cfg.get("num_local_experts"):
         md[f"{arch}.expert_count"] = cfg["num_local_experts"]
         md[f"{arch}.expert_used_count"] = cfg.get("num_experts_per_tok", 2)
@@ -216,7 +305,7 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
                              ggml_type=ggml_dtype)
                 del experts[key]
             continue
-        gname = map_name(name)
+        gname = map_name(name, arch)
         if gname is None:
             continue
         arr = np.asarray(arr)
@@ -226,6 +315,13 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
             arr = permute_qk(arr, n_head)
         elif is_norm_rope and gname.endswith("attn_k.weight"):
             arr = permute_qk(arr, n_kv)
+        if arch == "falcon" and gname.endswith("attn_qkv.weight") and \
+                cfg.get("new_decoder_architecture"):
+            arr = deinterleave_falcon_qkv(arr, n_head, n_kv, head_dim)
+        if arch in ("gemma", "gemma2") and (
+                gname.endswith("_norm.weight") or
+                gname == "output_norm.weight"):
+            arr = arr + 1.0   # HF gemma stores (w - 1); GGUF stores w
         if gname == "output.weight":
             seen_output = True
         tgt = ggml_dtype if arr.ndim >= 2 else GGMLType.F32

@@ -107,3 +107,220 @@ def test_convert_and_match_transformers(tmp_path):
     nmse = float(((ref - ours) ** 2).mean() / denom)
     assert nmse < 2e-3, nmse
     assert np.argmax(ref[-1]) == np.argmax(ours[-1])
+
+
+def _bpe_tokenizer_json(d, n_vocab):
+    vocab = {f"<t{i}>": i for i in range(n_vocab)}
+    tj = {
+        "model": {"type": "BPE", "vocab": vocab, "merges": []},
+        "added_tokens": [
+            {"id": 1, "content": "<s>", "special": True},
+            {"id": 2, "content": "</s>", "special": True},
+        ],
+    }
+    with open(os.path.join(d, "tokenizer.json"), "w") as f:
+        json.dump(tj, f)
+
+
+def _convert_and_compare(tmp_path, cfg, ws, hf_cls, tcfg, tol=5e-3):
+    hf_dir = tmp_path / "hf"
+    hf_dir.mkdir()
+    with open(hf_dir / "config.json", "w") as f:
+        json.dump(cfg, f)
+    st.save_file(ws, str(hf_dir / "model.safetensors"))
+    _bpe_tokenizer_json(str(hf_dir), cfg["vocab_size"])
+
+    from llama_cpp_test_tpu.tools.convert_hf import convert
+
+    out = str(tmp_path / "m.gguf")
+    convert(str(hf_dir), out, dtype="F32")
+
+    hf = hf_cls(tcfg)
+    missing = hf.load_state_dict(
+        {k: torch.from_numpy(v.copy()) for k, v in ws.items()}, strict=False)
+    assert not missing.unexpected_keys, missing.unexpected_keys
+    hf.eval()
+    tokens = [3, 17, 42, 9, 150, 7]
+    with torch.no_grad():
+        ref = hf(torch.tensor([tokens])).logits[0].numpy()
+
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    model = Model(out)
+    ctx = Context(model, n_ctx=64, n_seq_max=1, block_size=8)
+    got = ctx.prefill(ctx.new_seq(), tokens, all_logits=True)
+    err = np.mean((got - ref) ** 2) / (np.mean(ref ** 2) + 1e-9)
+    assert err < tol, err
+    assert np.argmax(got[-1]) == np.argmax(ref[-1])
+    return model
+
+
+def test_convert_phi2_matches_transformers(tmp_path):
+    from transformers import PhiConfig, PhiForCausalLM
+
+    rng = np.random.default_rng(1)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, L, FF = 256, 64, 4, 2, 96
+    cfg = {
+        "architectures": ["PhiForCausalLM"],
+        "hidden_size": C, "intermediate_size": FF,
+        "num_attention_heads": H, "num_key_value_heads": H,
+        "num_hidden_layers": L, "max_position_embeddings": 256,
+        "layer_norm_eps": 1e-5, "rope_theta": 10000.0,
+        "partial_rotary_factor": 0.5, "vocab_size": V,
+        "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "model.embed_tokens.weight": r(V, C),
+        "model.final_layernorm.weight": 1.0 + r(C),
+        "model.final_layernorm.bias": r(C),
+        "lm_head.weight": r(V, C), "lm_head.bias": r(V),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        ws.update({
+            p + "input_layernorm.weight": 1.0 + r(C),
+            p + "input_layernorm.bias": r(C),
+            p + "self_attn.q_proj.weight": r(C, C),
+            p + "self_attn.q_proj.bias": r(C),
+            p + "self_attn.k_proj.weight": r(C, C),
+            p + "self_attn.k_proj.bias": r(C),
+            p + "self_attn.v_proj.weight": r(C, C),
+            p + "self_attn.v_proj.bias": r(C),
+            p + "self_attn.dense.weight": r(C, C),
+            p + "self_attn.dense.bias": r(C),
+            p + "mlp.fc1.weight": r(FF, C), p + "mlp.fc1.bias": r(FF),
+            p + "mlp.fc2.weight": r(C, FF), p + "mlp.fc2.bias": r(C),
+        })
+    tcfg = PhiConfig(
+        vocab_size=V, hidden_size=C, intermediate_size=FF,
+        num_hidden_layers=L, num_attention_heads=H, num_key_value_heads=H,
+        partial_rotary_factor=0.5, layer_norm_eps=1e-5,
+        rope_theta=10000.0, attn_implementation="eager")
+    _convert_and_compare(tmp_path, cfg, ws, PhiForCausalLM, tcfg)
+
+
+def test_convert_falcon40b_matches_transformers(tmp_path):
+    from transformers import FalconConfig, FalconForCausalLM
+
+    rng = np.random.default_rng(2)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, KV, L = 256, 64, 4, 2, 2
+    d = C // H
+    cfg = {
+        "architectures": ["FalconForCausalLM"],
+        "hidden_size": C, "num_attention_heads": H,
+        "num_kv_heads": KV, "new_decoder_architecture": True,
+        "num_hidden_layers": L, "max_position_embeddings": 256,
+        "layer_norm_epsilon": 1e-5, "rope_theta": 10000.0,
+        "vocab_size": V, "bos_token_id": 1, "eos_token_id": 2,
+        "parallel_attn": True, "bias": False, "alibi": False,
+        "tie_word_embeddings": False,
+    }
+    ws = {
+        "transformer.word_embeddings.weight": r(V, C),
+        "transformer.ln_f.weight": 1.0 + r(C),
+        "transformer.ln_f.bias": r(C),
+        "lm_head.weight": r(V, C),
+    }
+    for i in range(L):
+        p = f"transformer.h.{i}."
+        ws.update({
+            p + "ln_attn.weight": 1.0 + r(C), p + "ln_attn.bias": r(C),
+            p + "ln_mlp.weight": 1.0 + r(C), p + "ln_mlp.bias": r(C),
+            p + "self_attention.query_key_value.weight":
+                r(KV * (H // KV + 2) * d, C),
+            p + "self_attention.dense.weight": r(C, C),
+            p + "mlp.dense_h_to_4h.weight": r(4 * C, C),
+            p + "mlp.dense_4h_to_h.weight": r(C, 4 * C),
+        })
+    tcfg = FalconConfig(
+        vocab_size=V, hidden_size=C, num_hidden_layers=L,
+        num_attention_heads=H, num_kv_heads=KV,
+        new_decoder_architecture=True, parallel_attn=True, bias=False,
+        alibi=False, layer_norm_epsilon=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=False, attn_implementation="eager")
+    _convert_and_compare(tmp_path, cfg, ws, FalconForCausalLM, tcfg)
+
+
+def test_convert_gemma_matches_transformers(tmp_path):
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    rng = np.random.default_rng(3)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, KV, L, FF, D = 256, 64, 4, 2, 2, 96, 16
+    cfg = {
+        "architectures": ["GemmaForCausalLM"],
+        "hidden_size": C, "intermediate_size": FF, "head_dim": D,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "num_hidden_layers": L, "max_position_embeddings": 256,
+        "rms_norm_eps": 1e-6, "rope_theta": 10000.0,
+        "vocab_size": V, "bos_token_id": 1, "eos_token_id": 2,
+        "tie_word_embeddings": True, "hidden_act": "gelu_pytorch_tanh",
+    }
+    ws = {
+        "model.embed_tokens.weight": r(V, C),
+        "model.norm.weight": r(C),   # HF gemma stores w-1
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        ws.update({
+            p + "input_layernorm.weight": r(C),
+            p + "self_attn.q_proj.weight": r(H * D, C),
+            p + "self_attn.k_proj.weight": r(KV * D, C),
+            p + "self_attn.v_proj.weight": r(KV * D, C),
+            p + "self_attn.o_proj.weight": r(C, H * D),
+            p + "post_attention_layernorm.weight": r(C),
+            p + "mlp.gate_proj.weight": r(FF, C),
+            p + "mlp.up_proj.weight": r(FF, C),
+            p + "mlp.down_proj.weight": r(C, FF),
+        })
+    tcfg = GemmaConfig(
+        vocab_size=V, hidden_size=C, intermediate_size=FF, head_dim=D,
+        num_hidden_layers=L, num_attention_heads=H, num_key_value_heads=KV,
+        rms_norm_eps=1e-6, rope_theta=10000.0, tie_word_embeddings=True,
+        hidden_act="gelu_pytorch_tanh", attn_implementation="eager")
+    _convert_and_compare(tmp_path, cfg, ws, GemmaForCausalLM, tcfg)
+
+
+def test_convert_qwen3_matches_transformers(tmp_path):
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    rng = np.random.default_rng(4)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, KV, L, FF, D = 256, 64, 4, 2, 2, 96, 16
+    cfg = {
+        "architectures": ["Qwen3ForCausalLM"],
+        "hidden_size": C, "intermediate_size": FF, "head_dim": D,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "num_hidden_layers": L, "max_position_embeddings": 256,
+        "rms_norm_eps": 1e-6, "rope_theta": 10000.0,
+        "vocab_size": V, "bos_token_id": 1, "eos_token_id": 2,
+        "tie_word_embeddings": False,
+    }
+    ws = {
+        "model.embed_tokens.weight": r(V, C),
+        "model.norm.weight": 1.0 + r(C),
+        "lm_head.weight": r(V, C),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        ws.update({
+            p + "input_layernorm.weight": 1.0 + r(C),
+            p + "self_attn.q_proj.weight": r(H * D, C),
+            p + "self_attn.k_proj.weight": r(KV * D, C),
+            p + "self_attn.v_proj.weight": r(KV * D, C),
+            p + "self_attn.o_proj.weight": r(C, H * D),
+            p + "self_attn.q_norm.weight": 1.0 + r(D),
+            p + "self_attn.k_norm.weight": 1.0 + r(D),
+            p + "post_attention_layernorm.weight": 1.0 + r(C),
+            p + "mlp.gate_proj.weight": r(FF, C),
+            p + "mlp.up_proj.weight": r(FF, C),
+            p + "mlp.down_proj.weight": r(C, FF),
+        })
+    tcfg = Qwen3Config(
+        vocab_size=V, hidden_size=C, intermediate_size=FF, head_dim=D,
+        num_hidden_layers=L, num_attention_heads=H, num_key_value_heads=KV,
+        rms_norm_eps=1e-6, rope_theta=10000.0, tie_word_embeddings=False,
+        attn_implementation="eager")
+    _convert_and_compare(tmp_path, cfg, ws, Qwen3ForCausalLM, tcfg)
