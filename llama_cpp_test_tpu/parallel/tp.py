@@ -304,3 +304,70 @@ def build_tp_steps(hp: HParams, mesh: Mesh, w_template: LlamaWeights,
     prefill_all = mk(decode=False, all_logits=True, with_last_ix=False)
     decode = mk(decode=True, all_logits=False, with_last_ix=False)
     return prefill, prefill_all, decode
+
+
+def build_embed_step(hp: HParams, mesh: Mesh, w_template: LlamaWeights,
+                     pools_template: KVPools, pooling: str):
+    """shard_map'ed pooled-embedding prefill (the llama_get_embeddings
+    path on the ('dp','tp') mesh)."""
+    from ..ops import layers as _layers
+    from ..runtime import engine as eng
+
+    tp = mesh.shape["tp"]
+    wspec = weight_pspecs(w_template)
+    pspec = pools_pspecs(pools_template)
+    batch = P("dp")
+
+    def body(w, pools, tokens, positions, block_table, slots, kv_len,
+             n_valid):
+        x, pools = eng._forward(
+            w, pools, tokens, positions, block_table, slots, kv_len,
+            hp=hp, decode=False, tp_axis="tp", tp=tp)
+        x = _layers.rms_norm(x, w.output_norm, hp.rms_eps) \
+            .astype(jnp.float32)
+        tpos = jnp.arange(x.shape[1])[None, :]
+        valid = tpos < n_valid[:, None]
+        if pooling == "mean":
+            emb = jnp.sum(jnp.where(valid[..., None], x, 0.0), axis=1) / \
+                jnp.maximum(n_valid[:, None], 1)
+        elif pooling == "cls":
+            emb = x[:, 0]
+        else:  # last
+            emb = jnp.take_along_axis(
+                x, jnp.maximum(n_valid - 1, 0)[:, None, None], axis=1)[:, 0]
+        emb = emb / jnp.maximum(
+            jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+        return emb, pools
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(wspec, pspec) + (batch,) * 6,
+                   out_specs=(batch, pspec), check_vma=False)
+    return jax.jit(fn, donate_argnums=(1,))
+
+
+def build_nll_step(hp: HParams, mesh: Mesh, w_template: LlamaWeights,
+                   pools_template: KVPools):
+    """shard_map'ed per-position NLL prefill (perplexity path on the
+    ('dp','tp') mesh — only [B, T] floats leave the device)."""
+    from ..models import llama as llama_mod
+    from ..runtime import engine as eng
+
+    tp = mesh.shape["tp"]
+    wspec = weight_pspecs(w_template)
+    pspec = pools_pspecs(pools_template)
+    batch = P("dp")
+
+    def body(w, pools, tokens, positions, block_table, slots, kv_len,
+             targets, valid):
+        x, pools = eng._forward(
+            w, pools, tokens, positions, block_table, slots, kv_len,
+            hp=hp, decode=False, tp_axis="tp", tp=tp)
+        logits = llama_mod.lm_head(w, hp, x, tp_axis="tp")
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        return jnp.where(valid, nll, 0.0), pools
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(wspec, pspec) + (batch,) * 7,
+                   out_specs=(batch, pspec), check_vma=False)
+    return jax.jit(fn, donate_argnums=(1,))

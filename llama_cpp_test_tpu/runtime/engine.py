@@ -35,6 +35,18 @@ from .block_manager import BlockManager, SequenceBlockTable
 from .kv_cache import KVPools
 
 
+def _expand_rows(dp: int, row: int, *arrays):
+    """Replicate single-row host arrays onto a dp-sharded batch: each
+    (array, fill) lands its row-0 data at `row`, other rows get `fill`
+    (slot -1 rows drop their KV writes)."""
+    out = []
+    for a, fill in arrays:
+        e = np.full((dp,) + a.shape[1:], fill, a.dtype)
+        e[row] = a[0]
+        out.append(e)
+    return out
+
+
 def _bucket(n: int, buckets: Seq[int]) -> int:
     for b in buckets:
         if n <= b:
@@ -391,6 +403,8 @@ class Context:
         # llama-context.cpp:1302-1305): checked at every engine yield point;
         # a True return raises DecodeAborted (recoverable, code 2)
         self.abort_callback = None
+        self._embed_fns: dict = {}
+        self._nll_fn = None
         # block-table width bucket: full table for n_ctx
         self.nbmax = n_ctx // block_size
         if self.mp and kv_type != "bf16":
@@ -694,9 +708,10 @@ class Context:
         return np.asarray(logits[0])
 
     def embed(self, tokens: list[int], pooling: str = "mean") -> np.ndarray:
-        """Pooled L2-normalized embedding of a token sequence [n_embd]."""
-        if self.mesh is not None:
-            raise NotImplementedError("embed: single-device only")
+        """Pooled L2-normalized embedding of a token sequence [n_embd].
+        Runs single-device or on the ('dp','tp') mesh."""
+        if self.mp:
+            raise NotImplementedError("embed: not on a pipeline mesh")
         hp = self.model.hp
         s = self.new_seq()
         try:
@@ -714,9 +729,26 @@ class Context:
             slot_arr[0, :n] = slots
             bt = self._table_arr([s])
             kv_len = np.asarray([n], np.int32)
+            n_valid = np.asarray([n], np.int32)
+            if self.mesh is not None:
+                row = s.group
+                tok, pos, bt, slot_arr, kv_len, n_valid = _expand_rows(
+                    self.dp, row, (tok, 0), (pos, 0), (bt, 0),
+                    (slot_arr, -1), (kv_len.reshape(1), 1),
+                    (n_valid.reshape(1), 1))
+                fn = self._embed_fns.get(pooling)
+                if fn is None:
+                    from ..parallel.tp import build_embed_step
+
+                    fn = build_embed_step(hp, self.mesh, self.model.weights,
+                                          self.pools, pooling)
+                    self._embed_fns[pooling] = fn
+                emb, self.pools = fn(self.model.weights, self.pools, tok,
+                                     pos, bt, slot_arr, kv_len, n_valid)
+                return np.asarray(emb[row])
             emb, self.pools = _embed_step(
                 self.model.weights, self.pools, tok, pos, bt, slot_arr,
-                kv_len, np.asarray([n], np.int32), hp=hp, pooling=pooling)
+                kv_len, n_valid, hp=hp, pooling=pooling)
             return np.asarray(emb[0])
         finally:
             self.free_seq(s)
@@ -937,10 +969,11 @@ class Context:
     def prefill_nll(self, s: SeqState, tokens: list[int]) -> np.ndarray:
         """Prefill `tokens` and return per-position NLL of predicting
         tokens[i+1] from the prefix through tokens[i] (length n-1).
-        Single-device path (perplexity tooling)."""
+        Runs single-device or on the ('dp','tp') mesh (perplexity
+        tooling)."""
         hp = self.model.hp
-        if self.mesh is not None:
-            raise NotImplementedError("prefill_nll: single-device only")
+        if self.mp:
+            raise NotImplementedError("prefill_nll: not on a pipeline mesh")
         t0 = s.n_cached
         n = len(tokens)
         if n < 2:
@@ -962,6 +995,20 @@ class Context:
         valid[0, : n - 1] = True
         s.tokens.extend(tokens)
         s.n_cached += n
+        if self.mesh is not None:
+            row = s.group
+            tok, pos, bt, slot_arr, kv_len, targets, valid = _expand_rows(
+                self.dp, row, (tok, 0), (pos, 0), (bt, 0), (slot_arr, -1),
+                (kv_len.reshape(1), 1), (targets, 0), (valid, False))
+            if self._nll_fn is None:
+                from ..parallel.tp import build_nll_step
+
+                self._nll_fn = build_nll_step(hp, self.mesh,
+                                              self.model.weights, self.pools)
+            nll, self.pools = self._nll_fn(
+                self.model.weights, self.pools, tok, pos, bt, slot_arr,
+                kv_len, targets, valid)
+            return np.asarray(nll[row, : n - 1])
         nll, self.pools = _prefill_nll_step(
             self.model.weights, self.pools, tok, pos, bt, slot_arr, kv_len,
             targets, valid, hp=hp)

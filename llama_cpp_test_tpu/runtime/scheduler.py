@@ -224,8 +224,16 @@ class Scheduler:
                 continue
             req = slot.req
             t0 = time.time()
+            # split_equal analogue (reference llama-batch.cpp): when other
+            # slots are mid-generation, cap the prefill chunk so their
+            # decode stall stays bounded — fairness over raw prefill
+            # throughput (full chunks when nothing else is running)
+            chunk_n = self.chunk
+            if any(s.state == SlotState.GENERATING and s.next_token is not None
+                   for s in self.slots):
+                chunk_n = min(chunk_n, 128)
             chunk = req.prompt_tokens[
-                slot.n_prompt_done: slot.n_prompt_done + self.chunk]
+                slot.n_prompt_done: slot.n_prompt_done + chunk_n]
             logits = self.ctx.prefill(slot.seq, chunk)
             slot.n_prompt_done += len(chunk)
             self.n_prompt_tokens += len(chunk)

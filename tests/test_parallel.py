@@ -254,3 +254,27 @@ def test_speculative_on_tp_mesh(tp_model):
     spec = dec.generate(prompt, 10)
     assert spec[:len(plain)] == plain
     assert dec.stats.n_drafted > 0
+
+
+def test_embed_and_nll_on_tp_mesh(tp_model):
+    """Pooled embeddings and perplexity NLL on the ('dp','tp') mesh match
+    the single-device paths."""
+    path, wts = tp_model
+    from llama_cpp_test_tpu.parallel.mesh import make_mesh
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    toks = [3, 17, 42, 9, 88, 7]
+    m1 = Model(path)
+    ctx1 = Context(m1, n_ctx=64, n_seq_max=2, block_size=8)
+    ref_emb = ctx1.embed(toks)
+    s1 = ctx1.new_seq()
+    ref_nll = ctx1.prefill_nll(s1, toks)
+
+    mesh = make_mesh(dp=2, tp=2)
+    m2 = Model(path, mesh=mesh)
+    ctx2 = Context(m2, n_ctx=64, n_seq_max=2, block_size=8)
+    got_emb = ctx2.embed(toks)
+    s2 = ctx2.new_seq()
+    got_nll = ctx2.prefill_nll(s2, toks)
+    assert nmse(ref_emb, got_emb) < 1e-5
+    np.testing.assert_allclose(got_nll, ref_nll, rtol=1e-3, atol=1e-4)

@@ -124,3 +124,37 @@ def test_metrics(sched_model):
     assert m["prompt_tokens_processed"] >= 3
     assert m["gen_tokens_processed"] >= 1
     assert m["slots_idle"] == m["slots_total"]
+
+
+def test_prefill_chunk_capped_while_generating(sched_model):
+    """split_equal fairness analogue: once a slot is generating, other
+    prompts prefill in capped chunks so decode stalls stay bounded."""
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+    from llama_cpp_test_tpu.runtime.sampling import SamplerParams
+    from llama_cpp_test_tpu.runtime.scheduler import (GenRequest, Scheduler,
+                                                      SlotState)
+
+    ctx = Context(sched_model, n_ctx=1024, n_seq_max=2, block_size=8,
+                  num_blocks=256)
+    sch = Scheduler(ctx, n_slots=2, chunk_size=512, decode_window=1)
+    r1 = sch.submit(GenRequest([3, 17, 42], max_tokens=8,
+                               sampling=SamplerParams(temp=0.0),
+                               ignore_eos=True))
+    # short prompt finishes prefill on step 1 and starts generating
+    sch.step()
+    assert sch.slots[0].state == SlotState.GENERATING
+    long_prompt = list(range(3, 3 + 300))
+    r2 = sch.submit(GenRequest(long_prompt, max_tokens=4,
+                               sampling=SamplerParams(temp=0.0),
+                               ignore_eos=True))
+    gen_before = len(r1.output_tokens)
+    steps = 0
+    while sch.slots[1].state != SlotState.GENERATING and steps < 10:
+        sch.step()
+        steps += 1
+    # 300 tokens at a 128 cap -> 3 prefill steps, not 1
+    assert steps >= 3, steps
+    # the generating slot kept decoding between the chunks
+    assert len(r1.output_tokens) >= gen_before + 3
+    sch.run()
+    assert r1.finish_reason and r2.finish_reason
