@@ -10,8 +10,8 @@ engine can scan N decode+sample steps per dispatch and only sync once per
 window.
 
 Approximation vs the host chain: candidates are pre-truncated to the top
-K_MAX=1024 logits (after penalties). With default top_k=40 this is exact;
-for top_k<=0 (disabled) the probability mass beyond rank 1024 at temp<=2 is
+K_MAX=256 logits (after penalties). With default top_k=40 this is exact;
+for top_k<=0 (disabled) the probability mass beyond rank 256 at temp<=2 is
 negligible. Rows needing samplers outside this set (typical/XTC/mirostat/
 DRY/grammar/logit-bias/dynatemp) are ineligible — the scheduler falls back
 to the per-token host path for those batches (see Scheduler._decode_all).
@@ -25,7 +25,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-K_MAX = 1024      # candidate truncation after penalties
+K_MAX = 256       # candidate truncation after penalties (a 32k-vocab
+                  # lax.top_k dominates windowed-step cost; tail mass
+                  # beyond rank 256 at temp <= 2 is negligible)
 HIST_LEN = 128    # penalty history ring length (>= default penalty_last_n 64)
 
 
