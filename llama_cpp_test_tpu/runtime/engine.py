@@ -823,8 +823,12 @@ class Context:
         dispatch scores every generating slot's proposal (the reference
         packs per-slot spec batches into one llama_decode,
         server.cpp:3250)."""
+        self._check_abort()
         hp = self.model.hp
         b = len(seqs)
+        if self._prefill_all_fn is None:
+            raise NotImplementedError(
+                "prefill_batch is not supported on a pipeline mesh")
         if any(s.pos_offset for s in seqs):
             raise NotImplementedError("prefill_batch after self_extend")
         lens = [len(r) for r in rows]
@@ -865,9 +869,6 @@ class Context:
         for s, toks_i in zip(seqs, rows):
             s.tokens.extend(toks_i)
             s.n_cached += len(toks_i)
-        if self._prefill_all_fn is None:
-            raise NotImplementedError(
-                "prefill_batch is not supported on a pipeline mesh")
         logits, self.pools = self._prefill_all_fn(
             self.model.weights, self.pools, tok, pos, bt, slot_arr, kv_len)
         logits = np.asarray(logits)
