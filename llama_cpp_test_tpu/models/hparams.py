@@ -35,6 +35,9 @@ class HParams:
     n_expert: int = 0
     n_expert_used: int = 0
     n_ff_exp: int = 0
+    # normalize the selected top-k routing weights (build_moe_ffn norm_w;
+    # true for mixtral, FALSE for qwen2moe — reference llama-model.cpp:6191)
+    norm_topk: bool = True
     # misc
     sliding_window: int = 0
     # RoPE freq base for sliding-window layers (gemma3: 10000 while global
@@ -145,6 +148,7 @@ def hparams_from_metadata(md: dict) -> HParams:
         n_expert=g("expert_count", 0),
         n_expert_used=g("expert_used_count", 0),
         n_ff_exp=g("expert_feed_forward_length", 0),
+        norm_topk=arch != "qwen2moe",
         sliding_window=g("attention.sliding_window", 0),
         swa_pattern=max(1, swa_pattern),
         rope_freq_base_swa=(g("rope.local_freq_base", 10000.0)

@@ -82,6 +82,12 @@ class LayerWeights:
     gate_exps: QTensor | None = None           # stacked [E] QTensor planes
     up_exps: QTensor | None = None
     down_exps: QTensor | None = None
+    # qwen2moe shared expert: scalar sigmoid gate vector + its own SwiGLU
+    # (reference llm_build_qwen2moe, llama-model.cpp:6198-6221)
+    gate_inp_shexp: jax.Array | None = None    # [n_embd]
+    gate_shexp: QTensor | None = None
+    up_shexp: QTensor | None = None
+    down_shexp: QTensor | None = None
     # optional biases (qwen-style; None for llama family)
     bq: jax.Array | None = None
     bk: jax.Array | None = None
@@ -312,12 +318,18 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
             lw.wqkv = fuse_qtensors([lw.wq, lw.wk, lw.wv])
             if lw.wqkv is not None:
                 lw.wq = lw.wk = lw.wv = None  # fused plane replaces them
-        if p + "ffn_gate_inp.weight" in t:  # MoE (Mixtral)
+        if p + "ffn_gate_inp.weight" in t:  # MoE (Mixtral / qwen2moe)
             lw.gate_inp = _repack_2d(reader, p + "ffn_gate_inp.weight")
             lw.gate_exps = _repack_3d(reader, p + "ffn_gate_exps.weight", tp)
             lw.up_exps = _repack_3d(reader, p + "ffn_up_exps.weight", tp)
             lw.down_exps = _repack_3d(reader, p + "ffn_down_exps.weight",
                                       tp, mode="row")
+            if p + "ffn_gate_inp_shexp.weight" in t:  # qwen2moe shared
+                lw.gate_inp_shexp = _f32(
+                    reader, p + "ffn_gate_inp_shexp.weight")
+                lw.gate_shexp = _repack_2d(reader, p + "ffn_gate_shexp.weight")
+                lw.up_shexp = _repack_2d(reader, p + "ffn_up_shexp.weight")
+                lw.down_shexp = _repack_2d(reader, p + "ffn_down_shexp.weight")
         elif p + "ffn_gate.weight" in t:
             lw.w_gate = col(p + "ffn_gate.weight")
             lw.w_up = col(p + "ffn_up.weight")
@@ -433,8 +445,9 @@ def moe_ffn(x: jax.Array, lw: LayerWeights, hp: HParams,
     router = linear(xf, lw.gate_inp)                      # [M, E] (E global)
     probs = jax.nn.softmax(router, axis=-1)
     topv, topi = jax.lax.top_k(probs, hp.n_expert_used)   # [M, k]
-    # normalize selected weights (norm_topk_prob default true for mixtral)
-    topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    if hp.norm_topk:
+        # normalize selected weights (true for mixtral, false for qwen2moe)
+        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
     e_local = hp.n_expert // ep
     off = jax.lax.axis_index(ep_axis) * e_local \
         if ep_axis is not None and ep > 1 else 0
@@ -445,6 +458,22 @@ def moe_ffn(x: jax.Array, lw: LayerWeights, hp: HParams,
     if ep_axis is not None and ep > 1:
         out = jax.lax.psum(out, ep_axis)
     return out.reshape(b, tdim, hp.n_embd)
+
+
+def shared_expert_ffn(cur: jax.Array, lw: LayerWeights,
+                      hp: HParams) -> jax.Array:
+    """qwen2moe shared expert: sigmoid(x . gate_inp_shexp) x SwiGLU(x).
+    Weights are replicated, so the caller adds this AFTER any tp/ep psum
+    of the routed output (adding inside would multiply it by the shard
+    count). Reference llama-model.cpp:6198-6221."""
+    b, tdim = cur.shape[0], cur.shape[1]
+    xf = cur.reshape(-1, cur.shape[-1])
+    gate = jax.nn.sigmoid(
+        xf.astype(jnp.float32) @ lw.gate_inp_shexp.astype(jnp.float32))
+    g = linear(xf, lw.gate_shexp)
+    u = linear(xf, lw.up_shexp)
+    sh = linear(layers.swiglu(g, u, hp.act_fn), lw.down_shexp)
+    return (sh * gate[:, None]).reshape(b, tdim, hp.n_embd)
 
 
 def _moe_grouped(xf, lw, hp, topi, topv, e_local, off):
@@ -601,6 +630,8 @@ def forward_layer(
                           lora.get("w_down"))
     if tp_axis is not None:
         ffn = jax.lax.psum(ffn, tp_axis)  # row-parallel ffn_down partials
+    if lw.gate_inp_shexp is not None:
+        ffn = ffn + shared_expert_ffn(cur, lw, hp)
     if lw.ffn_post_norm is not None:
         ffn = layers.rms_norm(ffn, lw.ffn_post_norm, hp.rms_eps)
     x = x + ffn.astype(x.dtype)

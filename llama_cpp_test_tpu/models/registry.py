@@ -53,6 +53,12 @@ register_arch(ArchSpec("qwen2", family="llama", rope_type="neox",
 register_arch(ArchSpec("qwen3", family="llama", rope_type="neox",
                        notes="qk-norm"))
 
+# qwen2moe: mixtral-style routed experts WITHOUT top-k renormalization,
+# plus a sigmoid-gated shared expert (reference llm_build_qwen2moe,
+# llama-model.cpp:6104-6225; test_arch_quirks qwen2moe suite)
+register_arch(ArchSpec("qwen2moe", family="llama", rope_type="neox",
+                       notes="moe, shared-expert, no-topk-norm"))
+
 # gemma family: GeGLU + sqrt(n_embd) embedding scale; gemma2 adds sandwich
 # norms, attn/final logit softcapping and alternating SWA; gemma3 adds
 # qk-norms and 5:1 local/global SWA with its own local rope base

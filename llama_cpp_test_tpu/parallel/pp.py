@@ -180,6 +180,10 @@ def stacked_layer_pspecs(st: LayerWeights) -> LayerWeights:
         gate_exps=_mp_qt_spec(st.gate_exps, "col"),
         up_exps=_mp_qt_spec(st.up_exps, "col"),
         down_exps=_mp_qt_spec(st.down_exps, "row"),
+        gate_inp_shexp=(None if st.gate_inp_shexp is None else P("pp")),
+        gate_shexp=_mp_qt_spec(st.gate_shexp, "rep"),
+        up_shexp=_mp_qt_spec(st.up_shexp, "rep"),
+        down_shexp=_mp_qt_spec(st.down_shexp, "rep"),
         bq=None if st.bq is None else P("pp", "tp"),
         bk=None if st.bk is None else P("pp", "tp"),
         bv=None if st.bv is None else P("pp", "tp"),

@@ -90,6 +90,10 @@ def weight_pspecs(w: LlamaWeights) -> LlamaWeights:
             gate_exps=_qt_spec(lw.gate_exps, "col"),
             up_exps=_qt_spec(lw.up_exps, "col"),
             down_exps=_qt_spec(lw.down_exps, "row"),
+            gate_inp_shexp=(None if lw.gate_inp_shexp is None else P(None)),
+            gate_shexp=_qt_spec(lw.gate_shexp, "rep"),
+            up_shexp=_qt_spec(lw.up_shexp, "rep"),
+            down_shexp=_qt_spec(lw.down_shexp, "rep"),
             bq=None if lw.bq is None else P("tp"),
             bk=None if lw.bk is None else P("tp"),
             bv=None if lw.bv is None else P("tp"),

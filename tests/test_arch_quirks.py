@@ -706,3 +706,175 @@ def test_falcon_decode_matches_prefill(tmp_path):
     ctx_b.prefill(s, tokens[:1])
     rows = [ctx_b.decode([s], [t])[0] for t in tokens[1:]]
     assert nmse(np.stack(rows), ref[1:]) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# qwen2moe: routed experts WITHOUT top-k renormalization + sigmoid-gated
+# shared expert (reference llm_build_qwen2moe, llama-model.cpp:6104-6225)
+
+
+QMOE_HP = dict(n_vocab=199, n_embd=64, n_head=4, n_head_kv=2, head_dim=16,
+               n_ff=96, n_layer=2, n_expert=4, n_expert_used=2,
+               n_ff_shexp=80, eps=1e-5, rope_base=10000.0)
+
+
+def make_tiny_qwen2moe(path, seed=0):
+    from llama_cpp_test_tpu.gguf.constants import GGMLType
+    from llama_cpp_test_tpu.gguf.writer import GGUFWriter
+
+    rng = np.random.default_rng(seed)
+    hp = QMOE_HP
+    c, hq, hkv, d = hp["n_embd"], hp["n_head"], hp["n_head_kv"], hp["head_dim"]
+    v, ff, L, E = hp["n_vocab"], hp["n_ff"], hp["n_layer"], hp["n_expert"]
+    ffs = hp["n_ff_shexp"]
+
+    def rand(*shape, s=0.08):
+        return (rng.standard_normal(shape) * s).astype(np.float32)
+
+    wts = {
+        "token_embd.weight": rand(v, c, s=0.3),
+        "output_norm.weight": 1.0 + rand(c, s=0.05),
+        "output.weight": rand(v, c, s=0.2),
+    }
+    for i in range(L):
+        p = f"blk.{i}."
+        wts.update({
+            p + "attn_norm.weight": 1.0 + rand(c, s=0.05),
+            p + "attn_q.weight": rand(hq * d, c),
+            p + "attn_q.bias": rand(hq * d),
+            p + "attn_k.weight": rand(hkv * d, c),
+            p + "attn_k.bias": rand(hkv * d),
+            p + "attn_v.weight": rand(hkv * d, c),
+            p + "attn_v.bias": rand(hkv * d),
+            p + "attn_output.weight": rand(c, hq * d),
+            p + "ffn_norm.weight": 1.0 + rand(c, s=0.05),
+            p + "ffn_gate_inp.weight": rand(E, c),
+            p + "ffn_gate_exps.weight": rand(E, ff, c),
+            p + "ffn_up_exps.weight": rand(E, ff, c),
+            p + "ffn_down_exps.weight": rand(E, c, ff),
+            p + "ffn_gate_inp_shexp.weight": rand(c),
+            p + "ffn_gate_shexp.weight": rand(ffs, c),
+            p + "ffn_up_shexp.weight": rand(ffs, c),
+            p + "ffn_down_shexp.weight": rand(c, ffs),
+        })
+    w = GGUFWriter(path, arch="qwen2moe")
+    md = {
+        "qwen2moe.context_length": 256,
+        "qwen2moe.embedding_length": c,
+        "qwen2moe.block_count": L,
+        "qwen2moe.attention.head_count": hq,
+        "qwen2moe.attention.head_count_kv": hkv,
+        "qwen2moe.attention.key_length": d,
+        "qwen2moe.attention.value_length": d,
+        "qwen2moe.feed_forward_length": ff,
+        "qwen2moe.expert_count": E,
+        "qwen2moe.expert_used_count": hp["n_expert_used"],
+        "qwen2moe.rope.dimension_count": d,
+        "qwen2moe.rope.freq_base": hp["rope_base"],
+        "qwen2moe.attention.layer_norm_rms_epsilon": hp["eps"],
+        "qwen2moe.vocab_size": v,
+        "tokenizer.ggml.model": "llama",
+        "tokenizer.ggml.tokens": [f"<t{i}>" for i in range(v)],
+        "tokenizer.ggml.scores": [0.0] * v,
+        "tokenizer.ggml.token_type": [1] * v,
+    }
+    from llama_cpp_test_tpu.gguf.constants import GGMLType as GT
+    for k_, v_ in md.items():
+        w.add_kv(k_, v_)
+    for name, arr in wts.items():
+        w.add_tensor(name, arr, ggml_type=GT.F32)
+    w.write()
+    return wts
+
+
+def ref_forward_qwen2moe(wts, tokens):
+    hp = QMOE_HP
+    c, hq, hkv, d = hp["n_embd"], hp["n_head"], hp["n_head_kv"], hp["head_dim"]
+    L, E, ku, eps = hp["n_layer"], hp["n_expert"], hp["n_expert_used"], hp["eps"]
+
+    def rms(x, wv):
+        return x / np.sqrt((x * x).mean(-1, keepdims=True) + eps) * wv
+
+    def rope(x, pos):
+        half = d // 2
+        inv = hp["rope_base"] ** (-2.0 * np.arange(half) / d)
+        th = pos[:, None] * inv[None, :]
+        cos, sin = np.cos(th)[:, None, :], np.sin(th)[:, None, :]
+        x1, x2 = x[..., :half], x[..., half:]
+        return np.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1)
+
+    silu = lambda x: x / (1 + np.exp(-x))
+    T = len(tokens)
+    x = wts["token_embd.weight"][tokens].astype(np.float64)
+    pos = np.arange(T, dtype=np.float64)
+    for i in range(L):
+        p = f"blk.{i}."
+        cur = rms(x, wts[p + "attn_norm.weight"])
+        q = (cur @ wts[p + "attn_q.weight"].T +
+             wts[p + "attn_q.bias"]).reshape(T, hq, d)
+        k = (cur @ wts[p + "attn_k.weight"].T +
+             wts[p + "attn_k.bias"]).reshape(T, hkv, d)
+        vv = (cur @ wts[p + "attn_v.weight"].T +
+              wts[p + "attn_v.bias"]).reshape(T, hkv, d)
+        q, k = rope(q, pos), rope(k, pos)
+        g = hq // hkv
+        out = np.zeros((T, hq, d))
+        for h in range(hq):
+            lg = (q[:, h] @ k[:, h // g].T) / math.sqrt(d)
+            mask = np.tril(np.ones((T, T), bool))
+            lg = np.where(mask, lg, -1e30)
+            pr = np.exp(lg - lg.max(-1, keepdims=True))
+            pr /= pr.sum(-1, keepdims=True)
+            out[:, h] = pr @ vv[:, h // g]
+        x = x + out.reshape(T, hq * d) @ wts[p + "attn_output.weight"].T
+        cur = rms(x, wts[p + "ffn_norm.weight"])
+        router = cur @ wts[p + "ffn_gate_inp.weight"].T
+        probs = np.exp(router - router.max(-1, keepdims=True))
+        probs /= probs.sum(-1, keepdims=True)
+        ffn = np.zeros_like(cur)
+        for t in range(T):
+            top = np.argsort(-probs[t])[:ku]
+            for e in top:
+                ge = silu(cur[t] @ wts[p + "ffn_gate_exps.weight"][e].T)
+                ue = cur[t] @ wts[p + "ffn_up_exps.weight"][e].T
+                ye = (ge * ue) @ wts[p + "ffn_down_exps.weight"][e].T
+                ffn[t] += probs[t, e] * ye   # NO top-k renormalization
+        gate = 1 / (1 + np.exp(-(cur @ wts[p + "ffn_gate_inp_shexp.weight"])))
+        gs = silu(cur @ wts[p + "ffn_gate_shexp.weight"].T)
+        us = cur @ wts[p + "ffn_up_shexp.weight"].T
+        sh = (gs * us) @ wts[p + "ffn_down_shexp.weight"].T
+        ffn = ffn + sh * gate[:, None]
+        x = x + ffn
+    x = rms(x, wts["output_norm.weight"])
+    return x @ wts["output.weight"].T
+
+
+def test_qwen2moe_prefill_matches_reference(tmp_path):
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    path = str(tmp_path / "qmoe.gguf")
+    wts = make_tiny_qwen2moe(path)
+    tokens = [3, 17, 42, 9, 88, 123]
+    ref = ref_forward_qwen2moe(wts, tokens)
+    m = Model(path)
+    assert not m.hp.norm_topk
+    ctx = Context(m, n_ctx=64, n_seq_max=1, block_size=8)
+    got = ctx.prefill(ctx.new_seq(), tokens, all_logits=True)
+    assert nmse(ref, got) < 2e-3, nmse(ref, got)
+    assert np.argmax(ref[-1]) == np.argmax(got[-1])
+
+
+def test_qwen2moe_decode_matches_prefill(tmp_path):
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    path = str(tmp_path / "qmoe2.gguf")
+    make_tiny_qwen2moe(path)
+    m = Model(path)
+    tokens = [3, 17, 42, 9, 88]
+    ctx_a = Context(m, n_ctx=64, n_seq_max=1, block_size=8)
+    ref = ctx_a.prefill(ctx_a.new_seq(), tokens, all_logits=True)
+    ctx_b = Context(m, n_ctx=64, n_seq_max=1, block_size=8)
+    s = ctx_b.new_seq()
+    ctx_b.prefill(s, tokens[:1])
+    rows = [ctx_b.decode([s], [t])[0] for t in tokens[1:]]
+    assert nmse(np.stack(rows), ref[1:]) < 1e-4
