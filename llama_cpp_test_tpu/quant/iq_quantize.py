@@ -260,3 +260,90 @@ IQ_QUANTIZERS = {
     GGMLType.IQ3_XXS: quantize_iq3_xxs,
     GGMLType.IQ1_S: quantize_iq1_s,
 }
+
+
+def quantize_iq2_s(x: np.ndarray, qw=None) -> np.ndarray:
+    """x [nb, 256] -> packed block_iq2_s bytes [nb, 82].
+
+    Unlike xxs/xs this format stores FULL 8-bit sign bytes (no ksigns
+    parity constraint), a 1024-entry grid with 2 high index bits packed
+    separately, and 4-bit scales per 16."""
+    grid = _iq_grids()["iq2s"].astype(np.float64)     # [1024, 8]
+    x, w = _prep(x, qw)
+    nb = x.shape[0]
+    x8 = x.reshape(nb * 32, 8)
+    w8 = w.reshape(nb * 32, 8)
+    absx = np.abs(x8)
+    neg = (x8 < 0)
+    absg = absx.reshape(nb * 16, 16)
+    wg = w8.reshape(nb * 16, 16)
+    s = absg.max(axis=1) / 43.0
+    for _ in range(3):
+        codes = _best_codes(absx, w8, grid, np.repeat(s, 2))
+        gv = grid[codes].reshape(nb * 16, 16)
+        s = _refit_scale(absg, wg, gv)
+    sg = s.reshape(nb, 16)
+    d = np.maximum(sg.max(axis=1) * 4.0 / 15.5, 1e-12)
+    ls = np.clip(np.round(4.0 * sg / d[:, None] - 0.5), 0, 15) \
+        .astype(np.uint8)
+    s_fin = (d[:, None] * (0.5 + ls) / 4.0).reshape(nb * 16)
+    codes = _best_codes(absx, w8, grid, np.repeat(s_fin, 2)) \
+        .astype(np.uint16).reshape(nb, 32)
+    sign_b = np.zeros((nb * 32,), np.uint8)
+    for j in range(8):
+        sign_b |= neg[:, j].astype(np.uint8) << j
+    sign_b = sign_b.reshape(nb, 32)
+    out = np.zeros((nb, 82), np.uint8)
+    out[:, 0:2] = _f16b(d.astype(np.float32))
+    out[:, 2:34] = (codes & 0xFF).astype(np.uint8)
+    out[:, 34:66] = sign_b
+    hi = (codes >> 8).astype(np.uint8).reshape(nb, 8, 4)   # 2 bits each
+    out[:, 66:74] = (hi[:, :, 0] | (hi[:, :, 1] << 2) |
+                     (hi[:, :, 2] << 4) | (hi[:, :, 3] << 6))
+    out[:, 74:82] = (ls[:, 0::2] | (ls[:, 1::2] << 4))
+    return out
+
+
+def quantize_iq3_s(x: np.ndarray, qw=None) -> np.ndarray:
+    """x [nb, 256] -> packed block_iq3_s bytes [nb, 110].
+
+    512-entry grid of 4 odd magnitudes, full sign bytes per 8 values,
+    4-bit scales per 32 with db = d*(1 + 2*ls)."""
+    grid = _iq_grids()["iq3s"].astype(np.float64)     # [512, 4]
+    x, w = _prep(x, qw)
+    nb = x.shape[0]
+    absx4 = np.abs(x).reshape(nb * 64, 4)
+    w4 = w.reshape(nb * 64, 4)
+    neg = (x.reshape(nb * 32, 8) < 0)
+    absg = np.abs(x).reshape(nb * 8, 32)
+    wg = w.reshape(nb * 8, 32)
+    s = absg.max(axis=1) / 15.0
+    for _ in range(3):
+        codes = _best_codes(absx4, w4, grid, np.repeat(s, 8))
+        gv = grid[codes].reshape(nb * 8, 32)
+        s = _refit_scale(absg, wg, gv)
+    sg = s.reshape(nb, 8)
+    d = np.maximum(sg.max(axis=1) / 31.0, 1e-12)      # s = d*(1+2*ls), ls<=15
+    ls = np.clip(np.round((sg / d[:, None] - 1.0) / 2.0), 0, 15) \
+        .astype(np.uint8)
+    s_fin = (d[:, None] * (1.0 + 2.0 * ls)).reshape(nb * 8)
+    codes = _best_codes(absx4, w4, grid, np.repeat(s_fin, 8)) \
+        .astype(np.uint16).reshape(nb, 64)
+    sign_b = np.zeros((nb * 32,), np.uint8)
+    for j in range(8):
+        sign_b |= neg[:, j].astype(np.uint8) << j
+    out = np.zeros((nb, 110), np.uint8)
+    out[:, 0:2] = _f16b(d.astype(np.float32))
+    out[:, 2:66] = (codes & 0xFF).astype(np.uint8)
+    hi = (codes >> 8).astype(np.uint8).reshape(nb, 8, 8)  # 1 bit each
+    acc = np.zeros((nb, 8), np.uint8)
+    for j in range(8):
+        acc |= hi[:, :, j] << j
+    out[:, 66:74] = acc
+    out[:, 74:106] = sign_b.reshape(nb, 32)
+    out[:, 106:110] = (ls[:, 0::2] | (ls[:, 1::2] << 4))
+    return out
+
+
+IQ_QUANTIZERS[GGMLType.IQ2_S] = quantize_iq2_s
+IQ_QUANTIZERS[GGMLType.IQ3_S] = quantize_iq3_s

@@ -40,7 +40,9 @@ FTYPES = {
     # (llama-quant.cpp IQ2 rules) — mirrored in tensor_target_type.
     "IQ2_XXS": GGMLType.IQ2_XXS,
     "IQ2_XS": GGMLType.IQ2_XS,
+    "IQ2_S": GGMLType.IQ2_S, "IQ2_M": GGMLType.IQ2_S,
     "IQ3_XXS": GGMLType.IQ3_XXS,
+    "IQ3_S": GGMLType.IQ3_S, "IQ3_M": GGMLType.IQ3_S,
     "IQ1_S": GGMLType.IQ1_S,
     "F16": GGMLType.F16,
     "BF16": GGMLType.BF16,
@@ -73,7 +75,7 @@ def tensor_target_type(name: str, ftype: str, base: GGMLType,
         if ftype.endswith("_M") or ftype.endswith("_L"):
             return base
         return base
-    if ftype in ("IQ2_XXS", "IQ2_XS", "IQ1_S"):
+    if ftype in ("IQ2_XXS", "IQ2_XS", "IQ2_S", "IQ2_M", "IQ1_S"):
         if ".attn_v.weight" in name:
             return GGMLType.Q4_K      # llama-quant.cpp iq2 attn_v rule
         if ".ffn_down" in name:

@@ -38,6 +38,8 @@ TOTAL_ERROR_GATES = {
     GGMLType.IQ2_XS: 0.0075,
     GGMLType.IQ3_XXS: 0.0055,
     GGMLType.IQ1_S: 0.0095,
+    GGMLType.IQ2_S: 0.0055,
+    GGMLType.IQ3_S: 0.0030,
 }
 
 TEST_SIZE = 32 * 128
