@@ -347,3 +347,63 @@ def quantize_iq3_s(x: np.ndarray, qw=None) -> np.ndarray:
 
 IQ_QUANTIZERS[GGMLType.IQ2_S] = quantize_iq2_s
 IQ_QUANTIZERS[GGMLType.IQ3_S] = quantize_iq3_s
+
+
+def quantize_iq1_m(x: np.ndarray, qw=None) -> np.ndarray:
+    """x [nb, 256] -> packed block_iq1_m bytes [nb, 56].
+
+    Ternary 2048-grid with per-8 delta sign, 3-bit scales per 16, and the
+    fp16 super-scale smuggled through the top nibble of each of the four
+    scale words (ggml-quants.c quantize_iq1_m / codecs.iq1_m_dequantize)."""
+    from .codecs import IQ1_DELTA
+
+    grid = _iq_grids()["iq1s"].astype(np.float64)     # [2048, 8]
+    x, w = _prep(x, qw)
+    nb = x.shape[0]
+    x8 = x.reshape(nb * 32, 8)
+    w8 = w.reshape(nb * 32, 8)
+    x16 = x.reshape(nb * 16, 16)
+    w16 = w.reshape(nb * 16, 16)
+    s = np.maximum(np.abs(x16).max(axis=1) / (1.0 + IQ1_DELTA), 1e-12)
+    gd_pos = grid + IQ1_DELTA
+    gd_neg = grid - IQ1_DELTA
+    for _ in range(3):
+        srep = np.repeat(s, 2)
+        picks = []
+        for gd in (gd_pos, gd_neg):
+            a = (w8 * x8) @ gd.T
+            b = w8 @ (gd * gd).T
+            dist = -2.0 * srep[:, None] * a + (srep ** 2)[:, None] * b
+            c = np.argmin(dist, axis=1)
+            picks.append((c, dist[np.arange(len(c)), c]))
+        negd = picks[1][1] < picks[0][1]
+        codes = np.where(negd, picks[1][0], picks[0][0])
+        gv = np.where(negd[:, None], gd_neg[codes], gd_pos[codes])
+        s = _refit_scale(x16, w16, gv.reshape(nb * 16, 16))
+        s = np.maximum(s, 1e-12)
+    sg = s.reshape(nb, 16)
+    d = np.maximum(sg.max(axis=1) / 15.0, 1e-12)      # dl = d*(2*ls+1), ls<=7
+    # d is recovered from packed fp16 bits on decode: quantize it FIRST so
+    # the ls fit uses the value the decoder will see
+    d16 = d.astype(np.float16)
+    d_bits = d16.view(np.uint16)
+    dq = d16.astype(np.float64)
+    ls = np.clip(np.round((sg / np.maximum(dq[:, None], 1e-12) - 1.0) / 2.0),
+                 0, 7).astype(np.uint16)
+    codes = codes.astype(np.uint16).reshape(nb, 32)
+    negd = negd.reshape(nb, 32)
+    out = np.zeros((nb, 56), np.uint8)
+    out[:, 0:32] = (codes & 0xFF).astype(np.uint8)
+    hi = (codes >> 8).astype(np.uint8)                # 3 bits per 8-blk
+    nib = (hi | (negd.astype(np.uint8) << 3)).reshape(nb, 16, 2)
+    out[:, 32:48] = nib[:, :, 0] | (nib[:, :, 1] << 4)
+    sc = np.zeros((nb, 4), np.uint16)
+    for sh in range(16):
+        sc[:, sh // 4] |= (ls[:, sh] & 7) << (3 * (sh % 4))
+    for i in range(4):
+        sc[:, i] |= ((d_bits >> (4 * i)) & 0xF).astype(np.uint16) << 12
+    out[:, 48:56] = sc.view(np.uint8)
+    return out
+
+
+IQ_QUANTIZERS[GGMLType.IQ1_M] = quantize_iq1_m

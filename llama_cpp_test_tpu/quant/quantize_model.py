@@ -44,6 +44,7 @@ FTYPES = {
     "IQ3_XXS": GGMLType.IQ3_XXS,
     "IQ3_S": GGMLType.IQ3_S, "IQ3_M": GGMLType.IQ3_S,
     "IQ1_S": GGMLType.IQ1_S,
+    "IQ1_M": GGMLType.IQ1_M,
     "F16": GGMLType.F16,
     "BF16": GGMLType.BF16,
 }

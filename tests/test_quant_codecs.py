@@ -40,6 +40,7 @@ TOTAL_ERROR_GATES = {
     GGMLType.IQ1_S: 0.0095,
     GGMLType.IQ2_S: 0.0055,
     GGMLType.IQ3_S: 0.0030,
+    GGMLType.IQ1_M: 0.0090,
 }
 
 TEST_SIZE = 32 * 128
