@@ -158,7 +158,8 @@ def main():
             from llama_cpp_test_tpu.runtime.scheduler import SlotState
 
             ctx2 = Context(model, n_ctx=n_ctx, n_seq_max=4, block_size=64)
-            sch = Scheduler(ctx2, n_slots=4, chunk_size=512, decode_window=32)
+            sch = Scheduler(ctx2, n_slots=4, chunk_size=512, decode_window=32,
+                            gen_prefill_chunk=512)  # one prefill program
 
             def run_batch():
                 for i in range(4):

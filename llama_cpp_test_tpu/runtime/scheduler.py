@@ -99,7 +99,8 @@ class Scheduler:
     def __init__(self, ctx: Context, n_slots: int = 8,
                  chunk_size: int = 512, ctx_shift: bool = True,
                  decode_window: int = 16, draft_ctx: Context | None = None,
-                 n_draft: int = 8, p_draft_min: float = 0.75):
+                 n_draft: int = 8, p_draft_min: float = 0.75,
+                 gen_prefill_chunk: int = 128):
         self.ctx = ctx
         # server-side speculative decoding: per-slot draft sequences inside
         # the continuous-batching loop (reference examples/server/
@@ -116,6 +117,9 @@ class Scheduler:
         self.slots = [Slot(i) for i in range(n_slots)]
         self.queue: deque[GenRequest] = deque()
         self.chunk = chunk_size
+        # prefill chunk cap while other slots generate (split_equal
+        # fairness analogue); = chunk_size disables the cap
+        self.gen_prefill_chunk = min(gen_prefill_chunk, chunk_size)
         # windowed device decode: up to this many decode+sample steps per
         # dispatch when every generating slot's sampler runs on device
         # (device_sampling.eligible) — the cure for per-token host
@@ -231,7 +235,7 @@ class Scheduler:
             chunk_n = self.chunk
             if any(s.state == SlotState.GENERATING and s.next_token is not None
                    for s in self.slots):
-                chunk_n = min(chunk_n, 128)
+                chunk_n = self.gen_prefill_chunk
             chunk = req.prompt_tokens[
                 slot.n_prompt_done: slot.n_prompt_done + chunk_n]
             logits = self.ctx.prefill(slot.seq, chunk)
