@@ -324,3 +324,48 @@ def test_convert_qwen3_matches_transformers(tmp_path):
         rms_norm_eps=1e-6, rope_theta=10000.0, tie_word_embeddings=False,
         attn_implementation="eager")
     _convert_and_compare(tmp_path, cfg, ws, Qwen3ForCausalLM, tcfg)
+
+
+def test_convert_falcon7b_multiquery_matches_transformers(tmp_path):
+    """Old-architecture falcon (7B style): multi-query attention, single
+    input_layernorm feeding both parallel branches, no qkv de-interleave."""
+    from transformers import FalconConfig, FalconForCausalLM
+
+    rng = np.random.default_rng(5)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, L = 256, 64, 4, 2
+    d = C // H
+    cfg = {
+        "architectures": ["FalconForCausalLM"],
+        "hidden_size": C, "num_attention_heads": H,
+        "multi_query": True, "new_decoder_architecture": False,
+        "num_hidden_layers": L, "max_position_embeddings": 256,
+        "layer_norm_epsilon": 1e-5, "rope_theta": 10000.0,
+        "vocab_size": V, "bos_token_id": 1, "eos_token_id": 2,
+        "parallel_attn": True, "bias": False, "alibi": False,
+        "tie_word_embeddings": False,
+    }
+    ws = {
+        "transformer.word_embeddings.weight": r(V, C),
+        "transformer.ln_f.weight": 1.0 + r(C),
+        "transformer.ln_f.bias": r(C),
+        "lm_head.weight": r(V, C),
+    }
+    for i in range(L):
+        p = f"transformer.h.{i}."
+        ws.update({
+            p + "input_layernorm.weight": 1.0 + r(C),
+            p + "input_layernorm.bias": r(C),
+            # old arch: [all q; k; v] rows already
+            p + "self_attention.query_key_value.weight": r((H + 2) * d, C),
+            p + "self_attention.dense.weight": r(C, C),
+            p + "mlp.dense_h_to_4h.weight": r(4 * C, C),
+            p + "mlp.dense_4h_to_h.weight": r(C, 4 * C),
+        })
+    tcfg = FalconConfig(
+        vocab_size=V, hidden_size=C, num_hidden_layers=L,
+        num_attention_heads=H, multi_query=True,
+        new_decoder_architecture=False, parallel_attn=True, bias=False,
+        alibi=False, layer_norm_epsilon=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=False, attn_implementation="eager")
+    _convert_and_compare(tmp_path, cfg, ws, FalconForCausalLM, tcfg)
