@@ -145,3 +145,22 @@ def test_route_tokens_plan_invariants():
     assert set(seen) == set(want)
     for key in want:
         assert abs(seen[key] - want[key]) < 1e-6
+
+
+def test_gmm_prefill_tile_matches_dense():
+    """Large-M path (tile_m=64, the prefill regime) through the grouped
+    kernel matches the dense reference."""
+    rng = np.random.default_rng(7)
+    e, m, k, n, ku = 4, 128, 256, 256, 2
+    qt = stacked_qtensor(e, n, k, GGMLType.Q4_K, rng)
+    x = rng.standard_normal((m, k)).astype(np.float32) * 0.3
+    logits = rng.standard_normal((m, e)).astype(np.float32)
+    topv_, topi_ = jax.lax.top_k(jnp.asarray(logits), ku)
+    topv_ = jax.nn.softmax(topv_, axis=-1)
+    rt = gmm_mod.route_tokens(topi_, topv_, n_expert_local=e,
+                              expert_offset=0, tile_m=64)
+    y = np.asarray(gmm_mod.gmm(jnp.asarray(x), qt, rt, tile_m=64,
+                               interpret=True))
+    ref = dense_reference(x, qt, np.asarray(topi_), np.asarray(topv_))
+    nmse = np.mean((y - ref) ** 2) / (np.mean(ref ** 2) + 1e-12)
+    assert nmse < 2e-4, nmse

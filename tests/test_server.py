@@ -309,3 +309,25 @@ def test_api_key_auth(tmp_path):
     finally:
         srv.engine.stop()
         loop.close()
+
+
+def test_sampling_body_lazy_grammar_triggers():
+    """server request fields grammar_lazy + grammar_triggers parse into
+    SamplerParams (server.cpp grammar_triggers analogue)."""
+    from llama_cpp_test_tpu.server.app import _sampling_from_body
+
+    p = _sampling_from_body({
+        "grammar": 'root ::= "x"',
+        "grammar_lazy": True,
+        "grammar_triggers": [
+            {"type": "word", "value": "<tool_call>"},
+            {"type": "token", "value": 42},
+            {"type": "pattern", "value": ".*?(\\{)"},
+        ],
+    })
+    assert p.grammar_lazy
+    assert p.grammar_trigger_words == ("<tool_call>",)
+    assert p.grammar_trigger_tokens == (42,)
+    assert p.grammar_trigger_patterns == (".*?(\\{)",)
+    q = _sampling_from_body({"grammar": 'root ::= "x"'})
+    assert not q.grammar_lazy and q.grammar_trigger_words == ()
