@@ -80,16 +80,11 @@ def main(argv=None) -> int:
     ctx = Context(model, n_ctx=args.ctx_size, n_seq_max=1,
                   kv_type=args.cache_type_kv)
     sched = Scheduler(ctx, n_slots=1)
-    sp = SamplerParams(
-        seed=args.seed, temp=args.temp, top_k=args.top_k, top_p=args.top_p,
-        min_p=args.min_p, typ_p=args.typical,
-        penalty_repeat=args.repeat_penalty,
-        penalty_last_n=args.repeat_last_n,
-        penalty_freq=args.frequency_penalty,
-        penalty_present=args.presence_penalty,
-        mirostat=args.mirostat, mirostat_tau=args.mirostat_tau,
-        mirostat_eta=args.mirostat_eta,
-    )
+    # built by the shared helper so every 'sampling'-domain flag the parser
+    # accepts (incl. --grammar/--grammar-file) actually reaches the chain
+    from ..common.args import sampler_params_from_args
+
+    sp = sampler_params_from_args(args)
 
     prompt = args.prompt
     if args.file:

@@ -47,14 +47,21 @@ class Logger:
     def _drain(self) -> None:
         while True:
             rec = self._q.get()
-            if rec is None:
-                return
             try:
-                self._sink.write(rec)
-                if self._q.empty():
-                    self._sink.flush()
-            except Exception:
-                pass
+                if rec is None:
+                    return
+                try:
+                    self._sink.write(rec)
+                    if self._q.empty():
+                        self._sink.flush()
+                except Exception:
+                    pass
+            finally:
+                # task_done AFTER the write: flush() joins the queue, so the
+                # final record is guaranteed on the sink when flush returns
+                # (popping before writing left a window where flush() saw an
+                # empty queue with the last record still unwritten)
+                self._q.task_done()
 
     def set_level(self, level: str) -> None:
         self.level = LEVELS[level]
@@ -91,10 +98,15 @@ class Logger:
         self.log("error", fmt, *args)
 
     def flush(self, timeout: float = 2.0) -> None:
-        """Drain pending records (tests / process exit)."""
-        deadline = time.time() + timeout
-        while not self._q.empty() and time.time() < deadline:
-            time.sleep(0.005)
+        """Drain pending records (tests / process exit): waits until every
+        enqueued record has been WRITTEN (queue.join with a timeout), not
+        merely dequeued."""
+        if self._thread is not None and self._thread.is_alive():
+            done = threading.Event()
+            waiter = threading.Thread(
+                target=lambda: (self._q.join(), done.set()), daemon=True)
+            waiter.start()
+            done.wait(timeout)
         try:
             self._sink.flush()
         except Exception:

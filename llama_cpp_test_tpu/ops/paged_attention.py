@@ -34,20 +34,34 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pa_kernel(lengths_ref, pages_ref, q_ref, k_ref, v_ref, o_ref,
-               m_scr, l_scr, acc_scr, *, bs: int, kv: int,
-               soft_cap: float | None):
-    """Flash-decoding: one grid step = one sequence page, ALL kv heads.
+import os
 
-    Grid is (B, NBmax) — the round-1/2 kernel also iterated kv heads in the
-    grid, paying one Mosaic grid-step (~0.4us) per tiny (bs, d) block; with
-    kv heads batched into the block the step count drops kv-fold and the
-    per-step DMA grows kv-fold. The batched (KV, G, BS) dot rides one
-    dot_general.
+# pages streamed per grid step (overridable for A/B, tools/dbench.py): a
+# Mosaic grid step costs ~0.4us regardless of bytes touched, so the round-3
+# kernel's one-page steps made BATCHED decode grid-step-bound (B x NBmax
+# steps ~= 18ms/token at B=64 over 22 layers). P pages per step cuts the
+# step count AND the online-softmax update count P-fold.
+PAGES_PER_STEP = int(os.environ.get("LLAMA_TPU_PA_PAGES", "8"))
 
-    q_ref [1, KV, G, D]; k_ref/v_ref [KV, 1, BS, D]; o_ref [1, KV, G, D]
-    m/l scratch [KV, G, 128] f32; acc scratch [KV, G, D] f32.
+
+def _pa_kernel(lengths_ref, pages_ref, *refs, bs: int, kv: int,
+               soft_cap: float | None, p_pages: int):
+    """Flash-decoding: one grid step = P pages of one sequence, ALL kv heads.
+
+    Grid is (B, NBmax/P). The P (kv, 1, bs, d) page tiles (each its own
+    scalar-prefetch-indexed input) are concatenated in VMEM into one
+    [KV, P*BS, D] key/value tile so the whole step rides ONE dot + ONE
+    online-softmax update (the round-1/2 kernel iterated kv heads in the
+    grid as well — batching those cut steps 4x; this cuts another P).
+
+    refs: q [1, KV, G, D]; k_0..k_{P-1}, v_0..v_{P-1} [KV, 1, BS, D];
+    o [1, KV, G, D]; scratch m/l [KV, G, 128] f32, acc [KV, G, D] f32.
     """
+    q_ref = refs[0]
+    k_refs = refs[1:1 + p_pages]
+    v_refs = refs[1 + p_pages:1 + 2 * p_pages]
+    o_ref = refs[1 + 2 * p_pages]
+    m_scr, l_scr, acc_scr = refs[2 + 2 * p_pages:5 + 2 * p_pages]
     b = pl.program_id(0)
     c = pl.program_id(1)
     n_chunks = pl.num_programs(1)
@@ -59,22 +73,29 @@ def _pa_kernel(lengths_ref, pages_ref, q_ref, k_ref, v_ref, o_ref,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    @pl.when(c * bs < length)
+    @pl.when(c * (p_pages * bs) < length)
     def _():
         q = q_ref[0].astype(jnp.float32)               # [KV, G, D]
-        k = k_ref[:, 0].astype(jnp.float32)            # [KV, BS, D]
-        v = v_ref[:, 0].astype(jnp.float32)
+        if p_pages == 1:
+            k = k_refs[0][:, 0].astype(jnp.float32)    # [KV, BS, D]
+            v = v_refs[0][:, 0].astype(jnp.float32)
+        else:
+            k = jnp.concatenate([r[:, 0] for r in k_refs], axis=1) \
+                .astype(jnp.float32)                   # [KV, P*BS, D]
+            v = jnp.concatenate([r[:, 0] for r in v_refs], axis=1) \
+                .astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)        # [KV, G, BS]
+            preferred_element_type=jnp.float32)        # [KV, G, P*BS]
         if soft_cap is not None:
             s = jnp.tanh(s / soft_cap) * soft_cap
-        pos = c * bs + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        pos = c * (p_pages * bs) + \
+            jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(pos < length, s, -1e30)
         m_prev = m_scr[:, :, 0:1]                      # [KV, G, 1]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)                         # [KV, G, BS]
+        p = jnp.exp(s - m_new)                         # [KV, G, P*BS]
         l_new = l_scr[:, :, 0:1] * alpha + jnp.sum(p, axis=2, keepdims=True)
         acc_scr[...] = acc_scr[...] * alpha + jax.lax.dot_general(
             p, v, (((2,), (1,)), ((0,), (0,))),
@@ -88,12 +109,14 @@ def _pa_kernel(lengths_ref, pages_ref, q_ref, k_ref, v_ref, o_ref,
         o_ref[0] = (acc_scr[...] / denom).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("soft_cap", "interpret"))
+@functools.partial(jax.jit, static_argnames=("soft_cap", "interpret",
+                                             "pages_per_step"))
 def paged_attention_decode(q: jax.Array, k_pages: jax.Array,
                            v_pages: jax.Array, lengths: jax.Array,
                            page_indices: jax.Array,
                            soft_cap: float | None = None,
-                           interpret: bool = False) -> jax.Array:
+                           interpret: bool = False,
+                           pages_per_step: int | None = None) -> jax.Array:
     """Pallas paged flash-decoding.
 
     q: [B, H, D] pre-scaled; k/v_pages: [KV, NB, BS, D]; lengths [B];
@@ -105,22 +128,31 @@ def paged_attention_decode(q: jax.Array, k_pages: jax.Array,
     nbmax = page_indices.shape[1]
     q4 = q.reshape(b, kv, g, d)
 
-    grid = (b, nbmax)
+    p_pages = pages_per_step or PAGES_PER_STEP
+    p_pages = max(1, min(p_pages, nbmax))
+    pad = -nbmax % p_pages
+    if pad:
+        # pad with page 0 (always physically valid); masked by `lengths`
+        page_indices = jnp.concatenate(
+            [page_indices,
+             jnp.zeros((b, pad), page_indices.dtype)], axis=1)
+    grid = (b, (nbmax + pad) // p_pages)
 
     def q_map(bi, ci, lens, pages):
         return (bi, 0, 0, 0)
 
-    def kv_map(bi, ci, lens, pages):
-        return (0, pages[bi, ci], 0, 0)
+    def kv_map_at(i):
+        def kv_map(bi, ci, lens, pages):
+            return (0, pages[bi, ci * p_pages + i], 0, 0)
+        return kv_map
 
+    page_spec = lambda i: pl.BlockSpec((kv, 1, bs, d), kv_map_at(i))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, kv, g, d), q_map),
-            pl.BlockSpec((kv, 1, bs, d), kv_map),
-            pl.BlockSpec((kv, 1, bs, d), kv_map),
-        ],
+        in_specs=[pl.BlockSpec((1, kv, g, d), q_map)]
+        + [page_spec(i) for i in range(p_pages)]
+        + [page_spec(i) for i in range(p_pages)],
         out_specs=pl.BlockSpec((1, kv, g, d), q_map),
         scratch_shapes=[
             pltpu.VMEM((kv, g, 128), jnp.float32),
@@ -128,7 +160,8 @@ def paged_attention_decode(q: jax.Array, k_pages: jax.Array,
             pltpu.VMEM((kv, g, d), jnp.float32),
         ],
     )
-    kernel = functools.partial(_pa_kernel, bs=bs, kv=kv, soft_cap=soft_cap)
+    kernel = functools.partial(_pa_kernel, bs=bs, kv=kv, soft_cap=soft_cap,
+                               p_pages=p_pages)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -142,7 +175,8 @@ def paged_attention_decode(q: jax.Array, k_pages: jax.Array,
             bytes_accessed=2 * kv * nbmax * bs * d * b * 2,
             transcendentals=b * h * nbmax * bs,
         ),
-    )(lengths, page_indices, q4, k_pages, v_pages)
+    )(lengths, page_indices, q4,
+      *([k_pages] * p_pages), *([v_pages] * p_pages))
     return out.reshape(b, h, d)
 
 

@@ -28,6 +28,7 @@ Fused projections (wqkv / gate|up) are plane concatenations
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any
 
 import jax
@@ -38,6 +39,25 @@ from jax.experimental.pallas import tpu as pltpu
 from ..quant.repack import QTensor
 
 _BITS = {"u4": 4, "u2": 2, "u4lut": 4, "u2lut": 2}
+
+# Dequant pipeline variant (v5e A/B, tools/dbench.py; see KBENCH.md):
+#   f32  — round-3 pipeline: int32 unpack -> f32 convert -> f32 scale mul
+#          -> bf16 cast.
+#   i16  — int16 unpack, then bf16(16+q) built by BIT SURGERY instead of a
+#          convert: (q << 3) | 0x4180 bitcast to bf16 is exactly 16+q for
+#          q in [0, 31] (exponent 4, mantissa q<<3), multiplied by the bf16
+#          scale directly; the 16*s offset rides the existing xsum fold
+#          (acc -= xsum @ (16*s + min)). Saves the int->float convert and
+#          the f32->bf16 cast per element.
+#   bf16 — int32 unpack -> direct bf16 convert -> bf16 scale mul. For
+#          q <= 31 the convert is exact and the single bf16 product rounds
+#          identically to the f32 pipeline — bit-identical output, one
+#          fewer VPU pass per element.
+# Numerics: f32 and bf16 are bit-identical; i16's offset products round at
+# the (16+q)*s magnitude, adding ~sqrt(NMSE) 2% weight noise on 4-bit
+# formats (worse on 2-bit) — it is an opt-in speed experiment, NOT a
+# default candidate.
+QMM_VARIANT = os.environ.get("LLAMA_TPU_QMM_VARIANT", "f32")
 
 
 def _unpack(qs32: jax.Array, kind: str, h: int) -> jax.Array:
@@ -127,59 +147,107 @@ def qmm_xla(x: jax.Array, qt: QTensor, out_dtype=jnp.float32) -> jax.Array:
 # Pallas fused kernel (layout 't')
 
 
-def _qmm_t_kernel(x_ref, qs_ref, scale_ref, min_ref, lut_ref,
-                  o_ref, *, kind: str, group: int, pack: int, n_lut: int):
+def _unpack_i16_bf16(qs16: jax.Array, kind: str, h: int) -> jax.Array:
+    """Sub-value h as bf16(16 + q) by bit surgery on int16 lanes.
+
+    For q in [0, 31]: bits (q << 3) | 0x4180 are bf16 with exponent 4 and
+    mantissa q<<3, i.e. 2^4 * (1 + q/16) = 16 + q, exactly. One shift, one
+    mask, one OR, one free bitcast — no int->float convert, no f32 pass.
+    The +16 offset is linear in the scale, so it folds into the existing
+    bsums term: y = x @ ((16+q)*s) - xsum @ (16*s + min).
+    """
+    bits = _BITS[kind]
+    mask = ((1 << bits) - 1) << 3
+    sh = bits * h - 3
+    if sh > 0:
+        v = (qs16 >> sh) & mask
+    elif sh < 0:
+        v = (qs16 << -sh) & mask
+    else:
+        v = qs16 & mask
+    return jax.lax.bitcast_convert_type(
+        (v | jnp.int16(0x4180)).astype(jnp.int16), jnp.bfloat16)
+
+
+def _qmm_t_kernel(x_ref, qs_ref, scale_ref, min_ref, lut_ref, member_ref,
+                  o_ref, *, kind: str, group: int, pack: int, n_lut: int,
+                  variant: str):
     """One (tm, tk) x (tk, tnp) -> (tm, pack, tnp) tile, accumulated over the
     K grid dimension (innermost).
 
     refs:
-      x_ref     [tm, tk]         bf16 activations
-      qs_ref    [tk, tnp]        uint8/int8 packed plane
-      scale_ref [pack, tg, tnp]  bf16 (group g scales rows [g*group, ...))
-      min_ref   [pack, tg, tnp]  bf16 (or None)
-      lut_ref   [1, n_lut]       f32 (or None)
-      o_ref     [tm, pack, tnp]  f32
+      x_ref      [tm, tk]         bf16 activations
+      qs_ref     [tk, tnp]        uint8/int8 packed plane
+      scale_ref  [pack, tg, tnp]  bf16 (group g scales rows [g*group, ...))
+      min_ref    [pack, tg, tnp]  bf16 (or None)
+      lut_ref    [1, n_lut]       f32 (or None)
+      member_ref [tk, tg]         bf16 0/1 group membership (or None) — a
+                 CONSTANT input rather than an in-kernel iota build: the
+                 round-3 kernel rebuilt it every grid step (2 iotas +
+                 compare + convert ~= 1 VPU pass per qs byte); as an input
+                 it streams once and Mosaic's revolving buffers keep it
+                 resident across the K grid. (A host-side xsum input is
+                 still impossible: a (tm, tg) block's lane dim tg isn't
+                 128-divisible.)
+      o_ref      [tm, pack, tnp]  f32
     """
     kk = pl.program_id(2)
     x = x_ref[...]
-    qs32 = qs_ref[...].astype(jnp.int32)
     tk, tnp = qs_ref.shape
     tg = tk // group
+    use_i16 = (variant == "i16" and kind in ("u4", "u2"))
+    qs32 = qs16 = None
+    if use_i16:
+        qs16 = qs_ref[...].astype(jnp.int16)
+    elif kind != "int8":
+        qs32 = qs_ref[...].astype(jnp.int32)
     xsum = None
-    if min_ref is not None:
-        # Per-group activation sums for the affine min fold (bsums trick),
-        # computed IN-KERNEL from the resident x tile via a [tk, tg] 0/1
-        # group-membership matmul on the MXU. A host-side xsum input would
-        # need a (tm, tg) BlockSpec whose last dim (e.g. 16 for Q4_K
-        # tile_k=512) is neither 128-divisible nor the full G axis — illegal
-        # under Mosaic's tiling rules. Cost: tg/(pack*tnp) of the main dot.
-        kidx = jax.lax.broadcasted_iota(jnp.int32, (tk, tg), 0)
-        gidx = jax.lax.broadcasted_iota(jnp.int32, (tk, tg), 1)
-        member = (kidx // group == gidx).astype(jnp.bfloat16)
-        xsum = jax.lax.dot_general(x, member, (((1,), (0,)), ((), ())),
+    if member_ref is not None:
+        # per-group activation sums for the affine fold (bsums trick of
+        # ggml_vec_dot_q4_K_q8_K, reference ggml-cpu-quants.c:6511)
+        xsum = jax.lax.dot_general(x, member_ref[...],
+                                   (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
     accs = []
     for h in range(pack):
-        q = _unpack(qs32, kind, h)
-        # NOTE: an all-bf16 variant (int->bf16, bf16 scale mul) was measured
-        # SLOWER than this f32 pipeline on v5e (dbench: 3.72 vs 3.48 ms/tok
-        # on the 22-layer chain) — Mosaic's bf16 VPU ops don't beat f32 here
-        if kind in ("u4lut", "u2lut"):
-            qf = jnp.zeros(q.shape, jnp.float32)
-            for i in range(n_lut):
-                qf = jnp.where(q == i, lut_ref[0, i], qf)
+        corr = None  # [tg, tnp] f32 plane dotted with xsum and subtracted
+        if use_i16:
+            w16 = _unpack_i16_bf16(qs16, kind, h)            # bf16 16+q
+            s = scale_ref[h]                                  # bf16 [tg,tnp]
+            s_exp = jnp.broadcast_to(
+                s[:, None, :], (tg, group, tnp)).reshape(tk, tnp)
+            w = w16 * s_exp                                   # bf16 mul
+            corr = scale_ref[h].astype(jnp.float32) * 16.0
+            if min_ref is not None:
+                corr = corr + min_ref[h].astype(jnp.float32)
         else:
-            qf = q.astype(jnp.float32)
-        s = scale_ref[h].astype(jnp.float32)                     # [tg, tnp]
-        s_exp = jnp.broadcast_to(
-            s[:, None, :], (tg, group, tnp)).reshape(tk, tnp)
-        w = (qf * s_exp).astype(jnp.bfloat16)
+            if kind == "int8":
+                q = qs_ref[...].astype(jnp.int32)
+            else:
+                q = _unpack(qs32, kind, h)
+            if kind in ("u4lut", "u2lut"):
+                qf = jnp.zeros(q.shape, jnp.float32)
+                for i in range(n_lut):
+                    qf = jnp.where(q == i, lut_ref[0, i], qf)
+            else:
+                qf = q.astype(jnp.float32)
+            if variant == "bf16" and kind not in ("u4lut", "u2lut"):
+                s = scale_ref[h]                              # bf16
+                s_exp = jnp.broadcast_to(
+                    s[:, None, :], (tg, group, tnp)).reshape(tk, tnp)
+                w = qf.astype(jnp.bfloat16) * s_exp
+            else:
+                s = scale_ref[h].astype(jnp.float32)          # [tg, tnp]
+                s_exp = jnp.broadcast_to(
+                    s[:, None, :], (tg, group, tnp)).reshape(tk, tnp)
+                w = (qf * s_exp).astype(jnp.bfloat16)
+            if min_ref is not None:
+                corr = min_ref[h].astype(jnp.float32)
         acc = jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
-        if min_ref is not None:
+        if corr is not None:
             acc = acc - jax.lax.dot_general(
-                xsum, min_ref[h].astype(jnp.float32),
-                (((1,), (0,)), ((), ())),
+                xsum, corr, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         accs.append(acc)
     update = jnp.stack(accs, axis=1)
@@ -194,7 +262,7 @@ def _qmm_t_kernel(x_ref, qs_ref, scale_ref, min_ref, lut_ref,
 
 
 def _qmm_t_dispatch(x_ref, *rest, kind, group, pack, n_lut,
-                    has_min, has_lut):
+                    has_min, has_lut, has_member, variant):
     refs = list(rest)
     i = 0
     qs_ref = refs[i]; i += 1
@@ -203,9 +271,12 @@ def _qmm_t_dispatch(x_ref, *rest, kind, group, pack, n_lut,
     i += has_min
     lut_ref = refs[i] if has_lut else None
     i += has_lut
+    member_ref = refs[i] if has_member else None
+    i += has_member
     o_ref = refs[i]
-    _qmm_t_kernel(x_ref, qs_ref, scale_ref, min_ref, lut_ref,
-                  o_ref, kind=kind, group=group, pack=pack, n_lut=n_lut)
+    _qmm_t_kernel(x_ref, qs_ref, scale_ref, min_ref, lut_ref, member_ref,
+                  o_ref, kind=kind, group=group, pack=pack, n_lut=n_lut,
+                  variant=variant)
 
 
 def _pick_tile_k(k: int, group: int) -> int:
@@ -220,9 +291,10 @@ def _pick_tile_k(k: int, group: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "kind", "group", "pack", "n_lut", "tile_m", "tile_n", "interpret"))
+    "kind", "group", "pack", "n_lut", "tile_m", "tile_n", "interpret",
+    "variant"))
 def _qmm_t_call(x, qs, scale, min_, lut, *, kind, group, pack, n_lut,
-                tile_m, tile_n, interpret):
+                tile_m, tile_n, interpret, variant):
     m, k = x.shape
     npk = qs.shape[1]
     tile_k = _pick_tile_k(k, group)
@@ -238,6 +310,8 @@ def _qmm_t_call(x, qs, scale, min_, lut, *, kind, group, pack, n_lut,
     grid = (m // tile_m, npk // tile_n, k // tile_k)
 
     has_min = min_ is not None
+    use_i16 = (variant == "i16" and kind in ("u4", "u2"))
+    has_member = has_min or use_i16
     in_specs = [
         pl.BlockSpec((tile_m, tile_k), lambda mm, n, kk: (mm, kk),
                      memory_space=pltpu.VMEM),
@@ -259,10 +333,23 @@ def _qmm_t_call(x, qs, scale, min_, lut, *, kind, group, pack, n_lut,
         in_specs.append(pl.BlockSpec((1, n_lut), lambda mm, n, kk: (0, 0),
                                      memory_space=pltpu.VMEM))
         args.append(lut.reshape(1, n_lut))
+    if has_member:
+        # constant 0/1 group-membership [tile_k, tg]; block == array dims
+        # (always Mosaic-legal), constant index_map so the revolving buffer
+        # fetches it once per (m, n) tile. Built with iotas OUTSIDE the
+        # kernel (XLA hoists the loop-invariant build; a numpy constant
+        # would serialize into the remote-compile program body instead)
+        kidx = jax.lax.broadcasted_iota(jnp.int32, (tile_k, tg), 0)
+        gidx = jax.lax.broadcasted_iota(jnp.int32, (tile_k, tg), 1)
+        member = (kidx // group == gidx).astype(jnp.bfloat16)
+        in_specs.append(pl.BlockSpec((tile_k, tg), lambda mm, n, kk: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(member)
 
     kernel = functools.partial(
         _qmm_t_dispatch, kind=kind, group=group, pack=pack, n_lut=n_lut,
-        has_min=has_min, has_lut=lut is not None)
+        has_min=has_min, has_lut=lut is not None, has_member=has_member,
+        variant=variant)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -302,7 +389,7 @@ def _tile_m_for(m: int) -> int:
 
 
 def _qmm_planes(x2: jax.Array, qt: QTensor, tile_n: int,
-                interpret: bool) -> jax.Array:
+                interpret: bool, variant: str | None = None) -> jax.Array:
     """[Mpad, K] x planes -> [Mpad, pack, NPK] f32 (packed-column order)."""
     qs = jnp.asarray(qt.qs)
     scale = None if qt.scale is None else jnp.asarray(qt.scale)
@@ -313,11 +400,13 @@ def _qmm_planes(x2: jax.Array, qt: QTensor, tile_n: int,
     return _qmm_t_call(x2, qs, scale, min_, lut, kind=qt.kind,
                        group=qt.group, pack=qt.pack, n_lut=n_lut,
                        tile_m=_tile_m_for(m), tile_n=tile_n,
-                       interpret=interpret)
+                       interpret=interpret,
+                       variant=variant or QMM_VARIANT)
 
 
 def qmm(x: jax.Array, qt: QTensor, *, tile_n: int = 1024,
-        interpret: bool = False, out_dtype=jnp.float32) -> jax.Array:
+        interpret: bool = False, out_dtype=jnp.float32,
+        variant: str | None = None) -> jax.Array:
     """Fused dequant-matmul. x: [..., K]; returns [..., n_orig]."""
     assert qt.layout == "t", "qmm expects layout 't' (matmul planes)"
     if qt.kind == "dense":
@@ -331,7 +420,7 @@ def qmm(x: jax.Array, qt: QTensor, *, tile_n: int = 1024,
     x2 = x.reshape(-1, k)
     m = x2.shape[0]
     x2 = _pad_to(x2, _tile_m_for(m), 0)
-    y = _qmm_planes(x2, qt, tile_n, interpret)
+    y = _qmm_planes(x2, qt, tile_n, interpret, variant)
     y = y.reshape(y.shape[0], -1)[:m, : qt.n_orig]
     return y.reshape(*lead, qt.n_orig).astype(out_dtype)
 

@@ -16,12 +16,27 @@ Serving currently requires dp == 1 on multi-host meshes (logits replicated
 via the tp all-gather, so every process can read them; dp-sharded batches
 would leave rows addressable only on remote hosts).
 
-Wire format: length-prefixed pickle of (method_name, args, kwargs) with
-SeqStates replaced by their seq_id (int). "__stop__" ends the follower loop.
+Wire format: length-prefixed JSON of (method_name, args, kwargs) with typed
+tags for tuples/dicts/SeqStates/SamplerParams — deliberately NOT pickle:
+deserializing peer bytes must never execute code. "__stop__" ends the
+follower loop.
+
+Security: connections are authenticated with an HMAC-SHA256
+challenge-response keyed by LLAMA_TPU_CLUSTER_SECRET (set it to a shared
+random value in production; the default key only repels port scanners and
+accidental connections). Like the reference's rpc-server (which documents
+"never expose to an open network", examples/rpc/README.md), the side
+channel assumes a trusted cluster network — the payload is engine control
+traffic, so run it on the same isolated fabric as jax.distributed itself.
+An unauthenticated peer is dropped without consuming a follower slot.
 """
 from __future__ import annotations
 
-import pickle
+import dataclasses
+import hmac
+import hashlib
+import json
+import os
 import socket
 import struct
 import threading
@@ -38,47 +53,109 @@ REPLICATED = (
 )
 
 
-def _send_msg(sock: socket.socket, obj: Any) -> None:
-    data = pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL)
-    sock.sendall(struct.pack("<Q", len(data)) + data)
+def _secret() -> bytes:
+    return os.environ.get(
+        "LLAMA_TPU_CLUSTER_SECRET", "llama-tpu-cluster").encode()
 
 
-def _recv_msg(sock: socket.socket) -> Any:
-    hdr = b""
-    while len(hdr) < 8:
-        chunk = sock.recv(8 - len(hdr))
-        if not chunk:
-            raise ConnectionError("driver closed")
-        hdr += chunk
-    (n,) = struct.unpack("<Q", hdr)
+def _authenticate_server(conn: socket.socket) -> bool:
+    """Driver side: nonce challenge, verify the HMAC response."""
+    nonce = os.urandom(16)
+    try:
+        conn.sendall(nonce)
+        resp = _recv_exact(conn, 32)
+    except (ConnectionError, OSError):
+        return False
+    want = hmac.new(_secret(), nonce, hashlib.sha256).digest()
+    if not hmac.compare_digest(resp, want):
+        return False
+    conn.sendall(b"OK")
+    return True
+
+
+def _authenticate_client(sock: socket.socket) -> None:
+    nonce = _recv_exact(sock, 16)
+    sock.sendall(hmac.new(_secret(), nonce, hashlib.sha256).digest())
+    if _recv_exact(sock, 2) != b"OK":
+        raise ConnectionError("driver rejected handshake")
+
+
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
     buf = bytearray()
     while len(buf) < n:
         chunk = sock.recv(min(1 << 20, n - len(buf)))
         if not chunk:
-            raise ConnectionError("driver closed mid-message")
+            raise ConnectionError("peer closed")
         buf += chunk
-    return pickle.loads(bytes(buf))
+    return bytes(buf)
+
+
+# -- typed-JSON value codec (no pickle: peer bytes never execute code) -------
+
+
+def _enc_val(v):
+    if isinstance(v, SeqState):
+        return {"S": v.seq_id}
+    if dataclasses.is_dataclass(v) and type(v).__name__ == "SamplerParams":
+        return {"P": {f.name: _enc_val(getattr(v, f.name))
+                      for f in dataclasses.fields(v)}}
+    if isinstance(v, dict):
+        return {"D": [[_enc_val(k), _enc_val(x)] for k, x in v.items()]}
+    if isinstance(v, tuple):
+        return {"T": [_enc_val(x) for x in v]}
+    if isinstance(v, list):
+        return {"L": [_enc_val(x) for x in v]}
+    if hasattr(v, "item") and not isinstance(v, (str, bytes)):
+        return v.item()  # numpy scalars
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    raise TypeError(f"driver wire: unsupported type {type(v).__name__}")
+
+
+def _dec_val(ctx: Context, v):
+    if isinstance(v, dict):
+        (tag, payload), = v.items()
+        if tag == "S":
+            return ctx.seqs[payload]
+        if tag == "P":
+            from ..runtime.sampling import SamplerParams
+
+            return SamplerParams(**{k: _dec_val(ctx, x)
+                                    for k, x in payload.items()})
+        if tag == "D":
+            return {_dec_val(ctx, k): _dec_val(ctx, x) for k, x in payload}
+        if tag == "T":
+            return tuple(_dec_val(ctx, x) for x in payload)
+        if tag == "L":
+            return [_dec_val(ctx, x) for x in payload]
+        raise ValueError(f"driver wire: unknown tag {tag!r}")
+    return v
+
+
+def _send_msg(sock: socket.socket, obj: Any) -> None:
+    data = json.dumps(obj, separators=(",", ":")).encode()
+    sock.sendall(struct.pack("<Q", len(data)) + data)
+
+
+_MAX_MSG = 1 << 30  # sanity cap on a length prefix from the peer
+
+
+def _recv_msg(sock: socket.socket) -> Any:
+    (n,) = struct.unpack("<Q", _recv_exact(sock, 8))
+    if n > _MAX_MSG:
+        raise ConnectionError(f"driver wire: oversized message ({n} bytes)")
+    return json.loads(_recv_exact(sock, n))
 
 
 def _encode_args(args, kwargs):
     """SeqState -> seq_id (recursing into lists for batched calls)."""
-    def enc(v):
-        if isinstance(v, SeqState):
-            return ("__seq__", v.seq_id)
-        if isinstance(v, (list, tuple)):
-            return type(v)(enc(x) for x in v)
-        return v
-    return [enc(a) for a in args], {k: enc(v) for k, v in kwargs.items()}
+    return ([_enc_val(a) for a in args],
+            {k: _enc_val(v) for k, v in kwargs.items()})
 
 
 def _decode_args(ctx: Context, args, kwargs):
-    def dec(v):
-        if isinstance(v, tuple) and len(v) == 2 and v[0] == "__seq__":
-            return ctx.seqs[v[1]]
-        if isinstance(v, (list, tuple)):
-            return type(v)(dec(x) for x in v)
-        return v
-    return [dec(a) for a in args], {k: dec(v) for k, v in kwargs.items()}
+    return ([_dec_val(ctx, a) for a in args],
+            {k: _dec_val(ctx, v) for k, v in kwargs.items()})
 
 
 class DriverContext(Context):
@@ -126,15 +203,30 @@ for _m in REPLICATED:
 
 
 def serve_followers(port: int, n_followers: int,
-                    host: str = "0.0.0.0") -> list[socket.socket]:
-    """Driver side: accept one connection per follower rank."""
+                    host: str | None = None) -> list[socket.socket]:
+    """Driver side: accept one AUTHENTICATED connection per follower rank.
+
+    Binds to LLAMA_TPU_DRIVER_BIND (default 0.0.0.0 — followers live on
+    other hosts; restrict it to the cluster interface where possible). A
+    peer that fails the HMAC handshake is closed without consuming a
+    follower slot."""
+    if host is None:
+        host = os.environ.get("LLAMA_TPU_DRIVER_BIND", "0.0.0.0")
     srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
     srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
     srv.bind((host, port))
     srv.listen(n_followers)
     socks = []
-    for _ in range(n_followers):
+    while len(socks) < n_followers:
         conn, _ = srv.accept()
+        conn.settimeout(10.0)
+        if not _authenticate_server(conn):
+            try:
+                conn.close()
+            except OSError:
+                pass
+            continue
+        conn.settimeout(None)
         conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         socks.append(conn)
     srv.close()
@@ -159,6 +251,7 @@ def follower_loop(ctx: Context, driver_host: str, port: int,
                 raise
             _time.sleep(0.1)
     sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+    _authenticate_client(sock)
     try:
         while True:
             method, args, kwargs = _recv_msg(sock)

@@ -679,6 +679,7 @@ class Context:
         llava_eval_image_embed analogue. The sequence's token list records
         `placeholder_token` for these positions. Returns last-position
         logits [V]. Single-device path."""
+        self._check_abort()
         if self.mesh is not None:
             raise NotImplementedError("prefill_embeds: single-device only")
         if s.pos_offset:

@@ -66,3 +66,23 @@ def test_soft_cap():
                                         soft_cap=30.0)
     out = _pallas_interpret(q, k, v, lengths, pages, soft_cap=30.0)
     assert nmse(ref, out) < 2e-4
+
+
+@pytest.mark.parametrize("p", [1, 3, 8])
+def test_multi_page_steps(p):
+    # nbmax=12: p=8 pads the page axis to 16 (pad pages masked by length)
+    q, k, v, lengths, pages = make_case(b=2, nb=32, nbmax=12, seed=5)
+    ref = pa.paged_attention_decode_xla(q, k, v, lengths, pages)
+    out = pa.paged_attention_decode(q, k, v, lengths, pages,
+                                    interpret=True, pages_per_step=p)
+    assert nmse(ref, out) < 2e-4, nmse(ref, out)
+
+
+def test_multi_page_full_lengths():
+    # exact multiple-of-page-chunk lengths exercise the last-chunk guard
+    q, k, v, lengths, pages = make_case(b=2, nb=32, nbmax=8, seed=6)
+    lengths = jnp.asarray([8 * 16, 4 * 16], jnp.int32)
+    ref = pa.paged_attention_decode_xla(q, k, v, lengths, pages)
+    out = pa.paged_attention_decode(q, k, v, lengths, pages,
+                                    interpret=True, pages_per_step=4)
+    assert nmse(ref, out) < 2e-4

@@ -102,8 +102,10 @@ def build_chain(mk, matmul):
 def build_attn():
     from llama_cpp_test_tpu.ops.paged_attention import paged_attention_decode
 
+    pap = int(os.environ.get("DB_PAP", "8"))  # pages per grid step
     rng = np.random.default_rng(0)
-    kvh, d, bs, nb_ = 4, 64, 16, 64     # 1024-slot pool, 512 cached
+    kvh, d, bs = 4, 64, 16
+    nb_ = max(64, B * 32 + 8)           # 32 pages (512 tokens) per sequence
     kv_len = jnp.asarray([512] * B, jnp.int32)
     tables = jnp.asarray(
         np.stack([rng.permutation(nb_)[:32] for _ in range(B)]), jnp.int32)
@@ -113,13 +115,14 @@ def build_attn():
         k = jnp.asarray(rng.standard_normal((kvh, nb_, bs, d)), jnp.bfloat16)
         v = jnp.asarray(rng.standard_normal((kvh, nb_, bs, d)), jnp.bfloat16)
         pools.append((k, v))
-        total += int(k.size + v.size) * 2 // 2  # only 512 of 1024 slots read
+        total += 2 * kvh * B * 32 * bs * d * 2  # bytes actually read
     h = 32
 
     def step(q, ws):
         out = q
         for k, v in ws:
-            out = paged_attention_decode(out, k, v, kv_len, tables)
+            out = paged_attention_decode(out, k, v, kv_len, tables,
+                                         pages_per_step=pap)
         return out
 
     q0 = jnp.asarray(rng.standard_normal((B, h, d)), jnp.bfloat16)
@@ -171,6 +174,13 @@ def main():
     builders = {
         "qmm": lambda: build_chain(
             mk_q4k, lambda x, qt: qmm(x, qt, tile_n=TILE_N)),
+        # dequant-pipeline variants (ops/qmatmul.py QMM_VARIANT docs)
+        "qmm_f32": lambda: build_chain(
+            mk_q4k, lambda x, qt: qmm(x, qt, tile_n=TILE_N, variant="f32")),
+        "qmm_bf16": lambda: build_chain(
+            mk_q4k, lambda x, qt: qmm(x, qt, tile_n=TILE_N, variant="bf16")),
+        "qmm_i16": lambda: build_chain(
+            mk_q4k, lambda x, qt: qmm(x, qt, tile_n=TILE_N, variant="i16")),
         "qmm_xla": lambda: build_chain(mk_q4k, qmm_xla),
         "dense": lambda: build_chain(mk_dense, lambda x, qt: jnp.dot(
             x, qt.qs, preferred_element_type=jnp.float32)[:, :qt.n_orig]),

@@ -80,11 +80,33 @@ def main():
                 functools.partial(gmm_mod.gmm_apply, tile_m=tile_m),
                 sds((t * tile_m, k), f32), qt, sds((t,), i32))
 
+    # dequant-pipeline variants: one geometry per plane kind each
+    for variant in ("bf16", "i16"):
+        for kind, group, has_min, has_lut in g.PLANE_KINDS:
+            n, k = g.GEOMETRIES[0]
+            if k % group:
+                continue
+            qt = g.qt_spec(kind, n, k, group, has_min=has_min,
+                           has_lut=has_lut)
+            ok &= compile_tpu(
+                f"qmm[{variant}] {kind} g{group} min={has_min} {n}x{k}",
+                functools.partial(qmatmul.qmm, tile_n=256, variant=variant),
+                sds((8, k), f32), qt)
+
     for h, kv, d, bs in g.ATTN_GEOS:
         b, nb, nbmax = 8, 64, 32
         ok &= compile_tpu(
             f"paged_attn h{h} kv{kv} d{d} bs{bs}",
             paged_attention_decode,
+            sds((b, h, d), bf16), sds((kv, nb, bs, d), bf16),
+            sds((kv, nb, bs, d), bf16), sds((b,), i32), sds((b, nbmax), i32))
+    # pages-per-step variants incl. a non-divisible page axis (pad path)
+    for pap, nbmax in ((1, 32), (8, 28), (16, 32)):
+        h, kv, d, bs = g.ATTN_GEOS[0]
+        b, nb = 8, 64
+        ok &= compile_tpu(
+            f"paged_attn pap={pap} nbmax={nbmax}",
+            functools.partial(paged_attention_decode, pages_per_step=pap),
             sds((b, h, d), bf16), sds((kv, nb, bs, d), bf16),
             sds((kv, nb, bs, d), bf16), sds((b,), i32), sds((b, nbmax), i32))
 
