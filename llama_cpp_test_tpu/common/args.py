@@ -138,6 +138,10 @@ REGISTRY: list[Arg] = [
     Arg(("--draft-p-min",), "draft_p_min", float, 0.75,
         "draft confidence floor", env="LLAMA_ARG_DRAFT_P_MIN",
         examples=("server", "speculative")),
+    Arg(("--cache-reuse",), "cache_reuse", int, 0,
+        "min chunk size to reuse from the prompt cache via KV shifting "
+        "(0 = exact-prefix reuse only)", env="LLAMA_ARG_CACHE_REUSE",
+        examples=("server",)),
     # -- multimodal ----------------------------------------------------------
     Arg(("--mmproj",), "mmproj", str, None, "CLIP mmproj GGUF",
         env="LLAMA_ARG_MMPROJ", examples=("llava",)),

@@ -43,20 +43,15 @@ _BITS = {"u4": 4, "u2": 2, "u4lut": 4, "u2lut": 2}
 # Dequant pipeline variant (v5e A/B, tools/dbench.py; see KBENCH.md):
 #   f32  — round-3 pipeline: int32 unpack -> f32 convert -> f32 scale mul
 #          -> bf16 cast.
-#   i16  — int16 unpack, then bf16(16+q) built by BIT SURGERY instead of a
-#          convert: (q << 3) | 0x4180 bitcast to bf16 is exactly 16+q for
-#          q in [0, 31] (exponent 4, mantissa q<<3), multiplied by the bf16
-#          scale directly; the 16*s offset rides the existing xsum fold
-#          (acc -= xsum @ (16*s + min)). Saves the int->float convert and
-#          the f32->bf16 cast per element.
 #   bf16 — int32 unpack -> direct bf16 convert -> bf16 scale mul. For
 #          q <= 31 the convert is exact and the single bf16 product rounds
 #          identically to the f32 pipeline — bit-identical output, one
 #          fewer VPU pass per element.
-# Numerics: f32 and bf16 are bit-identical; i16's offset products round at
-# the (16+q)*s magnitude, adding ~sqrt(NMSE) 2% weight noise on 4-bit
-# formats (worse on 2-bit) — it is an opt-in speed experiment, NOT a
-# default candidate.
+# (A third variant — int16 unpack + (q<<3)|0x4180 bitcast building
+# bf16(16+q) with NO convert, offset folded into the bsums term — was
+# built and rejected: its offset products round at the (16+q)*s magnitude
+# (~2% weight noise on 4-bit formats), and this backend's Mosaic rejects
+# int16 bit ops anyway.)
 QMM_VARIANT = os.environ.get("LLAMA_TPU_QMM_VARIANT", "f32")
 
 
@@ -147,28 +142,6 @@ def qmm_xla(x: jax.Array, qt: QTensor, out_dtype=jnp.float32) -> jax.Array:
 # Pallas fused kernel (layout 't')
 
 
-def _unpack_i16_bf16(qs16: jax.Array, kind: str, h: int) -> jax.Array:
-    """Sub-value h as bf16(16 + q) by bit surgery on int16 lanes.
-
-    For q in [0, 31]: bits (q << 3) | 0x4180 are bf16 with exponent 4 and
-    mantissa q<<3, i.e. 2^4 * (1 + q/16) = 16 + q, exactly. One shift, one
-    mask, one OR, one free bitcast — no int->float convert, no f32 pass.
-    The +16 offset is linear in the scale, so it folds into the existing
-    bsums term: y = x @ ((16+q)*s) - xsum @ (16*s + min).
-    """
-    bits = _BITS[kind]
-    mask = ((1 << bits) - 1) << 3
-    sh = bits * h - 3
-    if sh > 0:
-        v = (qs16 >> sh) & mask
-    elif sh < 0:
-        v = (qs16 << -sh) & mask
-    else:
-        v = qs16 & mask
-    return jax.lax.bitcast_convert_type(
-        (v | jnp.int16(0x4180)).astype(jnp.int16), jnp.bfloat16)
-
-
 def _qmm_t_kernel(x_ref, qs_ref, scale_ref, min_ref, lut_ref, member_ref,
                   o_ref, *, kind: str, group: int, pack: int, n_lut: int,
                   variant: str):
@@ -195,11 +168,8 @@ def _qmm_t_kernel(x_ref, qs_ref, scale_ref, min_ref, lut_ref, member_ref,
     x = x_ref[...]
     tk, tnp = qs_ref.shape
     tg = tk // group
-    use_i16 = (variant == "i16" and kind in ("u4", "u2"))
-    qs32 = qs16 = None
-    if use_i16:
-        qs16 = qs_ref[...].astype(jnp.int16)
-    elif kind != "int8":
+    qs32 = None
+    if kind != "int8":
         qs32 = qs_ref[...].astype(jnp.int32)
     xsum = None
     if member_ref is not None:
@@ -210,44 +180,33 @@ def _qmm_t_kernel(x_ref, qs_ref, scale_ref, min_ref, lut_ref, member_ref,
                                    preferred_element_type=jnp.float32)
     accs = []
     for h in range(pack):
-        corr = None  # [tg, tnp] f32 plane dotted with xsum and subtracted
-        if use_i16:
-            w16 = _unpack_i16_bf16(qs16, kind, h)            # bf16 16+q
-            s = scale_ref[h]                                  # bf16 [tg,tnp]
+        q = qs_ref[...].astype(jnp.int32) if kind == "int8" \
+            else _unpack(qs32, kind, h)
+        if variant == "bf16" and kind not in ("u4lut", "u2lut"):
+            # direct int->bf16 convert + bf16 scale mul: bit-identical to
+            # the f32 pipeline (exact operands, one rounding) with one
+            # fewer VPU pass per element
+            s = scale_ref[h]                                  # bf16
             s_exp = jnp.broadcast_to(
                 s[:, None, :], (tg, group, tnp)).reshape(tk, tnp)
-            w = w16 * s_exp                                   # bf16 mul
-            corr = scale_ref[h].astype(jnp.float32) * 16.0
-            if min_ref is not None:
-                corr = corr + min_ref[h].astype(jnp.float32)
+            w = q.astype(jnp.bfloat16) * s_exp
         else:
-            if kind == "int8":
-                q = qs_ref[...].astype(jnp.int32)
-            else:
-                q = _unpack(qs32, kind, h)
             if kind in ("u4lut", "u2lut"):
                 qf = jnp.zeros(q.shape, jnp.float32)
                 for i in range(n_lut):
                     qf = jnp.where(q == i, lut_ref[0, i], qf)
             else:
                 qf = q.astype(jnp.float32)
-            if variant == "bf16" and kind not in ("u4lut", "u2lut"):
-                s = scale_ref[h]                              # bf16
-                s_exp = jnp.broadcast_to(
-                    s[:, None, :], (tg, group, tnp)).reshape(tk, tnp)
-                w = qf.astype(jnp.bfloat16) * s_exp
-            else:
-                s = scale_ref[h].astype(jnp.float32)          # [tg, tnp]
-                s_exp = jnp.broadcast_to(
-                    s[:, None, :], (tg, group, tnp)).reshape(tk, tnp)
-                w = (qf * s_exp).astype(jnp.bfloat16)
-            if min_ref is not None:
-                corr = min_ref[h].astype(jnp.float32)
+            s = scale_ref[h].astype(jnp.float32)              # [tg, tnp]
+            s_exp = jnp.broadcast_to(
+                s[:, None, :], (tg, group, tnp)).reshape(tk, tnp)
+            w = (qf * s_exp).astype(jnp.bfloat16)
         acc = jax.lax.dot_general(x, w, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
-        if corr is not None:
+        if min_ref is not None:
             acc = acc - jax.lax.dot_general(
-                xsum, corr, (((1,), (0,)), ((), ())),
+                xsum, min_ref[h].astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         accs.append(acc)
     update = jnp.stack(accs, axis=1)

@@ -249,15 +249,15 @@ def build_window_step(hp: HParams, mesh: Mesh, w_template: LlamaWeights,
                                        hist, key, pos)
                 return (pools, nxt, pos + 1, hist), nxt
 
-            (pools, _, _, _), toks = jax.lax.scan(
+            (pools, _, _, hist), toks = jax.lax.scan(
                 step, (pools, tok0, pos0, hist0), None, length=n_steps)
-            return toks, pools
+            return toks, hist, pools
 
         fn = shard_map(
             body, mesh=mesh,
             in_specs=(wspec, pspec, batch, batch, batch, batch, pparams,
                       batch, P()),
-            out_specs=(P(None, "dp"), pspec), check_vma=False)
+            out_specs=(P(None, "dp"), batch, pspec), check_vma=False)
         return jax.jit(fn, donate_argnums=(1,))
 
     return make

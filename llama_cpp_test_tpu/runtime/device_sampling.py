@@ -65,13 +65,38 @@ class DeviceSamplerParams:
         )
 
 
+def ineligible_reasons(p) -> list[str]:
+    """Why a SamplerParams chain is NOT exactly expressible on device —
+    each entry names the sampler that forces the per-token host path (the
+    ~10x serving cliff of the tunneled-logits download), so the scheduler
+    can tell the user instead of silently falling back."""
+    reasons = []
+    if p.typ_p < 1.0:
+        reasons.append("typical_p")
+    if p.xtc_probability > 0.0:
+        reasons.append("xtc")
+    if p.top_n_sigma > 0.0:
+        reasons.append("top_n_sigma")
+    if p.mirostat != 0:
+        reasons.append("mirostat")
+    if p.dry_multiplier > 0.0:
+        reasons.append("dry")
+    if p.logit_bias:
+        reasons.append("logit_bias")
+    if p.grammar:
+        reasons.append("grammar")
+    if p.dynatemp_range > 0.0:
+        reasons.append("dynatemp")
+    if p.penalty_last_n > HIST_LEN:
+        reasons.append(f"penalty_last_n>{HIST_LEN}")
+    if not (0 < p.top_k <= K_MAX):
+        reasons.append(f"top_k not in (0, {K_MAX}]")
+    return reasons
+
+
 def eligible(p) -> bool:
     """True when a SamplerParams chain is exactly expressible on device."""
-    return (p.typ_p >= 1.0 and p.xtc_probability <= 0.0 and
-            p.top_n_sigma <= 0.0 and p.mirostat == 0 and
-            p.dry_multiplier <= 0.0 and not p.logit_bias and
-            not p.grammar and p.dynatemp_range <= 0.0 and
-            p.penalty_last_n <= HIST_LEN and 0 < p.top_k <= K_MAX)
+    return not ineligible_reasons(p)
 
 
 def apply_penalties(logits: jax.Array, hist: jax.Array, hist_valid: jax.Array,

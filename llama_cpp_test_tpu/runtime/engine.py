@@ -283,7 +283,9 @@ def _decode_window_step(w: LlamaWeights, pools: KVPools, tok0, pos0,
     tok0 [B]; pos0 [B]; valid [B] bool (padded batch rows False — their KV
     writes drop); params: DeviceSamplerParams ([B] rows);
     hist0 [B, HIST_LEN] penalty history (most recent last).
-    Returns (tokens [n_steps, B], pools)."""
+    Returns (tokens [n_steps, B], hist [B, HIST_LEN], pools) — the final
+    history rides back out so the scheduler can CHAIN windows device-side
+    (tok0 of window k+1 = toks[-1] of window k) without a host sync."""
     from . import device_sampling as ds
 
     bs = pools.block_size
@@ -303,9 +305,9 @@ def _decode_window_step(w: LlamaWeights, pools: KVPools, tok0, pos0,
                                key, pos)
         return (pools, nxt, pos + 1, hist), nxt
 
-    (pools, _, _, _), toks = jax.lax.scan(
+    (pools, _, _, hist), toks = jax.lax.scan(
         body, (pools, tok0, pos0, hist0), None, length=n_steps)
-    return toks, pools
+    return toks, hist, pools
 
 
 # ---------------------------------------------------------------------------
@@ -366,6 +368,50 @@ class SeqState:
     # contiguous; Self-Extend grouped repositioning makes it negative
     # (the llama_kv_cell.delta analogue, reference llama-kv-cache.h:28-46)
     pos_offset: int = 0
+
+
+@dataclasses.dataclass
+class WindowHandle:
+    """An in-flight windowed decode dispatch (Context.decode_window_async).
+
+    Host sequence state (SeqState.tokens / n_cached) is applied at fetch()
+    time, not dispatch time: a CHAINED window's sampled tokens exist only on
+    device until its predecessor is fetched. Fetch order must follow chain
+    order (the fed token of window k+1 is the last fetched token of k)."""
+    seqs: list
+    n_steps: int
+    rowmap: np.ndarray              # caller order -> batch row
+    bsz: int
+    params: Any                     # DeviceSamplerParams (reused by chains)
+    valid: Any                      # [bsz] bool device
+    key: Any                        # PRNG key (replicated across chains)
+    pos0: np.ndarray                # [bsz] first decoded position
+    fed: list[int] | None = None    # fed token per seq (first window only)
+    prev: "WindowHandle | None" = None
+    toks_dev: Any = None            # [n_steps, bsz] device
+    hist_dev: Any = None            # [bsz, HIST_LEN] device
+    _result: np.ndarray | None = None
+
+    def fetch(self) -> np.ndarray:
+        """Sync this window's tokens to the host and apply sequence state.
+        Returns [n_steps, B] int32 in caller order."""
+        if self._result is None:
+            toks = np.asarray(self.toks_dev)
+            fed = self.fed
+            if fed is None:
+                if self.prev is None or self.prev._result is None:
+                    raise RuntimeError(
+                        "fetch a chained window only after its predecessor")
+                fed = [int(self.prev._result[-1, self.rowmap[i]])
+                       for i in range(len(self.seqs))]
+            for i, s in enumerate(self.seqs):
+                row = self.rowmap[i]
+                s.tokens.append(fed[i])
+                s.tokens.extend(int(t) for t in toks[:-1, row])
+                s.n_cached += self.n_steps
+            self._result = toks
+            self.prev = None  # release the chain for GC
+        return self._result[:, self.rowmap]
 
 
 class Context:
@@ -549,6 +595,60 @@ class Context:
         s.n_cached = n - n_discard
         s.table.truncate(s.n_cached)
         # moved tokens keep their relative rope spacing, so pos_offset holds
+
+    def compact_reuse(self, s: SeqState, new_tokens: list[int],
+                      n_reuse_min: int, max_keep: int | None = None) -> int:
+        """Chunked prompt-cache reuse — the n_cache_reuse path (reference
+        examples/server/server.cpp:3010-3050). Reshapes this sequence's
+        cache to serve `new_tokens`: the longest common prefix is kept in
+        place, then interior cached chunks of >= n_reuse_min consecutively
+        matching tokens are K-SHIFTED down to their new positions (slot
+        moves + rope re-rotation by the position delta, _apply_shift)
+        instead of being recomputed. Unmatched cache cells are discarded.
+
+        On return the cache holds exactly new_tokens[:ret] at contiguous
+        positions; the caller prefills the remainder. max_keep caps the
+        kept prefix (a server passes len(new_tokens)-1 so the last token is
+        re-decoded for logits). Returns 0 (no reuse) on a pipeline mesh or
+        after self_extend."""
+        if self.mp or s.pos_offset:
+            return 0
+        old = s.tokens
+        n_old = s.n_cached
+        limit = len(new_tokens) if max_keep is None else min(
+            max_keep, len(new_tokens))
+        lcp = 0
+        while lcp < min(n_old, limit) and old[lcp] == new_tokens[lcp]:
+            lcp += 1
+        head_c, head_p = lcp, lcp
+        src: list[int] = []
+        dst: list[int] = []
+        delta: list[int] = []
+        if n_reuse_min > 0 and head_c < n_old and head_p < limit:
+            s.table.ensure_resident()
+            while head_c < n_old and head_p < limit:
+                n_match = 0
+                while (head_c + n_match < n_old and
+                       head_p + n_match < limit and
+                       old[head_c + n_match] == new_tokens[head_p + n_match]):
+                    n_match += 1
+                if n_match >= n_reuse_min:
+                    if head_c != head_p:
+                        for t in range(n_match):
+                            src.append(self._seq_slot(s, head_c + t))
+                            dst.append(self._seq_slot(s, head_p + t))
+                            delta.append(head_p - head_c)
+                    head_c += n_match
+                    head_p += n_match
+                else:
+                    head_c += 1
+        total = head_p
+        if src:
+            self._apply_shift(s, src, dst, delta)
+        s.tokens = list(new_tokens[:total])
+        s.n_cached = total
+        s.table.truncate(total)
+        return total
 
     def self_extend(self, s: SeqState, n_keep: int, group: int) -> None:
         """Self-Extend grouped attention: compress cached rope positions
@@ -886,6 +986,108 @@ class Context:
         s.tokens = s.tokens[:n]
         s.n_cached = n
 
+    def decode_window_async(self, seqs: Seq[SeqState],
+                            tokens: Seq[int] | None = None,
+                            samplers: Seq[Any] | None = None,
+                            n_steps: int = 16, seed: int = 0,
+                            histories: Seq[list[int]] | None = None,
+                            carry: "WindowHandle | None" = None
+                            ) -> "WindowHandle":
+        """Dispatch n_steps batched decode+sample steps WITHOUT waiting.
+
+        Returns a WindowHandle; call handle.fetch() to sync and apply host
+        state. Pass the previous (unfetched) handle as `carry` to chain the
+        next window entirely device-side: its input token and penalty
+        history are the previous window's device arrays, so the dispatch
+        happens BEFORE the previous window's results ever reach the host —
+        the device computes window k+1 while the host post-processes
+        window k (the host/device double-buffering the reference applies
+        between pipeline stages, ggml-backend.cpp:662-667, applied to the
+        serving loop). The chained window speculates that no sequence stops
+        mid-window; callers roll back stopped rows with truncate_seq."""
+        from . import device_sampling as ds
+
+        self._check_abort()
+        if self.mp:
+            raise NotImplementedError("decode_window: not on a pipeline mesh")
+        if any(s.pos_offset for s in seqs):
+            raise NotImplementedError("decode_window after self_extend")
+        hp = self.model.hp
+        b = len(seqs)
+        for s in seqs:
+            s.table.append_tokens(n_steps)
+        self._drain_copies(seqs)
+        bt = None
+        if carry is not None:
+            if carry.seqs is not seqs and list(carry.seqs) != list(seqs):
+                raise ValueError("carry must cover the same sequences")
+            rowmap, bsz = carry.rowmap, carry.bsz
+            bt = np.zeros((bsz, self.nbmax), np.int32)
+            bt_src = self._table_arr(seqs)
+            for i in range(b):
+                bt[rowmap[i]] = bt_src[i]
+            handle = WindowHandle(
+                seqs=list(seqs), n_steps=n_steps, rowmap=rowmap, bsz=bsz,
+                params=carry.params, valid=carry.valid, key=carry.key,
+                pos0=carry.pos0 + carry.n_steps, prev=carry)
+            tok0_dev = carry.toks_dev[-1]
+            hist_dev = carry.hist_dev
+        else:
+            # row layout: group g's rows at [g*r, (g+1)*r), r = pow2 bucket
+            # of the max group load (matches decode(); dp == 1 keeps 0..b-1)
+            by_group: list[list[int]] = [[] for _ in range(self.dp)]
+            for i, s in enumerate(seqs):
+                by_group[s.group].append(i)
+            r = max(1, max(len(g) for g in by_group))
+            r = 1 << (r - 1).bit_length()
+            bsz = self.dp * r
+            tok0 = np.zeros((bsz,), np.int32)
+            pos0 = np.zeros((bsz,), np.int32)
+            bt = np.zeros((bsz, self.nbmax), np.int32)
+            valid = np.zeros((bsz,), bool)
+            bt_src = self._table_arr(seqs)
+            hist_rows: list[list[int]] = [[] for _ in range(bsz)]
+            sampler_rows: list[Any | None] = [None] * bsz
+            rowmap = np.zeros(b, np.int64)
+            for g, idxs in enumerate(by_group):
+                for j, i in enumerate(idxs):
+                    row = g * r + j
+                    rowmap[i] = row
+                    s = seqs[i]
+                    tok0[row] = tokens[i]
+                    pos0[row] = s.n_cached
+                    bt[row] = bt_src[i]
+                    valid[row] = True
+                    hist_rows[row] = list(s.tokens) if histories is None \
+                        else list(histories[i])
+                    sampler_rows[row] = samplers[i]
+            from .sampling import SamplerParams
+
+            greedy = SamplerParams(temp=0.0)
+            params = ds.DeviceSamplerParams.from_rows(
+                [sp if sp is not None else greedy for sp in sampler_rows],
+                bsz)
+            handle = WindowHandle(
+                seqs=list(seqs), n_steps=n_steps, rowmap=rowmap, bsz=bsz,
+                params=params, valid=jnp.asarray(valid),
+                key=jax.random.PRNGKey(seed), pos0=pos0,
+                fed=[int(t) for t in tokens])
+            tok0_dev = jnp.asarray(tok0)
+            hist_dev = jnp.asarray(ds.make_history(hist_rows, bsz))
+        if self.mesh is not None:
+            toks, hist, self.pools = self._window_fn(n_steps)(
+                self.model.weights, self.pools, tok0_dev,
+                jnp.asarray(handle.pos0), jnp.asarray(bt), handle.valid,
+                handle.params, hist_dev, handle.key)
+        else:
+            toks, hist, self.pools = _decode_window_step(
+                self.model.weights, self.pools, tok0_dev,
+                jnp.asarray(handle.pos0), jnp.asarray(bt), handle.valid,
+                handle.params, hist_dev, handle.key, hp=hp, n_steps=n_steps)
+        handle.toks_dev = toks
+        handle.hist_dev = hist
+        return handle
+
     def decode_window(self, seqs: Seq[SeqState], tokens: Seq[int],
                       samplers: Seq[Any], n_steps: int,
                       seed: int = 0,
@@ -904,69 +1106,8 @@ class Context:
         stop early must truncate_seq back to the accepted length.
         Runs single-device or on the ('dp','tp') mesh (shard_map'ed window,
         parallel/tp.build_window_step); not on the pipeline mesh."""
-        from . import device_sampling as ds
-
-        self._check_abort()
-        if self.mp:
-            raise NotImplementedError("decode_window: not on a pipeline mesh")
-        if any(s.pos_offset for s in seqs):
-            raise NotImplementedError("decode_window after self_extend")
-        hp = self.model.hp
-        b = len(seqs)
-        for s in seqs:
-            s.table.append_tokens(n_steps)
-        self._drain_copies(seqs)
-        # row layout: group g's rows at [g*r, (g+1)*r), r = pow2 bucket of
-        # the max group load (matches decode(); dp == 1 keeps rows 0..b-1)
-        by_group: list[list[int]] = [[] for _ in range(self.dp)]
-        for i, s in enumerate(seqs):
-            by_group[s.group].append(i)
-        r = max(1, max(len(g) for g in by_group))
-        r = 1 << (r - 1).bit_length()
-        bsz = self.dp * r
-        tok0 = np.zeros((bsz,), np.int32)
-        pos0 = np.zeros((bsz,), np.int32)
-        bt = np.zeros((bsz, self.nbmax), np.int32)
-        valid = np.zeros((bsz,), bool)
-        bt_src = self._table_arr(seqs)
-        hist_rows: list[list[int]] = [[] for _ in range(bsz)]
-        sampler_rows: list[Any | None] = [None] * bsz
-        rowmap = np.zeros(b, np.int64)
-        for g, idxs in enumerate(by_group):
-            for j, i in enumerate(idxs):
-                row = g * r + j
-                rowmap[i] = row
-                s = seqs[i]
-                tok0[row] = tokens[i]
-                pos0[row] = s.n_cached
-                bt[row] = bt_src[i]
-                valid[row] = True
-                hist_rows[row] = list(s.tokens) if histories is None \
-                    else list(histories[i])
-                sampler_rows[row] = samplers[i]
-        from .sampling import SamplerParams
-
-        greedy = SamplerParams(temp=0.0)
-        params = ds.DeviceSamplerParams.from_rows(
-            [sp if sp is not None else greedy for sp in sampler_rows], bsz)
-        hist0 = jnp.asarray(ds.make_history(hist_rows, bsz))
-        key = jax.random.PRNGKey(seed)
-        if self.mesh is not None:
-            toks, self.pools = self._window_fn(n_steps)(
-                self.model.weights, self.pools, jnp.asarray(tok0),
-                jnp.asarray(pos0), jnp.asarray(bt), jnp.asarray(valid),
-                params, hist0, key)
-        else:
-            toks, self.pools = _decode_window_step(
-                self.model.weights, self.pools, jnp.asarray(tok0),
-                jnp.asarray(pos0), jnp.asarray(bt), jnp.asarray(valid),
-                params, hist0, key, hp=hp, n_steps=n_steps)
-        toks = np.asarray(toks)
-        for i, s in enumerate(seqs):
-            s.tokens.append(int(tokens[i]))
-            s.tokens.extend(int(t) for t in toks[:-1, rowmap[i]])
-            s.n_cached += n_steps
-        return toks[:, rowmap]
+        return self.decode_window_async(
+            seqs, tokens, samplers, n_steps, seed, histories).fetch()
 
     def prefill_nll(self, s: SeqState, tokens: list[int]) -> np.ndarray:
         """Prefill `tokens` and return per-position NLL of predicting

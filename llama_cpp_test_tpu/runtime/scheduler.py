@@ -100,7 +100,7 @@ class Scheduler:
                  chunk_size: int = 512, ctx_shift: bool = True,
                  decode_window: int = 16, draft_ctx: Context | None = None,
                  n_draft: int = 8, p_draft_min: float = 0.75,
-                 gen_prefill_chunk: int = 128):
+                 gen_prefill_chunk: int = 128, cache_reuse: int = 0):
         self.ctx = ctx
         # server-side speculative decoding: per-slot draft sequences inside
         # the continuous-batching loop (reference examples/server/
@@ -120,6 +120,9 @@ class Scheduler:
         # prefill chunk cap while other slots generate (split_equal
         # fairness analogue); = chunk_size disables the cap
         self.gen_prefill_chunk = min(gen_prefill_chunk, chunk_size)
+        # minimum interior-chunk length for shifted prompt-cache reuse
+        # (the --cache-reuse flag analogue; 0 = exact-prefix reuse only)
+        self.cache_reuse = cache_reuse
         # windowed device decode: up to this many decode+sample steps per
         # dispatch when every generating slot's sampler runs on device
         # (device_sampling.eligible) — the cure for per-token host
@@ -135,6 +138,11 @@ class Scheduler:
         self.n_gen_tokens = 0
         self.t_prompt = 0.0
         self.t_gen = 0.0
+        self.n_windows_chained = 0       # speculative next-window dispatches
+        self.n_windows_rolled_back = 0   # ... that were abandoned on a stop
+        # fast/slow sampling-path counters (device_sampling observability)
+        self.n_decode_fast = 0     # tokens decoded via windowed device path
+        self.n_decode_slow = 0     # tokens via per-token host sampling
 
     # -- submission -----------------------------------------------------------
 
@@ -186,6 +194,19 @@ class Scheduler:
                 return  # admission control: wait for blocks to free up
             self.queue.popleft()
             slot.req = req
+            if self.decode_window > 1:
+                from . import device_sampling as ds
+                from ..common import log
+
+                reasons = ds.ineligible_reasons(req.sampling)
+                if reasons:
+                    # say WHY throughput is about to drop ~10x: this request
+                    # forces every co-batched row onto per-token host
+                    # sampling (logits download per token)
+                    log.info(
+                        "request %d: sampler needs host path (%s) — "
+                        "windowed device decode disabled while it runs",
+                        req.id, ", ".join(reasons))
             if slot.draft_seq is not None:  # fresh draft cache per request
                 self.draft_ctx.free_seq(slot.draft_seq)
                 slot.draft_seq = None
@@ -203,18 +224,27 @@ class Scheduler:
                 req.sampling, n_vocab=self.ctx.model.hp.n_vocab,
                 grammar_sampler=grammar_sampler)
             # prompt-cache reuse: if this slot's previous sequence shares a
-            # prefix, keep that KV (truncate to the common part)
+            # prefix, keep that KV (truncate to the common part). With
+            # cache_reuse > 0, interior chunks past the prefix are ALSO
+            # kept by K-shifting them to their new positions
+            # (Context.compact_reuse, the reference's n_cache_reuse path)
             reuse = 0
             if slot.seq is not None and slot.cache_tokens:
-                reuse = common_lcp(slot.cache_tokens, req.prompt_tokens)
                 # never reuse the whole prompt: the last token must be
                 # re-decoded to produce logits
-                reuse = min(reuse, len(req.prompt_tokens) - 1)
-            if reuse > 0:
-                slot.seq.table.truncate(reuse)
-                slot.seq.n_cached = reuse
-                slot.seq.tokens = req.prompt_tokens[:reuse]
-            else:
+                max_keep = len(req.prompt_tokens) - 1
+                if self.cache_reuse > 0:
+                    reuse = self.ctx.compact_reuse(
+                        slot.seq, req.prompt_tokens, self.cache_reuse,
+                        max_keep=max_keep)
+                else:
+                    reuse = min(common_lcp(slot.cache_tokens,
+                                           req.prompt_tokens), max_keep)
+                    if reuse > 0:
+                        slot.seq.table.truncate(reuse)
+                        slot.seq.n_cached = reuse
+                        slot.seq.tokens = req.prompt_tokens[:reuse]
+            if reuse <= 0:
                 if slot.seq is not None:
                     self.ctx.free_seq(slot.seq)
                 slot.seq = self.ctx.new_seq()
@@ -260,9 +290,15 @@ class Scheduler:
         generating slot samples on device and has room for the window."""
         from . import device_sampling as ds
 
-        if self.decode_window <= 1 or self.queue or \
+        # pending prompt work keeps decode latency bounded — but a non-empty
+        # queue with NO idle slot can't make progress anyway, so it doesn't
+        # force per-token decode (the round-3 gate did, collapsing windowed
+        # throughput whenever requests were merely waiting)
+        queue_runnable = bool(self.queue) and any(
+            s.state == SlotState.IDLE for s in self.slots)
+        if self.decode_window <= 1 or queue_runnable or \
                 any(s.state == SlotState.PROMPT for s in self.slots):
-            return 1  # pending prompt work: keep decode latency bounded
+            return 1
         w = self.decode_window
         most = 0
         for s in gen:
@@ -321,6 +357,7 @@ class Scheduler:
                                  [s.next_token for s in gen])
         self.t_gen += time.time() - t0
         self.n_gen_tokens += len(gen)
+        self.n_decode_slow += len(gen)
         for s, lg in zip(gen, logits):
             s.cache_tokens.append(s.next_token)
             self._emit(s, lg)
@@ -405,11 +442,34 @@ class Scheduler:
                 self.draft_ctx.prefill(dseq, missing)
         self.t_gen += time.time() - t0
 
+    def _can_chain(self, gen: list[Slot], w: int) -> bool:
+        """True when the NEXT window can be dispatched before this one's
+        results reach the host: no runnable prompt work, and every slot has
+        context room, token budget and blocks for w more steps (predicted
+        state: the in-flight window's w tokens count as produced)."""
+        if any(s.state == SlotState.PROMPT for s in self.slots):
+            return False
+        if self.queue and any(s.state == SlotState.IDLE for s in self.slots):
+            return False
+        need = 0
+        for s in gen:
+            cur = s.seq.n_cached + w  # after the in-flight window lands
+            if cur + w + 1 >= self.ctx.n_ctx:
+                return False  # would need a context shift mid-chain
+            if len(s.req.output_tokens) + w >= s.req.max_tokens:
+                return False  # in-flight window exhausts the budget
+            need += (cur + w + self.ctx.block_size - 1) \
+                // self.ctx.block_size - len(s.seq.table.blocks)
+        return need <= self._free_blocks()
+
     def _decode_window_round(self, gen: list[Slot], w: int) -> None:
-        """One windowed decode: w device-side decode+sample steps, then host
-        post-processing (stop tokens/strings, budgets). Rows that stop
-        mid-window roll their cache back to the accepted length
-        (Context.truncate_seq) — KV written past the stop is discarded,
+        """Windowed decode rounds, double-buffered against the device: while
+        the host post-processes window k (detokenize, stop strings, budgets)
+        the device is already computing window k+1, chained device-side from
+        window k's final token/history (Context.decode_window_async carry).
+        A chained window speculates that no slot stops; when one does, the
+        in-flight window is abandoned and every surviving slot's cache rolls
+        back (Context.truncate_seq) — KV written past the stop is discarded,
         like the reference's kv-slot restorer on failed decode."""
         self._step_count += 1
         t0 = time.time()
@@ -418,23 +478,54 @@ class Scheduler:
         # fed — the device loop pushes each fed token into the ring itself.
         # Base seed fixed at 0: per-row noise is keyed on (row seed, pos) so
         # fixed-seed requests reproduce across scheduler states.
-        toks = self.ctx.decode_window(
-            [s.seq for s in gen], [s.next_token for s in gen],
+        seqs = [s.seq for s in gen]
+        handle = self.ctx.decode_window_async(
+            seqs, [s.next_token for s in gen],
             [s.req.sampling for s in gen], w, seed=0,
             histories=[s.req.output_tokens[:-1] for s in gen])
-        self.t_gen += time.time() - t0
+        while True:
+            nxt = None
+            if self._can_chain(gen, w):
+                nxt = self.ctx.decode_window_async(seqs, n_steps=w,
+                                                   carry=handle)
+                self.n_windows_chained += 1
+            toks = handle.fetch()
+            clean = self._apply_window(gen, toks, w)
+            self.t_gen += time.time() - t0
+            t0 = time.time()
+            if nxt is None:
+                return
+            if not clean:
+                # a slot stopped (or shifted state) mid-window: the chained
+                # dispatch is wasted — drop its device results and free the
+                # blocks it reserved on every still-live sequence
+                self.n_windows_rolled_back += 1
+                for s in gen:
+                    if s.state == SlotState.GENERATING and s.seq is not None:
+                        self.ctx.truncate_seq(s.seq, s.seq.n_cached)
+                return
+            handle = nxt
+
+    def _apply_window(self, gen: list[Slot], toks: np.ndarray,
+                      w: int) -> bool:
+        """Host post-processing for one fetched window. Returns False when
+        any slot finished (a chained successor window must be abandoned)."""
+        clean = True
         for i, s in enumerate(gen):
             n0 = s.seq.n_cached - w  # position of s.next_token pre-window
             for j in range(w):
                 tok = int(toks[j, i])
                 s.cache_tokens.append(s.next_token)
                 self.n_gen_tokens += 1
+                self.n_decode_fast += 1
                 s.sampler.accept(tok)
                 self._process_token(s, tok)
                 if s.req is None:  # finished: discard overshoot KV
                     self.ctx.truncate_seq(s.seq, n0 + 1 + j)
                     del s.cache_tokens[n0 + 1 + j:]
+                    clean = False
                     break
+        return clean
 
     # -- token processing (process_token analogue, server.cpp:1358) ----------
 
@@ -494,6 +585,10 @@ class Scheduler:
                 self.n_prompt_tokens / self.t_prompt, 2) if self.t_prompt else 0,
             "gen_tok_per_s": round(
                 self.n_gen_tokens / self.t_gen, 2) if self.t_gen else 0,
+            "gen_tokens_fast_path": self.n_decode_fast,
+            "gen_tokens_slow_path": self.n_decode_slow,
+            "windows_chained": self.n_windows_chained,
+            "windows_rolled_back": self.n_windows_rolled_back,
             "slots_idle": sum(s.state == SlotState.IDLE for s in self.slots),
             "slots_total": len(self.slots),
             "queue_depth": len(self.queue),

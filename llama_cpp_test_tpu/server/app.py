@@ -129,7 +129,8 @@ class LlamaServer:
                  api_key: str | None = None,
                  lora: list[tuple[str, float]] | None = None,
                  draft_model_path: str | None = None, n_draft: int = 8,
-                 p_draft_min: float = 0.75, followers=None):
+                 p_draft_min: float = 0.75, cache_reuse: int = 0,
+                 followers=None):
         self.model = Model(model_path, mesh=mesh)
         self.alias = model_alias or model_path.rsplit("/", 1)[-1]
         if followers is not None:
@@ -151,7 +152,8 @@ class LlamaServer:
             draft_ctx = Context(self.draft_model, n_ctx=n_ctx,
                                 n_seq_max=n_slots)
         self.sched = Scheduler(ctx, n_slots=n_slots, draft_ctx=draft_ctx,
-                               n_draft=n_draft, p_draft_min=p_draft_min)
+                               n_draft=n_draft, p_draft_min=p_draft_min,
+                               cache_reuse=cache_reuse)
         self.engine = EngineThread(self.sched)
         self.t_start = time.time()
         self.slot_save_path = slot_save_path
@@ -702,7 +704,7 @@ def main(argv=None):
                       api_key=args.api_key, lora=loras or None,
                       draft_model_path=args.model_draft,
                       n_draft=args.draft_max, p_draft_min=args.draft_p_min,
-                      followers=followers)
+                      cache_reuse=args.cache_reuse, followers=followers)
     if followers is not None and args.coordinator and args.num_procs > 1:
         from ..parallel import driver as drv
 

@@ -130,3 +130,45 @@ def test_scheduler_context_shift(model_path):
     sched.run()
     assert req.finish_reason == "length"
     assert len(req.output_tokens) == 48
+
+
+def test_compact_reuse_matches_fresh_prefill(model_path_1l):
+    """Chunked prompt-cache reuse (Context.compact_reuse, the n_cache_reuse
+    analogue): keeping the LCP plus a shifted interior chunk must yield the
+    same decode logits as a fresh prefill of the new prompt (1-layer model:
+    shifted KV is exactly a function of embeddings + positions)."""
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    m = Model(model_path_1l)
+    old_prompt = [3, 17, 42, 9, 105, 77, 12, 54, 33, 21]
+    # new prompt: same 4-token head, drops [105, 77], keeps [12, 54, 33]
+    # as an interior chunk at shifted positions, new tail
+    new_prompt = [3, 17, 42, 9, 12, 54, 33, 66, 8]
+
+    ctx = Context(m, n_ctx=64, n_seq_max=2, block_size=8)
+    s = ctx.new_seq()
+    ctx.prefill(s, old_prompt)
+    kept = ctx.compact_reuse(s, new_prompt, n_reuse_min=2,
+                             max_keep=len(new_prompt) - 1)
+    assert kept == 7  # lcp 4 (+1 matching token 9? no: 9 matches -> lcp 4)
+    assert s.tokens == new_prompt[:kept]
+    lg = ctx.prefill(s, new_prompt[kept:])
+
+    ctx2 = Context(m, n_ctx=64, n_seq_max=2, block_size=8)
+    s2 = ctx2.new_seq()
+    ref = ctx2.prefill(s2, new_prompt)
+    assert nmse(ref, lg) < 1e-5, nmse(ref, lg)
+
+
+def test_compact_reuse_no_match_returns_lcp(model_path_1l):
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    m = Model(model_path_1l)
+    ctx = Context(m, n_ctx=64, n_seq_max=2, block_size=8)
+    s = ctx.new_seq()
+    ctx.prefill(s, [3, 17, 42, 9])
+    # nothing beyond the 2-token LCP matches in chunks >= 4
+    kept = ctx.compact_reuse(s, [3, 17, 99, 98, 97], n_reuse_min=4,
+                             max_keep=4)
+    assert kept == 2
+    assert s.n_cached == 2 and s.tokens == [3, 17]

@@ -179,8 +179,6 @@ def main():
             mk_q4k, lambda x, qt: qmm(x, qt, tile_n=TILE_N, variant="f32")),
         "qmm_bf16": lambda: build_chain(
             mk_q4k, lambda x, qt: qmm(x, qt, tile_n=TILE_N, variant="bf16")),
-        "qmm_i16": lambda: build_chain(
-            mk_q4k, lambda x, qt: qmm(x, qt, tile_n=TILE_N, variant="i16")),
         "qmm_xla": lambda: build_chain(mk_q4k, qmm_xla),
         "dense": lambda: build_chain(mk_dense, lambda x, qt: jnp.dot(
             x, qt.qs, preferred_element_type=jnp.float32)[:, :qt.n_orig]),

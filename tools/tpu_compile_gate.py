@@ -81,7 +81,7 @@ def main():
                 sds((t * tile_m, k), f32), qt, sds((t,), i32))
 
     # dequant-pipeline variants: one geometry per plane kind each
-    for variant in ("bf16", "i16"):
+    for variant in ("bf16",):
         for kind, group, has_min, has_lut in g.PLANE_KINDS:
             n, k = g.GEOMETRIES[0]
             if k % group:
