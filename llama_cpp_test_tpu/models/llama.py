@@ -158,7 +158,7 @@ for _cls in (LayerWeights, LlamaWeights):
 
 def _repack_2d(reader: GGUFReader, name: str,
                row_perm: np.ndarray | None = None,
-               layout: str = "t") -> QTensor:
+               layout: str = "t", tile_n: int = 256) -> QTensor:
     info = reader.tensors[name]
     # ggml ne = (K, N): ne[0] is the contraction dim (row length)
     k, n = info.shape[0], info.shape[1] if len(info.shape) > 1 else 1
@@ -168,7 +168,7 @@ def _repack_2d(reader: GGUFReader, name: str,
         # rows is a pure byte-row shuffle of the packed data
         row_bytes = raw.size // n
         raw = np.ascontiguousarray(raw.reshape(n, row_bytes)[row_perm])
-    return repack(raw, info.ggml_type, n, k, layout=layout)
+    return repack(raw, info.ggml_type, n, k, layout=layout, tile_n=tile_n)
 
 
 def _unpermute_rows(n_head: int, head_dim: int) -> np.ndarray:
@@ -243,10 +243,10 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
                 f"tp={tp} must divide n_head={hp.n_head} and "
                 f"n_head_kv={hp.n_head_kv}")
 
-    def col(name: str, perm=None) -> QTensor:
+    def col(name: str, perm=None, tile_n: int = 256) -> QTensor:
         """Column-parallel (shard output rows)."""
         if tp == 1:
-            return _repack_2d(reader, name, perm)
+            return _repack_2d(reader, name, perm, tile_n=tile_n)
         info = reader.tensors[name]
         k, n = info.shape[0], info.shape[1]
         return repack_sharded(reader.tensor_bytes(name), info.ggml_type,
@@ -367,8 +367,13 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
     with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as ex:
         f_embd = ex.submit(_repack_2d, reader, "token_embd.weight", None,
                            "rows")
-        f_out = ex.submit(col, "output.weight") if "output.weight" in t \
-            else ex.submit(col, "token_embd.weight")  # tied: matmul copy
+        # lm head planes pad N to tile_n=1024 multiples: the vocab axis is
+        # the one matmul wide enough that narrow tiles dominate (32000 ->
+        # npk 16000 only divides tile_n=128 => 125 grid steps; padded to
+        # 16384 it runs 16 steps of 1024 for +2.4% bytes)
+        f_out = ex.submit(col, "output.weight", None, 1024) \
+            if "output.weight" in t \
+            else ex.submit(col, "token_embd.weight", None, 1024)  # tied
         layer_list = list(ex.map(layer, range(hp.n_layer)))
         tok_embd = f_embd.result()
         output = f_out.result()

@@ -269,8 +269,7 @@ def _qmm_t_call(x, qs, scale, min_, lut, *, kind, group, pack, n_lut,
     grid = (m // tile_m, npk // tile_n, k // tile_k)
 
     has_min = min_ is not None
-    use_i16 = (variant == "i16" and kind in ("u4", "u2"))
-    has_member = has_min or use_i16
+    has_member = has_min
     in_specs = [
         pl.BlockSpec((tile_m, tile_k), lambda mm, n, kk: (mm, kk),
                      memory_space=pltpu.VMEM),

@@ -291,65 +291,139 @@ def build_mp_steps(hp: HParams, mesh: Mesh, w_template: LlamaWeights,
                 attend, tp_axis="tp", tp=TP, ep_axis="ep", ep=EP)
         return k_pool, v_pool, x
 
-    def mk(decode: bool):
-        # tokens/positions/slots: [B, T] — T sharded over sp in prefill
-        tok_spec = P("dp", "sp") if (not decode and SP > 1) else P("dp", None)
-        in_specs = (wspec, MPPools(_POOL_SPEC, _POOL_SPEC), tok_spec,
-                    tok_spec, P("dp", None), tok_spec, P("dp")) + \
-            (() if decode else (P("dp"),))
-        out_specs = (P("dp", None), MPPools(_POOL_SPEC, _POOL_SPEC))
+    def pipeline_pass(w, k_pool, v_pool, tokens, positions, block_table,
+                      slots, kv_len, *, decode: bool, mode: str,
+                      rest=(), pooling: str = "mean"):
+        """One pipelined forward over all M microbatches. Returns
+        (per-mode output [Bl, ...], k_pool, v_pool).
 
-        def body(w, pools, tokens, positions, block_table, slots, kv_len,
-                 *rest):
-            k_pool, v_pool = pools.k, pools.v
-            bl, t = tokens.shape
-            b_mb = bl // M
-            stage = jax.lax.axis_index("pp")
-            emb = llama_mod.embed(w, tokens)  # [Bl, T, C]
-            c = emb.shape[-1]
+        mode: 'last'  — logits at last_ix (rest=(last_ix,)) or position 0
+                        for decode; [Bl, V]
+              'all'   — logits at EVERY position; [Bl, T, V] (the
+                        speculative-verification pass, server.cpp:3250)
+              'nll'   — per-position NLL of rest=(targets, valid); [Bl, T]
+              'embed' — pooled normalized embeddings, rest=(n_valid,);
+                        [Bl, C]
+        """
+        bl, t = tokens.shape
+        b_mb = bl // M
+        stage = jax.lax.axis_index("pp")
+        emb = llama_mod.embed(w, tokens)  # [Bl, T, C]
+        c = emb.shape[-1]
 
-            def mb(a, m):
-                a2 = a.reshape((M, b_mb) + a.shape[1:])
-                return jax.lax.dynamic_index_in_dim(a2, m, 0, keepdims=False)
+        def mb(a, m):
+            a2 = a.reshape((M, b_mb) + a.shape[1:])
+            return jax.lax.dynamic_index_in_dim(a2, m, 0, keepdims=False)
 
-            # lm_head all-gathers over tp, so accumulated rows are full-width
-            # (n_orig is the per-shard local width under tp)
-            v_dim = w.output.n_orig * (TP if TP > 1 else 1)
+        # lm_head all-gathers over tp, so accumulated rows are full-width
+        # (n_orig is the per-shard local width under tp)
+        v_dim = w.output.n_orig * (TP if TP > 1 else 1)
+        if mode == "last":
             out = jnp.zeros((M, b_mb, v_dim), jnp.float32)
-            state = jnp.zeros((b_mb, t, c), emb.dtype)
-            for tick in range(M + S - 1):
-                m = tick - stage
-                valid = (m >= 0) & (m < M)
-                mc = jnp.clip(m, 0, M - 1)
-                x_in = mb(emb, mc)
-                state = jnp.where(stage == 0, x_in, state)
-                pos_m = mb(positions, mc)
-                bt_m = mb(block_table, mc)
-                slots_m = jnp.where(valid, mb(slots, mc), -1)
-                kvl_m = mb(kv_len, mc)
-                k_pool, v_pool, x = run_stage_layers(
-                    w, k_pool, v_pool, state, pos_m, bt_m, slots_m, kvl_m,
-                    decode)
-                nxt = jax.lax.ppermute(x, "pp", perm) if S > 1 else x
-                # last stage: logits for its current microbatch
+        elif mode == "all":
+            out = jnp.zeros((M, b_mb, t * (SP if not decode else 1), v_dim),
+                            jnp.float32)
+        elif mode == "nll":
+            out = jnp.zeros((M, b_mb, t * SP), jnp.float32)
+        else:  # embed
+            out = jnp.zeros((M, b_mb, c), jnp.float32)
+        state = jnp.zeros((b_mb, t, c), emb.dtype)
+        for tick in range(M + S - 1):
+            m = tick - stage
+            valid = (m >= 0) & (m < M)
+            mc = jnp.clip(m, 0, M - 1)
+            x_in = mb(emb, mc)
+            state = jnp.where(stage == 0, x_in, state)
+            pos_m = mb(positions, mc)
+            bt_m = mb(block_table, mc)
+            slots_m = jnp.where(valid, mb(slots, mc), -1)
+            kvl_m = mb(kv_len, mc)
+            k_pool, v_pool, x = run_stage_layers(
+                w, k_pool, v_pool, state, pos_m, bt_m, slots_m, kvl_m,
+                decode)
+            nxt = jax.lax.ppermute(x, "pp", perm) if S > 1 else x
+            # last stage: this tick's microbatch contribution
+            xg = x
+            if SP > 1 and not decode and mode != "last":
+                xg = jax.lax.all_gather(x, "sp", axis=1, tiled=True)
+            if mode == "last":
                 if decode:
                     h_last = x[:, 0][:, None]
                 else:
                     (last_ix,) = rest
-                    xg = jax.lax.all_gather(x, "sp", axis=1, tiled=True) \
+                    xs = jax.lax.all_gather(x, "sp", axis=1, tiled=True) \
                         if SP > 1 else x
                     li = mb(last_ix, mc)
-                    h_last = jnp.take_along_axis(
-                        xg, li[:, None, None], axis=1)
-                logits = llama_mod.lm_head(
+                    h_last = jnp.take_along_axis(xs, li[:, None, None],
+                                                 axis=1)
+                contrib = llama_mod.lm_head(
                     w, hp, h_last, tp_axis="tp" if TP > 1 else None)[:, 0]
-                contrib = jnp.where(valid & (stage == S - 1),
-                                    logits, 0.0)
-                onehot = (jnp.arange(M) == mc).astype(jnp.float32)
-                out = out + onehot[:, None, None] * contrib[None]
-                state = nxt
-            logits_all = jax.lax.psum(out, "pp") if S > 1 else out
-            return logits_all.reshape(bl, -1), MPPools(k_pool, v_pool)
+            elif mode == "all":
+                contrib = llama_mod.lm_head(
+                    w, hp, xg, tp_axis="tp" if TP > 1 else None)
+            elif mode == "nll":
+                targets, tvalid = rest
+                tg, tv = mb(targets, mc), mb(tvalid, mc)
+                if SP > 1:  # xg is the gathered full token axis
+                    tg = jax.lax.all_gather(tg, "sp", axis=1, tiled=True)
+                    tv = jax.lax.all_gather(tv, "sp", axis=1, tiled=True)
+                logits = llama_mod.lm_head(
+                    w, hp, xg, tp_axis="tp" if TP > 1 else None)
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                nll = -jnp.take_along_axis(
+                    logp, tg[..., None], axis=-1)[..., 0]
+                contrib = jnp.where(tv, nll, 0.0)
+            else:  # embed: final-norm + pool + L2 normalize
+                from ..ops import layers as _layers
+
+                (n_valid,) = rest
+                nv = mb(n_valid, mc)
+                xn = _layers.rms_norm(xg, w.output_norm,
+                                      hp.rms_eps).astype(jnp.float32)
+                tpos = jnp.arange(xn.shape[1])[None, :]
+                vmask = tpos < nv[:, None]
+                if pooling == "mean":
+                    e = jnp.sum(jnp.where(vmask[..., None], xn, 0.0),
+                                axis=1) / jnp.maximum(nv[:, None], 1)
+                elif pooling == "cls":
+                    e = xn[:, 0]
+                else:  # last
+                    e = jnp.take_along_axis(
+                        xn, jnp.maximum(nv - 1, 0)[:, None, None],
+                        axis=1)[:, 0]
+                contrib = e / jnp.maximum(
+                    jnp.linalg.norm(e, axis=-1, keepdims=True), 1e-12)
+            contrib = jnp.where(valid & (stage == S - 1), contrib, 0.0)
+            onehot = (jnp.arange(M) == mc).astype(jnp.float32)
+            oh = onehot.reshape((M,) + (1,) * (out.ndim - 1))
+            out = out + oh * contrib[None]
+            state = nxt
+        out = jax.lax.psum(out, "pp") if S > 1 else out
+        return out.reshape((bl,) + out.shape[2:]), k_pool, v_pool
+
+    def mk(decode: bool, mode: str = "last", pooling: str = "mean"):
+        # tokens/positions/slots: [B, T] — T sharded over sp in prefill
+        tok_spec = P("dp", "sp") if (not decode and SP > 1) else P("dp", None)
+        if mode == "last":
+            rest_specs = () if decode else (P("dp"),)
+        elif mode == "all":
+            rest_specs = ()
+        elif mode == "nll":
+            rest_specs = (tok_spec, tok_spec)
+        else:  # embed
+            rest_specs = (P("dp"),)
+        in_specs = (wspec, MPPools(_POOL_SPEC, _POOL_SPEC), tok_spec,
+                    tok_spec, P("dp", None), tok_spec, P("dp")) + rest_specs
+        out_first = {"last": P("dp", None), "all": P("dp", None, None),
+                     "nll": P("dp", None), "embed": P("dp", None)}[mode]
+        out_specs = (out_first, MPPools(_POOL_SPEC, _POOL_SPEC))
+
+        def body(w, pools, tokens, positions, block_table, slots, kv_len,
+                 *rest):
+            out, k_pool, v_pool = pipeline_pass(
+                w, pools.k, pools.v, tokens, positions, block_table, slots,
+                kv_len, decode=decode, mode=mode, rest=rest, pooling=pooling)
+            return out, MPPools(k_pool, v_pool)
 
         fn = shard_map(body, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_vma=False)
@@ -365,5 +439,92 @@ def build_mp_steps(hp: HParams, mesh: Mesh, w_template: LlamaWeights,
         copy_body, mesh=mesh,
         in_specs=(MPPools(_POOL_SPEC, _POOL_SPEC), P("dp"), P("dp")),
         out_specs=MPPools(_POOL_SPEC, _POOL_SPEC), check_vma=False)
+
+    def make_window(n_steps: int):
+        """Windowed decode+sample on the 5-axis mesh (the engine
+        decode-window analogue): each scan step is one full pipelined
+        decode pass; logits are psum'ed over 'pp' so EVERY device holds
+        them and samples identically (replicated key + dp-sharded params),
+        keeping KV writes consistent without token exchange."""
+        from ..runtime import device_sampling as ds
+
+        bs_pool = pools_template.block_size
+        pparams = ds.DeviceSamplerParams(*([P("dp")] * 9))
+
+        def body(w, pools, tok0, pos0, block_table, valid, params, hist0,
+                 key):
+            k_pool, v_pool = pools.k, pools.v
+
+            def step(carry, _):
+                k_pool, v_pool, tok, pos, hist = carry
+                slots = (jnp.take_along_axis(
+                    block_table, (pos // bs_pool)[:, None], axis=1)[:, 0]
+                    * bs_pool + pos % bs_pool)
+                slots = jnp.where(valid, slots, -1)
+                logits, k_pool, v_pool = pipeline_pass(
+                    w, k_pool, v_pool, tok[:, None], pos[:, None],
+                    block_table, slots[:, None], pos + 1,
+                    decode=True, mode="last")
+                hist = ds.push_history(hist, tok)
+                nxt = ds.sample_tokens(logits.astype(jnp.float32), params,
+                                       hist, key, pos)
+                return (k_pool, v_pool, nxt, pos + 1, hist), nxt
+
+            (k_pool, v_pool, _, _, hist), toks = jax.lax.scan(
+                step, (k_pool, v_pool, tok0, pos0, hist0), None,
+                length=n_steps)
+            return toks, hist, MPPools(k_pool, v_pool)
+
+        fn = shard_map(
+            body, mesh=mesh,
+            in_specs=(wspec, MPPools(_POOL_SPEC, _POOL_SPEC), P("dp"),
+                      P("dp"), P("dp", None), P("dp"), pparams, P("dp"),
+                      P()),
+            out_specs=(P(None, "dp"), P("dp"), MPPools(_POOL_SPEC,
+                                                       _POOL_SPEC)),
+            check_vma=False)
+        return jax.jit(fn, donate_argnums=(1,))
+
+    def shift_body(pools, src, dst, delta, inv_freq, mscale, *rest):
+        """K-shift on the stacked pools (context shift / Self-Extend /
+        compact_reuse): move slots src->dst re-rotating K by delta
+        (kv_cache.apply_shift's per-layer loop over this stage's local
+        layers; rope is additive so re-basing is exact)."""
+        from ..ops import layers as _layers
+
+        inv_freq_swa = rest[0] if rest else None
+        s, d, dl = src[0], dst[0], delta[0]
+        lcl, kvl, nb, bsz, hd = pools.k.shape
+        k = pools.k
+        v = pools.v
+        kf = k.reshape(lcl, kvl, nb * bsz, hd)
+        vf = v.reshape(lcl, kvl, nb * bsz, hd)
+        outs = []
+        for l in range(lcl):
+            ifr = inv_freq
+            if inv_freq_swa is not None and layer_window(hp, l) > 0:
+                ifr = inv_freq_swa
+            kg = kf[l][:, s].astype(jnp.float32)          # [KV, n, D]
+            kg = kg.transpose(1, 0, 2)[None]              # [1, n, KV, D]
+            kg = _layers.apply_rope(kg, dl[None], ifr, mscale[0])
+            kg = kg[0].transpose(1, 0, 2)
+            outs.append(kf[l].at[:, d].set(kg.astype(k.dtype), mode="drop"))
+        kf = jnp.stack(outs)
+        vf = vf.at[:, :, d].set(vf[:, :, s], mode="drop")
+        return MPPools(kf.reshape(k.shape), vf.reshape(v.shape))
+
+    def make_shift(has_swa: bool):
+        specs = (MPPools(_POOL_SPEC, _POOL_SPEC), P("dp"), P("dp"),
+                 P("dp"), P(), P()) + ((P(),) if has_swa else ())
+        fn = shard_map(shift_body, mesh=mesh, in_specs=specs,
+                       out_specs=MPPools(_POOL_SPEC, _POOL_SPEC),
+                       check_vma=False)
+        return jax.jit(fn, donate_argnums=(0,))
+
     return (mk(decode=False), mk(decode=True),
-            jax.jit(copy_fn, donate_argnums=(0,)))
+            jax.jit(copy_fn, donate_argnums=(0,)),
+            mk(decode=False, mode="all"),
+            functools.lru_cache(maxsize=8)(make_window),
+            make_shift,
+            lambda pooling: mk(decode=False, mode="embed", pooling=pooling),
+            mk(decode=False, mode="nll"))

@@ -460,10 +460,12 @@ class Context:
 
             self.pools = new_mp_pools(hp, num_blocks * self.dp, block_size,
                                       self.mesh)
-            self._prefill_fn, self._decode_fn, self._copy_fn = \
+            (self._prefill_fn, self._decode_fn, self._copy_fn,
+             self._prefill_all_fn, self._window_fn, mk_shift,
+             self._mp_embed_builder, self._nll_fn) = \
                 build_mp_steps(hp, self.mesh, model.weights, self.pools)
-            self._prefill_all_fn = None
-            self._shift_fn = None
+            self._shift_fn = mk_shift(
+                model.weights.rope_inv_freq_swa is not None)
         elif self.mesh is not None:
             from ..parallel.tp import (build_copy_step, build_shift_step,
                                        build_tp_steps, build_window_step,
@@ -548,8 +550,6 @@ class Context:
 
     def _apply_shift(self, s: SeqState, src: list[int], dst: list[int],
                      delta: list[int]) -> None:
-        if self.mp:
-            raise NotImplementedError("K-shift: not on a pipeline mesh")
         s.table.ensure_resident()
         # un-share any COW blocks first: the shift mutates pool data in place
         for bi in range(len(s.table.blocks)):
@@ -810,9 +810,8 @@ class Context:
 
     def embed(self, tokens: list[int], pooling: str = "mean") -> np.ndarray:
         """Pooled L2-normalized embedding of a token sequence [n_embd].
-        Runs single-device or on the ('dp','tp') mesh."""
-        if self.mp:
-            raise NotImplementedError("embed: not on a pipeline mesh")
+        Runs single-device, on the ('dp','tp') mesh, or on the pipeline
+        mesh (parallel/pp.py 'embed' pipeline pass)."""
         hp = self.model.hp
         s = self.new_seq()
         try:
@@ -832,17 +831,21 @@ class Context:
             kv_len = np.asarray([n], np.int32)
             n_valid = np.asarray([n], np.int32)
             if self.mesh is not None:
-                row = s.group
+                row = s.group * self.M
                 tok, pos, bt, slot_arr, kv_len, n_valid = _expand_rows(
-                    self.dp, row, (tok, 0), (pos, 0), (bt, 0),
+                    self.dp * self.M, row, (tok, 0), (pos, 0), (bt, 0),
                     (slot_arr, -1), (kv_len.reshape(1), 1),
                     (n_valid.reshape(1), 1))
                 fn = self._embed_fns.get(pooling)
                 if fn is None:
-                    from ..parallel.tp import build_embed_step
+                    if self.mp:
+                        fn = self._mp_embed_builder(pooling)
+                    else:
+                        from ..parallel.tp import build_embed_step
 
-                    fn = build_embed_step(hp, self.mesh, self.model.weights,
-                                          self.pools, pooling)
+                        fn = build_embed_step(hp, self.mesh,
+                                              self.model.weights,
+                                              self.pools, pooling)
                     self._embed_fns[pooling] = fn
                 emb, self.pools = fn(self.model.weights, self.pools, tok,
                                      pos, bt, slot_arr, kv_len, n_valid)
@@ -927,9 +930,6 @@ class Context:
         self._check_abort()
         hp = self.model.hp
         b = len(seqs)
-        if self._prefill_all_fn is None:
-            raise NotImplementedError(
-                "prefill_batch is not supported on a pipeline mesh")
         if any(s.pos_offset for s in seqs):
             raise NotImplementedError("prefill_batch after self_extend")
         lens = [len(r) for r in rows]
@@ -1008,8 +1008,6 @@ class Context:
         from . import device_sampling as ds
 
         self._check_abort()
-        if self.mp:
-            raise NotImplementedError("decode_window: not on a pipeline mesh")
         if any(s.pos_offset for s in seqs):
             raise NotImplementedError("decode_window after self_extend")
         hp = self.model.hp
@@ -1039,7 +1037,13 @@ class Context:
             for i, s in enumerate(seqs):
                 by_group[s.group].append(i)
             r = max(1, max(len(g) for g in by_group))
-            r = 1 << (r - 1).bit_length()
+            if self.M > 1:
+                # pipeline mesh: rows per group = M microbatches x pow2 rows
+                b_mb = -(-r // self.M)
+                b_mb = 1 << (b_mb - 1).bit_length()
+                r = self.M * b_mb
+            else:
+                r = 1 << (r - 1).bit_length()
             bsz = self.dp * r
             tok0 = np.zeros((bsz,), np.int32)
             pos0 = np.zeros((bsz,), np.int32)
@@ -1104,8 +1108,10 @@ class Context:
         feeding j prior tokens. All n_steps tokens' KV except the last is
         cached on return (same contract as decode_greedy_loop); callers that
         stop early must truncate_seq back to the accepted length.
-        Runs single-device or on the ('dp','tp') mesh (shard_map'ed window,
-        parallel/tp.build_window_step); not on the pipeline mesh."""
+        Runs single-device, on the ('dp','tp') mesh
+        (parallel/tp.build_window_step), or on the dpxppxspxepxtp pipeline
+        mesh (parallel/pp make_window: each step is a full pipelined pass,
+        sampled identically on every device)."""
         return self.decode_window_async(
             seqs, tokens, samplers, n_steps, seed, histories).fetch()
 
@@ -1115,8 +1121,6 @@ class Context:
         Runs single-device or on the ('dp','tp') mesh (perplexity
         tooling)."""
         hp = self.model.hp
-        if self.mp:
-            raise NotImplementedError("prefill_nll: not on a pipeline mesh")
         t0 = s.n_cached
         n = len(tokens)
         if n < 2:
@@ -1139,10 +1143,11 @@ class Context:
         s.tokens.extend(tokens)
         s.n_cached += n
         if self.mesh is not None:
-            row = s.group
+            row = s.group * self.M
             tok, pos, bt, slot_arr, kv_len, targets, valid = _expand_rows(
-                self.dp, row, (tok, 0), (pos, 0), (bt, 0), (slot_arr, -1),
-                (kv_len.reshape(1), 1), (targets, 0), (valid, False))
+                self.dp * self.M, row, (tok, 0), (pos, 0), (bt, 0),
+                (slot_arr, -1), (kv_len.reshape(1), 1), (targets, 0),
+                (valid, False))
             if self._nll_fn is None:
                 from ..parallel.tp import build_nll_step
 

@@ -111,9 +111,9 @@ class Scheduler:
         self.n_draft = n_draft
         self.p_draft_min = p_draft_min
         # context shift keeps long generations alive past n_ctx
-        # (server.cpp:2825+); K-shift runs on single device or a
-        # ('dp','tp') mesh (not the pipeline mesh)
-        self.ctx_shift = ctx_shift and not getattr(ctx, "mp", False)
+        # (server.cpp:2825+); K-shift runs on single device and on both
+        # mesh flavors (parallel/tp.py + parallel/pp.py shift steps)
+        self.ctx_shift = ctx_shift
         self.slots = [Slot(i) for i in range(n_slots)]
         self.queue: deque[GenRequest] = deque()
         self.chunk = chunk_size
@@ -126,10 +126,9 @@ class Scheduler:
         # windowed device decode: up to this many decode+sample steps per
         # dispatch when every generating slot's sampler runs on device
         # (device_sampling.eligible) — the cure for per-token host
-        # round-trips on a high-latency device link. Runs single-device or
-        # on the ('dp','tp') mesh; the pipeline mesh decodes per-token.
-        self.decode_window = decode_window if not getattr(ctx, "mp", False) \
-            else 1
+        # round-trips on a high-latency device link. Runs single-device and
+        # on both mesh flavors (tp.build_window_step / pp make_window).
+        self.decode_window = decode_window
         self._step_count = 0
         self._req_ids = itertools.count()
         self.tokenizer = ctx.model.tokenizer

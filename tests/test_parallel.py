@@ -278,3 +278,61 @@ def test_embed_and_nll_on_tp_mesh(tp_model):
     got_nll = ctx2.prefill_nll(s2, toks)
     assert nmse(ref_emb, got_emb) < 1e-5
     np.testing.assert_allclose(got_nll, ref_nll, rtol=1e-3, atol=1e-4)
+
+
+def test_mp_serving_features(moe_model_path):
+    """Round-4 pipeline-mesh lifts: windowed device decode, batched
+    all-logits verification (prefill_batch), context shift (K-shift),
+    pooled embeddings and NLL all run on the dp x pp x sp x ep x tp mesh
+    and match the single-device engine."""
+    from llama_cpp_test_tpu.parallel.pp import make_mp_mesh
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+    from llama_cpp_test_tpu.runtime.sampling import SamplerParams
+
+    path = moe_model_path
+    prompt = [1, 2, 3, 4, 5]
+    greedy = SamplerParams(temp=0.0)
+
+    ref = Model(path)
+    rctx = Context(ref, n_ctx=128, n_seq_max=2, block_size=16)
+    rs = rctx.new_seq()
+    rctx.prefill(rs, prompt)
+    ref_toks = rctx.decode_window([rs], [6], [greedy], 4)[:, 0]
+
+    mesh = make_mp_mesh(dp=1, pp=2, sp=1, ep=2, tp=2)
+    m = Model(path, mesh=mesh)
+    ctx = Context(m, n_ctx=128, n_seq_max=4, block_size=16)
+
+    # windowed device decode
+    s = ctx.new_seq()
+    ctx.prefill(s, prompt)
+    toks = ctx.decode_window([s], [6], [greedy], 4)[:, 0]
+    assert list(toks) == list(ref_toks)
+    assert s.tokens == rs.tokens and s.n_cached == rs.n_cached
+
+    # batched all-logits verification (speculative target pass)
+    rows = [[9, 10, 11]]
+    ref_lg = rctx.prefill_batch([rs], [list(rows[0])])[0]
+    lg = ctx.prefill_batch([s], [list(rows[0])])[0]
+    assert lg.shape == ref_lg.shape
+    assert nmse(ref_lg, lg) < 1e-3
+    for j in range(len(rows[0])):
+        assert np.argmax(lg[j]) == np.argmax(ref_lg[j])
+
+    # context shift (K-shift on the stacked pools)
+    rctx.shift_context(rs, 2, 3)
+    ctx.shift_context(s, 2, 3)
+    rd = rctx.decode([rs], [12])[0]
+    d = ctx.decode([s], [12])[0]
+    np.testing.assert_allclose(d, rd, atol=0.1)
+    assert np.argmax(d) == np.argmax(rd)
+
+    # embeddings + NLL
+    re_ = rctx.embed([3, 1, 4, 1, 5], pooling="mean")
+    e = ctx.embed([3, 1, 4, 1, 5], pooling="mean")
+    assert nmse(re_, e) < 1e-3
+    rs2 = rctx.new_seq()
+    s2 = ctx.new_seq()
+    rn = rctx.prefill_nll(rs2, [2, 7, 1, 8, 2, 8])
+    n = ctx.prefill_nll(s2, [2, 7, 1, 8, 2, 8])
+    np.testing.assert_allclose(n, rn, atol=0.05)

@@ -47,9 +47,9 @@ SHAPES = [
 ]
 
 
-def mk_q4k(n, k, rng):
+def mk_q4k(n, k, rng, mult=512):
     """Random Q4_K-like planes (u4 + bf16 scale/min), layout 't'."""
-    npk = (n + (-n % 512)) // 2
+    npk = (n + (-n % mult)) // 2
     qs = jnp.asarray(rng.integers(0, 256, (k, npk), dtype=np.uint8))
     sc = jnp.asarray(rng.standard_normal((2, k // GROUP, npk)) * 0.01,
                      jnp.bfloat16)
@@ -77,7 +77,10 @@ def build_chain(mk, matmul):
             row.append(qt)
             total += nb
         layers.append(row)
-    head, nb = mk(V, C, rng)
+    try:
+        head, nb = mk(V, C, rng, mult=2048)  # loader pads the head to
+    except TypeError:                        # tile_n=1024 planes
+        head, nb = mk(V, C, rng)
     total += nb
 
     # weights are ARGUMENTS, not closures: the remote-compile path
@@ -103,19 +106,22 @@ def build_attn():
     from llama_cpp_test_tpu.ops.paged_attention import paged_attention_decode
 
     pap = int(os.environ.get("DB_PAP", "8"))  # pages per grid step
+    bs = int(os.environ.get("DB_BS", "16"))   # KV page size (block_size)
     rng = np.random.default_rng(0)
-    kvh, d, bs = 4, 64, 16
-    nb_ = max(64, B * 32 + 8)           # 32 pages (512 tokens) per sequence
+    kvh, d = 4, 64
+    npages = 512 // bs                  # 512 cached tokens per sequence
+    nb_ = max(64, B * npages + 8)
     kv_len = jnp.asarray([512] * B, jnp.int32)
     tables = jnp.asarray(
-        np.stack([rng.permutation(nb_)[:32] for _ in range(B)]), jnp.int32)
+        np.stack([rng.permutation(nb_)[:npages] for _ in range(B)]),
+        jnp.int32)
     pools = []
     total = 0
     for _ in range(NL):
         k = jnp.asarray(rng.standard_normal((kvh, nb_, bs, d)), jnp.bfloat16)
         v = jnp.asarray(rng.standard_normal((kvh, nb_, bs, d)), jnp.bfloat16)
         pools.append((k, v))
-        total += 2 * kvh * B * 32 * bs * d * 2  # bytes actually read
+        total += 2 * kvh * B * 512 * d * 2  # bytes actually read
     h = 32
 
     def step(q, ws):
