@@ -45,7 +45,7 @@ PAGES_PER_STEP = int(os.environ.get("LLAMA_TPU_PA_PAGES", "8"))
 
 
 def _pa_kernel(lengths_ref, pages_ref, *refs, bs: int, kv: int,
-               soft_cap: float | None, p_pages: int):
+               soft_cap: float | None, p_pages: int, quantized: bool):
     """Flash-decoding: one grid step = P pages of one sequence, ALL kv heads.
 
     Grid is (B, NBmax/P). The P (kv, 1, bs, d) page tiles (each its own
@@ -54,14 +54,27 @@ def _pa_kernel(lengths_ref, pages_ref, *refs, bs: int, kv: int,
     online-softmax update (the round-1/2 kernel iterated kv heads in the
     grid as well — batching those cut steps 4x; this cuts another P).
 
-    refs: q [1, KV, G, D]; k_0..k_{P-1}, v_0..v_{P-1} [KV, 1, BS, D];
+    quantized: pages are int8 with per-slot f32 scales (q8_0 KV, the
+    type_k/type_v analogue — reference quantized-KV flash kernels,
+    ggml-cuda/fattn-vec-f16.cuh); dequant is a convert + scale
+    lane-broadcast multiply on the in-flight tile, so quantized KV rides
+    the SAME flash-decoding path at half the HBM bytes.
+
+    refs: q [1, KV, G, D]; k_0..k_{P-1}, v_0..v_{P-1} [KV, 1, BS, D]
+    (+ ks_0.., vs_0.. [KV, 1, BS] when quantized);
     o [1, KV, G, D]; scratch m/l [KV, G, 128] f32, acc [KV, G, D] f32.
     """
     q_ref = refs[0]
     k_refs = refs[1:1 + p_pages]
     v_refs = refs[1 + p_pages:1 + 2 * p_pages]
-    o_ref = refs[1 + 2 * p_pages]
-    m_scr, l_scr, acc_scr = refs[2 + 2 * p_pages:5 + 2 * p_pages]
+    i = 1 + 2 * p_pages
+    ks_refs = vs_refs = None
+    if quantized:
+        ks_refs = refs[i:i + p_pages]
+        vs_refs = refs[i + p_pages:i + 2 * p_pages]
+        i += 2 * p_pages
+    o_ref = refs[i]
+    m_scr, l_scr, acc_scr = refs[i + 1:i + 4]
     b = pl.program_id(0)
     c = pl.program_id(1)
     n_chunks = pl.num_programs(1)
@@ -76,14 +89,21 @@ def _pa_kernel(lengths_ref, pages_ref, *refs, bs: int, kv: int,
     @pl.when(c * (p_pages * bs) < length)
     def _():
         q = q_ref[0].astype(jnp.float32)               # [KV, G, D]
-        if p_pages == 1:
-            k = k_refs[0][:, 0].astype(jnp.float32)    # [KV, BS, D]
-            v = v_refs[0][:, 0].astype(jnp.float32)
-        else:
-            k = jnp.concatenate([r[:, 0] for r in k_refs], axis=1) \
-                .astype(jnp.float32)                   # [KV, P*BS, D]
-            v = jnp.concatenate([r[:, 0] for r in v_refs], axis=1) \
-                .astype(jnp.float32)
+
+        def tile(prefs, srefs):
+            if p_pages == 1:
+                t = prefs[0][:, 0].astype(jnp.float32)     # [KV, BS, D]
+            else:
+                t = jnp.concatenate([r[:, 0] for r in prefs], axis=1) \
+                    .astype(jnp.float32)                   # [KV, P*BS, D]
+            if srefs is not None:
+                s = srefs[0][:, 0] if p_pages == 1 else \
+                    jnp.concatenate([r[:, 0] for r in srefs], axis=1)
+                t = t * s[:, :, None]                      # [KV, P*BS, 1]
+            return t
+
+        k = tile(k_refs, ks_refs)
+        v = tile(v_refs, vs_refs)
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)        # [KV, G, P*BS]
@@ -116,10 +136,13 @@ def paged_attention_decode(q: jax.Array, k_pages: jax.Array,
                            page_indices: jax.Array,
                            soft_cap: float | None = None,
                            interpret: bool = False,
-                           pages_per_step: int | None = None) -> jax.Array:
+                           pages_per_step: int | None = None,
+                           k_scale: jax.Array | None = None,
+                           v_scale: jax.Array | None = None) -> jax.Array:
     """Pallas paged flash-decoding.
 
-    q: [B, H, D] pre-scaled; k/v_pages: [KV, NB, BS, D]; lengths [B];
+    q: [B, H, D] pre-scaled; k/v_pages: [KV, NB, BS, D] (bf16, or int8 with
+    k_scale/v_scale [KV, NB, BS] f32 for q8_0 KV); lengths [B];
     page_indices [B, NBmax]. Returns [B, H, D].
     """
     b, h, d = q.shape
@@ -127,6 +150,7 @@ def paged_attention_decode(q: jax.Array, k_pages: jax.Array,
     g = h // kv
     nbmax = page_indices.shape[1]
     q4 = q.reshape(b, kv, g, d)
+    quantized = k_scale is not None
 
     p_pages = pages_per_step or PAGES_PER_STEP
     p_pages = max(1, min(p_pages, nbmax))
@@ -147,12 +171,26 @@ def paged_attention_decode(q: jax.Array, k_pages: jax.Array,
         return kv_map
 
     page_spec = lambda i: pl.BlockSpec((kv, 1, bs, d), kv_map_at(i))
+
+    def scale_map_at(i):
+        def scale_map(bi, ci, lens, pages):
+            return (0, pages[bi, ci * p_pages + i], 0)
+        return scale_map
+
+    scale_spec = lambda i: pl.BlockSpec((kv, 1, bs), scale_map_at(i))
+    in_specs = ([pl.BlockSpec((1, kv, g, d), q_map)]
+                + [page_spec(i) for i in range(p_pages)]
+                + [page_spec(i) for i in range(p_pages)])
+    args = [lengths, page_indices, q4,
+            *([k_pages] * p_pages), *([v_pages] * p_pages)]
+    if quantized:
+        in_specs += [scale_spec(i) for i in range(p_pages)]
+        in_specs += [scale_spec(i) for i in range(p_pages)]
+        args += [*([k_scale] * p_pages), *([v_scale] * p_pages)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,
-        in_specs=[pl.BlockSpec((1, kv, g, d), q_map)]
-        + [page_spec(i) for i in range(p_pages)]
-        + [page_spec(i) for i in range(p_pages)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, kv, g, d), q_map),
         scratch_shapes=[
             pltpu.VMEM((kv, g, 128), jnp.float32),
@@ -161,22 +199,24 @@ def paged_attention_decode(q: jax.Array, k_pages: jax.Array,
         ],
     )
     kernel = functools.partial(_pa_kernel, bs=bs, kv=kv, soft_cap=soft_cap,
-                               p_pages=p_pages)
+                               p_pages=p_pages, quantized=quantized)
+    kv_bytes = 1 if quantized else 2
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, kv, g, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, kv, g, d),
+                                       jnp.bfloat16 if quantized else
+                                       q.dtype),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * b * h * d * nbmax * bs,
-            bytes_accessed=2 * kv * nbmax * bs * d * b * 2,
+            bytes_accessed=2 * kv * nbmax * bs * d * b * kv_bytes,
             transcendentals=b * h * nbmax * bs,
         ),
-    )(lengths, page_indices, q4,
-      *([k_pages] * p_pages), *([v_pages] * p_pages))
+    )(*args)
     return out.reshape(b, h, d)
 
 

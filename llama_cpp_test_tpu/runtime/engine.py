@@ -87,19 +87,24 @@ def _forward(w: LlamaWeights, pools: KVPools, tokens, positions, block_table,
     for li, lw in enumerate(w.layers):
         def attend(q, k_cur, v_cur, _li=li):
             if quant:
-                # q8_0 KV (type_k/type_v analogue): quantizing scatter,
-                # dequantizing gather, XLA attention path
+                # q8_0 KV (type_k/type_v analogue): quantizing scatter;
+                # decode rides the Pallas flash kernel with in-VMEM dequant
+                # (attend_decode_q8), prefill the dequantizing gather
                 new_k[_li], new_ks[_li] = kv_cache.write_kv_q8(
                     new_k[_li], new_ks[_li], k_cur, slots)
                 new_v[_li], new_vs[_li] = kv_cache.write_kv_q8(
                     new_v[_li], new_vs[_li], v_cur, slots)
+                if decode:
+                    return kv_cache.attend_decode_q8(
+                        q, new_k[_li], new_ks[_li], new_v[_li], new_vs[_li],
+                        block_table, kv_len, scale,
+                        hparams_mod.layer_window(hp, _li), cap)
                 k = kv_cache.gather_kv_q8(new_k[_li], new_ks[_li],
                                           block_table)
                 v = kv_cache.gather_kv_q8(new_v[_li], new_vs[_li],
                                           block_table)
-                pos = (kv_len - 1)[:, None] if decode else positions
                 return kv_cache.attend_gathered(
-                    q, k, v, pos, kv_len, scale,
+                    q, k, v, positions, kv_len, scale,
                     hparams_mod.layer_window(hp, _li), cap)
             new_k[_li] = kv_cache.write_kv(new_k[_li], k_cur, slots)
             new_v[_li] = kv_cache.write_kv(new_v[_li], v_cur, slots)

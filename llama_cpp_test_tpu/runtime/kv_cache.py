@@ -322,3 +322,24 @@ def attend_decode(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
         (q[:, 0] * scale).astype(q.dtype), k_pool, v_pool, kv_len, block_table,
         soft_cap=soft_cap if soft_cap > 0 else None)
     return out[:, None].astype(q.dtype)
+
+
+def attend_decode_q8(q: jax.Array, k_pool: jax.Array, k_scale: jax.Array,
+                     v_pool: jax.Array, v_scale: jax.Array,
+                     block_table: jax.Array, kv_len: jax.Array,
+                     scale: float, window: int = 0,
+                     soft_cap: float = 0.0) -> jax.Array:
+    """Decode attention over q8_0-quantized pools: the Pallas flash kernel
+    dequantizes int8 pages in-VMEM (half the HBM bytes of bf16 KV) on TPU;
+    gather + masked softmax elsewhere. q: [B, 1, H, D] -> [B, 1, H, D]."""
+    if jax.default_backend() != "tpu" or window > 0:
+        k = gather_kv_q8(k_pool, k_scale, block_table)
+        v = gather_kv_q8(v_pool, v_scale, block_table)
+        pos = (kv_len - 1)[:, None]
+        return attend_gathered(q, k, v, pos, kv_len, scale, window, soft_cap)
+    out = paged_attention_decode(
+        (q[:, 0].astype(jnp.float32) * scale).astype(jnp.bfloat16),
+        k_pool, v_pool, kv_len, block_table,
+        soft_cap=soft_cap if soft_cap > 0 else None,
+        k_scale=k_scale, v_scale=v_scale)
+    return out[:, None].astype(q.dtype)

@@ -542,14 +542,32 @@ class LlamaServer:
         text = self._detok(req.output_tokens)
         message: dict = {"role": "assistant", "content": text}
         finish = req.finish_reason
-        if tools:
-            from .chat import parse_tool_calls
+        # model-specific parsing: format sniffed from the chat template
+        # (common_chat_templates_apply detection, chat.cpp:1600-1665);
+        # reasoning_format='deepseek' (default, like the reference) moves
+        # <think> preludes into message.reasoning_content
+        from .chat import detect_tool_format, parse_assistant_message
 
-            content, calls = parse_tool_calls(text)
-            if calls:
-                message = {"role": "assistant",
-                           "content": content or None, "tool_calls": calls}
-                finish = "tool_calls"
+        fmt = body.get("chat_format") or detect_tool_format(
+            self.model.reader.metadata.get("tokenizer.chat_template", ""))
+        extract = body.get("reasoning_format", "deepseek") != "none"
+        parsed = parse_assistant_message(text, fmt if tools or
+                                         fmt in ("deepseek_r1",
+                                                 "command_r7b",
+                                                 "hermes_2_pro")
+                                         else "generic",
+                                         extract_reasoning=extract)
+        if parsed["tool_calls"] and tools:
+            message = {"role": "assistant",
+                       "content": parsed["content"] or None,
+                       "tool_calls": parsed["tool_calls"]}
+            finish = "tool_calls"
+        else:
+            message = {"role": "assistant",
+                       "content": parsed["content"] if
+                       parsed["reasoning_content"] else text}
+        if parsed["reasoning_content"]:
+            message["reasoning_content"] = parsed["reasoning_content"]
         return web.json_response({
             "id": rid, "object": "chat.completion",
             "created": int(time.time()), "model": self.alias,

@@ -446,3 +446,224 @@ def parse_tool_calls(text: str) -> tuple[str, list[dict]]:
         except json.JSONDecodeError:
             pass
     return text, []
+
+
+# -- model-specific tool-call formats (common/chat.h:45-58) ------------------
+
+# format ids mirror COMMON_CHAT_FORMAT_* (reference common/chat.h:45-58)
+TOOL_FORMATS = ("auto", "generic", "mistral_nemo", "llama_3_x",
+                "llama_3_x_builtin", "deepseek_r1", "functionary_v3_2",
+                "functionary_v3_1", "hermes_2_pro", "command_r7b")
+
+
+def detect_tool_format(jinja_src: str) -> str:
+    """Pick the tool-call format from the chat template source, mirroring
+    common_chat_templates_apply_jinja's sniffing (chat.cpp:1600-1665)."""
+    src = jinja_src or ""
+    if "<｜tool▁calls▁begin｜>" in src:
+        return "deepseek_r1"
+    if "<|END_THINKING|><|START_ACTION|>" in src:
+        return "command_r7b"
+    if "<tool_call>" in src:
+        return "hermes_2_pro"
+    if ">>>all" in src:
+        return "functionary_v3_2"
+    if "<|start_header_id|>" in src and "<function=" in src:
+        return "functionary_v3_1"
+    if "<|start_header_id|>ipython<|end_header_id|>" in src:
+        return "llama_3_x_builtin" if "<|python_tag|>" in src \
+            else "llama_3_x"
+    if "[TOOL_CALLS]" in src:
+        return "mistral_nemo"
+    return "generic"
+
+
+def _mk_call(name: str, args, calls: list) -> None:
+    arg_str = args if isinstance(args, str) else json.dumps(args)
+    calls.append({"type": "function", "id": f"call_{len(calls)}",
+                  "function": {"name": name, "arguments": arg_str}})
+
+
+def _split_reasoning(text: str) -> tuple[str, str]:
+    """Strip an optional <think>...</think> prelude (DeepSeek-R1 /
+    Command-R7B reasoning extraction, chat.cpp handle_think_tag_prelude).
+    Returns (reasoning, rest)."""
+    m = re.match(r"(?:<think>)?([\s\S]*?)</think>([\s\S]*)", text)
+    if m:
+        return m.group(1).strip(), m.group(2)
+    m = re.match(r"<\|START_THINKING\|>([\s\S]*?)<\|END_THINKING\|>"
+                 r"([\s\S]*)", text)
+    if m:
+        return m.group(1).strip(), m.group(2)
+    return "", text
+
+
+_LLAMA3_FN_RE = re.compile(
+    r"\{\s*(?:\"type\"\s*:\s*\"function\"\s*,\s*)?\"name\"\s*:\s*"
+    r"\"([^\"]+)\"\s*,\s*\"(?:parameters|arguments)\"\s*:\s*")
+_PYTHON_TAG_RE = re.compile(
+    r"<\|python_tag\|>\s*([^.(]+)\s*\.\s*call\s*\(\s*(\w+)\s*=\s*"
+    r"([\s\S]*?)\)\s*$")
+_DSR1_BLOCK_RE = re.compile(
+    r"(?:<｜tool▁calls▁begin｜>|<｜tool_calls_begin｜>|<｜tool calls begin｜>)"
+    r"([\s\S]*?)<｜tool▁calls▁end｜>")
+_DSR1_CALL_RE = re.compile(
+    r"<｜tool▁call▁begin｜>function<｜tool▁sep｜>([^\n]+)\n```json\n"
+    r"([\s\S]*?)```[\s\r\n]*<｜tool▁call▁end｜>")
+_FUNCTIONARY31_RE = re.compile(r"<function=(\w+)>([\s\S]*?)</function>")
+_CR7B_ACTION_RE = re.compile(
+    r"<\|START_ACTION\|>([\s\S]*?)<\|END_ACTION\|>")
+_CR7B_RESPONSE_RE = re.compile(
+    r"<\|START_RESPONSE\|>([\s\S]*?)(?:<\|END_RESPONSE\|>|$)")
+
+
+def _parse_json_prefix(s: str):
+    """Parse a JSON value at the START of s; returns (obj, rest) or None."""
+    try:
+        obj, end = json.JSONDecoder().raw_decode(s)
+        return obj, s[end:]
+    except json.JSONDecodeError:
+        return None
+
+
+def _parse_named_json_calls(text: str, fn_re, calls: list) -> str:
+    """parse_json_tool_calls analogue (chat.cpp:537): scan for the function
+    header regex, json-parse the arguments that follow, repeat. Returns the
+    non-call content."""
+    content = []
+    pos = 0
+    while True:
+        m = fn_re.search(text, pos)
+        if not m:
+            content.append(text[pos:])
+            break
+        content.append(text[pos:m.start()])
+        parsed = _parse_json_prefix(text[m.end():].lstrip())
+        if parsed is None:
+            content.append(text[m.start():])
+            break
+        args, rest = parsed
+        if fn_re is _LLAMA3_FN_RE:
+            # the matched header is the JSON prefix {"name": .., "parameters":
+            # — the args close one brace short of the full object
+            rest = rest.lstrip()
+            if rest.startswith("}"):
+                rest = rest[1:]
+        _mk_call(m.group(1).strip(), args, calls)
+        text = rest
+        pos = 0
+    return "".join(content).strip()
+
+
+def parse_assistant_message(text: str, fmt: str = "auto",
+                            extract_reasoning: bool = False) -> dict:
+    """Format-aware assistant-output parsing: tool calls + optional
+    reasoning extraction. Returns {"content", "tool_calls",
+    "reasoning_content"} (reasoning only when extract_reasoning).
+
+    Mirrors the reference's per-model parsers (common/chat.cpp):
+    Llama-3.x JSON calls + <|python_tag|> builtin tools, DeepSeek-R1
+    <think> + tool-call blocks, Hermes-2-Pro <tool_call> (+<think>),
+    Functionary v3.2 '>>>name' / v3.1 '<function=..>', Command-R7B
+    THINKING/ACTION/RESPONSE blocks, Mistral-Nemo [TOOL_CALLS].
+    """
+    calls: list[dict] = []
+    reasoning = ""
+    if fmt in ("deepseek_r1", "hermes_2_pro", "command_r7b") or \
+            (fmt == "auto" and ("<think>" in text or "</think>" in text or
+                                "<|START_THINKING|>" in text)):
+        reasoning, text = _split_reasoning(text)
+        if reasoning and not extract_reasoning:
+            # leave unextracted reasoning in the content, like the
+            # reference's non-extract variants
+            text = f"<think>{reasoning}</think>{text}"
+            reasoning = ""
+
+    if fmt == "auto":
+        content, calls = parse_tool_calls(text)
+        return {"content": content, "tool_calls": calls,
+                "reasoning_content": reasoning}
+
+    if fmt in ("llama_3_x", "llama_3_x_builtin"):
+        if fmt == "llama_3_x_builtin":
+            m = _PYTHON_TAG_RE.match(text.strip())
+            if m:
+                parsed = _parse_json_prefix(m.group(3))
+                val = parsed[0] if parsed else m.group(3)
+                _mk_call(m.group(1).strip(), {m.group(2): val}, calls)
+                return {"content": "", "tool_calls": calls,
+                        "reasoning_content": reasoning}
+        content = _parse_named_json_calls(text, _LLAMA3_FN_RE, calls)
+    elif fmt == "deepseek_r1":
+        content = text
+        blk = _DSR1_BLOCK_RE.search(text)
+        if blk:
+            for name, blob in _DSR1_CALL_RE.findall(blk.group(1)):
+                parsed = _parse_json_prefix(blob.strip())
+                if parsed:
+                    _mk_call(name.strip(), parsed[0], calls)
+            content = (text[:blk.start()] + text[blk.end():]).strip()
+    elif fmt == "hermes_2_pro":
+        content, calls = parse_tool_calls(text)
+    elif fmt == "functionary_v3_2":
+        # ">>>name\n{args}" segments; leading "all\n" segment is content;
+        # name "python" may carry raw code (allow_raw_python)
+        content_parts = []
+        segs = re.split(r">>>", text)
+        for i, seg in enumerate(segs):
+            if not seg:
+                continue
+            m = re.match(r"(\w+)\n", seg)
+            if i == 0 and (not m or m.group(1) == "all"):
+                content_parts.append(seg[4:] if seg.startswith("all\n")
+                                     else seg)
+                continue
+            if not m:
+                content_parts.append(seg)
+                continue
+            name, body = m.group(1), seg[m.end():]
+            if name == "all":
+                content_parts.append(body)
+                continue
+            parsed = _parse_json_prefix(body.strip())
+            if parsed is not None:
+                _mk_call(name, parsed[0], calls)
+            elif name in ("python", "ipython"):
+                _mk_call(name, {"code": body}, calls)
+            else:
+                content_parts.append(seg)
+        content = "".join(content_parts).strip()
+    elif fmt == "functionary_v3_1":
+        content = text
+        m = _PYTHON_TAG_RE.match(text.strip())
+        if m:
+            parsed = _parse_json_prefix(m.group(3))
+            val = parsed[0] if parsed else m.group(3)
+            _mk_call(m.group(1).strip(), {m.group(2): val}, calls)
+            content = ""
+        else:
+            for name, blob in _FUNCTIONARY31_RE.findall(text):
+                parsed = _parse_json_prefix(blob.strip())
+                if parsed:
+                    _mk_call(name, parsed[0], calls)
+            if calls:
+                content = _FUNCTIONARY31_RE.sub("", text).strip()
+    elif fmt == "command_r7b":
+        content = text
+        act = _CR7B_ACTION_RE.search(text)
+        if act:
+            try:
+                for obj in json.loads(act.group(1)):
+                    _mk_call(obj.get("tool_name", ""),
+                             obj.get("parameters", {}), calls)
+            except json.JSONDecodeError:
+                pass
+            content = ""
+        else:
+            resp = _CR7B_RESPONSE_RE.search(text)
+            if resp:
+                content = resp.group(1).strip()
+    else:  # generic / mistral_nemo ride the shared extractor
+        content, calls = parse_tool_calls(text)
+    return {"content": content, "tool_calls": calls,
+            "reasoning_content": reasoning}

@@ -86,3 +86,129 @@ def test_parse_tool_calls_bare_json():
 def test_parse_tool_calls_plain_text():
     content, calls = parse_tool_calls("just a normal answer")
     assert calls == [] and content == "just a normal answer"
+
+
+# -- model-specific tool-call formats (reference test-chat.cpp cases) --------
+
+
+def test_detect_tool_format():
+    from llama_cpp_test_tpu.server.chat import detect_tool_format
+
+    assert detect_tool_format("...<｜tool▁calls▁begin｜>...") == "deepseek_r1"
+    assert detect_tool_format("x<|END_THINKING|><|START_ACTION|>y") == \
+        "command_r7b"
+    assert detect_tool_format("a <tool_call> b") == "hermes_2_pro"
+    assert detect_tool_format(">>>all\n") == "functionary_v3_2"
+    assert detect_tool_format(
+        "<|start_header_id|> ... <function=") == "functionary_v3_1"
+    assert detect_tool_format(
+        "<|start_header_id|>ipython<|end_header_id|> <|python_tag|>"
+    ) == "llama_3_x_builtin"
+    assert detect_tool_format(
+        "<|start_header_id|>ipython<|end_header_id|>") == "llama_3_x"
+    assert detect_tool_format("[TOOL_CALLS]") == "mistral_nemo"
+    assert detect_tool_format("{% for m in messages %}") == "generic"
+
+
+def test_parse_llama3_json_call():
+    from llama_cpp_test_tpu.server.chat import parse_assistant_message
+
+    out = parse_assistant_message(
+        '{"name": "get_weather", "parameters": {"city": "Paris"}}',
+        fmt="llama_3_x")
+    assert len(out["tool_calls"]) == 1
+    fc = out["tool_calls"][0]["function"]
+    assert fc["name"] == "get_weather"
+    import json
+    assert json.loads(fc["arguments"]) == {"city": "Paris"}
+    assert out["content"] == ""
+
+
+def test_parse_llama3_builtin_python_tag():
+    from llama_cpp_test_tpu.server.chat import parse_assistant_message
+
+    out = parse_assistant_message(
+        '<|python_tag|>wolfram_alpha.call(query="2+2")',
+        fmt="llama_3_x_builtin")
+    assert len(out["tool_calls"]) == 1
+    fc = out["tool_calls"][0]["function"]
+    assert fc["name"] == "wolfram_alpha"
+    import json
+    assert json.loads(fc["arguments"]) == {"query": "2+2"}
+
+
+def test_parse_deepseek_r1_reasoning_and_call():
+    from llama_cpp_test_tpu.server.chat import parse_assistant_message
+
+    text = ("<think>I should look this up.</think>Sure."
+            "<｜tool▁calls▁begin｜><｜tool▁call▁begin｜>function"
+            "<｜tool▁sep｜>search\n```json\n{\"q\": \"tpu\"}\n```"
+            "<｜tool▁call▁end｜><｜tool▁calls▁end｜>")
+    out = parse_assistant_message(text, fmt="deepseek_r1",
+                                  extract_reasoning=True)
+    assert out["reasoning_content"] == "I should look this up."
+    assert out["content"] == "Sure."
+    assert len(out["tool_calls"]) == 1
+    assert out["tool_calls"][0]["function"]["name"] == "search"
+
+    # without extraction the <think> block stays in content
+    out2 = parse_assistant_message(text, fmt="deepseek_r1",
+                                   extract_reasoning=False)
+    assert out2["reasoning_content"] == ""
+    assert out2["content"].startswith("<think>")
+
+
+def test_parse_functionary_v3_2():
+    from llama_cpp_test_tpu.server.chat import parse_assistant_message
+    import json
+
+    out = parse_assistant_message(
+        'all\nHello there>>>get_time\n{"tz": "UTC"}',
+        fmt="functionary_v3_2")
+    assert out["content"] == "Hello there"
+    assert out["tool_calls"][0]["function"]["name"] == "get_time"
+    assert json.loads(out["tool_calls"][0]["function"]["arguments"]) == \
+        {"tz": "UTC"}
+
+
+def test_parse_functionary_v3_1():
+    from llama_cpp_test_tpu.server.chat import parse_assistant_message
+    import json
+
+    out = parse_assistant_message(
+        '<function=calc>{"expr": "1+1"}</function>', fmt="functionary_v3_1")
+    assert out["tool_calls"][0]["function"]["name"] == "calc"
+    assert json.loads(out["tool_calls"][0]["function"]["arguments"]) == \
+        {"expr": "1+1"}
+
+
+def test_parse_hermes_with_reasoning():
+    from llama_cpp_test_tpu.server.chat import parse_assistant_message
+    import json
+
+    out = parse_assistant_message(
+        '<think>hm</think><tool_call>{"name": "f", "arguments": {"a": 1}}'
+        '</tool_call>', fmt="hermes_2_pro", extract_reasoning=True)
+    assert out["reasoning_content"] == "hm"
+    assert out["tool_calls"][0]["function"]["name"] == "f"
+    assert json.loads(out["tool_calls"][0]["function"]["arguments"]) == \
+        {"a": 1}
+
+
+def test_parse_command_r7b():
+    from llama_cpp_test_tpu.server.chat import parse_assistant_message
+    import json
+
+    text = ('<|START_THINKING|>plan<|END_THINKING|>'
+            '<|START_ACTION|>[{"tool_call_id": "0", "tool_name": "lookup", '
+            '"parameters": {"k": "v"}}]<|END_ACTION|>')
+    out = parse_assistant_message(text, fmt="command_r7b",
+                                  extract_reasoning=True)
+    assert out["reasoning_content"] == "plan"
+    assert out["tool_calls"][0]["function"]["name"] == "lookup"
+    assert json.loads(out["tool_calls"][0]["function"]["arguments"]) == \
+        {"k": "v"}
+
+    resp = parse_assistant_message(
+        "<|START_RESPONSE|>hi there<|END_RESPONSE|>", fmt="command_r7b")
+    assert resp["content"] == "hi there" and not resp["tool_calls"]

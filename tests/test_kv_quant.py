@@ -59,3 +59,35 @@ def test_q8_kv_shift_and_fork(model_path):
     assert s.n_cached == 6  # 8 - 3 + 1 decoded
     out2 = ctx.decode([s], [9])[0]
     assert np.isfinite(out2).all()
+
+
+def test_paged_attention_q8_kernel_matches_gather():
+    """The quantized-KV Pallas flash-decoding path (in-VMEM int8 dequant)
+    vs the dequantizing-gather reference."""
+    import numpy as np
+    import jax.numpy as jnp
+    from llama_cpp_test_tpu.ops import paged_attention as pa
+    from llama_cpp_test_tpu.runtime import kv_cache
+
+    rng = np.random.default_rng(0)
+    b, kv, g, d, nb, bs, nbmax = 3, 2, 4, 64, 16, 16, 4
+    h = kv * g
+    kf = rng.standard_normal((kv, nb, bs, d)).astype(np.float32) * 0.3
+    vf = rng.standard_normal((kv, nb, bs, d)).astype(np.float32) * 0.3
+    kq, ks = kv_cache.quantize_q8(jnp.asarray(kf))
+    vq, vs = kv_cache.quantize_q8(jnp.asarray(vf))
+    q = jnp.asarray(rng.standard_normal((b, h, d)) * 0.3, jnp.bfloat16)
+    pages = jnp.asarray(
+        np.stack([rng.permutation(nb)[:nbmax] for _ in range(b)]), jnp.int32)
+    lengths = jnp.asarray([64, 17, 33], jnp.int32)
+
+    out = pa.paged_attention_decode(q, kq, vq, lengths, pages,
+                                    interpret=True, pages_per_step=2,
+                                    k_scale=ks, v_scale=vs)
+    # reference: dequantize pools densely, run the XLA gather path
+    kd = (kq.astype(jnp.float32) * ks[..., None]).astype(jnp.bfloat16)
+    vd = (vq.astype(jnp.float32) * vs[..., None]).astype(jnp.bfloat16)
+    ref = pa.paged_attention_decode_xla(q, kd, vd, lengths, pages)
+    a, r = np.asarray(out, np.float64), np.asarray(ref, np.float64)
+    nmse = ((a - r) ** 2).mean() / ((r * r).mean() + 1e-12)
+    assert nmse < 2e-4, nmse

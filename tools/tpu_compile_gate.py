@@ -109,6 +109,18 @@ def main():
             functools.partial(paged_attention_decode, pages_per_step=pap),
             sds((b, h, d), bf16), sds((kv, nb, bs, d), bf16),
             sds((kv, nb, bs, d), bf16), sds((b,), i32), sds((b, nbmax), i32))
+    # quantized (q8_0) KV pages: int8 pools + per-slot f32 scales
+    for h, kv, d, bs in g.ATTN_GEOS:
+        b, nb, nbmax = 8, 64, 32
+        fq = (lambda q, k, v, l, p, ks, vs: paged_attention_decode(
+            q, k, v, l, p, pages_per_step=8, k_scale=ks, v_scale=vs))
+        ok &= compile_tpu(
+            f"paged_attn_q8 h{h} kv{kv} d{d} bs{bs}",
+            fq,
+            sds((b, h, d), bf16), sds((kv, nb, bs, d), jnp.int8),
+            sds((kv, nb, bs, d), jnp.int8), sds((b,), i32),
+            sds((b, nbmax), i32),
+            sds((kv, nb, bs), f32), sds((kv, nb, bs), f32))
 
     for h, kv, d, bs in g.ATTN_GEOS:
         for t in (128, 512):
