@@ -59,6 +59,19 @@ register_arch(ArchSpec("qwen3", family="llama", rope_type="neox",
 register_arch(ArchSpec("qwen2moe", family="llama", rope_type="neox",
                        notes="moe, shared-expert, no-topk-norm"))
 
+# qwen3moe: qwen3's per-head QK norms + routed experts WITH top-k
+# renormalization and no shared expert (reference llm_build_qwen3moe;
+# converter test cross-validates logits vs transformers)
+register_arch(ArchSpec("qwen3moe", family="llama", rope_type="neox",
+                       notes="qk-norm, moe"))
+
+# phi3: plain pre-norm SwiGLU with neox rope and uniform sliding window —
+# the converter splits HF's fused qkv_proj/gate_up_proj rows into the
+# standard tensors (reference llm_build_phi3; converter test
+# cross-validates logits vs transformers)
+register_arch(ArchSpec("phi3", family="llama", rope_type="neox",
+                       notes="fused-split, uniform swa"))
+
 # gemma family: GeGLU + sqrt(n_embd) embedding scale; gemma2 adds sandwich
 # norms, attn/final logit softcapping and alternating SWA; gemma3 adds
 # qk-norms and 5:1 local/global SWA with its own local rope base

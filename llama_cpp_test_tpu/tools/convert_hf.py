@@ -28,11 +28,15 @@ ARCH_MAP = {
     "MixtralForCausalLM": "llama",
     "Qwen2ForCausalLM": "qwen2",
     "Qwen3ForCausalLM": "qwen3",
+    "Qwen2MoeForCausalLM": "qwen2moe",
+    "Qwen3MoeForCausalLM": "qwen3moe",
     "TinyLlamaForCausalLM": "llama",
     "PhiForCausalLM": "phi2",
+    "Phi3ForCausalLM": "phi3",
     "FalconForCausalLM": "falcon",
     "GemmaForCausalLM": "gemma",
     "Gemma2ForCausalLM": "gemma2",
+    "Gemma3ForCausalLM": "gemma3",
 }
 
 # HF suffix -> GGUF suffix (per-layer), mirroring gguf-py tensor_mapping
@@ -53,6 +57,32 @@ LAYER_MAP = {
     # qwen3 per-head q/k norms
     "self_attn.q_norm.weight": "attn_q_norm.weight",
     "self_attn.k_norm.weight": "attn_k_norm.weight",
+    # qwen2moe router + shared expert (Qwen2MoeSparseMoeBlock)
+    "mlp.gate.weight": "ffn_gate_inp.weight",
+    "mlp.shared_expert.gate_proj.weight": "ffn_gate_shexp.weight",
+    "mlp.shared_expert.up_proj.weight": "ffn_up_shexp.weight",
+    "mlp.shared_expert.down_proj.weight": "ffn_down_shexp.weight",
+    "mlp.shared_expert_gate.weight": "ffn_gate_inp_shexp.weight",
+}
+
+# gemma2/gemma3 sandwich norms (reference Gemma2Model/Gemma3Model
+# modify_tensors): post_attention_layernorm is the attention POST-norm,
+# pre_feedforward_layernorm is the actual FFN pre-norm
+GEMMA2_LAYER_MAP = dict(LAYER_MAP)
+GEMMA2_LAYER_MAP.update({
+    "post_attention_layernorm.weight": "post_attention_norm.weight",
+    "pre_feedforward_layernorm.weight": "ffn_norm.weight",
+    "post_feedforward_layernorm.weight": "post_ffw_norm.weight",
+})
+
+# phi3: fused qkv_proj / gate_up_proj rows are SPLIT into the standard
+# llama-style tensors at convert time (the forward is plain pre-norm
+# SwiGLU with neox rope — reference llm_build_phi3)
+PHI3_LAYER_MAP = {
+    "self_attn.o_proj.weight": "attn_output.weight",
+    "mlp.down_proj.weight": "ffn_down.weight",
+    "input_layernorm.weight": "attn_norm.weight",
+    "post_attention_layernorm.weight": "ffn_norm.weight",
 }
 
 # phi2 (HF PhiForCausalLM): dense attn out, fc1/fc2 MLP, LayerNorm biases
@@ -141,16 +171,18 @@ def permute_qk(w: np.ndarray, n_head: int) -> np.ndarray:
 
 def map_name(name: str, arch: str = "llama") -> str | None:
     top = {"phi2": PHI2_TOP_MAP, "falcon": FALCON_TOP_MAP}.get(arch, TOP_MAP)
-    lay = {"phi2": PHI2_LAYER_MAP, "falcon": FALCON_LAYER_MAP}.get(
-        arch, LAYER_MAP)
+    lay = {"phi2": PHI2_LAYER_MAP, "falcon": FALCON_LAYER_MAP,
+           "phi3": PHI3_LAYER_MAP, "gemma2": GEMMA2_LAYER_MAP,
+           "gemma3": GEMMA2_LAYER_MAP}.get(arch, LAYER_MAP)
     if name in top:
         return top[name]
     prefix = "transformer.h." if arch == "falcon" else "model.layers."
     if name.startswith(prefix):
         rest = name[len(prefix):]
         idx, _, suffix = rest.partition(".")
-        # Mixtral experts: block_sparse_moe.experts.E.w{1,2,3}.weight
-        if suffix.startswith("block_sparse_moe.experts."):
+        # expert stacks: mixtral block_sparse_moe.experts.E.w{1,2,3},
+        # qwen2moe/qwen3moe mlp.experts.E.{gate,up,down}_proj
+        if suffix.startswith(("block_sparse_moe.experts.", "mlp.experts.")):
             return None  # handled by the expert stacker
         mapped = lay.get(suffix)
         if mapped is None:
@@ -276,9 +308,29 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
         md[f"{arch}.attention.layer_norm_epsilon"] = cfg.get(
             "layer_norm_epsilon", 1e-5)
         del md[f"{arch}.attention.layer_norm_rms_epsilon"]
-    if cfg.get("num_local_experts"):
-        md[f"{arch}.expert_count"] = cfg["num_local_experts"]
+    n_expert_cfg = cfg.get("num_local_experts") or cfg.get("num_experts")
+    if n_expert_cfg:
+        md[f"{arch}.expert_count"] = n_expert_cfg
         md[f"{arch}.expert_used_count"] = cfg.get("num_experts_per_tok", 2)
+        if cfg.get("moe_intermediate_size"):
+            md[f"{arch}.expert_feed_forward_length"] = \
+                cfg["moe_intermediate_size"]
+        if cfg.get("shared_expert_intermediate_size"):
+            md[f"{arch}.expert_shared_feed_forward_length"] = \
+                cfg["shared_expert_intermediate_size"]
+    if arch in ("gemma2", "gemma3") or cfg.get("sliding_window"):
+        if cfg.get("sliding_window"):
+            md[f"{arch}.attention.sliding_window"] = cfg["sliding_window"]
+    if arch == "gemma2":
+        md[f"{arch}.attn_logit_softcapping"] = cfg.get(
+            "attn_logit_softcapping", 50.0)
+        md[f"{arch}.final_logit_softcapping"] = cfg.get(
+            "final_logit_softcapping", 30.0)
+    if arch == "gemma3":
+        md[f"{arch}.attention.sliding_window_pattern"] = cfg.get(
+            "sliding_window_pattern", 6)
+        md[f"{arch}.rope.local_freq_base"] = cfg.get(
+            "rope_local_base_freq", 10000.0)
     rope_scaling = cfg.get("rope_scaling") or {}
     if rope_scaling.get("type") in ("linear", "yarn"):
         md[f"{arch}.rope.scaling.type"] = rope_scaling["type"]
@@ -289,15 +341,26 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
 
     is_norm_rope = arch == "llama"
     experts: dict[tuple[int, str], dict[int, np.ndarray]] = {}
-    n_expert = cfg.get("num_local_experts", 0)
+    n_expert = n_expert_cfg or 0
     seen_output = False
+
+    def emit(gname: str, arr: np.ndarray) -> None:
+        tgt = ggml_dtype if arr.ndim >= 2 else GGMLType.F32
+        if tgt not in (GGMLType.F32, GGMLType.F16, GGMLType.BF16) and \
+                arr.shape[-1] % 32:
+            tgt = GGMLType.F16
+        w.add_tensor(gname, arr, ggml_type=tgt)
+
     for name, arr in iter_hf_tensors(path):
-        # Mixtral expert stacking
-        if ".block_sparse_moe.experts." in name:
+        # expert stacking: mixtral w1/w2/w3, qwen-moe {gate,up,down}_proj
+        if ".block_sparse_moe.experts." in name or ".mlp.experts." in name:
             parts = name.split(".")
             li, ei, wn = int(parts[2]), int(parts[5]), parts[6]
             key = (li, {"w1": "ffn_gate_exps", "w3": "ffn_up_exps",
-                        "w2": "ffn_down_exps"}[wn])
+                        "w2": "ffn_down_exps",
+                        "gate_proj": "ffn_gate_exps",
+                        "up_proj": "ffn_up_exps",
+                        "down_proj": "ffn_down_exps"}[wn])
             experts.setdefault(key, {})[ei] = arr.astype(np.float32)
             if len(experts[key]) == n_expert:
                 stacked = np.stack([experts[key][e] for e in range(n_expert)])
@@ -305,6 +368,25 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
                              ggml_type=ggml_dtype)
                 del experts[key]
             continue
+        # phi3 fused rows split into standard tensors (Phi3Model
+        # modify_tensors does the same split in the reference)
+        if arch == "phi3" and name.startswith("model.layers."):
+            rest = name[len("model.layers."):]
+            idx, _, suffix = rest.partition(".")
+            if suffix == "self_attn.qkv_proj.weight":
+                a = np.asarray(arr, np.float32)
+                nq = n_head * head_dim
+                nkv = n_kv * head_dim
+                emit(f"blk.{idx}.attn_q.weight", a[:nq])
+                emit(f"blk.{idx}.attn_k.weight", a[nq:nq + nkv])
+                emit(f"blk.{idx}.attn_v.weight", a[nq + nkv:nq + 2 * nkv])
+                continue
+            if suffix == "mlp.gate_up_proj.weight":
+                a = np.asarray(arr, np.float32)
+                half = a.shape[0] // 2
+                emit(f"blk.{idx}.ffn_gate.weight", a[:half])
+                emit(f"blk.{idx}.ffn_up.weight", a[half:])
+                continue
         gname = map_name(name, arch)
         if gname is None:
             continue
@@ -318,17 +400,17 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
         if arch == "falcon" and gname.endswith("attn_qkv.weight") and \
                 cfg.get("new_decoder_architecture"):
             arr = deinterleave_falcon_qkv(arr, n_head, n_kv, head_dim)
-        if arch in ("gemma", "gemma2") and (
+        if arch in ("gemma", "gemma2", "gemma3") and (
                 gname.endswith("_norm.weight") or
+                gname.endswith("post_attention_norm.weight") or
+                gname.endswith("post_ffw_norm.weight") or
                 gname == "output_norm.weight"):
             arr = arr + 1.0   # HF gemma stores (w - 1); GGUF stores w
+        if gname.endswith("ffn_gate_inp_shexp.weight"):
+            arr = arr.reshape(-1)  # HF [1, C] -> GGUF [n_embd]
         if gname == "output.weight":
             seen_output = True
-        tgt = ggml_dtype if arr.ndim >= 2 else GGMLType.F32
-        if tgt not in (GGMLType.F32, GGMLType.F16, GGMLType.BF16) and \
-                arr.shape[-1] % 32:
-            tgt = GGMLType.F16
-        w.add_tensor(gname, arr, ggml_type=tgt)
+        emit(gname, arr)
     w.write()
 
 

@@ -369,3 +369,160 @@ def test_convert_falcon7b_multiquery_matches_transformers(tmp_path):
         alibi=False, layer_norm_epsilon=1e-5, rope_theta=10000.0,
         tie_word_embeddings=False, attn_implementation="eager")
     _convert_and_compare(tmp_path, cfg, ws, FalconForCausalLM, tcfg)
+
+
+def test_convert_qwen2moe_matches_transformers(tmp_path):
+    from transformers import Qwen2MoeConfig, Qwen2MoeForCausalLM
+
+    rng = np.random.default_rng(7)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, KV, L, E, FFE, FFS = 256, 64, 4, 2, 2, 4, 48, 80
+    cfg = {
+        "architectures": ["Qwen2MoeForCausalLM"],
+        "hidden_size": C, "intermediate_size": 96,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "num_hidden_layers": L, "max_position_embeddings": 256,
+        "rms_norm_eps": 1e-5, "rope_theta": 10000.0, "vocab_size": V,
+        "num_experts": E, "num_experts_per_tok": 2,
+        "moe_intermediate_size": FFE,
+        "shared_expert_intermediate_size": FFS,
+        "decoder_sparse_step": 1, "norm_topk_prob": False,
+        "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "model.embed_tokens.weight": r(V, C),
+        "model.norm.weight": 1.0 + r(C),
+        "lm_head.weight": r(V, C),
+    }
+    d = C // H
+    for i in range(L):
+        p = f"model.layers.{i}."
+        ws.update({
+            p + "input_layernorm.weight": 1.0 + r(C),
+            p + "self_attn.q_proj.weight": r(H * d, C),
+            p + "self_attn.q_proj.bias": r(H * d),
+            p + "self_attn.k_proj.weight": r(KV * d, C),
+            p + "self_attn.k_proj.bias": r(KV * d),
+            p + "self_attn.v_proj.weight": r(KV * d, C),
+            p + "self_attn.v_proj.bias": r(KV * d),
+            p + "self_attn.o_proj.weight": r(C, H * d),
+            p + "post_attention_layernorm.weight": 1.0 + r(C),
+            p + "mlp.gate.weight": r(E, C),
+            p + "mlp.shared_expert.gate_proj.weight": r(FFS, C),
+            p + "mlp.shared_expert.up_proj.weight": r(FFS, C),
+            p + "mlp.shared_expert.down_proj.weight": r(C, FFS),
+            p + "mlp.shared_expert_gate.weight": r(1, C),
+        })
+        for e in range(E):
+            q = p + f"mlp.experts.{e}."
+            ws.update({
+                q + "gate_proj.weight": r(FFE, C),
+                q + "up_proj.weight": r(FFE, C),
+                q + "down_proj.weight": r(C, FFE),
+            })
+    tcfg = Qwen2MoeConfig(
+        vocab_size=V, hidden_size=C, intermediate_size=96,
+        num_hidden_layers=L, num_attention_heads=H, num_key_value_heads=KV,
+        num_experts=E, num_experts_per_tok=2, moe_intermediate_size=FFE,
+        shared_expert_intermediate_size=FFS, decoder_sparse_step=1,
+        norm_topk_prob=False, rms_norm_eps=1e-5, rope_theta=10000.0,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    m = _convert_and_compare(tmp_path, cfg, ws, Qwen2MoeForCausalLM, tcfg)
+    assert m.hp.arch == "qwen2moe" and m.hp.n_expert == E
+
+
+def test_convert_qwen3moe_matches_transformers(tmp_path):
+    from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+
+    rng = np.random.default_rng(8)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, KV, L, E, FFE = 256, 64, 4, 2, 2, 4, 48
+    d = 16
+    cfg = {
+        "architectures": ["Qwen3MoeForCausalLM"],
+        "hidden_size": C, "intermediate_size": 96, "head_dim": d,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "num_hidden_layers": L, "max_position_embeddings": 256,
+        "rms_norm_eps": 1e-5, "rope_theta": 10000.0, "vocab_size": V,
+        "num_experts": E, "num_experts_per_tok": 2,
+        "moe_intermediate_size": FFE, "decoder_sparse_step": 1,
+        "norm_topk_prob": True,
+        "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "model.embed_tokens.weight": r(V, C),
+        "model.norm.weight": 1.0 + r(C),
+        "lm_head.weight": r(V, C),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        ws.update({
+            p + "input_layernorm.weight": 1.0 + r(C),
+            p + "self_attn.q_proj.weight": r(H * d, C),
+            p + "self_attn.k_proj.weight": r(KV * d, C),
+            p + "self_attn.v_proj.weight": r(KV * d, C),
+            p + "self_attn.o_proj.weight": r(C, H * d),
+            p + "self_attn.q_norm.weight": 1.0 + r(d),
+            p + "self_attn.k_norm.weight": 1.0 + r(d),
+            p + "post_attention_layernorm.weight": 1.0 + r(C),
+            p + "mlp.gate.weight": r(E, C),
+        })
+        for e in range(E):
+            q = p + f"mlp.experts.{e}."
+            ws.update({
+                q + "gate_proj.weight": r(FFE, C),
+                q + "up_proj.weight": r(FFE, C),
+                q + "down_proj.weight": r(C, FFE),
+            })
+    tcfg = Qwen3MoeConfig(
+        vocab_size=V, hidden_size=C, intermediate_size=96, head_dim=d,
+        num_hidden_layers=L, num_attention_heads=H, num_key_value_heads=KV,
+        num_experts=E, num_experts_per_tok=2, moe_intermediate_size=FFE,
+        decoder_sparse_step=1, norm_topk_prob=True, rms_norm_eps=1e-5,
+        rope_theta=10000.0, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    m = _convert_and_compare(tmp_path, cfg, ws, Qwen3MoeForCausalLM, tcfg)
+    assert m.hp.arch == "qwen3moe"
+
+
+def test_convert_phi3_matches_transformers(tmp_path):
+    from transformers import Phi3Config, Phi3ForCausalLM
+
+    rng = np.random.default_rng(9)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, KV, L, FF = 256, 64, 4, 2, 2, 96
+    d = C // H
+    cfg = {
+        "architectures": ["Phi3ForCausalLM"],
+        "hidden_size": C, "intermediate_size": FF,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "num_hidden_layers": L, "max_position_embeddings": 256,
+        "rms_norm_eps": 1e-5, "rope_theta": 10000.0, "vocab_size": V,
+        "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "model.embed_tokens.weight": r(V, C),
+        "model.norm.weight": 1.0 + r(C),
+        "lm_head.weight": r(V, C),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        ws.update({
+            p + "input_layernorm.weight": 1.0 + r(C),
+            p + "self_attn.qkv_proj.weight": r((H + 2 * KV) * d, C),
+            p + "self_attn.o_proj.weight": r(C, H * d),
+            p + "post_attention_layernorm.weight": 1.0 + r(C),
+            p + "mlp.gate_up_proj.weight": r(2 * FF, C),
+            p + "mlp.down_proj.weight": r(C, FF),
+        })
+    tcfg = Phi3Config(
+        pad_token_id=0,
+        vocab_size=V, hidden_size=C, intermediate_size=FF,
+        num_hidden_layers=L, num_attention_heads=H, num_key_value_heads=KV,
+        rms_norm_eps=1e-5, rope_theta=10000.0, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    m = _convert_and_compare(tmp_path, cfg, ws, Phi3ForCausalLM, tcfg)
+    assert m.hp.arch == "phi3"

@@ -36,11 +36,19 @@ B = int(os.environ.get("DB_B", "8"))   # decode batch rows (engine pads to 8)
 GROUP = 32
 TILE_N = int(os.environ.get("DB_TILE_N", "256"))
 
-# TinyLlama-1.1B geometry (bench.py config #1); DB_NL trims layers to cut
-# the remote-compile time when A/B-ing kernel variants (~40s/layer)
-C, FF, NL, V = 2048, 5632, int(os.environ.get("DB_NL", "22")), 32000
+# Model geometry (DB_GEOM): 'tiny' = TinyLlama-1.1B (bench.py config #1),
+# '8b' = Llama-3-8B (BASELINE.json north-star config #2 — attention grid
+# floors and dispatch overheads weigh ~3x less per byte at this size).
+# DB_NL trims layers to cut remote-compile time when A/B-ing (~40s/layer).
+GEOM = os.environ.get("DB_GEOM", "tiny")
+if GEOM == "8b":
+    C, FF, NL, V = 4096, 14336, int(os.environ.get("DB_NL", "32")), 128256
+    QKV = 4096 + 2 * 8 * 128          # 32 q heads + 8 kv heads x 128
+else:
+    C, FF, NL, V = 2048, 5632, int(os.environ.get("DB_NL", "22")), 32000
+    QKV = 2560                        # 32q + 4k + 4v heads x 64
 SHAPES = [
-    (2560, C),        # fused wqkv (32q+4k+4v heads x 64)
+    (QKV, C),         # fused wqkv
     (C, C),           # wo
     (2 * FF, C),      # fused gate|up
     (C, FF),          # down
@@ -119,7 +127,7 @@ def build_attn():
     pap = int(os.environ.get("DB_PAP", "8"))  # pages per grid step
     bs = int(os.environ.get("DB_BS", "16"))   # KV page size (block_size)
     rng = np.random.default_rng(0)
-    kvh, d = 4, 64
+    kvh, d = (8, 128) if GEOM == "8b" else (4, 64)
     npages = 512 // bs                  # 512 cached tokens per sequence
     nb_ = max(64, B * npages + 8)
     kv_len = jnp.asarray([512] * B, jnp.int32)
@@ -133,7 +141,7 @@ def build_attn():
         v = jnp.asarray(rng.standard_normal((kvh, nb_, bs, d)), jnp.bfloat16)
         pools.append((k, v))
         total += 2 * kvh * B * 512 * d * 2  # bytes actually read
-    h = 32
+    h = 32  # q heads (both geometries)
 
     def step(q, ws):
         out = q
