@@ -31,6 +31,19 @@ def build_parser() -> argparse.ArgumentParser:
             False, "", examples=("main",)),
         Arg(("--verbose-prompt",), "verbose_prompt", "store_true", False,
             "", examples=("main",)),
+        Arg(("-r", "--reverse-prompt"), "reverse_prompt", str, None,
+            "stop generation when this string appears (repeatable; "
+            "interactive mode returns control)", action="append",
+            examples=("main",)),
+        Arg(("--prompt-cache",), "prompt_cache", str, None,
+            "session file: restore the prompt's KV from it and update it "
+            "after the run (main.cpp:237-255)", examples=("main",)),
+        Arg(("--prompt-cache-all",), "prompt_cache_all", "store_true",
+            False, "also cache generated tokens in the session file",
+            examples=("main",)),
+        Arg(("--prompt-cache-ro",), "prompt_cache_ro", "store_true",
+            False, "use the session file but never update it",
+            examples=("main",)),
     ]
     return registry_parser("llama-cli (tpu)",
                            examples=("main", "sampling"), extra=extras)
@@ -49,7 +62,11 @@ def main(argv=None) -> int:
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh(dp=1, tp=args.tensor_parallel)
-    model = Model(args.model, mesh=mesh)
+    from ..common.args import parse_kv_overrides
+
+    model = Model(args.model, mesh=mesh,
+                  kv_overrides=parse_kv_overrides(
+                      getattr(args, "override_kv", None)))
     print(f"# model loaded in {time.time()-t0:.1f}s "
           f"(arch={model.hp.arch}, n_layer={model.hp.n_layer}, "
           f"n_vocab={model.hp.n_vocab})", file=sys.stderr)
@@ -80,6 +97,19 @@ def main(argv=None) -> int:
     ctx = Context(model, n_ctx=args.ctx_size, n_seq_max=1,
                   kv_type=args.cache_type_kv)
     sched = Scheduler(ctx, n_slots=1)
+    # session file (--prompt-cache, main.cpp:237-255): pre-warm slot 0's
+    # sequence from the saved KV; the scheduler's prefix-reuse then skips
+    # re-prefilling the shared prefix. Saved back after each run.
+    import os as _os
+
+    if args.prompt_cache and _os.path.exists(args.prompt_cache):
+        from ..runtime.state import load_seq_state
+
+        sess = load_seq_state(ctx, args.prompt_cache)
+        sched.slots[0].seq = sess
+        sched.slots[0].cache_tokens = list(sess.tokens)
+        print(f"# session restored: {len(sess.tokens)} tokens from "
+              f"{args.prompt_cache}", file=sys.stderr)
     # built by the shared helper so every 'sampling'-domain flag the parser
     # accepts (incl. --grammar/--grammar-file) actually reaches the chain
     from ..common.args import sampler_params_from_args
@@ -109,7 +139,8 @@ def main(argv=None) -> int:
                 n_out += 1
 
         req = GenRequest(prompt_tokens=toks, max_tokens=args.n_predict,
-                         sampling=sp, on_token=on_token)
+                         sampling=sp, on_token=on_token,
+                         stop_strings=list(args.reverse_prompt or ()))
         if not args.no_display_prompt:
             sys.stdout.write(text)
         sched.submit(req)
@@ -119,6 +150,20 @@ def main(argv=None) -> int:
         print(f"\n# {len(toks)} prompt + {len(req.output_tokens)} generated "
               f"in {dt:.2f}s | prefill {m['prompt_tok_per_s']} t/s | "
               f"decode {m['gen_tok_per_s']} t/s", file=sys.stderr)
+        if args.prompt_cache and not args.prompt_cache_ro and \
+                sched.slots[0].seq is not None:
+            from ..runtime.state import save_seq_state
+
+            sess = sched.slots[0].seq
+            if not args.prompt_cache_all and \
+                    sess.n_cached > len(toks):
+                # prompt-only caching: drop the generated tail
+                ctx.truncate_seq(sess, len(toks))
+                sched.slots[0].cache_tokens = list(sess.tokens)
+            nb = save_seq_state(ctx, sess, args.prompt_cache)
+            print(f"# session saved: {sess.n_cached} tokens "
+                  f"({nb/1e6:.1f} MB) -> {args.prompt_cache}",
+                  file=sys.stderr)
 
     if args.interactive:
         print("== interactive mode; empty line or /exit quits ==",

@@ -138,6 +138,10 @@ REGISTRY: list[Arg] = [
     Arg(("--draft-p-min",), "draft_p_min", float, 0.75,
         "draft confidence floor", env="LLAMA_ARG_DRAFT_P_MIN",
         examples=("server", "speculative")),
+    Arg(("--override-kv",), "override_kv", str, None,
+        "override model metadata: KEY=TYPE:VALUE (int/float/bool/str; "
+        "repeatable)", action="append", env="LLAMA_ARG_OVERRIDE_KV",
+        examples=("common",)),
     Arg(("--cache-reuse",), "cache_reuse", int, 0,
         "min chunk size to reuse from the prompt cache via KV shifting "
         "(0 = exact-prefix reuse only)", env="LLAMA_ARG_CACHE_REUSE",
@@ -184,6 +188,30 @@ def build_parser(prog: str, examples: Sequence[str] = ("common",),
             kw["required"] = True
         ap.add_argument(*a.flags, **kw)
     return ap
+
+
+def parse_kv_overrides(specs) -> dict:
+    """--override-kv KEY=TYPE:VALUE strings -> {key: typed value}
+    (the llama_model_kv_override analogue, reference llama.h:260-278)."""
+    out = {}
+    for spec in specs or ():
+        key, _, tv = spec.partition("=")
+        typ, _, val = tv.partition(":")
+        if not key or not typ or (typ != "str" and not val):
+            raise ValueError(
+                f"--override-kv {spec!r}: expected KEY=TYPE:VALUE")
+        if typ == "int":
+            out[key] = int(val)
+        elif typ == "float":
+            out[key] = float(val)
+        elif typ == "bool":
+            out[key] = val.lower() in ("1", "true", "yes", "on")
+        elif typ == "str":
+            out[key] = val
+        else:
+            raise ValueError(f"--override-kv {spec!r}: unknown type {typ!r} "
+                             "(int/float/bool/str)")
+    return out
 
 
 def sampler_params_from_args(args) -> "SamplerParams":

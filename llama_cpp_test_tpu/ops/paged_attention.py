@@ -40,8 +40,11 @@ import os
 # Mosaic grid step costs ~0.4us regardless of bytes touched, so the round-3
 # kernel's one-page steps made BATCHED decode grid-step-bound (B x NBmax
 # steps ~= 18ms/token at B=64 over 22 layers). P pages per step cuts the
-# step count AND the online-softmax update count P-fold.
-PAGES_PER_STEP = int(os.environ.get("LLAMA_TPU_PA_PAGES", "8"))
+# step count AND the online-softmax update count P-fold. v5e sweep
+# (KBENCH.md): B=64/512-token caches 20.5 -> 3.1 ms/tok at block_size 32 x
+# P=16; the residual cost is MXU passes over KV tiles at G(=8) query rows,
+# not grid steps.
+PAGES_PER_STEP = int(os.environ.get("LLAMA_TPU_PA_PAGES", "16"))
 
 
 def _pa_kernel(lengths_ref, pages_ref, *refs, bs: int, kv: int,

@@ -327,7 +327,8 @@ class Model:
     steps.
     """
 
-    def __init__(self, path: str, hp: HParams | None = None, mesh=None):
+    def __init__(self, path: str, hp: HParams | None = None, mesh=None,
+                 kv_overrides: dict | None = None):
         self.path = path
         self.mesh = mesh
         tp = int(mesh.shape["tp"]) if mesh is not None else 1
@@ -338,6 +339,13 @@ class Model:
 
         t0 = time.time()
         self.reader = open_gguf(path)
+        if kv_overrides:
+            # metadata overrides before hparams parsing (--override-kv,
+            # the llama_model_kv_override analogue, reference
+            # llama.h:260-278)
+            for k, v in kv_overrides.items():
+                log.info("kv override: %s = %r", k, v)
+                self.reader.metadata[k] = v
         self.hp, w = load_weights(self.reader, hp, tp=tp)
         log.info("model %s: arch=%s n_layer=%d n_vocab=%d (load %.1fs)",
                  path.rsplit("/", 1)[-1], self.hp.arch, self.hp.n_layer,

@@ -53,7 +53,10 @@ def save_seq_state(ctx: Context, s: SeqState, path: str) -> int:
         "n_cached": int(s.n_cached),
         "model": ctx.model.path,
     }
-    np.savez_compressed(path, meta=json.dumps(meta), **arrays)
+    # write through a file object: np.savez appends '.npz' to bare PATHS,
+    # which would break callers passing arbitrary session-file names
+    with open(path, "wb") as f:
+        np.savez_compressed(f, meta=json.dumps(meta), **arrays)
     return os.path.getsize(path)
 
 
@@ -122,7 +125,10 @@ def save_state(ctx: Context, path: str) -> int:
         "seqs": metas,
         "next_id": ctx._next_id,
     }
-    np.savez_compressed(path, meta=json.dumps(meta), **arrays)
+    # write through a file object: np.savez appends '.npz' to bare PATHS,
+    # which would break callers passing arbitrary session-file names
+    with open(path, "wb") as f:
+        np.savez_compressed(f, meta=json.dumps(meta), **arrays)
     return os.path.getsize(path)
 
 

@@ -130,8 +130,8 @@ class LlamaServer:
                  lora: list[tuple[str, float]] | None = None,
                  draft_model_path: str | None = None, n_draft: int = 8,
                  p_draft_min: float = 0.75, cache_reuse: int = 0,
-                 followers=None):
-        self.model = Model(model_path, mesh=mesh)
+                 kv_overrides: dict | None = None, followers=None):
+        self.model = Model(model_path, mesh=mesh, kv_overrides=kv_overrides)
         self.alias = model_alias or model_path.rsplit("/", 1)[-1]
         if followers is not None:
             # multi-host driver: every engine call is broadcast to follower
@@ -722,7 +722,13 @@ def main(argv=None):
                       api_key=args.api_key, lora=loras or None,
                       draft_model_path=args.model_draft,
                       n_draft=args.draft_max, p_draft_min=args.draft_p_min,
-                      cache_reuse=args.cache_reuse, followers=followers)
+                      cache_reuse=args.cache_reuse,
+                      kv_overrides=__import__(
+                          'llama_cpp_test_tpu.common.args',
+                          fromlist=['parse_kv_overrides']
+                      ).parse_kv_overrides(
+                          getattr(args, 'override_kv', None)),
+                      followers=followers)
     if followers is not None and args.coordinator and args.num_procs > 1:
         from ..parallel import driver as drv
 

