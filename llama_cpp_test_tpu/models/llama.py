@@ -82,6 +82,9 @@ class LayerWeights:
     gate_exps: QTensor | None = None           # stacked [E] QTensor planes
     up_exps: QTensor | None = None
     down_exps: QTensor | None = None
+    # fused gate|up expert planes (fuse_expert_qtensors): ONE grouped
+    # kernel pass per routed tile instead of two
+    gateup_exps: QTensor | None = None
     # qwen2moe shared expert: scalar sigmoid gate vector + its own SwiGLU
     # (reference llm_build_qwen2moe, llama-model.cpp:6198-6221)
     gate_inp_shexp: jax.Array | None = None    # [n_embd]
@@ -319,11 +322,20 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
             if lw.wqkv is not None:
                 lw.wq = lw.wk = lw.wv = None  # fused plane replaces them
         if p + "ffn_gate_inp.weight" in t:  # MoE (Mixtral / qwen2moe)
+            from ..quant.repack import fuse_expert_qtensors
+
             lw.gate_inp = _repack_2d(reader, p + "ffn_gate_inp.weight")
             lw.gate_exps = _repack_3d(reader, p + "ffn_gate_exps.weight", tp)
             lw.up_exps = _repack_3d(reader, p + "ffn_up_exps.weight", tp)
             lw.down_exps = _repack_3d(reader, p + "ffn_down_exps.weight",
                                       tp, mode="row")
+            if tp == 1:
+                # (tp>1 planes are shard-blocked along npk; concatenating
+                # them would land gate on one shard and up on the other)
+                lw.gateup_exps = fuse_expert_qtensors([lw.gate_exps,
+                                                       lw.up_exps])
+                if lw.gateup_exps is not None:
+                    lw.gate_exps = lw.up_exps = None  # fused replaces them
             if p + "ffn_gate_inp_shexp.weight" in t:  # qwen2moe shared
                 lw.gate_inp_shexp = _f32(
                     reader, p + "ffn_gate_inp_shexp.weight")
@@ -495,8 +507,12 @@ def _moe_grouped(xf, lw, hp, topi, topv, e_local, off):
     # one gather into scratch-row space; gate -> swiglu -> down all stay
     # there; ONE weighted scatter-add combines back per token
     xs = xf[routing.tok_idx]
-    g = gmm_mod.gmm_apply(xs, lw.gate_exps, routing.tile_expert, tile_m)
-    u = gmm_mod.gmm_apply(xs, lw.up_exps, routing.tile_expert, tile_m)
+    if lw.gateup_exps is not None:
+        g, u = gmm_mod.gmm_apply_split(xs, lw.gateup_exps,
+                                       routing.tile_expert, tile_m)
+    else:
+        g = gmm_mod.gmm_apply(xs, lw.gate_exps, routing.tile_expert, tile_m)
+        u = gmm_mod.gmm_apply(xs, lw.up_exps, routing.tile_expert, tile_m)
     h = layers.swiglu(g, u, hp.act_fn)
     y = gmm_mod.gmm_apply(h, lw.down_exps, routing.tile_expert, tile_m)
     return gmm_mod.combine(y, routing, m)
@@ -511,11 +527,13 @@ def _moe_dense_masked(xf, lw, hp, topi, topv, e_local, off):
     weight = jax.lax.dynamic_slice_in_dim(weight, off, e_local, axis=1)
     out = jnp.zeros((m, hp.n_embd), jnp.float32)
     for ei in range(e_local):
-        gate_e = _expert_slice(lw.gate_exps, ei)
-        up_e = _expert_slice(lw.up_exps, ei)
         down_e = _expert_slice(lw.down_exps, ei)
-        g = linear(xf, gate_e)
-        u = linear(xf, up_e)
+        if lw.gateup_exps is not None:
+            g, u = qmm_split(xf, _expert_slice(lw.gateup_exps, ei),
+                             use_pallas=False)
+        else:
+            g = linear(xf, _expert_slice(lw.gate_exps, ei))
+            u = linear(xf, _expert_slice(lw.up_exps, ei))
         h = layers.swiglu(g, u, hp.act_fn)
         y = linear(h, down_e)
         out = out + y * weight[:, ei:ei + 1]
@@ -530,6 +548,7 @@ def _expert_slice(qt: QTensor, ei: int) -> QTensor:
         None if qt.min_ is None else qt.min_[ei],
         qt.lut,
         qt.ggml_type,
+        parts=qt.parts,
     )
 
 

@@ -279,6 +279,29 @@ def gmm_apply(xs: jax.Array, qt: QTensor, tile_expert: jax.Array,
     return y3.reshape(y3.shape[0], -1)[:, : qt.n_orig]    # h-major cols
 
 
+def gmm_apply_split(xs: jax.Array, qt: QTensor, tile_expert: jax.Array,
+                    tile_m: int, interpret: bool = False) -> list[jax.Array]:
+    """gmm_apply over a fuse_expert_qtensors plane: ONE grouped kernel pass
+    for gate|up, sliced back into per-constituent [Rp, n_orig_i] outputs
+    (the MUL_MAT_ID analogue of qmatmul.qmm_split)."""
+    assert qt.parts is not None, "gmm_apply_split needs a fused QTensor"
+    qs = jnp.asarray(qt.qs)
+    scale = None if qt.scale is None else jnp.asarray(qt.scale)
+    min_ = None if qt.min_ is None else jnp.asarray(qt.min_)
+    lut = None if qt.lut is None else jnp.asarray(qt.lut, jnp.float32)
+    n_lut = 0 if lut is None else int(lut.shape[0])
+    y3 = _gmm_call(xs, tile_expert, qs, scale, min_, lut,
+                   kind=qt.kind, group=qt.group, pack=qt.pack, n_lut=n_lut,
+                   tile_m=tile_m, interpret=interpret)
+    m = y3.shape[0]
+    outs, off = [], 0
+    for npk_i, n_orig_i in qt.parts:
+        yi = y3[:, :, off:off + npk_i].reshape(m, qt.pack * npk_i)
+        outs.append(yi[:, :n_orig_i])
+        off += npk_i
+    return outs
+
+
 def gmm(x: jax.Array, qt: QTensor, routing: Routing, *, tile_m: int,
         interpret: bool = False) -> jax.Array:
     """Grouped matmul: x [M, K] tokens, qt stacked expert planes

@@ -100,8 +100,9 @@ def _pa_kernel(lengths_ref, pages_ref, *refs, bs: int, kv: int,
                 t = jnp.concatenate([r[:, 0] for r in prefs], axis=1) \
                     .astype(jnp.float32)                   # [KV, P*BS, D]
             if srefs is not None:
-                s = srefs[0][:, 0] if p_pages == 1 else \
-                    jnp.concatenate([r[:, 0] for r in srefs], axis=1)
+                # scale blocks are [1, KV, BS] (page-major layout)
+                s = srefs[0][0] if p_pages == 1 else \
+                    jnp.concatenate([r[0] for r in srefs], axis=1)
                 t = t * s[:, :, None]                      # [KV, P*BS, 1]
             return t
 
@@ -177,19 +178,24 @@ def paged_attention_decode(q: jax.Array, k_pages: jax.Array,
 
     def scale_map_at(i):
         def scale_map(bi, ci, lens, pages):
-            return (0, pages[bi, ci * p_pages + i], 0)
+            return (pages[bi, ci * p_pages + i], 0, 0)
         return scale_map
 
-    scale_spec = lambda i: pl.BlockSpec((kv, 1, bs), scale_map_at(i))
+    # scales ride page-major [NB, KV, BS] so the (1, kv, bs) block's last
+    # two dims equal the array dims (Mosaic's tiling rule; a (kv, 1, bs)
+    # block of the pool-shaped [KV, NB, BS] layout is rejected)
+    scale_spec = lambda i: pl.BlockSpec((1, kv, bs), scale_map_at(i))
     in_specs = ([pl.BlockSpec((1, kv, g, d), q_map)]
                 + [page_spec(i) for i in range(p_pages)]
                 + [page_spec(i) for i in range(p_pages)])
     args = [lengths, page_indices, q4,
             *([k_pages] * p_pages), *([v_pages] * p_pages)]
     if quantized:
+        ks_t = k_scale.transpose(1, 0, 2)
+        vs_t = v_scale.transpose(1, 0, 2)
         in_specs += [scale_spec(i) for i in range(p_pages)]
         in_specs += [scale_spec(i) for i in range(p_pages)]
-        args += [*([k_scale] * p_pages), *([v_scale] * p_pages)]
+        args += [*([ks_t] * p_pages), *([vs_t] * p_pages)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=grid,

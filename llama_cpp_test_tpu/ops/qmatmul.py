@@ -261,8 +261,13 @@ def _qmm_t_call(x, qs, scale, min_, lut, *, kind, group, pack, n_lut,
     # wider n tiles amortize per-grid-step cost (v5e: 418 -> 474 -> 518 GB/s
     # at 256/512/1024 on the decode chain) but the in-kernel int32 unpack
     # materializes tile_k x tile_n x 4 bytes — clamp the product so VMEM
-    # holds the intermediate plus double-buffered inputs
-    while tile_n > 256 and tile_k * tile_n > 2 * 1024 * 1024:
+    # holds the intermediate plus double-buffered inputs. Larger row tiles
+    # add tile_m x (tile_k + pack*tile_n) x ~6B of x/out/acc VMEM: at
+    # tile_m=64 a 2M-element weight tile blows the 16M scoped-vmem limit
+    # (measured: 16.46M on the padded lm_head at B=64), so the budget
+    # shrinks with tile_m
+    budget = 2 * 1024 * 1024 if tile_m <= 8 else 1024 * 1024
+    while tile_n > 256 and tile_k * tile_n > budget:
         tile_n //= 2
     while npk % tile_n:
         tile_n //= 2

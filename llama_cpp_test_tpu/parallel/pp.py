@@ -179,6 +179,7 @@ def stacked_layer_pspecs(st: LayerWeights) -> LayerWeights:
         gate_inp=_mp_qt_spec(st.gate_inp, "rep"),
         gate_exps=_mp_qt_spec(st.gate_exps, "col"),
         up_exps=_mp_qt_spec(st.up_exps, "col"),
+        gateup_exps=_mp_qt_spec(st.gateup_exps, "col"),
         down_exps=_mp_qt_spec(st.down_exps, "row"),
         gate_inp_shexp=(None if st.gate_inp_shexp is None else P("pp")),
         gate_shexp=_mp_qt_spec(st.gate_shexp, "rep"),

@@ -183,8 +183,16 @@ def build_gmm():
         down, b3 = mk_exp(C_, FF_)
         router = jnp.asarray(rng.standard_normal((C_, E)) * 0.1, jnp.bfloat16)
         layers.append((router, gate, up, down))
-        # decode streams only the routed experts' planes
-        total += int((b1 + b2 + b3) * KU / E) + router.size * 2
+        # decode streams the UNION of routed experts' planes: ~min(E, B*KU)
+        # distinct experts for random routing (B=1 -> top_k, B>=E/KU -> all)
+        total += int((b1 + b2 + b3) * min(E, B * KU) / E) + router.size * 2
+
+    fused = os.environ.get("DB_GMM_FUSED", "1") == "1"
+    if fused:
+        from llama_cpp_test_tpu.quant.repack import fuse_expert_qtensors
+
+        layers = [(r, fuse_expert_qtensors([g, u]), None, d)
+                  for r, g, u, d in layers]
 
     def step(x, ws):
         for router, gate, up, down in ws:
@@ -196,8 +204,12 @@ def build_gmm():
                 topi.astype(jnp.int32), topv, n_expert_local=E,
                 expert_offset=0, tile_m=tile_m)
             xs = x[routing.tok_idx]
-            g = gmm_mod.gmm_apply(xs, gate, routing.tile_expert, tile_m)
-            u = gmm_mod.gmm_apply(xs, up, routing.tile_expert, tile_m)
+            if up is None:  # fused gate|up plane (engine fast path)
+                g, u = gmm_mod.gmm_apply_split(xs, gate,
+                                               routing.tile_expert, tile_m)
+            else:
+                g = gmm_mod.gmm_apply(xs, gate, routing.tile_expert, tile_m)
+                u = gmm_mod.gmm_apply(xs, up, routing.tile_expert, tile_m)
             h = (jax.nn.silu(g[:, :FF_]) * u[:, :FF_]).astype(jnp.bfloat16)
             d = gmm_mod.gmm_apply(h, down, routing.tile_expert, tile_m)
             y = gmm_mod.combine(d[:, :C_], routing, x.shape[0])
