@@ -64,7 +64,7 @@ TOKEN_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048)
 def _forward(w: LlamaWeights, pools: KVPools, tokens, positions, block_table,
              slots, kv_len, *, hp: HParams, decode: bool,
              tp_axis: str | None = None, tp: int = 1, rope_delta=None,
-             x_embd=None):
+             x_embd=None, causal: bool = True):
     """Shared forward: embeds, runs all layers (writing KV), final norm is NOT
     applied (lm_head does it). Returns (hidden [B, T, C], pools).
 
@@ -112,8 +112,13 @@ def _forward(w: LlamaWeights, pools: KVPools, tokens, positions, block_table,
                 return kv_cache.attend_decode(
                     q, new_k[_li], new_v[_li], block_table, kv_len, scale,
                     hparams_mod.layer_window(hp, _li), cap)
+            # non-causal (bidirectional) attention for embedding-mode
+            # models (gritlm's llama_set_causal_attn(false)): every token
+            # attends to the whole chunk — rope still uses true positions
+            mask_pos = positions if causal else jnp.broadcast_to(
+                (kv_len - 1)[:, None], positions.shape)
             return kv_cache.attend_prefill(
-                q, new_k[_li], new_v[_li], block_table, positions, kv_len,
+                q, new_k[_li], new_v[_li], block_table, mask_pos, kv_len,
                 scale, hparams_mod.layer_window(hp, _li), cap)
 
         x = llama_mod.forward_layer(
@@ -162,18 +167,19 @@ def _prefill_all_logits_step(w: LlamaWeights, pools: KVPools, tokens,
     return logits, pools
 
 
-@functools.partial(jax.jit, static_argnames=("hp", "pooling"),
+@functools.partial(jax.jit, static_argnames=("hp", "pooling", "causal"),
                    donate_argnums=(1,))
 def _embed_step(w: LlamaWeights, pools: KVPools, tokens, positions,
                 block_table, slots, kv_len, n_valid, *, hp: HParams,
-                pooling: str):
+                pooling: str, causal: bool = True):
     """Prefill returning pooled, L2-normalized embeddings [B, C]
     (the llama_get_embeddings + pooling-type path, reference llama.h pooling;
-    examples/embedding)."""
+    examples/embedding). causal=False runs bidirectional attention
+    (gritlm's embedding mode)."""
     from ..ops import layers as _layers
 
     x, pools = _forward(w, pools, tokens, positions, block_table, slots,
-                        kv_len, hp=hp, decode=False)
+                        kv_len, hp=hp, decode=False, causal=causal)
     x = _layers.rms_norm(x, w.output_norm, hp.rms_eps).astype(jnp.float32)
     tpos = jnp.arange(x.shape[1])[None, :]
     valid = tpos < n_valid[:, None]
@@ -821,11 +827,15 @@ class Context:
             slot_arr, kv_len, last_ix, hp=hp)
         return np.asarray(logits[0])
 
-    def embed(self, tokens: list[int], pooling: str = "mean") -> np.ndarray:
+    def embed(self, tokens: list[int], pooling: str = "mean",
+              causal: bool = True) -> np.ndarray:
         """Pooled L2-normalized embedding of a token sequence [n_embd].
         Runs single-device, on the ('dp','tp') mesh, or on the pipeline
-        mesh (parallel/pp.py 'embed' pipeline pass)."""
+        mesh (parallel/pp.py 'embed' pipeline pass). causal=False uses
+        bidirectional attention (gritlm embedding mode; single-device)."""
         hp = self.model.hp
+        if not causal and self.mesh is not None:
+            raise NotImplementedError("non-causal embed: single-device only")
         s = self.new_seq()
         try:
             n = len(tokens)
@@ -865,7 +875,7 @@ class Context:
                 return np.asarray(emb[row])
             emb, self.pools = _embed_step(
                 self.model.weights, self.pools, tok, pos, bt, slot_arr,
-                kv_len, n_valid, hp=hp, pooling=pooling)
+                kv_len, n_valid, hp=hp, pooling=pooling, causal=causal)
             return np.asarray(emb[0])
         finally:
             self.free_seq(s)

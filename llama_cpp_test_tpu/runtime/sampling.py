@@ -374,6 +374,77 @@ class MirostatV1(Sampler):
         MirostatV2._keep_only(st, idx)
 
 
+class Infill(Sampler):
+    """Fill-in-middle sampler (llama_sampler_init_infill, reference
+    src/llama-sampling.cpp:2290-2464): softmax the candidates, then
+      1. if EOG probability mass is large (3 * p_eog * n > p_txt), keep
+         only EOG tokens;
+      2. otherwise merge tokens whose text is a prefix of another
+         candidate's text into the higher-probability one, drop non-EOG
+         candidates below an absolute 0.2 threshold, re-normalize, and
+         apply a second 1/(n_non_eog+1) threshold;
+      3. if nothing survives, emit EOT.
+    Stabilizes infill endings: partial-token continuations can't outvote
+    their completed forms."""
+
+    def __init__(self, tokenizer):
+        self.tok = tokenizer
+        self.vocab = tokenizer.vocab
+
+    def apply(self, st: SampleState) -> None:
+        probs = st.softmax()
+        is_eog = np.asarray([self.vocab.is_eog(int(t)) for t in st.ids])
+        p_eog = float(probs[is_eog].sum())
+        p_txt = float(probs[~is_eog].sum())
+        if 3.0 * p_eog * len(st.ids) > p_txt:
+            keep = np.flatnonzero(is_eog)
+            if len(keep) == 0:
+                keep = np.asarray([0])
+            st.logits = st.logits[keep]
+            st.ids = st.ids[keep]
+            st.probs = None
+            return
+        # merge common-prefix candidates into the higher-probability one
+        pieces = [self.tok.token_to_piece(int(t)) or "" for t in st.ids]
+        p = probs.copy()
+        alive = np.ones(len(st.ids), bool)
+        n = len(st.ids)
+        for i0 in range(n):
+            if not alive[i0] or not pieces[i0]:
+                continue
+            for i1 in range(n):
+                if i0 == i1 or not alive[i1] or not alive[i0]:
+                    continue
+                if len(pieces[i0]) <= len(pieces[i1]) and \
+                        pieces[i1].startswith(pieces[i0]):
+                    dst, src = (i1, i0) if p[i1] > p[i0] else (i0, i1)
+                    p[dst] += p[src]
+                    p[src] = 0.0
+                    alive[src] = False
+        # threshold pass 1: drop non-EOG below 0.2
+        keep = alive & (is_eog | (p >= 0.2))
+        n_non_eog = int((keep & ~is_eog).sum())
+        if n_non_eog == 0:
+            # reduce to EOT (the vocab's end-of-sequence)
+            st.ids = np.asarray([self.vocab.eos_id], np.int32)
+            st.logits = np.asarray([1.0], np.float32)
+            st.sorted_ = False
+            st.probs = None
+            return
+        p = np.where(keep, p, 0.0)
+        p = p / max(p.sum(), 1e-12)
+        # threshold pass 2: relative to surviving non-EOG count
+        thold = 1.0 / (n_non_eog + 1)
+        keep = keep & (is_eog | (p >= thold))
+        idx = np.flatnonzero(keep)
+        if len(idx) == 0:
+            idx = np.asarray([0])
+        st.logits = np.log(np.maximum(p[idx], 1e-30)).astype(np.float32)
+        st.ids = st.ids[idx]
+        st.sorted_ = False
+        st.probs = None
+
+
 class Dist(Sampler):
     """Terminal sampler: draws from the remaining distribution."""
 

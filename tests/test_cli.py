@@ -349,3 +349,54 @@ def test_parse_kv_overrides():
         parse_kv_overrides(["bad"])
     with _pytest.raises(ValueError):
         parse_kv_overrides(["x=weird:1"])
+
+
+def test_infill_cli(model_path):
+    """llama-infill: FIM tokens injected via --override-kv on the tiny
+    model; PSM prompt + dedicated infill sampler generate a completion."""
+    from llama_cpp_test_tpu.cli.infill import main as imain
+
+    old_out = sys.stdout
+    sys.stdout = io.StringIO()
+    try:
+        rc = imain(["-m", model_path, "--in-prefix", "ab",
+                    "--in-suffix", "cd", "-n", "4", "--temp", "0",
+                    "--override-kv", "tokenizer.ggml.fim_pre_token_id=int:5",
+                    "--override-kv", "tokenizer.ggml.fim_suf_token_id=int:6",
+                    "--override-kv", "tokenizer.ggml.fim_mid_token_id=int:7"])
+    finally:
+        sys.stdout = old_out
+    assert rc == 0
+
+
+def test_infill_cli_no_fim_tokens(model_path):
+    from llama_cpp_test_tpu.cli.infill import main as imain
+
+    rc = imain(["-m", model_path, "--in-prefix", "x", "--in-suffix", "y"])
+    assert rc == 1  # clean error, not a crash
+
+
+def test_gritlm_cli(model_path, capsys):
+    """gritlm: non-causal embeddings + cosine scores + generation in one
+    run (reference examples/gritlm)."""
+    from llama_cpp_test_tpu.cli.gritlm import main as gmain
+
+    rc = gmain(["-m", model_path, "--doc", "alpha beta", "--doc", "gamma",
+                "--query", "alpha", "-p", "hello", "-n", "3", "--temp", "0"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.count("cosine(") == 2
+
+
+def test_embed_noncausal_differs_from_causal(model_path):
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    m = Model(model_path)
+    ctx = Context(m, n_ctx=64, n_seq_max=2, block_size=8)
+    toks = [3, 17, 42, 9, 5]
+    e_causal = ctx.embed(toks, pooling="mean", causal=True)
+    e_bi = ctx.embed(toks, pooling="mean", causal=False)
+    # both unit-norm, but bidirectional attention changes the pooled vector
+    assert abs(np.linalg.norm(e_causal) - 1) < 1e-4
+    assert abs(np.linalg.norm(e_bi) - 1) < 1e-4
+    assert float(np.dot(e_causal, e_bi)) < 0.9999

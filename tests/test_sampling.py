@@ -153,3 +153,40 @@ def test_chain_penalty_integration():
     chain.accept(t1)
     t2 = chain.sample(logits)
     assert t2 == 1  # 0 penalized: 2.0/1.5 < 1.9
+
+
+def test_infill_sampler_eog_mass_and_prefix_merge():
+    """runtime.sampling.Infill mirrors llama_sampler_init_infill: EOG-mass
+    shortcut, common-prefix merging, thresholds."""
+    import numpy as np
+    from llama_cpp_test_tpu.runtime.sampling import Infill, SampleState
+
+    class FakeVocab:
+        eos_id = 0
+
+        def is_eog(self, t):
+            return t == 0
+
+    class FakeTok:
+        vocab = FakeVocab()
+        pieces = {0: "", 1: "he", 2: "hello", 3: "xyz"}
+
+        def token_to_piece(self, t, special=False):
+            return self.pieces.get(t, "")
+
+    smp = Infill(FakeTok())
+
+    # EOG dominates -> only EOG kept
+    st = SampleState(logits=np.asarray([5.0, 0.0, 0.0, 0.0], np.float32),
+                     ids=np.asarray([0, 1, 2, 3], np.int32))
+    smp.apply(st)
+    assert list(st.ids) == [0]
+
+    # 'he' is a prefix of 'hello': mass merges into the stronger one and
+    # the weaker candidate disappears
+    st = SampleState(
+        logits=np.asarray([-9.0, 2.0, 2.5, 2.4], np.float32),
+        ids=np.asarray([0, 1, 2, 3], np.int32))
+    smp.apply(st)
+    assert 1 not in list(st.ids)
+    assert 2 in list(st.ids)
