@@ -329,9 +329,13 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
             lw.up_exps = _repack_3d(reader, p + "ffn_up_exps.weight", tp)
             lw.down_exps = _repack_3d(reader, p + "ffn_down_exps.weight",
                                       tp, mode="row")
-            if tp == 1:
-                # (tp>1 planes are shard-blocked along npk; concatenating
-                # them would land gate on one shard and up on the other)
+            # NOTE: fusing gate|up expert planes (fuse_expert_qtensors +
+            # gmm_apply_split) is bit-identical but measured 128x SLOWER on
+            # v5e (dbench gmm: 87.9 vs 0.69 ms/tok — a Mosaic pathology on
+            # the fused 3D blocks); the engine keeps separate planes and
+            # the fused path stays available for re-testing on newer
+            # toolchains via LLAMA_TPU_MOE_FUSE=1.
+            if tp == 1 and os.environ.get("LLAMA_TPU_MOE_FUSE") == "1":
                 lw.gateup_exps = fuse_expert_qtensors([lw.gate_exps,
                                                        lw.up_exps])
                 if lw.gateup_exps is not None:

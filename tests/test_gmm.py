@@ -164,3 +164,37 @@ def test_gmm_prefill_tile_matches_dense():
     ref = dense_reference(x, qt, np.asarray(topi_), np.asarray(topv_))
     nmse = np.mean((y - ref) ** 2) / (np.mean(ref ** 2) + 1e-12)
     assert nmse < 2e-4, nmse
+
+
+def test_gmm_apply_split_matches_separate():
+    """fuse_expert_qtensors + gmm_apply_split is bit-identical to two
+    separate gmm_apply passes (the LLAMA_TPU_MOE_FUSE opt-in path; kept
+    unfused by default — 128x slower on the current v5e Mosaic build,
+    KBENCH.md)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import ml_dtypes
+    from llama_cpp_test_tpu.ops import gmm as g
+    from llama_cpp_test_tpu.quant.repack import (QTensor,
+                                                 fuse_expert_qtensors)
+
+    rng = np.random.default_rng(0)
+    E, K, N, GROUP = 4, 256, 256, 32
+
+    def mk():
+        npk = N // 2
+        qs = rng.integers(0, 256, (E, K, npk), dtype=np.uint8)
+        sc = (rng.standard_normal((E, 2, K // GROUP, npk)) * 0.01) \
+            .astype(ml_dtypes.bfloat16)
+        return QTensor("u4", (N, K), N, GROUP, qs, sc, None, None)
+
+    a, b = mk(), mk()
+    fused = fuse_expert_qtensors([a, b])
+    assert fused is not None and fused.parts is not None
+    xs = jnp.asarray(rng.standard_normal((16, K)), jnp.float32)
+    te = jnp.asarray([0, 1], jnp.int32)
+    ga = g.gmm_apply(xs, a, te, 8, interpret=True)
+    gb = g.gmm_apply(xs, b, te, 8, interpret=True)
+    fa, fb = g.gmm_apply_split(xs, fused, te, 8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ga), np.asarray(fa))
+    np.testing.assert_array_equal(np.asarray(gb), np.asarray(fb))

@@ -187,7 +187,7 @@ def build_gmm():
         # distinct experts for random routing (B=1 -> top_k, B>=E/KU -> all)
         total += int((b1 + b2 + b3) * min(E, B * KU) / E) + router.size * 2
 
-    fused = os.environ.get("DB_GMM_FUSED", "1") == "1"
+    fused = os.environ.get("DB_GMM_FUSED", "0") == "1"
     if fused:
         from llama_cpp_test_tpu.quant.repack import fuse_expert_qtensors
 
