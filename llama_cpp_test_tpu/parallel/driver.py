@@ -50,6 +50,7 @@ REPLICATED = (
     "new_seq", "free_seq", "fork_seq", "prefill", "decode", "decode_window",
     "draft_window", "prefill_batch", "truncate_seq", "shift_context",
     "self_extend", "embed", "decode_greedy_loop", "prefill_nll",
+    "compact_reuse",
 )
 
 
@@ -168,6 +169,12 @@ class DriverContext(Context):
     accept/connect handshake has to happen AFTER all ranks build their
     contexts (accept-before-init deadlocks: the follower can't connect
     until its own init finishes, which needs the driver's participation)."""
+
+    # the scheduler's chained decode_window_async carries DEVICE arrays
+    # between windows — not expressible on the wire, so multi-host serving
+    # uses the synchronous replicated decode_window instead (the scheduler
+    # checks this flag and skips speculative window chaining)
+    supports_window_chaining = False
 
     def __init__(self, *args, followers: list[socket.socket], **kwargs):
         self._followers = followers

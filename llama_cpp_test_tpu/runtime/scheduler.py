@@ -478,6 +478,16 @@ class Scheduler:
         # Base seed fixed at 0: per-row noise is keyed on (row seed, pos) so
         # fixed-seed requests reproduce across scheduler states.
         seqs = [s.seq for s in gen]
+        if not getattr(self.ctx, "supports_window_chaining", True):
+            # multi-host DriverContext: chained carries are device arrays
+            # and can't replicate — run the synchronous replicated window
+            toks = self.ctx.decode_window(
+                seqs, [s.next_token for s in gen],
+                [s.req.sampling for s in gen], w, seed=0,
+                histories=[s.req.output_tokens[:-1] for s in gen])
+            self._apply_window(gen, toks, w)
+            self.t_gen += time.time() - t0
+            return
         handle = self.ctx.decode_window_async(
             seqs, [s.next_token for s in gen],
             [s.req.sampling for s in gen], w, seed=0,
