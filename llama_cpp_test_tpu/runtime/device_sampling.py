@@ -141,7 +141,16 @@ def sample_tokens(logits: jax.Array, p: DeviceSamplerParams,
     logits = apply_penalties(logits, hist, hist_valid, p)
 
     k_max = min(K_MAX, v)
-    vals, ids = jax.lax.top_k(logits, k_max)       # sorted desc [B, k_max]
+    if jax.default_backend() == "tpu" and v > 4 * k_max:
+        # lax.top_k lowers to a full per-row SORT on TPU — ~10ms for
+        # [64, 32k] logits, which dominated the batched window step.
+        # approx_max_k is the TPU-native PartialReduce (~recall 0.95+ at
+        # rank 256; candidates beyond rank ~40 carry negligible mass).
+        # Greedy rows stay EXACT via a direct argmax below.
+        vals, ids = jax.lax.approx_max_k(logits, k_max)
+    else:
+        vals, ids = jax.lax.top_k(logits, k_max)   # sorted desc [B, k_max]
+    greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     # top-k: threshold at the per-row kth value
     k = jnp.clip(jnp.where(p.top_k <= 0, k_max, p.top_k), 1, k_max)
@@ -173,9 +182,12 @@ def sample_tokens(logits: jax.Array, p: DeviceSamplerParams,
     g = jax.vmap(
         lambda kk: jax.random.gumbel(kk, (k_max,), jnp.float32))(row_keys)
     scores = vals / temp + g
-    choice = jnp.where(p.temp > 0, jnp.argmax(scores, axis=-1), 0)
-    return jnp.take_along_axis(ids, choice[:, None], axis=1)[:, 0] \
+    choice = jnp.argmax(scores, axis=-1)
+    picked = jnp.take_along_axis(ids, choice[:, None], axis=1)[:, 0] \
         .astype(jnp.int32)
+    # temp <= 0: exact greedy over the FULL vocab (immune to approx_max_k
+    # recall and matching the host chain / decode() argmax bit-for-bit)
+    return jnp.where(p.temp > 0, picked, greedy_tok)
 
 
 def push_history(hist: jax.Array, tok: jax.Array) -> jax.Array:

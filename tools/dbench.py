@@ -221,6 +221,32 @@ def build_gmm():
     return step, x0, layers, total
 
 
+def build_samp():
+    """Device-sampling chain: the windowed decode step's sampling cost at
+    DB_B rows x 32000 vocab (penalties + candidate top-k + gumbel pick).
+    lax.top_k on TPU lowers to a full sort and dominated the B=64 window
+    step; this row tracks the approx_max_k replacement."""
+    from llama_cpp_test_tpu.runtime import device_sampling as ds
+    from llama_cpp_test_tpu.runtime.sampling import SamplerParams
+
+    rng = np.random.default_rng(0)
+    Vv = 32000
+    params = ds.DeviceSamplerParams.from_rows(
+        [SamplerParams(temp=0.7, top_k=40, seed=i) for i in range(B)], B)
+    hist = jnp.asarray(ds.make_history([[1, 2, 3]] * B, B))
+    key = jax.random.PRNGKey(0)
+    base = jnp.asarray(rng.standard_normal((B, Vv)), jnp.float32)
+
+    def step(x, ws):
+        params, hist, key = ws
+        toks = ds.sample_tokens(x, params, hist, key,
+                                jnp.zeros((B,), jnp.int32))
+        # feed the tokens back so the chain is serialized
+        return x + (toks[:, None] * 1e-9).astype(x.dtype)
+
+    return step, base, (params, hist, key), B * Vv * 4
+
+
 _RTT = None
 
 
@@ -278,6 +304,7 @@ def main():
             x, qt.qs, preferred_element_type=jnp.float32)[:, :qt.n_orig]),
         "attn": build_attn,
         "gmm": build_gmm,
+        "samp": build_samp,
     }
     for name in which:
         step, x0, ws, nbytes = builders[name]()
