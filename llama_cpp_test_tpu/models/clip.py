@@ -77,6 +77,12 @@ class ClipModel:
     mm0_b: Any = None
     mm2_w: Any = None
     mm2_b: Any = None
+    # gemma3 projector: avg-pool the patch grid, RMSNorm, one projection
+    # (reference clip.cpp PROJECTOR_TYPE_GEMMA3: mm_input_projection +
+    # mm_soft_emb_norm; pool factor from projector.scale_factor)
+    mm_input_proj: Any = None
+    mm_soft_emb_norm: Any = None
+    proj_scale: int = 4
 
     @property
     def n_patches(self) -> int:
@@ -147,6 +153,9 @@ def load_clip(path: str) -> ClipModel:
     m.mm0_b = t("mm.0.bias", required=False)
     m.mm2_w = t("mm.2.weight", required=False)
     m.mm2_b = t("mm.2.bias", required=False)
+    m.mm_input_proj = t("mm.input_projection.weight", required=False)
+    m.mm_soft_emb_norm = t("mm.soft_emb_norm.weight", required=False)
+    m.proj_scale = int(key("projector.scale_factor", 4))
     return m
 
 
@@ -217,6 +226,20 @@ def _encode_jit(pixels, weights, *, meta):
     x = clip_forward(m, pixels)
     if m.class_embd is not None:
         x = x[:, 1:]                        # drop CLS for the projector
+    if m.proj_type == "gemma3" and m.mm_input_proj is not None:
+        # gemma3: avg-pool the patch grid by proj_scale (896px/14 = 64-side
+        # grid -> 16x16 = 256 soft tokens), RMSNorm, project to the text
+        # width (reference clip.cpp build_gemma3 / SigLIP multimodal head)
+        b2, n, hdim = x.shape
+        side = int(round(n ** 0.5))
+        kp = m.proj_scale
+        g = x.reshape(b2, side // kp, kp, side // kp, kp, hdim)
+        pooled = g.mean(axis=(2, 4)).reshape(b2, -1, hdim)
+        w_n = jnp.asarray(m.mm_soft_emb_norm)
+        rms = jax.lax.rsqrt(jnp.mean(pooled * pooled, axis=-1,
+                                     keepdims=True) + m.eps)
+        pooled = pooled * rms * w_n
+        return _linear(pooled, jnp.asarray(m.mm_input_proj), None)
     if m.mm0_w is not None:                 # llava MLP projector
         x = _linear(x, m.mm0_w, m.mm0_b)
         x = _gelu(x)
@@ -233,7 +256,8 @@ class _Meta:
         self._key = (m.image_size, m.patch_size, m.hidden, m.n_head,
                      m.n_layer, m.n_ff, m.eps, m.use_gelu, m.proj_type,
                      m.class_embd is not None, m.pre_ln_w is not None,
-                     m.mm0_w is not None)
+                     m.mm0_w is not None, m.mm_input_proj is not None,
+                     m.proj_scale)
 
     def __hash__(self):
         return hash(self._key)
@@ -245,7 +269,8 @@ class _Meta:
         m = dataclasses.replace(self.m)
         (m.patch_w, m.patch_b, m.class_embd, m.pos_embd, m.pre_ln_w,
          m.pre_ln_b, m.post_ln_w, m.post_ln_b, m.mm0_w, m.mm0_b, m.mm2_w,
-         m.mm2_b, layer_leaves) = weights
+         m.mm2_b, m.mm_input_proj, m.mm_soft_emb_norm,
+         layer_leaves) = weights
         m.layers = [ClipLayer(*lv) for lv in layer_leaves]
         return m
 
@@ -258,7 +283,7 @@ def encode_image(m: ClipModel, pixels: np.ndarray) -> np.ndarray:
     weights = (
         m.patch_w, m.patch_b, m.class_embd, m.pos_embd, m.pre_ln_w,
         m.pre_ln_b, m.post_ln_w, m.post_ln_b, m.mm0_w, m.mm0_b, m.mm2_w,
-        m.mm2_b,
+        m.mm2_b, m.mm_input_proj, m.mm_soft_emb_norm,
         [tuple(getattr(lw, f.name) for f in dataclasses.fields(lw))
          for lw in m.layers],
     )

@@ -89,6 +89,12 @@ def ineligible_reasons(p) -> list[str]:
         reasons.append("dynatemp")
     if p.penalty_last_n > HIST_LEN:
         reasons.append(f"penalty_last_n>{HIST_LEN}")
+    if p.penalty_repeat < 1.0 or p.penalty_freq < 0.0 or \
+            p.penalty_present < 0.0:
+        # the candidate-union fast path is exact only for penalties that
+        # LOWER logits (the standard direction); boosting penalties need
+        # the full-vocab host chain
+        reasons.append("negative/boosting penalties")
     if not (0 < p.top_k <= K_MAX):
         reasons.append(f"top_k not in (0, {K_MAX}]")
     return reasons
@@ -101,11 +107,13 @@ def eligible(p) -> bool:
 
 def apply_penalties(logits: jax.Array, hist: jax.Array, hist_valid: jax.Array,
                     p: DeviceSamplerParams) -> jax.Array:
-    """Repeat/frequency/presence penalties over the history ring.
+    """Repeat/frequency/presence penalties over the history ring, FULL
+    vocab (reference llama_sampler_penalties semantics; kept for tests and
+    small-vocab callers — the windowed fast path penalizes the candidate
+    union instead, see sample_tokens).
 
     logits [B, V] f32; hist [B, HIST_LEN] i32 (-1 = empty slot);
     hist_valid [B, HIST_LEN] bool (within the row's penalty_last_n).
-    Mirrors llama_sampler_penalties (reference src/llama-sampling.cpp).
     """
     b, v = logits.shape
     on = (p.penalty_last_n > 0) & (
@@ -118,6 +126,27 @@ def apply_penalties(logits: jax.Array, hist: jax.Array, hist_valid: jax.Array,
     rep = jnp.where(on, p.penalty_repeat, 1.0)[:, None]
     penalized = jnp.where(logits > 0, logits / rep, logits * rep)
     out = jnp.where(present, penalized, logits)
+    out = out - counts * jnp.where(on, p.penalty_freq, 0.0)[:, None]
+    out = out - present * jnp.where(on, p.penalty_present, 0.0)[:, None]
+    return out
+
+
+def _penalize_candidates(vals, cand_ids, hist, hist_valid, p):
+    """Penalties on a candidate set: counts come from comparing candidate
+    ids against the history ring (no [B, V] scatter — TPU scatter-add
+    serialized at ~0.5us/element and dominated the windowed step).
+    vals/cand_ids [B, N]; hist [B, HIST_LEN]. Returns penalized vals."""
+    on = (p.penalty_last_n > 0) & (
+        (p.penalty_repeat != 1.0) | (p.penalty_freq != 0.0) |
+        (p.penalty_present != 0.0))
+    h = jnp.where(hist_valid & (hist >= 0), hist, -1)
+    counts = jnp.sum(
+        (cand_ids[:, :, None] == h[:, None, :]) & (h[:, None, :] >= 0),
+        axis=2).astype(jnp.float32)                        # [B, N]
+    present = counts > 0
+    rep = jnp.where(on, p.penalty_repeat, 1.0)[:, None]
+    penalized = jnp.where(vals > 0, vals / rep, vals * rep)
+    out = jnp.where(present, penalized, vals)
     out = out - counts * jnp.where(on, p.penalty_freq, 0.0)[:, None]
     out = out - present * jnp.where(on, p.penalty_present, 0.0)[:, None]
     return out
@@ -138,19 +167,43 @@ def sample_tokens(logits: jax.Array, p: DeviceSamplerParams,
     b, v = logits.shape
     ring_pos = jnp.arange(HIST_LEN)[None, :]
     hist_valid = ring_pos >= (HIST_LEN - p.penalty_last_n[:, None])
-    logits = apply_penalties(logits, hist, hist_valid, p)
-
     k_max = min(K_MAX, v)
-    if jax.default_backend() == "tpu" and v > 4 * k_max:
-        # lax.top_k lowers to a full per-row SORT on TPU — ~10ms for
-        # [64, 32k] logits, which dominated the batched window step.
-        # approx_max_k is the TPU-native PartialReduce (~recall 0.95+ at
-        # rank 256; candidates beyond rank ~40 carry negligible mass).
-        # Greedy rows stay EXACT via a direct argmax below.
-        vals, ids = jax.lax.approx_max_k(logits, k_max)
+
+    if v > k_max + HIST_LEN:
+        # Fast path: penalties on the CANDIDATE UNION (raw top-k_max plus
+        # every history token) instead of the full vocab. Exact for
+        # lowering-only penalties (repeat>=1, freq>=0, present>=0 — the
+        # eligibility gate): penalized tokens only move DOWN, history
+        # tokens are all in the union, and >= k_max-HIST_LEN unpenalized
+        # candidates outrank every non-candidate, so both the sampled
+        # candidate set and the greedy argmax match the full-vocab chain.
+        if jax.default_backend() == "tpu":
+            # lax.top_k lowers to a full per-row SORT on TPU (~ms at
+            # [64, 32k]); approx_max_k is the native PartialReduce.
+            rvals, rids = jax.lax.approx_max_k(logits, k_max)
+        else:
+            rvals, rids = jax.lax.top_k(logits, k_max)
+        h = jnp.where(hist_valid & (hist >= 0), hist, -1)
+        # drop duplicates: history tokens already in the top-k, and
+        # repeated tokens within the ring (keep the first occurrence)
+        in_topk = (h[:, :, None] == rids[:, None, :]).any(axis=2)
+        tri = jnp.tril(jnp.ones((HIST_LEN, HIST_LEN), bool), k=-1)
+        dup_hist = ((h[:, :, None] == h[:, None, :]) & tri[None]).any(axis=2)
+        h_keep = (h >= 0) & ~in_topk & ~dup_hist
+        h_ids = jnp.where(h_keep, h, 0)
+        h_vals = jnp.where(
+            h_keep, jnp.take_along_axis(logits, h_ids, axis=1), -jnp.inf)
+        cand_ids = jnp.concatenate([rids, h_ids], axis=1)
+        cand_vals = jnp.concatenate([rvals, h_vals], axis=1)
+        cand_vals = _penalize_candidates(cand_vals, cand_ids, hist,
+                                         hist_valid, p)
+        # re-rank the (small) candidate set exactly
+        vals, order = jax.lax.top_k(cand_vals, k_max)
+        ids = jnp.take_along_axis(cand_ids, order, axis=1)
     else:
+        logits = apply_penalties(logits, hist, hist_valid, p)
         vals, ids = jax.lax.top_k(logits, k_max)   # sorted desc [B, k_max]
-    greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    greedy_tok = ids[:, 0]
 
     # top-k: threshold at the per-row kth value
     k = jnp.clip(jnp.where(p.top_k <= 0, k_max, p.top_k), 1, k_max)

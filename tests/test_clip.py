@@ -207,3 +207,75 @@ def test_llava_cli_smoke(tmp_path, mmproj, capsys):
         "-m", llm_path, "--mmproj", mp_path, "--image", img_path,
         "-p", "a<image>b", "-n", "4", "--temp", "0.0"])
     assert rc == 0
+
+
+def test_gemma3_projector(tmp_path):
+    """gemma3 vision projector (clip.cpp PROJECTOR_TYPE_GEMMA3): SigLIP-style
+    encoder (no CLS) -> 4x4 avg-pool of the patch grid -> RMSNorm ->
+    input projection, checked against an independent numpy reference."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    path = str(tmp_path / "mmproj_g3.gguf")
+    w = GGUFWriter(path, arch="clip")
+    md = {
+        "general.architecture": "clip",
+        "clip.has_vision_encoder": True,
+        "clip.projector_type": "gemma3",
+        "clip.use_gelu": True,
+        "clip.vision.image_size": IMG,
+        "clip.vision.patch_size": PATCH,
+        "clip.vision.embedding_length": HID,
+        "clip.vision.feed_forward_length": FF,
+        "clip.vision.block_count": 1,
+        "clip.vision.attention.head_count": HEADS,
+        "clip.vision.attention.layer_norm_epsilon": 1e-5,
+        "clip.vision.projector.scale_factor": 2,
+        "clip.vision.image_mean": [0.5, 0.5, 0.5],
+        "clip.vision.image_std": [0.3, 0.3, 0.3],
+    }
+    for k, v in md.items():
+        w.add_kv(k, v)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    n_pos = (IMG // PATCH) ** 2  # no CLS token (SigLIP)
+    tensors = {
+        "v.patch_embd.weight": r(HID, 3, PATCH, PATCH),
+        "v.patch_embd.bias": r(HID),
+        "v.position_embd.weight": r(n_pos, HID),
+        "mm.input_projection.weight": r(CLLM, HID),
+        "mm.soft_emb_norm.weight": 1.0 + r(HID),
+    }
+    p0 = "v.blk.0."
+    tensors.update({
+        p0 + "ln1.weight": 1.0 + r(HID), p0 + "ln1.bias": r(HID),
+        p0 + "attn_q.weight": r(HID, HID), p0 + "attn_q.bias": r(HID),
+        p0 + "attn_k.weight": r(HID, HID), p0 + "attn_k.bias": r(HID),
+        p0 + "attn_v.weight": r(HID, HID), p0 + "attn_v.bias": r(HID),
+        p0 + "attn_out.weight": r(HID, HID), p0 + "attn_out.bias": r(HID),
+        p0 + "ln2.weight": 1.0 + r(HID), p0 + "ln2.bias": r(HID),
+        p0 + "ffn_up.weight": r(FF, HID), p0 + "ffn_up.bias": r(FF),
+        p0 + "ffn_down.weight": r(HID, FF), p0 + "ffn_down.bias": r(HID),
+    })
+    for name, arr in tensors.items():
+        w.add_tensor(name, arr, ggml_type=GGMLType.F32)
+    w.write()
+
+    from llama_cpp_test_tpu.models import clip as clip_mod
+
+    m = clip_mod.load_clip(path)
+    assert m.proj_type == "gemma3" and m.mm_input_proj is not None
+    pix = rng.standard_normal((1, 3, IMG, IMG)).astype(np.float32)
+    out = clip_mod.encode_image(m, pix)
+    side = IMG // PATCH
+    n_tok = (side // 2) ** 2
+    assert out.shape == (n_tok, CLLM)
+
+    # numpy reference for the projector on top of the encoder output
+    import jax.numpy as jnp
+    enc = np.asarray(clip_mod.clip_forward(m, jnp.asarray(pix)))
+    g = enc.reshape(1, side // 2, 2, side // 2, 2, HID).mean(axis=(2, 4))
+    g = g.reshape(1, -1, HID)
+    rms = 1.0 / np.sqrt((g * g).mean(-1, keepdims=True) + m.eps)
+    soft = g * rms * tensors["mm.soft_emb_norm.weight"]
+    ref = soft @ tensors["mm.input_projection.weight"].T
+    err = np.mean((out - ref[0]) ** 2) / (np.mean(ref ** 2) + 1e-12)
+    assert err < 1e-9, err
