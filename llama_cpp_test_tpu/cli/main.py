@@ -62,11 +62,14 @@ def main(argv=None) -> int:
         from ..parallel.mesh import make_mesh
 
         mesh = make_mesh(dp=1, tp=args.tensor_parallel)
-    from ..common.args import parse_kv_overrides
+    from ..common.args import parse_kv_overrides, rope_kv_overrides
+    import os as _os
 
-    model = Model(args.model, mesh=mesh,
-                  kv_overrides=parse_kv_overrides(
-                      getattr(args, "override_kv", None)))
+    if getattr(args, "threads", 0):
+        _os.environ["LLAMA_ARG_THREADS"] = str(args.threads)
+    overrides = parse_kv_overrides(getattr(args, "override_kv", None))
+    overrides.update(rope_kv_overrides(args))
+    model = Model(args.model, mesh=mesh, kv_overrides=overrides)
     print(f"# model loaded in {time.time()-t0:.1f}s "
           f"(arch={model.hp.arch}, n_layer={model.hp.n_layer}, "
           f"n_vocab={model.hp.n_vocab})", file=sys.stderr)
@@ -96,7 +99,8 @@ def main(argv=None) -> int:
 
     ctx = Context(model, n_ctx=args.ctx_size, n_seq_max=1,
                   kv_type=args.cache_type_kv)
-    sched = Scheduler(ctx, n_slots=1)
+    sched = Scheduler(ctx, n_slots=1, chunk_size=args.batch_size,
+                      ctx_shift=not args.no_context_shift)
     # session file (--prompt-cache, main.cpp:237-255): pre-warm slot 0's
     # sequence from the saved KV; the scheduler's prefix-reuse then skips
     # re-prefilling the shared prefix. Saved back after each run.
@@ -140,6 +144,7 @@ def main(argv=None) -> int:
 
         req = GenRequest(prompt_tokens=toks, max_tokens=args.n_predict,
                          sampling=sp, on_token=on_token,
+                         ignore_eos=args.ignore_eos, n_keep=args.keep,
                          stop_strings=list(args.reverse_prompt or ()))
         if not args.no_display_prompt:
             sys.stdout.write(text)

@@ -111,10 +111,37 @@ REGISTRY: list[Arg] = [
         examples=("sampling",)),
     Arg(("-s", "--seed"), "seed", int, 0, "RNG seed",
         env="LLAMA_ARG_SEED", examples=("sampling",)),
+    Arg(("--xtc-probability",), "xtc_probability", float, 0.0,
+        "XTC exclusion probability", examples=("sampling",)),
+    Arg(("--xtc-threshold",), "xtc_threshold", float, 0.1,
+        "XTC probability threshold", examples=("sampling",)),
+    Arg(("--top-n-sigma",), "top_n_sigma", float, -1.0,
+        "top-n-sigma (<=0 disables)", examples=("sampling",)),
+    Arg(("--dry-multiplier",), "dry_multiplier", float, 0.0,
+        "DRY repetition penalty multiplier", examples=("sampling",)),
+    Arg(("--dry-base",), "dry_base", float, 1.75, "DRY base",
+        examples=("sampling",)),
+    Arg(("--dry-allowed-length",), "dry_allowed_length", int, 2,
+        "DRY allowed repeat length", examples=("sampling",)),
+    Arg(("--dry-penalty-last-n",), "dry_penalty_last_n", int, -1,
+        "DRY window (-1 = ctx)", examples=("sampling",)),
+    Arg(("--dynatemp-range",), "dynatemp_range", float, 0.0,
+        "dynamic temperature range", examples=("sampling",)),
+    Arg(("--dynatemp-exp",), "dynatemp_exponent", float, 1.0,
+        "dynamic temperature exponent", examples=("sampling",)),
+    Arg(("-l", "--logit-bias"), "logit_bias", str, None,
+        "TOKEN_ID(+|-)BIAS, e.g. 1024+5 (repeatable)", action="append",
+        examples=("sampling",)),
+    Arg(("--ignore-eos",), "ignore_eos", "store_true", False,
+        "ignore end-of-generation tokens", env="LLAMA_ARG_IGNORE_EOS",
+        examples=("sampling",)),
     Arg(("--grammar",), "grammar", str, "", "GBNF grammar",
         examples=("sampling",)),
     Arg(("--grammar-file",), "grammar_file", str, None,
         "GBNF grammar file", examples=("sampling",)),
+    Arg(("--json-schema",), "json_schema", str, None,
+        "JSON schema to constrain output (converted to GBNF)",
+        env="LLAMA_ARG_JSON_SCHEMA", examples=("sampling",)),
     # -- server --------------------------------------------------------------
     Arg(("--host",), "host", str, "127.0.0.1", "bind address",
         env="LLAMA_ARG_HOST", examples=("server",)),
@@ -138,6 +165,33 @@ REGISTRY: list[Arg] = [
     Arg(("--draft-p-min",), "draft_p_min", float, 0.75,
         "draft confidence floor", env="LLAMA_ARG_DRAFT_P_MIN",
         examples=("server", "speculative")),
+    Arg(("--rope-freq-base",), "rope_freq_base", float, 0.0,
+        "RoPE base frequency override (0 = from model)",
+        env="LLAMA_ARG_ROPE_FREQ_BASE", examples=("common",)),
+    Arg(("--rope-freq-scale",), "rope_freq_scale", float, 0.0,
+        "RoPE frequency scaling factor override (0 = from model)",
+        env="LLAMA_ARG_ROPE_FREQ_SCALE", examples=("common",)),
+    Arg(("--yarn-orig-ctx",), "yarn_orig_ctx", int, 0,
+        "YaRN original context size (0 = from model)",
+        env="LLAMA_ARG_YARN_ORIG_CTX", examples=("common",)),
+    Arg(("-b", "--batch-size"), "batch_size", int, 512,
+        "prompt chunk size (scheduler prefill chunking)",
+        env="LLAMA_ARG_BATCH", examples=("common",)),
+    Arg(("--no-context-shift",), "no_context_shift", "store_true", False,
+        "stop at n_ctx instead of shifting the cache",
+        env="LLAMA_ARG_NO_CONTEXT_SHIFT", examples=("common",)),
+    Arg(("-t", "--threads"), "threads", int, 0,
+        "loader/repacker threads (0 = auto)", env="LLAMA_ARG_THREADS",
+        examples=("common",)),
+    Arg(("-ngl", "--n-gpu-layers"), "n_gpu_layers", int, -1,
+        "accepted for llama.cpp CLI compatibility (every layer always "
+        "runs on the TPU)", examples=("common",)),
+    Arg(("-fa", "--flash-attn"), "flash_attn", "store_true", False,
+        "accepted for compatibility (flash attention is always on)",
+        examples=("common",)),
+    Arg(("--chat-template",), "chat_template", str, None,
+        "force a builtin chat template name",
+        env="LLAMA_ARG_CHAT_TEMPLATE", examples=("server",)),
     Arg(("--override-kv",), "override_kv", str, None,
         "override model metadata: KEY=TYPE:VALUE (int/float/bool/str; "
         "repeatable)", action="append", env="LLAMA_ARG_OVERRIDE_KV",
@@ -214,6 +268,21 @@ def parse_kv_overrides(specs) -> dict:
     return out
 
 
+def parse_logit_bias(specs) -> dict:
+    """-l TOKEN_ID(+|-)BIAS strings -> {token_id: bias} (common/arg.cpp
+    logit-bias parsing; 'ID-5' lowers, 'ID+5' raises)."""
+    out: dict[int, float] = {}
+    for spec in specs or ():
+        for sep in ("+", "-"):
+            head, s, tail = spec.rpartition(sep)
+            if s and head:
+                out[int(head)] = float(s + tail)
+                break
+        else:
+            raise ValueError(f"--logit-bias {spec!r}: expected ID+V or ID-V")
+    return out
+
+
 def sampler_params_from_args(args) -> "SamplerParams":
     """SamplerParams from a parser that included the 'sampling' domain."""
     from ..runtime.sampling import SamplerParams
@@ -223,6 +292,13 @@ def sampler_params_from_args(args) -> "SamplerParams":
     if gf:
         with open(gf) as f:
             grammar = f.read()
+    if not grammar and getattr(args, "json_schema", None):
+        import json as _json
+
+        from ..runtime.json_schema import schema_to_gbnf
+
+        grammar = schema_to_gbnf(_json.loads(args.json_schema))
+    g = lambda name, d: getattr(args, name, d)
     return SamplerParams(
         temp=args.temp, top_k=args.top_k, top_p=args.top_p,
         min_p=args.min_p, typ_p=args.typical,
@@ -232,8 +308,34 @@ def sampler_params_from_args(args) -> "SamplerParams":
         penalty_present=args.presence_penalty,
         mirostat=args.mirostat, mirostat_tau=args.mirostat_tau,
         mirostat_eta=args.mirostat_eta, seed=args.seed,
+        xtc_probability=g("xtc_probability", 0.0),
+        xtc_threshold=g("xtc_threshold", 0.1),
+        top_n_sigma=g("top_n_sigma", -1.0),
+        dry_multiplier=g("dry_multiplier", 0.0),
+        dry_base=g("dry_base", 1.75),
+        dry_allowed_length=g("dry_allowed_length", 2),
+        dry_penalty_last_n=g("dry_penalty_last_n", -1),
+        dynatemp_range=g("dynatemp_range", 0.0),
+        dynatemp_exponent=g("dynatemp_exponent", 1.0),
+        logit_bias=parse_logit_bias(g("logit_bias", None)),
         grammar=grammar,
     )
+
+
+def rope_kv_overrides(args) -> dict:
+    """--rope-freq-base/--rope-freq-scale/--yarn-orig-ctx -> metadata
+    overrides ('*.' resolves to the loaded arch in Model)."""
+    ov: dict = {}
+    if getattr(args, "rope_freq_base", 0.0):
+        ov["*.rope.freq_base"] = float(args.rope_freq_base)
+    if getattr(args, "rope_freq_scale", 0.0):
+        # llama.cpp freq_scale s compresses positions by 1/s: factor = 1/s
+        ov["*.rope.scaling.type"] = "linear"
+        ov["*.rope.scaling.factor"] = 1.0 / float(args.rope_freq_scale)
+    if getattr(args, "yarn_orig_ctx", 0):
+        ov["*.rope.scaling.original_context_length"] = int(
+            args.yarn_orig_ctx)
+    return ov
 
 
 def env_docs() -> str:

@@ -89,7 +89,8 @@ def native_repack(raw, ggml_type: int, n: int, k: int, tile_n: int = 256,
     scale = np.zeros((pack, g, npk), np.float32)
     min_ = np.zeros((pack, g, npk), np.float32) if has_min else None
     raw = np.ascontiguousarray(raw, dtype=np.uint8)
-    n_threads = min(os.cpu_count() or 1, 8)
+    n_threads = int(os.environ.get("LLAMA_ARG_THREADS", "0")) or \
+        min(os.cpu_count() or 1, 8)
     rc = lib.ggufio_repack(
         int(ggml_type),
         raw.ctypes.data_as(ctypes.c_void_p),

@@ -348,8 +348,12 @@ class Model:
         if kv_overrides:
             # metadata overrides before hparams parsing (--override-kv,
             # the llama_model_kv_override analogue, reference
-            # llama.h:260-278)
+            # llama.h:260-278); '*.' keys resolve to the model's arch
+            # (rope_kv_overrides helpers)
+            arch = self.reader.metadata.get("general.architecture", "llama")
             for k, v in kv_overrides.items():
+                if k.startswith("*."):
+                    k = f"{arch}{k[1:]}"
                 log.info("kv override: %s = %r", k, v)
                 self.reader.metadata[k] = v
         self.hp, w = load_weights(self.reader, hp, tp=tp)

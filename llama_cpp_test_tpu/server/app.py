@@ -130,8 +130,11 @@ class LlamaServer:
                  lora: list[tuple[str, float]] | None = None,
                  draft_model_path: str | None = None, n_draft: int = 8,
                  p_draft_min: float = 0.75, cache_reuse: int = 0,
-                 kv_overrides: dict | None = None, followers=None):
+                 kv_overrides: dict | None = None,
+                 chat_template: str | None = None, followers=None):
         self.model = Model(model_path, mesh=mesh, kv_overrides=kv_overrides)
+        # --chat-template: force a builtin template name or jinja source
+        self.chat_template = chat_template
         self.alias = model_alias or model_path.rsplit("/", 1)[-1]
         if followers is not None:
             # multi-host driver: every engine call is broadcast to follower
@@ -395,7 +398,8 @@ class LlamaServer:
     async def apply_template(self, request):
         body = await request.json()
         prompt = apply_chat_template(self.model.reader.metadata,
-                                     body.get("messages", []))
+                                     body.get("messages", []),
+                                     template_override=self.chat_template)
         return web.json_response({"prompt": prompt})
 
     async def embeddings(self, request):
@@ -531,8 +535,9 @@ class LlamaServer:
     async def chat_completions(self, request):
         body = await request.json()
         tools = body.get("tools") or None
-        prompt = apply_chat_template(self.model.reader.metadata,
-                                     body.get("messages", []), tools=tools)
+        prompt = apply_chat_template(
+            self.model.reader.metadata, body.get("messages", []),
+            template_override=self.chat_template, tools=tools)
         prompt_tokens = self._tokenize_prompt(prompt)
         rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
         if body.get("stream"):
@@ -723,6 +728,7 @@ def main(argv=None):
                       draft_model_path=args.model_draft,
                       n_draft=args.draft_max, p_draft_min=args.draft_p_min,
                       cache_reuse=args.cache_reuse,
+                      chat_template=getattr(args, 'chat_template', None),
                       kv_overrides=__import__(
                           'llama_cpp_test_tpu.common.args',
                           fromlist=['parse_kv_overrides']

@@ -47,3 +47,40 @@ def test_env_docs_lists_mirrors():
     assert "LLAMA_ARG_MODEL" in docs and "LLAMA_ARG_TEMP" in docs
     n_env = sum(1 for a in REGISTRY if a.env)
     assert n_env >= 15
+
+
+def test_logit_bias_parsing():
+    from llama_cpp_test_tpu.common.args import parse_logit_bias
+
+    assert parse_logit_bias(["1024+5", "7-2.5"]) == {1024: 5.0, 7: -2.5}
+    import pytest as _p
+    with _p.raises(ValueError):
+        parse_logit_bias(["nope"])
+
+
+def test_rope_overrides_resolve_arch(tmp_path):
+    import sys
+    sys.path.insert(0, "/root/repo/tests")
+    from test_engine import make_tiny_gguf
+    from llama_cpp_test_tpu.runtime.engine import Model
+
+    path = str(tmp_path / "m.gguf")
+    make_tiny_gguf(path)
+    m = Model(path, kv_overrides={"*.rope.freq_base": 50000.0})
+    assert m.reader.metadata["llama.rope.freq_base"] == 50000.0
+    assert m.hp.rope_freq_base == 50000.0
+
+
+def test_sampler_params_new_flags():
+    from llama_cpp_test_tpu.cli.main import build_parser
+    from llama_cpp_test_tpu.common.args import sampler_params_from_args
+
+    args = build_parser().parse_args(
+        ["-m", "x.gguf", "--xtc-probability", "0.3", "--dry-multiplier",
+         "0.8", "--dynatemp-range", "0.5", "--top-n-sigma", "2.0",
+         "-l", "5+3", "--json-schema", '{"type": "object"}'])
+    sp = sampler_params_from_args(args)
+    assert sp.xtc_probability == 0.3 and sp.dry_multiplier == 0.8
+    assert sp.dynatemp_range == 0.5 and sp.top_n_sigma == 2.0
+    assert sp.logit_bias == {5: 3.0}
+    assert "root" in sp.grammar  # json schema converted to GBNF
