@@ -126,11 +126,12 @@ def build_attn():
 
     pap = int(os.environ.get("DB_PAP", "8"))  # pages per grid step
     bs = int(os.environ.get("DB_BS", "16"))   # KV page size (block_size)
+    kvl = int(os.environ.get("DB_KVLEN", "512"))  # cached tokens/sequence
     rng = np.random.default_rng(0)
     kvh, d = (8, 128) if GEOM == "8b" else (4, 64)
-    npages = 512 // bs                  # 512 cached tokens per sequence
+    npages = -(-kvl // bs)
     nb_ = max(64, B * npages + 8)
-    kv_len = jnp.asarray([512] * B, jnp.int32)
+    kv_len = jnp.asarray([kvl] * B, jnp.int32)
     tables = jnp.asarray(
         np.stack([rng.permutation(nb_)[:npages] for _ in range(B)]),
         jnp.int32)
@@ -140,15 +141,34 @@ def build_attn():
         k = jnp.asarray(rng.standard_normal((kvh, nb_, bs, d)), jnp.bfloat16)
         v = jnp.asarray(rng.standard_normal((kvh, nb_, bs, d)), jnp.bfloat16)
         pools.append((k, v))
-        total += 2 * kvh * B * 512 * d * 2  # bytes actually read
+        total += 2 * kvh * B * kvl * d * 2  # bytes actually read
     h = 32  # q heads (both geometries)
 
-    def step(q, ws):
-        out = q
-        for k, v in ws:
-            out = paged_attention_decode(out, k, v, kv_len, tables,
-                                         pages_per_step=pap)
-        return out
+    use_xla = os.environ.get("DB_ATTN_XLA") == "1"
+    if use_xla:
+        # pure-XLA gather+softmax (no Pallas): at short caches the paged
+        # kernel's per-(seq, chunk) grid floor may lose to one big fused
+        # batched attention
+        from llama_cpp_test_tpu.runtime.kv_cache import attend_prefill_xla
+
+        @jax.jit
+        def one(q, k, v):
+            pos = (kv_len - 1)[:, None]
+            return attend_prefill_xla(q[:, None], k, v, tables, pos,
+                                      kv_len, 1.0)[:, 0]
+
+        def step(q, ws):
+            out = q
+            for k, v in ws:
+                out = one(out, k, v)
+            return out
+    else:
+        def step(q, ws):
+            out = q
+            for k, v in ws:
+                out = paged_attention_decode(out, k, v, kv_len, tables,
+                                             pages_per_step=pap)
+            return out
 
     q0 = jnp.asarray(rng.standard_normal((B, h, d)), jnp.bfloat16)
     return step, q0, pools, total
