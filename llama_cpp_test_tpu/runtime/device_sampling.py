@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -155,6 +156,36 @@ def _penalize_candidates(vals, cand_ids, hist, hist_valid, p):
     return out
 
 
+# Gumbel noise source for the categorical pick. "threefry" = vmapped
+# jax.random (counter-based, matches round-3 streams); "hash" = a murmur3
+# finalizer over (key, row seed, pos, rank) lanes — same determinism
+# contract (noise is a pure function of those four), ~15 VPU ops total.
+_GUMBEL_IMPL = os.environ.get("LLAMA_TPU_GUMBEL", "threefry")
+
+
+def _hash_gumbel(key, seed, pos, b, k_max):
+    """Deterministic per-(key, seed, pos, rank) gumbel noise via integer
+    hashing (murmur3 fmix32) — no counter-based PRNG machinery."""
+    try:
+        kdata = jax.random.key_data(key)
+    except TypeError:
+        kdata = jnp.asarray(key)
+    kdata = kdata.reshape(-1).astype(jnp.uint32)
+    base = (kdata[0] ^ (kdata[-1] * jnp.uint32(0x9E3779B9)))
+    x = (seed.astype(jnp.uint32)[:, None] * jnp.uint32(0x85EBCA6B)
+         ^ pos.astype(jnp.uint32)[:, None] * jnp.uint32(0xC2B2AE35)
+         ^ jnp.arange(k_max, dtype=jnp.uint32)[None, :]
+         ^ base)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> 15)
+    x = x * jnp.uint32(0x846CA68B)
+    x = x ^ (x >> 16)
+    # uniform in (0, 1): 24 mantissa-safe bits, +1 to avoid exactly 0
+    u = (x >> 8).astype(jnp.float32) * (1.0 / 16777216.0) + 1e-8
+    return -jnp.log(-jnp.log(u))
+
+
 def sample_tokens(logits: jax.Array, p: DeviceSamplerParams,
                   hist: jax.Array, key: jax.Array,
                   pos: jax.Array | None = None) -> jax.Array:
@@ -220,11 +251,15 @@ def sample_tokens(logits: jax.Array, p: DeviceSamplerParams,
     temp = jnp.maximum(p.temp, 1e-6)[:, None]
     if pos is None:
         pos = jnp.zeros((b,), jnp.int32)
-    row_keys = jax.vmap(
-        lambda s, q: jax.random.fold_in(jax.random.fold_in(key, s), q)
-    )(p.seed, pos)
-    g = jax.vmap(
-        lambda kk: jax.random.gumbel(kk, (k_max,), jnp.float32))(row_keys)
+    if _GUMBEL_IMPL == "hash":
+        g = _hash_gumbel(key, p.seed, pos, b, k_max)
+    else:
+        row_keys = jax.vmap(
+            lambda s, q: jax.random.fold_in(jax.random.fold_in(key, s), q)
+        )(p.seed, pos)
+        g = jax.vmap(
+            lambda kk: jax.random.gumbel(kk, (k_max,), jnp.float32))(
+                row_keys)
     scores = vals / temp + g
     choice = jnp.argmax(scores, axis=-1)
     picked = jnp.take_along_axis(ids, choice[:, None], axis=1)[:, 0] \
