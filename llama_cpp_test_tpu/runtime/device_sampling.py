@@ -156,6 +156,34 @@ def _penalize_candidates(vals, cand_ids, hist, hist_valid, p):
     return out
 
 
+# Candidate-selection implementation for the large-vocab fast path:
+#   approx — jax.lax.approx_max_k (native PartialReduce where supported)
+#   seg    — segmented max: pad V to 512 segments, take each segment's
+#            max (two elementwise passes, no sort), then an exact top_k
+#            over the 512 segment winners. Greedy stays exact (the global
+#            max is always a segment winner); sampling recall matches
+#            approx-top-k-style selection (misses only when multiple
+#            top-k tokens share a ~64-wide vocab segment).
+#   sort   — exact lax.top_k (full per-row sort).
+_TOPK_IMPL = os.environ.get("LLAMA_TPU_TOPK", "approx")
+_N_SEG = 512
+
+
+def _segmented_top_candidates(logits, k_max):
+    """[B, V] -> (vals, ids) of k_max candidates via segment winners."""
+    b, v = logits.shape
+    vpad = -(-v // _N_SEG) * _N_SEG
+    seg = vpad // _N_SEG
+    x = jnp.pad(logits, ((0, 0), (0, vpad - v)),
+                constant_values=-jnp.inf).reshape(b, _N_SEG, seg)
+    seg_max = jnp.max(x, axis=2)                       # [B, NSEG]
+    seg_arg = jnp.argmax(x, axis=2).astype(jnp.int32)  # [B, NSEG]
+    seg_ids = jnp.arange(_N_SEG, dtype=jnp.int32)[None, :] * seg + seg_arg
+    vals, order = jax.lax.top_k(seg_max, k_max)        # small sort
+    ids = jnp.take_along_axis(seg_ids, order, axis=1)
+    return vals, ids
+
+
 # Gumbel noise source for the categorical pick. "threefry" = vmapped
 # jax.random (counter-based, matches round-3 streams); "hash" = a murmur3
 # finalizer over (key, row seed, pos, rank) lanes — same determinism
@@ -212,7 +240,9 @@ def sample_tokens(logits: jax.Array, p: DeviceSamplerParams,
         # most HIST_LEN penalized tokens can fall out of the top-k window,
         # pulling in at most raw rank k+HIST_LEN <= k_max — always inside
         # the candidate set. Same argument makes the greedy pick exact.
-        if jax.default_backend() == "tpu":
+        if _TOPK_IMPL == "seg":
+            rvals, rids = _segmented_top_candidates(logits, k_max)
+        elif jax.default_backend() == "tpu" and _TOPK_IMPL == "approx":
             # lax.top_k lowers to a full per-row SORT on TPU (~ms at
             # [64, 32k]); approx_max_k is the native PartialReduce.
             rvals, rids = jax.lax.approx_max_k(logits, k_max)
