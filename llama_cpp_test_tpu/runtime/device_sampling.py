@@ -188,7 +188,11 @@ def _segmented_top_candidates(logits, k_max):
 # jax.random (counter-based, matches round-3 streams); "hash" = a murmur3
 # finalizer over (key, row seed, pos, rank) lanes — same determinism
 # contract (noise is a pure function of those four), ~15 VPU ops total.
-_GUMBEL_IMPL = os.environ.get("LLAMA_TPU_GUMBEL", "threefry")
+_GUMBEL_IMPL = os.environ.get("LLAMA_TPU_GUMBEL", "hash")
+# measured B=64 window-step sampling cost (v5e, dbench samp): threefry
+# 4.3ms -> hash 3.4ms; the residual is dozens-of-small-ops floors, not any
+# single sampler. Streams differ from the round-3 threefry ones but keep
+# the same (key, row seed, pos, rank) determinism contract.
 
 
 def _hash_gumbel(key, seed, pos, b, k_max):
