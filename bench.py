@@ -31,6 +31,7 @@ import numpy as np
 
 MODEL_CACHE = "/tmp/bench_tinyllama_q4k.gguf"
 MOE_CACHE = "/tmp/bench_moe_q4k.gguf"
+L3_8B_CACHE = "/tmp/bench_llama3_8b_q4k.gguf"
 
 HBM_BW = {  # bytes/s, per chip
     "v5e": 819e9,
@@ -66,6 +67,21 @@ def build_moe_model(path):
     from __graft_entry__ import _tiny_gguf
 
     _tiny_gguf(path, qtype=GGMLType.Q4_K, **MOE_HP)
+
+
+# BASELINE.json north-star config #2: Llama-3-8B geometry (synthesized
+# Q4_K weights). Opt-in via BENCH_8B=1 — building + first-compiling the
+# 4.7GB model takes tens of minutes, so the driver's default run skips it;
+# the measured row is recorded in KBENCH.md.
+L3_8B_HP = dict(n_vocab=128256, n_embd=4096, n_head=32, n_head_kv=8,
+                head_dim=128, n_layer=32, n_ff=14336)
+
+
+def build_8b_model(path):
+    from llama_cpp_test_tpu.gguf.constants import GGMLType
+    from __graft_entry__ import _tiny_gguf
+
+    _tiny_gguf(path, qtype=GGMLType.Q4_K, **L3_8B_HP)
 
 
 def weight_bytes_per_token(hp, bits=4.5):
@@ -256,6 +272,43 @@ def main():
             }
         except Exception as e:  # pragma: no cover
             extra["moe_8x_top2"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+
+    # ---- Llama-3-8B geometry (opt-in: BENCH_8B=1) -------------------------
+    if os.environ.get("BENCH_8B") == "1":
+        try:
+            if not os.path.exists(L3_8B_CACHE):
+                from llama_cpp_test_tpu.quant import codecs
+
+                t0 = time.time()
+                codecs.set_refine_iters(0)
+                try:
+                    build_8b_model(L3_8B_CACHE)
+                finally:
+                    codecs.set_refine_iters(2)
+                print(f"# built 8B model in {time.time()-t0:.1f}s",
+                      file=sys.stderr)
+            t0 = time.time()
+            m8 = Model(L3_8B_CACHE)
+            print(f"# 8B load+repack {time.time()-t0:.1f}s", file=sys.stderr)
+            ctx8 = Context(m8, n_ctx=1024, n_seq_max=2, block_size=32)
+            s8 = ctx8.new_seq()
+            lg = ctx8.prefill(s8, list(rng.integers(1, 100000, 512)))
+            tok8 = int(np.argmax(lg))
+            ctx8.decode_greedy_loop(s8, tok8, 64)  # compile
+            t0 = time.time()
+            ctx8.decode_greedy_loop(s8, tok8, 64)
+            dt = time.time() - t0
+            tok_s8 = 64 / dt
+            roof8 = bw / (weight_bytes_per_token(L3_8B_HP, bits=5.0) +
+                          kv_bytes_per_token(L3_8B_HP, 600))
+            extra["llama3_8b_decode"] = {
+                "tok_s": round(tok_s8, 1),
+                "vs_roofline": round(tok_s8 / roof8, 4),
+            }
+            del m8, ctx8
+        except Exception as e:  # pragma: no cover
+            extra["llama3_8b_decode"] = {
+                "error": f"{type(e).__name__}: {e}"[:200]}
 
     result = {
         "metric": f"tinyllama1.1b_q4k_decode_tok_s_{backend}",
