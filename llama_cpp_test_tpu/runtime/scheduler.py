@@ -285,8 +285,9 @@ class Scheduler:
             return  # one prefill chunk per step keeps decode latency bounded
 
     def _window_for(self, gen: list[Slot]) -> int:
-        """Window length for this decode round: >1 only when every
-        generating slot samples on device and has room for the window."""
+        """Window length for this decode round: >1 only when every slot in
+        `gen` samples on device and has room for the window (callers pass
+        the device-eligible partition)."""
         from . import device_sampling as ds
 
         # pending prompt work keeps decode latency bounded — but a non-empty
@@ -347,9 +348,30 @@ class Scheduler:
         if self.draft_ctx is not None:
             self._decode_spec_round(gen)
             return
+        # partition by device-sampling eligibility: a grammar/exotic-sampler
+        # row only slows ITSELF (one host-sampled token per round) while the
+        # eligible rows keep the windowed fast path (round-3 behavior
+        # dropped the WHOLE batch to per-token host decode — the 10x cliff)
+        from . import device_sampling as ds
+
+        fast = [s for s in gen
+                if ds.eligible(s.req.sampling) and not s.seq.pos_offset]
+        slow = [s for s in gen if s not in fast]
+        if fast and slow:
+            w = self._window_for(fast)
+            if w > 1:
+                self._decode_host_step(slow)
+                self._decode_window_round(fast, w)
+                return
         w = self._window_for(gen)
         if w > 1:
             self._decode_window_round(gen, w)
+            return
+        self._decode_host_step(gen)
+
+    def _decode_host_step(self, gen: list[Slot]) -> None:
+        """One per-token decode + host-chain sampling step."""
+        if not gen:
             return
         t0 = time.time()
         logits = self.ctx.decode([s.seq for s in gen],

@@ -193,3 +193,39 @@ def test_chunked_cache_reuse(sched_model):
     # asserted at engine level on a 1-layer model in test_ctx_shift.py —
     # deeper models keep old-context values in shifted KV, the same
     # approximation the reference makes)
+
+
+def test_mixed_eligibility_batch_split(sched_model):
+    """A grammar/exotic-sampler request must not drop the whole batch to
+    per-token host decode: eligible rows keep the windowed device path
+    while the ineligible row advances one host-sampled token per round."""
+    from llama_cpp_test_tpu.runtime.engine import Context
+    from llama_cpp_test_tpu.runtime.scheduler import GenRequest, Scheduler
+    from llama_cpp_test_tpu.runtime.sampling import SamplerParams
+
+    ctx = Context(sched_model, n_ctx=128, n_seq_max=4, block_size=8)
+    sch = Scheduler(ctx, n_slots=3, chunk_size=16, decode_window=8)
+    fast1 = sch.submit(GenRequest([3, 17, 42], max_tokens=24,
+                                  sampling=greedy(), ignore_eos=True))
+    fast2 = sch.submit(GenRequest([9, 4], max_tokens=24,
+                                  sampling=greedy(), ignore_eos=True))
+    # mirostat forces the host chain
+    slow = sch.submit(GenRequest([7, 1, 2], max_tokens=6,
+                                 sampling=SamplerParams(temp=0.7, mirostat=2,
+                                                        seed=3),
+                                 ignore_eos=True))
+    sch.run()
+    assert len(fast1.output_tokens) == 24
+    assert len(fast2.output_tokens) == 24
+    assert len(slow.output_tokens) == 6
+    m = sch.metrics()
+    assert m["gen_tokens_fast_path"] >= 40  # windows kept running
+    assert m["gen_tokens_slow_path"] >= 6
+
+    # fast rows' output matches an all-greedy scheduler (device path parity)
+    ctx2 = Context(sched_model, n_ctx=128, n_seq_max=4, block_size=8)
+    sch2 = Scheduler(ctx2, n_slots=2, chunk_size=16, decode_window=8)
+    r1 = sch2.submit(GenRequest([3, 17, 42], max_tokens=24,
+                                sampling=greedy(), ignore_eos=True))
+    sch2.run()
+    assert fast1.output_tokens == r1.output_tokens
