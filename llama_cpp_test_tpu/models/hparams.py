@@ -57,6 +57,10 @@ class HParams:
     # arch quirks (gemma family; reference llm_build_gemma/gemma2/gemma3)
     act_fn: str = "silu"        # gated-FFN activation: silu | gelu
     embd_scale: float = 1.0     # embedding multiplier (gemma: sqrt(n_embd))
+    # granite mup-style scalar multipliers (reference llm_build_granite:
+    # f_residual_scale / f_logit_scale; attention.scale rides attn_scale)
+    residual_scale: float = 1.0
+    logits_scale: float = 1.0   # logits DIVIDED by this (llama.cpp granite)
     attn_softcap: float = 0.0   # tanh cap on attention logits (gemma2: 50)
     final_softcap: float = 0.0  # tanh cap on output logits (gemma2: 30)
     # GGUF rope convention: 'norm' (interleaved pairs — llama/mistral/mixtral,
@@ -125,6 +129,8 @@ def hparams_from_metadata(md: dict) -> HParams:
     if (arch == "gemma2" and n_layer == 46) or \
             (arch == "gemma3" and n_layer == 62):
         attn_scale = 1.0 / _math.sqrt(n_embd / max(n_head, 1))
+    if arch == "granite":
+        attn_scale = g("attention.scale", attn_scale)
     # phi2 stores a plain layer_norm_epsilon (LayerNorm arch); reuse rms_eps
     eps = g("attention.layer_norm_rms_epsilon",
             g("attention.layer_norm_epsilon", 1e-5))
@@ -160,7 +166,10 @@ def hparams_from_metadata(md: dict) -> HParams:
         ffn_gated=arch not in ("phi2", "falcon", "gptneox"),
         act_fn="gelu" if (gemma_like or arch in ("phi2", "falcon",
                                                  "gptneox")) else "silu",
-        embd_scale=_math.sqrt(n_embd) if gemma_like else 1.0,
+        embd_scale=(_math.sqrt(n_embd) if gemma_like
+                    else g("embedding_scale", 1.0)),
+        residual_scale=g("residual_scale", 1.0),
+        logits_scale=g("logit_scale", 1.0),
         attn_softcap=g("attn_logit_softcapping",
                        50.0 if arch == "gemma2" else 0.0),
         final_softcap=g("final_logit_softcapping",

@@ -647,6 +647,8 @@ def forward_layer(
         o = jax.lax.psum(o, tp_axis)
     if lw.attn_post_norm is not None:  # gemma2 sandwich norm
         o = layers.rms_norm(o, lw.attn_post_norm, hp.rms_eps)
+    if hp.residual_scale != 1.0:  # granite mup multiplier
+        o = o * hp.residual_scale
     x = x + o.astype(x.dtype)
 
     cur = layers.rms_norm(x, lw.ffn_norm, hp.rms_eps)
@@ -660,6 +662,8 @@ def forward_layer(
         ffn = jax.lax.psum(ffn, tp_axis)  # row-parallel ffn_down partials
     if lw.gate_inp_shexp is not None:
         ffn = ffn + shared_expert_ffn(cur, lw, hp)
+    if hp.residual_scale != 1.0:  # granite mup multiplier
+        ffn = ffn * hp.residual_scale
     if lw.ffn_post_norm is not None:
         ffn = layers.rms_norm(ffn, lw.ffn_post_norm, hp.rms_eps)
     x = x + ffn.astype(x.dtype)
@@ -738,6 +742,8 @@ def lm_head(w: LlamaWeights, hp: HParams, x: jax.Array,
                                     tiled=True)
     if w.output_b is not None:  # phi2 LM-head bias
         logits = logits + w.output_b
+    if hp.logits_scale != 1.0:  # granite: logits divided by logit_scale
+        logits = logits / hp.logits_scale
     if hp.final_softcap > 0:  # gemma2 final logit softcapping
         logits = jnp.tanh(logits / hp.final_softcap) * hp.final_softcap
     return logits

@@ -72,6 +72,12 @@ register_arch(ArchSpec("qwen3moe", family="llama", rope_type="neox",
 register_arch(ArchSpec("phi3", family="llama", rope_type="neox",
                        notes="fused-split, uniform swa"))
 
+# granite: llama + mup-style scalar multipliers (embedding / residual /
+# attention / logits scales — reference llm_build_granite; converter test
+# cross-validates logits vs transformers)
+register_arch(ArchSpec("granite", family="llama", rope_type="norm",
+                       notes="mup-scales"))
+
 # gemma family: GeGLU + sqrt(n_embd) embedding scale; gemma2 adds sandwich
 # norms, attn/final logit softcapping and alternating SWA; gemma3 adds
 # qk-norms and 5:1 local/global SWA with its own local rope base

@@ -37,6 +37,7 @@ ARCH_MAP = {
     "GemmaForCausalLM": "gemma",
     "Gemma2ForCausalLM": "gemma2",
     "Gemma3ForCausalLM": "gemma3",
+    "GraniteForCausalLM": "granite",
 }
 
 # HF suffix -> GGUF suffix (per-layer), mirroring gguf-py tensor_mapping
@@ -326,6 +327,12 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
             "attn_logit_softcapping", 50.0)
         md[f"{arch}.final_logit_softcapping"] = cfg.get(
             "final_logit_softcapping", 30.0)
+    if arch == "granite":
+        # mup-style multipliers (GraniteConfig -> llama.cpp granite keys)
+        md[f"{arch}.attention.scale"] = cfg.get("attention_multiplier", 1.0)
+        md[f"{arch}.embedding_scale"] = cfg.get("embedding_multiplier", 1.0)
+        md[f"{arch}.residual_scale"] = cfg.get("residual_multiplier", 1.0)
+        md[f"{arch}.logit_scale"] = cfg.get("logits_scaling", 1.0)
     if arch == "gemma3":
         md[f"{arch}.attention.sliding_window_pattern"] = cfg.get(
             "sliding_window_pattern", 6)
@@ -339,7 +346,7 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
     for key, val in md.items():
         w.add_kv(key, val)
 
-    is_norm_rope = arch == "llama"
+    is_norm_rope = arch in ("llama", "granite")
     experts: dict[tuple[int, str], dict[int, np.ndarray]] = {}
     n_expert = n_expert_cfg or 0
     seen_output = False
