@@ -92,10 +92,12 @@ def make_mp_mesh(dp=1, pp=1, sp=1, ep=1, tp=1, devices=None) -> Mesh:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class MPPools:
-    """Layer-stacked KV pools: [n_layer, n_kv_heads, NB, BS, D] bf16,
-    sharded P('pp','tp','dp')."""
+    """Layer-stacked KV pools: [n_layer, n_kv_heads, NB, BS, D] bf16 (or
+    int8 with per-slot f32 scales for q8_0 KV), sharded P('pp','tp','dp')."""
     k: jax.Array
     v: jax.Array
+    k_scale: jax.Array | None = None   # [L, KV, NB, BS] f32 (q8_0 KV)
+    v_scale: jax.Array | None = None
 
     @property
     def num_blocks(self) -> int:
@@ -105,16 +107,37 @@ class MPPools:
     def block_size(self) -> int:
         return self.k.shape[3]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
 
 _POOL_SPEC = P("pp", "tp", "dp", None, None)
+_SCALE_SPEC = P("pp", "tp", "dp", None)
+
+
+def _mp_pool_specs(quantized: bool) -> MPPools:
+    if quantized:
+        return MPPools(_POOL_SPEC, _POOL_SPEC, _SCALE_SPEC, _SCALE_SPEC)
+    return MPPools(_POOL_SPEC, _POOL_SPEC)
 
 
 def new_mp_pools(hp: HParams, num_blocks: int, block_size: int,
-                 mesh: Mesh) -> MPPools:
+                 mesh: Mesh, kv_type: str = "bf16") -> MPPools:
     shape = (hp.n_layer, hp.n_head_kv, num_blocks, block_size, hp.head_dim)
     s = NamedSharding(mesh, _POOL_SPEC)
-    z = jax.device_put(jnp.zeros(shape, jnp.bfloat16), s)
-    return MPPools(k=z, v=jax.device_put(jnp.zeros(shape, jnp.bfloat16), s))
+    if kv_type == "q8_0":
+        ss = NamedSharding(mesh, _SCALE_SPEC)
+        return MPPools(
+            k=jax.device_put(jnp.zeros(shape, jnp.int8), s),
+            v=jax.device_put(jnp.zeros(shape, jnp.int8), s),
+            k_scale=jax.device_put(jnp.zeros(shape[:4], jnp.float32), ss),
+            v_scale=jax.device_put(jnp.zeros(shape[:4], jnp.float32), ss))
+    if kv_type not in ("bf16", "f16"):
+        raise ValueError(f"kv_type {kv_type!r} (supported: bf16, f16, q8_0)")
+    dt = jnp.float16 if kv_type == "f16" else jnp.bfloat16
+    z = jax.device_put(jnp.zeros(shape, dt), s)
+    return MPPools(k=z, v=jax.device_put(jnp.zeros(shape, dt), s))
 
 
 # ---------------------------------------------------------------------------
@@ -256,9 +279,12 @@ def build_mp_steps(hp: HParams, mesh: Mesh, w_template: LlamaWeights,
             f"({n_local_layers}) must be a multiple of the pattern")
     perm = [(i, (i + 1) % S) for i in range(S)]
 
-    def run_stage_layers(w, k_pool, v_pool, x, positions, block_table,
-                         slots, kv_len, decode):
-        """Apply this stage's local layers to x, writing local KV pools."""
+    quantized = pools_template.quantized
+
+    def run_stage_layers(w, k_pool, v_pool, k_scale, v_scale, x, positions,
+                         block_table, slots, kv_len, decode):
+        """Apply this stage's local layers to x, writing local KV pools
+        (bf16, or q8_0 with quantizing scatters + dequantizing reads)."""
         st = w.layers[0]
         n_local = k_pool.shape[0]
         for l in range(n_local):
@@ -268,13 +294,32 @@ def build_mp_steps(hp: HParams, mesh: Mesh, w_template: LlamaWeights,
             # index since swa_pattern | n_local (checked at build)
 
             def attend(q, k_cur, v_cur, _l=l, _w=wind):
-                nonlocal k_pool, v_pool
+                nonlocal k_pool, v_pool, k_scale, v_scale
                 if SP > 1 and not decode:
                     k_all = jax.lax.all_gather(k_cur, "sp", axis=1, tiled=True)
                     v_all = jax.lax.all_gather(v_cur, "sp", axis=1, tiled=True)
                     s_all = jax.lax.all_gather(slots, "sp", axis=1, tiled=True)
                 else:
                     k_all, v_all, s_all = k_cur, v_cur, slots
+                if quantized:
+                    kq, ksc = kv_cache.write_kv_q8(
+                        k_pool[_l], k_scale[_l], k_all, s_all)
+                    vq, vsc = kv_cache.write_kv_q8(
+                        v_pool[_l], v_scale[_l], v_all, s_all)
+                    k_pool = k_pool.at[_l].set(kq)
+                    v_pool = v_pool.at[_l].set(vq)
+                    k_scale = k_scale.at[_l].set(ksc)
+                    v_scale = v_scale.at[_l].set(vsc)
+                    if decode:
+                        return kv_cache.attend_decode_q8(
+                            q, k_pool[_l], k_scale[_l], v_pool[_l],
+                            v_scale[_l], block_table, kv_len, scale, _w)
+                    kk = kv_cache.gather_kv_q8(k_pool[_l], k_scale[_l],
+                                               block_table)
+                    vv = kv_cache.gather_kv_q8(v_pool[_l], v_scale[_l],
+                                               block_table)
+                    return kv_cache.attend_gathered(
+                        q, kk, vv, positions, kv_len, scale, _w)
                 k_pool = k_pool.at[_l].set(
                     kv_cache.write_kv(k_pool[_l], k_all, s_all))
                 v_pool = v_pool.at[_l].set(
@@ -290,14 +335,15 @@ def build_mp_steps(hp: HParams, mesh: Mesh, w_template: LlamaWeights,
             x = llama_mod.forward_layer(
                 x, lw, hp, positions, w.inv_freq_for(wind), w.rope_mscale,
                 attend, tp_axis="tp", tp=TP, ep_axis="ep", ep=EP)
-        return k_pool, v_pool, x
+        return k_pool, v_pool, k_scale, v_scale, x
 
-    def pipeline_pass(w, k_pool, v_pool, tokens, positions, block_table,
+    def pipeline_pass(w, pools, tokens, positions, block_table,
                       slots, kv_len, *, decode: bool, mode: str,
                       rest=(), pooling: str = "mean"):
         """One pipelined forward over all M microbatches. Returns
         (per-mode output [Bl, ...], k_pool, v_pool).
 
+        Returns (per-mode output [Bl, ...], MPPools).
         mode: 'last'  — logits at last_ix (rest=(last_ix,)) or position 0
                         for decode; [Bl, V]
               'all'   — logits at EVERY position; [Bl, T, V] (the
@@ -306,6 +352,8 @@ def build_mp_steps(hp: HParams, mesh: Mesh, w_template: LlamaWeights,
               'embed' — pooled normalized embeddings, rest=(n_valid,);
                         [Bl, C]
         """
+        k_pool, v_pool = pools.k, pools.v
+        k_scale, v_scale = pools.k_scale, pools.v_scale
         bl, t = tokens.shape
         b_mb = bl // M
         stage = jax.lax.axis_index("pp")
@@ -339,9 +387,9 @@ def build_mp_steps(hp: HParams, mesh: Mesh, w_template: LlamaWeights,
             bt_m = mb(block_table, mc)
             slots_m = jnp.where(valid, mb(slots, mc), -1)
             kvl_m = mb(kv_len, mc)
-            k_pool, v_pool, x = run_stage_layers(
-                w, k_pool, v_pool, state, pos_m, bt_m, slots_m, kvl_m,
-                decode)
+            k_pool, v_pool, k_scale, v_scale, x = run_stage_layers(
+                w, k_pool, v_pool, k_scale, v_scale, state, pos_m, bt_m,
+                slots_m, kvl_m, decode)
             nxt = jax.lax.ppermute(x, "pp", perm) if S > 1 else x
             # last stage: this tick's microbatch contribution
             xg = x
@@ -400,7 +448,8 @@ def build_mp_steps(hp: HParams, mesh: Mesh, w_template: LlamaWeights,
             out = out + oh * contrib[None]
             state = nxt
         out = jax.lax.psum(out, "pp") if S > 1 else out
-        return out.reshape((bl,) + out.shape[2:]), k_pool, v_pool
+        return (out.reshape((bl,) + out.shape[2:]),
+                MPPools(k_pool, v_pool, k_scale, v_scale))
 
     def mk(decode: bool, mode: str = "last", pooling: str = "mean"):
         # tokens/positions/slots: [B, T] — T sharded over sp in prefill
@@ -413,18 +462,18 @@ def build_mp_steps(hp: HParams, mesh: Mesh, w_template: LlamaWeights,
             rest_specs = (tok_spec, tok_spec)
         else:  # embed
             rest_specs = (P("dp"),)
-        in_specs = (wspec, MPPools(_POOL_SPEC, _POOL_SPEC), tok_spec,
+        in_specs = (wspec, _mp_pool_specs(quantized), tok_spec,
                     tok_spec, P("dp", None), tok_spec, P("dp")) + rest_specs
         out_first = {"last": P("dp", None), "all": P("dp", None, None),
                      "nll": P("dp", None), "embed": P("dp", None)}[mode]
-        out_specs = (out_first, MPPools(_POOL_SPEC, _POOL_SPEC))
+        out_specs = (out_first, _mp_pool_specs(quantized))
 
         def body(w, pools, tokens, positions, block_table, slots, kv_len,
                  *rest):
-            out, k_pool, v_pool = pipeline_pass(
-                w, pools.k, pools.v, tokens, positions, block_table, slots,
+            out, pools = pipeline_pass(
+                w, pools, tokens, positions, block_table, slots,
                 kv_len, decode=decode, mode=mode, rest=rest, pooling=pooling)
-            return out, MPPools(k_pool, v_pool)
+            return out, pools
 
         fn = shard_map(body, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_vma=False)
@@ -434,12 +483,18 @@ def build_mp_steps(hp: HParams, mesh: Mesh, w_template: LlamaWeights,
         s, d = src[0], dst[0]
         k = pools.k.at[:, :, d].set(pools.k[:, :, s], mode="drop")
         v = pools.v.at[:, :, d].set(pools.v[:, :, s], mode="drop")
-        return MPPools(k, v)
+        if not pools.quantized:
+            return MPPools(k, v)
+        ks = pools.k_scale.at[:, :, d].set(pools.k_scale[:, :, s],
+                                           mode="drop")
+        vs = pools.v_scale.at[:, :, d].set(pools.v_scale[:, :, s],
+                                           mode="drop")
+        return MPPools(k, v, ks, vs)
 
     copy_fn = shard_map(
         copy_body, mesh=mesh,
-        in_specs=(MPPools(_POOL_SPEC, _POOL_SPEC), P("dp"), P("dp")),
-        out_specs=MPPools(_POOL_SPEC, _POOL_SPEC), check_vma=False)
+        in_specs=(_mp_pool_specs(quantized), P("dp"), P("dp")),
+        out_specs=_mp_pool_specs(quantized), check_vma=False)
 
     def make_window(n_steps: int):
         """Windowed decode+sample on the 5-axis mesh (the engine
@@ -454,35 +509,32 @@ def build_mp_steps(hp: HParams, mesh: Mesh, w_template: LlamaWeights,
 
         def body(w, pools, tok0, pos0, block_table, valid, params, hist0,
                  key):
-            k_pool, v_pool = pools.k, pools.v
-
             def step(carry, _):
-                k_pool, v_pool, tok, pos, hist = carry
+                pools, tok, pos, hist = carry
                 slots = (jnp.take_along_axis(
                     block_table, (pos // bs_pool)[:, None], axis=1)[:, 0]
                     * bs_pool + pos % bs_pool)
                 slots = jnp.where(valid, slots, -1)
-                logits, k_pool, v_pool = pipeline_pass(
-                    w, k_pool, v_pool, tok[:, None], pos[:, None],
+                logits, pools = pipeline_pass(
+                    w, pools, tok[:, None], pos[:, None],
                     block_table, slots[:, None], pos + 1,
                     decode=True, mode="last")
                 hist = ds.push_history(hist, tok)
                 nxt = ds.sample_tokens(logits.astype(jnp.float32), params,
                                        hist, key, pos)
-                return (k_pool, v_pool, nxt, pos + 1, hist), nxt
+                return (pools, nxt, pos + 1, hist), nxt
 
-            (k_pool, v_pool, _, _, hist), toks = jax.lax.scan(
-                step, (k_pool, v_pool, tok0, pos0, hist0), None,
+            (pools, _, _, hist), toks = jax.lax.scan(
+                step, (pools, tok0, pos0, hist0), None,
                 length=n_steps)
-            return toks, hist, MPPools(k_pool, v_pool)
+            return toks, hist, pools
 
         fn = shard_map(
             body, mesh=mesh,
-            in_specs=(wspec, MPPools(_POOL_SPEC, _POOL_SPEC), P("dp"),
+            in_specs=(wspec, _mp_pool_specs(quantized), P("dp"),
                       P("dp"), P("dp", None), P("dp"), pparams, P("dp"),
                       P()),
-            out_specs=(P(None, "dp"), P("dp"), MPPools(_POOL_SPEC,
-                                                       _POOL_SPEC)),
+            out_specs=(P(None, "dp"), P("dp"), _mp_pool_specs(quantized)),
             check_vma=False)
         return jax.jit(fn, donate_argnums=(1,))
 
@@ -500,25 +552,43 @@ def build_mp_steps(hp: HParams, mesh: Mesh, w_template: LlamaWeights,
         v = pools.v
         kf = k.reshape(lcl, kvl, nb * bsz, hd)
         vf = v.reshape(lcl, kvl, nb * bsz, hd)
-        outs = []
+        ksf = vsf = None
+        if pools.quantized:
+            ksf = pools.k_scale.reshape(lcl, kvl, nb * bsz)
+            vsf = pools.v_scale.reshape(lcl, kvl, nb * bsz)
+        outs, ks_outs = [], []
         for l in range(lcl):
             ifr = inv_freq
             if inv_freq_swa is not None and layer_window(hp, l) > 0:
                 ifr = inv_freq_swa
             kg = kf[l][:, s].astype(jnp.float32)          # [KV, n, D]
+            if pools.quantized:
+                kg = kg * ksf[l][:, s, None]              # dequantize
             kg = kg.transpose(1, 0, 2)[None]              # [1, n, KV, D]
             kg = _layers.apply_rope(kg, dl[None], ifr, mscale[0])
             kg = kg[0].transpose(1, 0, 2)
-            outs.append(kf[l].at[:, d].set(kg.astype(k.dtype), mode="drop"))
+            if pools.quantized:
+                kq, ksc = kv_cache.quantize_q8(kg)        # requantize K
+                outs.append(kf[l].at[:, d].set(kq, mode="drop"))
+                ks_outs.append(ksf[l].at[:, d].set(ksc, mode="drop"))
+            else:
+                outs.append(kf[l].at[:, d].set(kg.astype(k.dtype),
+                                               mode="drop"))
         kf = jnp.stack(outs)
         vf = vf.at[:, :, d].set(vf[:, :, s], mode="drop")
+        if pools.quantized:
+            ksf = jnp.stack(ks_outs)
+            vsf = vsf.at[:, :, d].set(vsf[:, :, s], mode="drop")
+            return MPPools(kf.reshape(k.shape), vf.reshape(v.shape),
+                           ksf.reshape(pools.k_scale.shape),
+                           vsf.reshape(pools.v_scale.shape))
         return MPPools(kf.reshape(k.shape), vf.reshape(v.shape))
 
     def make_shift(has_swa: bool):
-        specs = (MPPools(_POOL_SPEC, _POOL_SPEC), P("dp"), P("dp"),
+        specs = (_mp_pool_specs(quantized), P("dp"), P("dp"),
                  P("dp"), P(), P()) + ((P(),) if has_swa else ())
         fn = shard_map(shift_body, mesh=mesh, in_specs=specs,
-                       out_specs=MPPools(_POOL_SPEC, _POOL_SPEC),
+                       out_specs=_mp_pool_specs(quantized),
                        check_vma=False)
         return jax.jit(fn, donate_argnums=(0,))
 

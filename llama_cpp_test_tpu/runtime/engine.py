@@ -476,13 +476,11 @@ class Context:
         self._nll_fn = None
         # block-table width bucket: full table for n_ctx
         self.nbmax = n_ctx // block_size
-        if self.mp and kv_type != "bf16":
-            raise NotImplementedError("quantized KV: not on a pipeline mesh")
         if self.mp:
             from ..parallel.pp import build_mp_steps, new_mp_pools
 
             self.pools = new_mp_pools(hp, num_blocks * self.dp, block_size,
-                                      self.mesh)
+                                      self.mesh, kv_type=kv_type)
             (self._prefill_fn, self._decode_fn, self._copy_fn,
              self._prefill_all_fn, self._window_fn, mk_shift,
              self._mp_embed_builder, self._nll_fn) = \

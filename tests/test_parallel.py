@@ -336,3 +336,34 @@ def test_mp_serving_features(moe_model_path):
     rn = rctx.prefill_nll(rs2, [2, 7, 1, 8, 2, 8])
     n = ctx.prefill_nll(s2, [2, 7, 1, 8, 2, 8])
     np.testing.assert_allclose(n, rn, atol=0.05)
+
+
+def test_mp_quantized_kv(moe_model_path):
+    """q8_0 KV on the pipeline mesh: prefill/decode/context-shift logits
+    stay close to the bf16-KV pipeline run (quantization noise only)."""
+    from llama_cpp_test_tpu.parallel.pp import make_mp_mesh
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    mesh = make_mp_mesh(dp=1, pp=2, sp=1, ep=2, tp=2)
+    m = Model(moe_model_path, mesh=mesh)
+    prompt = [1, 2, 3, 4, 5]
+
+    ref_ctx = Context(m, n_ctx=128, n_seq_max=4, block_size=16)
+    rs = ref_ctx.new_seq()
+    rp = ref_ctx.prefill(rs, prompt)
+    rd = ref_ctx.decode([rs], [6])[0]
+
+    ctx = Context(m, n_ctx=128, n_seq_max=4, block_size=16, kv_type="q8_0")
+    s = ctx.new_seq()
+    lp = ctx.prefill(s, prompt)
+    d = ctx.decode([s], [6])[0]
+    assert nmse(rp, lp) < 2e-3
+    assert nmse(rd, d) < 2e-3
+    assert np.argmax(d) == np.argmax(rd)
+
+    # K-shift on the quantized stacked pools
+    ref_ctx.shift_context(rs, 1, 2)
+    ctx.shift_context(s, 1, 2)
+    rd2 = ref_ctx.decode([rs], [9])[0]
+    d2 = ctx.decode([s], [9])[0]
+    assert nmse(rd2, d2) < 5e-3
