@@ -64,9 +64,14 @@ def main(argv=None) -> int:
 
         def embed(text: str, instructed: bool) -> np.ndarray:
             prefix = instr if instructed else gritlm_instruction("")
+            n_pre = len(model.tokenizer.encode(prefix, add_special=True,
+                                               parse_special=True))
             toks = model.tokenizer.encode(prefix + text, add_special=True,
                                           parse_special=True)
-            return ctx.embed(toks, pooling="mean", causal=False)
+            # instruction tokens attend but are excluded from the mean
+            # pool (gritlm.cpp:46 pools over the sample only)
+            return ctx.embed(toks, pooling="mean", causal=False,
+                             n_skip=n_pre)
 
         q_emb = [embed(q, True) for q in queries]
         d_emb = [embed(d, False) for d in docs]

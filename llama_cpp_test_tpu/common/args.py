@@ -270,16 +270,20 @@ def parse_kv_overrides(specs) -> dict:
 
 def parse_logit_bias(specs) -> dict:
     """-l TOKEN_ID(+|-)BIAS strings -> {token_id: bias} (common/arg.cpp
-    logit-bias parsing; 'ID-5' lowers, 'ID+5' raises)."""
+    logit-bias parsing; 'ID-5' lowers, 'ID+5' raises; the FIRST sign after
+    the id splits, so exponent signs in the value parse correctly)."""
+    import re as _re
+
     out: dict[int, float] = {}
     for spec in specs or ():
-        for sep in ("+", "-"):
-            head, s, tail = spec.rpartition(sep)
-            if s and head:
-                out[int(head)] = float(s + tail)
-                break
-        else:
+        m = _re.match(r"^(\d+)([+-].*)$", spec)
+        if not m:
             raise ValueError(f"--logit-bias {spec!r}: expected ID+V or ID-V")
+        try:
+            out[int(m.group(1))] = float(m.group(2))
+        except ValueError:
+            raise ValueError(
+                f"--logit-bias {spec!r}: bad bias value {m.group(2)!r}")
     return out
 
 

@@ -227,12 +227,19 @@ def _encode_jit(pixels, weights, *, meta):
     if m.class_embd is not None:
         x = x[:, 1:]                        # drop CLS for the projector
     if m.proj_type == "gemma3" and m.mm_input_proj is not None:
+        if m.mm_soft_emb_norm is None:
+            raise ValueError("gemma3 mmproj: mm.soft_emb_norm.weight "
+                             "missing alongside mm.input_projection")
         # gemma3: avg-pool the patch grid by proj_scale (896px/14 = 64-side
         # grid -> 16x16 = 256 soft tokens), RMSNorm, project to the text
         # width (reference clip.cpp build_gemma3 / SigLIP multimodal head)
         b2, n, hdim = x.shape
         side = int(round(n ** 0.5))
         kp = m.proj_scale
+        if side * side != n or side % kp:
+            raise ValueError(
+                f"gemma3 projector: patch grid {n} (side {side}) is not "
+                f"divisible by scale_factor {kp}")
         g = x.reshape(b2, side // kp, kp, side // kp, kp, hdim)
         pooled = g.mean(axis=(2, 4)).reshape(b2, -1, hdim)
         w_n = jnp.asarray(m.mm_soft_emb_norm)

@@ -264,6 +264,10 @@ def follower_loop(ctx: Context, driver_host: str, port: int,
             method, args, kwargs = _recv_msg(sock)
             if method == "__stop__":
                 return
+            if method not in REPLICATED:
+                # never dispatch arbitrary attribute names from the wire
+                raise ValueError(
+                    f"driver wire: non-replicated method {method!r}")
             dargs, dkw = _decode_args(ctx, args, kwargs)
             getattr(ctx, method)(*dargs, **dkw)
     except ConnectionError:

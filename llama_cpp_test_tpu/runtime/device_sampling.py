@@ -243,7 +243,12 @@ def sample_tokens(logits: jax.Array, p: DeviceSamplerParams,
         # penalties (eligibility gate) when top_k <= K_MAX - HIST_LEN: at
         # most HIST_LEN penalized tokens can fall out of the top-k window,
         # pulling in at most raw rank k+HIST_LEN <= k_max — always inside
-        # the candidate set. Same argument makes the greedy pick exact.
+        # the candidate set. Same argument makes the greedy pick exact —
+        # GIVEN exact candidates. The 'approx'/'seg' selectors retain the
+        # global top-1 (a bin max) so greedy WITHOUT penalties is exact,
+        # but their rank>=2 recall (~0.95+) means active penalties can in
+        # rare cases surface a token approx dropped; LLAMA_TPU_TOPK=sort
+        # restores full exactness at the cost of a 32k-wide sort.
         if _TOPK_IMPL == "seg":
             rvals, rids = _segmented_top_candidates(logits, k_max)
         elif jax.default_backend() == "tpu" and _TOPK_IMPL == "approx":

@@ -103,8 +103,10 @@ def _forward(w: LlamaWeights, pools: KVPools, tokens, positions, block_table,
                                           block_table)
                 v = kv_cache.gather_kv_q8(new_v[_li], new_vs[_li],
                                           block_table)
+                qpos = positions if causal else jnp.broadcast_to(
+                    (kv_len - 1)[:, None], positions.shape)
                 return kv_cache.attend_gathered(
-                    q, k, v, positions, kv_len, scale,
+                    q, k, v, qpos, kv_len, scale,
                     hparams_mod.layer_window(hp, _li), cap)
             new_k[_li] = kv_cache.write_kv(new_k[_li], k_cur, slots)
             new_v[_li] = kv_cache.write_kv(new_v[_li], v_cur, slots)
@@ -170,8 +172,8 @@ def _prefill_all_logits_step(w: LlamaWeights, pools: KVPools, tokens,
 @functools.partial(jax.jit, static_argnames=("hp", "pooling", "causal"),
                    donate_argnums=(1,))
 def _embed_step(w: LlamaWeights, pools: KVPools, tokens, positions,
-                block_table, slots, kv_len, n_valid, *, hp: HParams,
-                pooling: str, causal: bool = True):
+                block_table, slots, kv_len, n_valid, n_skip=None,
+                *, hp: HParams, pooling: str, causal: bool = True):
     """Prefill returning pooled, L2-normalized embeddings [B, C]
     (the llama_get_embeddings + pooling-type path, reference llama.h pooling;
     examples/embedding). causal=False runs bidirectional attention
@@ -183,9 +185,14 @@ def _embed_step(w: LlamaWeights, pools: KVPools, tokens, positions,
     x = _layers.rms_norm(x, w.output_norm, hp.rms_eps).astype(jnp.float32)
     tpos = jnp.arange(x.shape[1])[None, :]
     valid = tpos < n_valid[:, None]
+    if n_skip is not None:
+        # pool only positions >= n_skip (gritlm: instruction tokens attend
+        # but are excluded from the pooled representation, gritlm.cpp:46)
+        valid = valid & (tpos >= n_skip[:, None])
     if pooling == "mean":
+        denom = jnp.sum(valid.astype(jnp.float32), axis=1, keepdims=True)
         emb = jnp.sum(jnp.where(valid[..., None], x, 0.0), axis=1) / \
-            jnp.maximum(n_valid[:, None], 1)
+            jnp.maximum(denom, 1)
     elif pooling == "cls":
         emb = x[:, 0]
     else:  # last
@@ -830,14 +837,15 @@ class Context:
         return np.asarray(logits[0])
 
     def embed(self, tokens: list[int], pooling: str = "mean",
-              causal: bool = True) -> np.ndarray:
+              causal: bool = True, n_skip: int = 0) -> np.ndarray:
         """Pooled L2-normalized embedding of a token sequence [n_embd].
         Runs single-device, on the ('dp','tp') mesh, or on the pipeline
         mesh (parallel/pp.py 'embed' pipeline pass). causal=False uses
         bidirectional attention (gritlm embedding mode; single-device)."""
         hp = self.model.hp
-        if not causal and self.mesh is not None:
-            raise NotImplementedError("non-causal embed: single-device only")
+        if (not causal or n_skip) and self.mesh is not None:
+            raise NotImplementedError(
+                "non-causal / skip-pooled embed: single-device only")
         s = self.new_seq()
         try:
             n = len(tokens)
@@ -877,7 +885,8 @@ class Context:
                 return np.asarray(emb[row])
             emb, self.pools = _embed_step(
                 self.model.weights, self.pools, tok, pos, bt, slot_arr,
-                kv_len, n_valid, hp=hp, pooling=pooling, causal=causal)
+                kv_len, n_valid, np.asarray([n_skip], np.int32),
+                hp=hp, pooling=pooling, causal=causal)
             return np.asarray(emb[0])
         finally:
             self.free_seq(s)

@@ -361,7 +361,10 @@ class Scheduler:
             w = self._window_for(fast)
             if w > 1:
                 self._decode_host_step(slow)
-                self._decode_window_round(fast, w)
+                # no chaining: each round must come back here so the slow
+                # rows advance one host token per w fast tokens (chained
+                # windows would starve them for the fast rows' whole run)
+                self._decode_window_round(fast, w, allow_chain=False)
                 return
         w = self._window_for(gen)
         if w > 1:
@@ -483,7 +486,8 @@ class Scheduler:
                 // self.ctx.block_size - len(s.seq.table.blocks)
         return need <= self._free_blocks()
 
-    def _decode_window_round(self, gen: list[Slot], w: int) -> None:
+    def _decode_window_round(self, gen: list[Slot], w: int,
+                             allow_chain: bool = True) -> None:
         """Windowed decode rounds, double-buffered against the device: while
         the host post-processes window k (detokenize, stop strings, budgets)
         the device is already computing window k+1, chained device-side from
@@ -516,7 +520,7 @@ class Scheduler:
             histories=[s.req.output_tokens[:-1] for s in gen])
         while True:
             nxt = None
-            if self._can_chain(gen, w):
+            if allow_chain and self._can_chain(gen, w):
                 nxt = self.ctx.decode_window_async(seqs, n_steps=w,
                                                    carry=handle)
                 self.n_windows_chained += 1

@@ -70,6 +70,12 @@ def load_seq_state(ctx: Context, path: str) -> SeqState:
         raise ValueError(f"{path}: not a sequence state file")
     if meta.get("version") != VERSION:
         raise ValueError(f"{path}: unsupported version {meta.get('version')}")
+    if meta.get("model") and meta["model"] != ctx.model.path:
+        # a session from a different model silently injects foreign KV
+        # (the reference's session load validates the model too)
+        raise ValueError(
+            f"{path}: session was saved from {meta['model']!r}, not "
+            f"{ctx.model.path!r} — refusing to restore")
     n = int(meta["n_cached"])
     s = ctx.new_seq()
     slots = s.table.append_tokens(n)

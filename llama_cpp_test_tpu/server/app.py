@@ -556,11 +556,11 @@ class LlamaServer:
         fmt = body.get("chat_format") or detect_tool_format(
             self.model.reader.metadata.get("tokenizer.chat_template", ""))
         extract = body.get("reasoning_format", "deepseek") != "none"
-        parsed = parse_assistant_message(text, fmt if tools or
-                                         fmt in ("deepseek_r1",
-                                                 "command_r7b",
-                                                 "hermes_2_pro")
-                                         else "generic",
+        if not tools and fmt not in ("deepseek_r1", "command_r7b"):
+            # without tools, model-emitted tool markup is plain content
+            # (reference init_without_tools); reasoning still extracts
+            fmt = "content_only"
+        parsed = parse_assistant_message(text, fmt,
                                          extract_reasoning=extract)
         if parsed["tool_calls"] and tools:
             message = {"role": "assistant",
@@ -568,9 +568,7 @@ class LlamaServer:
                        "tool_calls": parsed["tool_calls"]}
             finish = "tool_calls"
         else:
-            message = {"role": "assistant",
-                       "content": parsed["content"] if
-                       parsed["reasoning_content"] else text}
+            message = {"role": "assistant", "content": parsed["content"]}
         if parsed["reasoning_content"]:
             message["reasoning_content"] = parsed["reasoning_content"]
         return web.json_response({

@@ -569,7 +569,8 @@ def parse_assistant_message(text: str, fmt: str = "auto",
     """
     calls: list[dict] = []
     reasoning = ""
-    if fmt in ("deepseek_r1", "hermes_2_pro", "command_r7b") or \
+    if fmt in ("deepseek_r1", "hermes_2_pro", "command_r7b",
+               "content_only") or \
             (fmt == "auto" and ("<think>" in text or "</think>" in text or
                                 "<|START_THINKING|>" in text)):
         reasoning, text = _split_reasoning(text)
@@ -579,6 +580,13 @@ def parse_assistant_message(text: str, fmt: str = "auto",
             text = f"<think>{reasoning}</think>{text}"
             reasoning = ""
 
+    if fmt == "content_only":
+        # no tool parsing: reasoning extraction only, text stays verbatim
+        # (the no-tools request path — tool-call markup the model emits
+        # unprompted is content, mirroring the reference's
+        # common_chat_params_init_without_tools)
+        return {"content": text, "tool_calls": [],
+                "reasoning_content": reasoning}
     if fmt == "auto":
         content, calls = parse_tool_calls(text)
         return {"content": content, "tool_calls": calls,

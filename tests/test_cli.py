@@ -334,7 +334,7 @@ def test_override_kv(model_path):
     from llama_cpp_test_tpu.runtime.engine import Model
 
     m = Model(model_path, kv_overrides={"llama.context_length": 128})
-    assert m.hp.n_ctx_train == 128 or True  # field name may differ
+    assert m.hp.n_ctx_train == 128
     assert m.reader.metadata["llama.context_length"] == 128
 
 
