@@ -83,6 +83,9 @@ class ClipModel:
     mm_input_proj: Any = None
     mm_soft_emb_norm: Any = None
     proj_scale: int = 4
+    # minicpmv resampler (clip.cpp PROJECTOR_TYPE_RESAMPLER): dict of the
+    # resampler.* tensors, or None
+    resampler: Any = None
 
     @property
     def n_patches(self) -> int:
@@ -156,7 +159,45 @@ def load_clip(path: str) -> ClipModel:
     m.mm_input_proj = t("mm.input_projection.weight", required=False)
     m.mm_soft_emb_norm = t("mm.soft_emb_norm.weight", required=False)
     m.proj_scale = int(key("projector.scale_factor", 4))
+    if md.get("clip.has_minicpmv_projector") or m.proj_type == "resampler":
+        # minicpmv perceiver resampler (clip.cpp:1828-1846)
+        rs = {}
+        for short, name in (
+                ("query", "resampler.query"),
+                ("proj", "resampler.proj.weight"),
+                ("kv_proj", "resampler.kv.weight"),
+                ("q_w", "resampler.attn.q.weight"),
+                ("k_w", "resampler.attn.k.weight"),
+                ("v_w", "resampler.attn.v.weight"),
+                ("q_b", "resampler.attn.q.bias"),
+                ("k_b", "resampler.attn.k.bias"),
+                ("v_b", "resampler.attn.v.bias"),
+                ("o_w", "resampler.attn.out.weight"),
+                ("o_b", "resampler.attn.out.bias"),
+                ("ln_q_w", "resampler.ln_q.weight"),
+                ("ln_q_b", "resampler.ln_q.bias"),
+                ("ln_kv_w", "resampler.ln_kv.weight"),
+                ("ln_kv_b", "resampler.ln_kv.bias"),
+                ("ln_post_w", "resampler.ln_post.weight"),
+                ("ln_post_b", "resampler.ln_post.bias")):
+            rs[short] = t(name)
+        m.resampler = rs
     return m
+
+
+def sincos_pos_embed_2d(dim: int, side: int) -> np.ndarray:
+    """2D sincos position embedding [side*side, dim] (the minicpmv
+    resampler's per-image pos table, clip.cpp get_2d_sincos_pos_embed:
+    [sin(h*w_d); cos(h*w_d); sin(w*w_d); cos(w*w_d)] quarters)."""
+    assert dim % 4 == 0
+    quarter = dim // 4
+    omega = 1.0 / (10000.0 ** (np.arange(quarter) / quarter))
+    pos = np.arange(side, dtype=np.float32)
+    h = np.repeat(pos, side)[:, None] * omega[None]    # [S*S, q]
+    w = np.tile(pos, side)[:, None] * omega[None]
+    return np.concatenate(
+        [np.sin(h), np.cos(h), np.sin(w), np.cos(w)],
+        axis=1).astype(np.float32)
 
 
 def _ln(x, w, b, eps):
@@ -226,6 +267,35 @@ def _encode_jit(pixels, weights, *, meta):
     x = clip_forward(m, pixels)
     if m.class_embd is not None:
         x = x[:, 1:]                        # drop CLS for the projector
+    if m.resampler is not None:
+        # perceiver resampler (clip.cpp:1243-1308): learned queries
+        # cross-attend over kv-projected vision features; keys carry a 2D
+        # sincos position embedding; LN everywhere; final projection
+        rs = m.resampler
+        eps = m.eps
+        q = _ln(rs["query"], rs["ln_q_w"], rs["ln_q_b"], eps)  # [Q, Hr]
+        v = _linear(x, rs["kv_proj"], None)                    # [B, N, Hr]
+        v = _ln(v, rs["ln_kv_w"], rs["ln_kv_b"], eps)
+        k = v + rs["pos_embed"][None]
+        d_head = 128
+        hr = q.shape[-1]
+        nh = hr // d_head
+        nq = q.shape[0]
+        b2, n2, _ = v.shape
+        scale = 1.0 / np.sqrt(d_head)
+        Q = (_linear(q, rs["q_w"], rs["q_b"]) * scale)         # [Q, Hr]
+        K = _linear(k, rs["k_w"], rs["k_b"])                   # [B, N, Hr]
+        V = _linear(v, rs["v_w"], rs["v_b"])
+        Qh = Q.reshape(nq, nh, d_head).transpose(1, 0, 2)      # [nh, Q, d]
+        Kh = K.reshape(b2, n2, nh, d_head).transpose(0, 2, 1, 3)
+        Vh = V.reshape(b2, n2, nh, d_head).transpose(0, 2, 1, 3)
+        att = jax.nn.softmax(
+            jnp.einsum("hqd,bhnd->bhqn", Qh, Kh), axis=-1)
+        out = jnp.einsum("bhqn,bhnd->bhqd", att, Vh)
+        out = out.transpose(0, 2, 1, 3).reshape(b2, nq, hr)
+        out = _linear(out, rs["o_w"], rs["o_b"])
+        out = _ln(out, rs["ln_post_w"], rs["ln_post_b"], eps)
+        return _linear(out, rs["proj"], None)
     if m.proj_type == "gemma3" and m.mm_input_proj is not None:
         if m.mm_soft_emb_norm is None:
             raise ValueError("gemma3 mmproj: mm.soft_emb_norm.weight "
@@ -264,7 +334,7 @@ class _Meta:
                      m.n_layer, m.n_ff, m.eps, m.use_gelu, m.proj_type,
                      m.class_embd is not None, m.pre_ln_w is not None,
                      m.mm0_w is not None, m.mm_input_proj is not None,
-                     m.proj_scale)
+                     m.proj_scale, m.resampler is not None)
 
     def __hash__(self):
         return hash(self._key)
@@ -276,7 +346,7 @@ class _Meta:
         m = dataclasses.replace(self.m)
         (m.patch_w, m.patch_b, m.class_embd, m.pos_embd, m.pre_ln_w,
          m.pre_ln_b, m.post_ln_w, m.post_ln_b, m.mm0_w, m.mm0_b, m.mm2_w,
-         m.mm2_b, m.mm_input_proj, m.mm_soft_emb_norm,
+         m.mm2_b, m.mm_input_proj, m.mm_soft_emb_norm, m.resampler,
          layer_leaves) = weights
         m.layers = [ClipLayer(*lv) for lv in layer_leaves]
         return m
@@ -287,10 +357,18 @@ def encode_image(m: ClipModel, pixels: np.ndarray) -> np.ndarray:
     projected embeddings ready for Context.prefill_embeds."""
     if pixels.ndim == 3:
         pixels = pixels[None]
+    rs = None
+    if m.resampler is not None:
+        # per-image 2D sincos table for the resampler keys (host-built;
+        # the side is static per image size)
+        side = pixels.shape[-1] // m.patch_size
+        hr = m.resampler["kv_proj"].shape[0]
+        rs = dict(m.resampler,
+                  pos_embed=sincos_pos_embed_2d(hr, side))
     weights = (
         m.patch_w, m.patch_b, m.class_embd, m.pos_embd, m.pre_ln_w,
         m.pre_ln_b, m.post_ln_w, m.post_ln_b, m.mm0_w, m.mm0_b, m.mm2_w,
-        m.mm2_b, m.mm_input_proj, m.mm_soft_emb_norm,
+        m.mm2_b, m.mm_input_proj, m.mm_soft_emb_norm, rs,
         [tuple(getattr(lw, f.name) for f in dataclasses.fields(lw))
          for lw in m.layers],
     )

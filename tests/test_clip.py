@@ -279,3 +279,113 @@ def test_gemma3_projector(tmp_path):
     ref = soft @ tensors["mm.input_projection.weight"].T
     err = np.mean((out - ref[0]) ** 2) / (np.mean(ref ** 2) + 1e-12)
     assert err < 1e-9, err
+
+
+def test_minicpmv_resampler(tmp_path):
+    """minicpmv resampler projector (clip.cpp PROJECTOR_TYPE_RESAMPLER):
+    learned queries cross-attend kv-projected vision features with 2D
+    sincos key positions, vs an independent numpy reference."""
+    import numpy as np
+    rng = np.random.default_rng(13)
+    HR, NQ = 256, 8  # resampler hidden (2 heads x 128), query count
+    path = str(tmp_path / "mmproj_mcpm.gguf")
+    w = GGUFWriter(path, arch="clip")
+    md = {
+        "general.architecture": "clip",
+        "clip.has_vision_encoder": True,
+        "clip.has_minicpmv_projector": True,
+        "clip.projector_type": "resampler",
+        "clip.use_gelu": True,
+        "clip.vision.image_size": IMG,
+        "clip.vision.patch_size": PATCH,
+        "clip.vision.embedding_length": HID,
+        "clip.vision.feed_forward_length": FF,
+        "clip.vision.block_count": 1,
+        "clip.vision.attention.head_count": HEADS,
+        "clip.vision.attention.layer_norm_epsilon": 1e-5,
+        "clip.vision.image_mean": [0.5, 0.5, 0.5],
+        "clip.vision.image_std": [0.3, 0.3, 0.3],
+    }
+    for k, v in md.items():
+        w.add_kv(k, v)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    n_pos = (IMG // PATCH) ** 2
+    tensors = {
+        "v.patch_embd.weight": r(HID, 3, PATCH, PATCH),
+        "v.patch_embd.bias": r(HID),
+        "v.position_embd.weight": r(n_pos, HID),
+        "resampler.query": r(NQ, HR),
+        "resampler.proj.weight": r(CLLM, HR),
+        "resampler.kv.weight": r(HR, HID),
+        "resampler.attn.q.weight": r(HR, HR),
+        "resampler.attn.k.weight": r(HR, HR),
+        "resampler.attn.v.weight": r(HR, HR),
+        "resampler.attn.q.bias": r(HR),
+        "resampler.attn.k.bias": r(HR),
+        "resampler.attn.v.bias": r(HR),
+        "resampler.attn.out.weight": r(HR, HR),
+        "resampler.attn.out.bias": r(HR),
+        "resampler.ln_q.weight": 1.0 + r(HR),
+        "resampler.ln_q.bias": r(HR),
+        "resampler.ln_kv.weight": 1.0 + r(HR),
+        "resampler.ln_kv.bias": r(HR),
+        "resampler.ln_post.weight": 1.0 + r(HR),
+        "resampler.ln_post.bias": r(HR),
+    }
+    p0 = "v.blk.0."
+    tensors.update({
+        p0 + "ln1.weight": 1.0 + r(HID), p0 + "ln1.bias": r(HID),
+        p0 + "attn_q.weight": r(HID, HID), p0 + "attn_q.bias": r(HID),
+        p0 + "attn_k.weight": r(HID, HID), p0 + "attn_k.bias": r(HID),
+        p0 + "attn_v.weight": r(HID, HID), p0 + "attn_v.bias": r(HID),
+        p0 + "attn_out.weight": r(HID, HID), p0 + "attn_out.bias": r(HID),
+        p0 + "ln2.weight": 1.0 + r(HID), p0 + "ln2.bias": r(HID),
+        p0 + "ffn_up.weight": r(FF, HID), p0 + "ffn_up.bias": r(FF),
+        p0 + "ffn_down.weight": r(HID, FF), p0 + "ffn_down.bias": r(HID),
+    })
+    for name, arr in tensors.items():
+        w.add_tensor(name, arr, ggml_type=GGMLType.F32)
+    w.write()
+
+    from llama_cpp_test_tpu.models import clip as clip_mod
+
+    m = clip_mod.load_clip(path)
+    assert m.resampler is not None
+    pix = rng.standard_normal((1, 3, IMG, IMG)).astype(np.float32)
+    out = clip_mod.encode_image(m, pix)
+    assert out.shape == (NQ, CLLM)
+
+    # independent numpy reference
+    import jax.numpy as jnp
+    enc = np.asarray(clip_mod.clip_forward(m, jnp.asarray(pix)))[0]
+    t = tensors
+
+    def ln(x, wgt, b):
+        mu = x.mean(-1, keepdims=True)
+        var = ((x - mu) ** 2).mean(-1, keepdims=True)
+        return (x - mu) / np.sqrt(var + 1e-5) * wgt + b
+
+    side = IMG // PATCH
+    pe = clip_mod.sincos_pos_embed_2d(HR, side)
+    q = ln(t["resampler.query"], t["resampler.ln_q.weight"],
+           t["resampler.ln_q.bias"])
+    v = ln(enc @ t["resampler.kv.weight"].T, t["resampler.ln_kv.weight"],
+           t["resampler.ln_kv.bias"])
+    k = v + pe
+    Q = (q @ t["resampler.attn.q.weight"].T + t["resampler.attn.q.bias"]) \
+        / np.sqrt(128)
+    K = k @ t["resampler.attn.k.weight"].T + t["resampler.attn.k.bias"]
+    V = v @ t["resampler.attn.v.weight"].T + t["resampler.attn.v.bias"]
+    nh = HR // 128
+    Qh = Q.reshape(NQ, nh, 128).transpose(1, 0, 2)
+    Kh = K.reshape(-1, nh, 128).transpose(1, 0, 2)
+    Vh = V.reshape(-1, nh, 128).transpose(1, 0, 2)
+    att = Qh @ Kh.transpose(0, 2, 1)
+    att = np.exp(att - att.max(-1, keepdims=True))
+    att /= att.sum(-1, keepdims=True)
+    o = (att @ Vh).transpose(1, 0, 2).reshape(NQ, HR)
+    o = o @ t["resampler.attn.out.weight"].T + t["resampler.attn.out.bias"]
+    o = ln(o, t["resampler.ln_post.weight"], t["resampler.ln_post.bias"])
+    ref = o @ t["resampler.proj.weight"].T
+    err = np.mean((out - ref) ** 2) / (np.mean(ref ** 2) + 1e-12)
+    assert err < 1e-8, err
