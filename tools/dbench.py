@@ -257,10 +257,15 @@ def build_samp():
     key = jax.random.PRNGKey(0)
     base = jnp.asarray(rng.standard_normal((B, Vv)), jnp.float32)
 
+    null = os.environ.get("DB_SAMP_NULL") == "1"
+
     def step(x, ws):
         params, hist, key = ws
-        toks = ds.sample_tokens(x, params, hist, key,
-                                jnp.zeros((B,), jnp.int32))
+        if null:  # harness floor: argmax only (bounds the scan overhead)
+            toks = jnp.argmax(x, axis=-1).astype(jnp.int32)
+        else:
+            toks = ds.sample_tokens(x, params, hist, key,
+                                    jnp.zeros((B,), jnp.int32))
         # feed the tokens back so the chain is serialized
         return x + (toks[:, None] * 1e-9).astype(x.dtype)
 
