@@ -162,7 +162,8 @@ def hparams_from_metadata(md: dict) -> HParams:
         attn_scale=attn_scale,
         rope_type=rope_type,
         parallel_residual=arch in ("phi2", "falcon", "gptneox"),
-        norm_type="ln" if arch in ("phi2", "falcon", "gptneox") else "rms",
+        norm_type=("ln" if arch in ("phi2", "falcon", "gptneox",
+                                    "stablelm") else "rms"),
         ffn_gated=arch not in ("phi2", "falcon", "gptneox"),
         act_fn="gelu" if (gemma_like or arch in ("phi2", "falcon",
                                                  "gptneox")) else "silu",

@@ -98,6 +98,8 @@ class LayerWeights:
     # phi2-family (parallel residual) extras: LayerNorm bias for attn_norm,
     # plus projection biases on attn_output / ffn_up / ffn_down
     attn_norm_b: jax.Array | None = None
+    # stablelm-style sequential LayerNorm bias on the FFN pre-norm
+    ffn_norm_b: jax.Array | None = None
     # falcon-40B: separate LayerNorm feeding the parallel FFN branch
     attn_norm_2: jax.Array | None = None
     attn_norm_2_b: jax.Array | None = None
@@ -301,6 +303,8 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
         )
         if p + "attn_norm.bias" in t:
             lw.attn_norm_b = _f32(reader, p + "attn_norm.bias")
+        if p + "ffn_norm.bias" in t:
+            lw.ffn_norm_b = _f32(reader, p + "ffn_norm.bias")
         if p + "attn_norm_2.weight" in t:  # falcon-40B parallel-FFN norm
             lw.attn_norm_2 = _f32(reader, p + "attn_norm_2.weight")
             if p + "attn_norm_2.bias" in t:
@@ -620,7 +624,10 @@ def forward_layer(
                                        mscale, attend, tp_axis, tp)
 
     lora = lw.lora or {}
-    cur = layers.rms_norm(x, lw.attn_norm, hp.rms_eps)
+    if hp.norm_type == "ln":  # stablelm: LayerNorm in the sequential family
+        cur = layers.layer_norm(x, lw.attn_norm, lw.attn_norm_b, hp.rms_eps)
+    else:
+        cur = layers.rms_norm(x, lw.attn_norm, hp.rms_eps)
     q, k, v = qkv_proj(cur, lw, h * d, kvh * d)
     if lw.bq is not None:
         q = q + lw.bq
@@ -651,7 +658,10 @@ def forward_layer(
         o = o * hp.residual_scale
     x = x + o.astype(x.dtype)
 
-    cur = layers.rms_norm(x, lw.ffn_norm, hp.rms_eps)
+    if hp.norm_type == "ln":
+        cur = layers.layer_norm(x, lw.ffn_norm, lw.ffn_norm_b, hp.rms_eps)
+    else:
+        cur = layers.rms_norm(x, lw.ffn_norm, hp.rms_eps)
     if lw.gate_inp is not None:
         ffn = moe_ffn(cur, lw, hp, ep_axis=ep_axis, ep=ep)
     else:

@@ -78,6 +78,13 @@ register_arch(ArchSpec("phi3", family="llama", rope_type="neox",
 register_arch(ArchSpec("granite", family="llama", rope_type="norm",
                        notes="mup-scales"))
 
+# stablelm: sequential llama-family structure with LayerNorm (+biases),
+# partial rotary (rope_dim < head_dim via the rope table length), optional
+# qkv biases (stablelm2) — reference llm_build_stablelm; converter test
+# cross-validates logits vs transformers
+register_arch(ArchSpec("stablelm", family="llama", rope_type="neox",
+                       notes="layernorm, partial-rope"))
+
 # gemma family: GeGLU + sqrt(n_embd) embedding scale; gemma2 adds sandwich
 # norms, attn/final logit softcapping and alternating SWA; gemma3 adds
 # qk-norms and 5:1 local/global SWA with its own local rope base

@@ -38,6 +38,7 @@ ARCH_MAP = {
     "Gemma2ForCausalLM": "gemma2",
     "Gemma3ForCausalLM": "gemma3",
     "GraniteForCausalLM": "granite",
+    "StableLmForCausalLM": "stablelm",
 }
 
 # HF suffix -> GGUF suffix (per-layer), mirroring gguf-py tensor_mapping
@@ -53,7 +54,9 @@ LAYER_MAP = {
     "mlp.up_proj.weight": "ffn_up.weight",
     "mlp.down_proj.weight": "ffn_down.weight",
     "input_layernorm.weight": "attn_norm.weight",
+    "input_layernorm.bias": "attn_norm.bias",
     "post_attention_layernorm.weight": "ffn_norm.weight",
+    "post_attention_layernorm.bias": "ffn_norm.bias",
     "block_sparse_moe.gate.weight": "ffn_gate_inp.weight",
     # qwen3 per-head q/k norms
     "self_attn.q_norm.weight": "attn_q_norm.weight",
@@ -134,6 +137,7 @@ FALCON_TOP_MAP = {
 TOP_MAP = {
     "model.embed_tokens.weight": "token_embd.weight",
     "model.norm.weight": "output_norm.weight",
+    "model.norm.bias": "output_norm.bias",
     "lm_head.weight": "output.weight",
 }
 
@@ -327,6 +331,13 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
             "attn_logit_softcapping", 50.0)
         md[f"{arch}.final_logit_softcapping"] = cfg.get(
             "final_logit_softcapping", 30.0)
+    if arch == "stablelm":
+        # LayerNorm arch with partial rotary (StableLmConfig)
+        md[f"{arch}.rope.dimension_count"] = int(
+            head_dim * cfg.get("partial_rotary_factor", 0.25))
+        md[f"{arch}.attention.layer_norm_epsilon"] = cfg.get(
+            "layer_norm_eps", 1e-5)
+        del md[f"{arch}.attention.layer_norm_rms_epsilon"]
     if arch == "granite":
         # mup-style multipliers (GraniteConfig -> llama.cpp granite keys)
         md[f"{arch}.attention.scale"] = cfg.get("attention_multiplier", 1.0)

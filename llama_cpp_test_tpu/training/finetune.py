@@ -348,6 +348,10 @@ class FullTrainer:
         self.model = model
         self.cfg = cfg or TrainConfig()
         self.hp = model.hp
+        if self.hp.norm_type != "rms":
+            raise NotImplementedError(
+                "FullTrainer trains RMSNorm architectures; LayerNorm "
+                "archs (stablelm/phi2-family) are not wired yet")
         self.params = init_full_params(model)
         self.opt = optax.adamw(self.cfg.lr,
                                weight_decay=self.cfg.weight_decay)

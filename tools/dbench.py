@@ -272,6 +272,53 @@ def build_samp():
     return step, base, (params, hist, key), B * Vv * 4
 
 
+def build_kvw():
+    """KV-write chain: 22 layers of decode-step scatters (write_kv) at DB_B
+    rows — isolates the per-step cache-update cost (TPU scatters serialize;
+    a B=64 step scatters 64 rows x 2 pools x 22 layers).
+    DB_KVW=onehot tests a matmul-based scatter replacement."""
+    from llama_cpp_test_tpu.runtime import kv_cache
+
+    rng = np.random.default_rng(0)
+    kvh, d, bs = 4, 64, 32
+    nb_ = B * 8 + 8
+    pools = [(jnp.asarray(rng.standard_normal((kvh, nb_, bs, d)),
+                          jnp.bfloat16),
+              jnp.asarray(rng.standard_normal((kvh, nb_, bs, d)),
+                          jnp.bfloat16)) for _ in range(NL)]
+    slots = jnp.asarray(rng.permutation(nb_ * bs)[:B], jnp.int32)[:, None]
+    total = NL * 2 * B * kvh * d * 2  # bytes written
+
+    use_onehot = os.environ.get("DB_KVW") == "onehot"
+
+    def write_onehot(pool, new, s):
+        kv, nb, bsz, dd = pool.shape
+        flat = pool.reshape(kv, nb * bsz, dd)
+        oh = (s.reshape(-1)[:, None] ==
+              jnp.arange(nb * bsz)[None, :]).astype(jnp.bfloat16)  # [B, S]
+        vals = new.reshape(-1, kv, dd).swapaxes(0, 1)              # [KV,B,D]
+        upd = jnp.einsum("bs,kbd->ksd", oh, vals.astype(jnp.bfloat16))
+        keep = 1.0 - jnp.max(oh, axis=0)                           # [S]
+        flat = flat * keep[None, :, None] + upd
+        return flat.reshape(kv, nb, bsz, dd)
+
+    def step(x, ws):
+        # x: [B, 1, KV, D] fresh values; chain pools serially
+        acc = x
+        for i, (k, v) in enumerate(ws):
+            if use_onehot:
+                k2 = write_onehot(k, acc, slots)
+                v2 = write_onehot(v, acc, slots)
+            else:
+                k2 = kv_cache.write_kv(k, acc, slots)
+                v2 = kv_cache.write_kv(v, acc, slots)
+            acc = acc + (k2[0, 0, 0, 0] * 1e-9).astype(acc.dtype)
+        return acc
+
+    x0 = jnp.asarray(rng.standard_normal((B, 1, kvh, d)), jnp.bfloat16)
+    return step, x0, pools, total
+
+
 _RTT = None
 
 
@@ -330,6 +377,7 @@ def main():
         "attn": build_attn,
         "gmm": build_gmm,
         "samp": build_samp,
+        "kvw": build_kvw,
     }
     for name in which:
         step, x0, ws, nbytes = builders[name]()
