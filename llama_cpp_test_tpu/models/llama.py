@@ -295,7 +295,8 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
             wk = col(p + "attn_k.weight", k_perm)
             wv = col(p + "attn_v.weight")
         lw = LayerWeights(
-            attn_norm=_f32(reader, p + "attn_norm.weight"),
+            attn_norm=(_f32(reader, p + "attn_norm.weight")
+                       if p + "attn_norm.weight" in t else None),
             wq=wq, wk=wk, wv=wv,
             wo=row(p + "attn_output.weight"),
             ffn_norm=(_f32(reader, p + "ffn_norm.weight")
@@ -624,7 +625,9 @@ def forward_layer(
                                        mscale, attend, tp_axis, tp)
 
     lora = lw.lora or {}
-    if hp.norm_type == "ln":  # stablelm: LayerNorm in the sequential family
+    if lw.attn_norm is None:   # olmo2: post-norm only, identity pre-norm
+        cur = x
+    elif hp.norm_type == "ln":  # stablelm: LayerNorm, sequential family
         cur = layers.layer_norm(x, lw.attn_norm, lw.attn_norm_b, hp.rms_eps)
     else:
         cur = layers.rms_norm(x, lw.attn_norm, hp.rms_eps)
@@ -635,12 +638,20 @@ def forward_layer(
         k = k + lw.bk
     if lw.bv is not None:
         v = v + lw.bv
+    if lw.attn_q_norm is not None and lw.attn_q_norm.shape[-1] != d:
+        # olmo2: RMSNorm over the FLAT q/k vector (weight [n_head*d]),
+        # before the head split — per-head [d] weights are gemma3/qwen3
+        q = layers.rms_norm(q, lw.attn_q_norm, hp.rms_eps)
+        k = layers.rms_norm(k, lw.attn_k_norm, hp.rms_eps)
+        flat_qk = True
+    else:
+        flat_qk = False
     q = q.reshape(b, tdim, h, d)
     k = k.reshape(b, tdim, kvh, d)
     v = v.reshape(b, tdim, kvh, d)
-    if lw.attn_q_norm is not None:  # per-head RMS (gemma3/qwen3)
+    if not flat_qk and lw.attn_q_norm is not None:  # per-head RMS
         q = layers.rms_norm(q, lw.attn_q_norm, hp.rms_eps)
-    if lw.attn_k_norm is not None:
+    if not flat_qk and lw.attn_k_norm is not None:
         k = layers.rms_norm(k, lw.attn_k_norm, hp.rms_eps)
     q = layers.apply_rope(q, positions, inv_freq, mscale)
     k = layers.apply_rope(k, positions, inv_freq, mscale)
@@ -658,7 +669,9 @@ def forward_layer(
         o = o * hp.residual_scale
     x = x + o.astype(x.dtype)
 
-    if hp.norm_type == "ln":
+    if lw.ffn_norm is None:    # olmo2: post-norm only
+        cur = x
+    elif hp.norm_type == "ln":
         cur = layers.layer_norm(x, lw.ffn_norm, lw.ffn_norm_b, hp.rms_eps)
     else:
         cur = layers.rms_norm(x, lw.ffn_norm, hp.rms_eps)

@@ -85,6 +85,13 @@ register_arch(ArchSpec("granite", family="llama", rope_type="norm",
 register_arch(ArchSpec("stablelm", family="llama", rope_type="neox",
                        notes="layernorm, partial-rope"))
 
+# olmo2: POST-norm-only sequential structure (x + norm(attn(x)), no
+# pre-norms — the existing attn_post_norm/ffn_post_norm fields with
+# identity pre-norm) + flat-vector QK RMSNorms — reference
+# llm_build_olmo2; converter test cross-validates vs transformers
+register_arch(ArchSpec("olmo2", family="llama", rope_type="neox",
+                       notes="post-norm-only, flat qk-norm"))
+
 # gemma family: GeGLU + sqrt(n_embd) embedding scale; gemma2 adds sandwich
 # norms, attn/final logit softcapping and alternating SWA; gemma3 adds
 # qk-norms and 5:1 local/global SWA with its own local rope base

@@ -39,6 +39,7 @@ ARCH_MAP = {
     "Gemma3ForCausalLM": "gemma3",
     "GraniteForCausalLM": "granite",
     "StableLmForCausalLM": "stablelm",
+    "Olmo2ForCausalLM": "olmo2",
 }
 
 # HF suffix -> GGUF suffix (per-layer), mirroring gguf-py tensor_mapping
@@ -68,6 +69,16 @@ LAYER_MAP = {
     "mlp.shared_expert.down_proj.weight": "ffn_down_shexp.weight",
     "mlp.shared_expert_gate.weight": "ffn_gate_inp_shexp.weight",
 }
+
+# olmo2: post-norm-only — post_attention/post_feedforward norms map to the
+# POST-norm tensors; there are no pre-norm tensors at all
+OLMO2_LAYER_MAP = dict(LAYER_MAP)
+del OLMO2_LAYER_MAP["input_layernorm.weight"]
+del OLMO2_LAYER_MAP["input_layernorm.bias"]
+OLMO2_LAYER_MAP.update({
+    "post_attention_layernorm.weight": "post_attention_norm.weight",
+    "post_feedforward_layernorm.weight": "post_ffw_norm.weight",
+})
 
 # gemma2/gemma3 sandwich norms (reference Gemma2Model/Gemma3Model
 # modify_tensors): post_attention_layernorm is the attention POST-norm,
@@ -178,7 +189,8 @@ def map_name(name: str, arch: str = "llama") -> str | None:
     top = {"phi2": PHI2_TOP_MAP, "falcon": FALCON_TOP_MAP}.get(arch, TOP_MAP)
     lay = {"phi2": PHI2_LAYER_MAP, "falcon": FALCON_LAYER_MAP,
            "phi3": PHI3_LAYER_MAP, "gemma2": GEMMA2_LAYER_MAP,
-           "gemma3": GEMMA2_LAYER_MAP}.get(arch, LAYER_MAP)
+           "gemma3": GEMMA2_LAYER_MAP,
+           "olmo2": OLMO2_LAYER_MAP}.get(arch, LAYER_MAP)
     if name in top:
         return top[name]
     prefix = "transformer.h." if arch == "falcon" else "model.layers."

@@ -621,3 +621,48 @@ def test_convert_stablelm_matches_transformers(tmp_path):
     m = _convert_and_compare(tmp_path, cfg, ws, StableLmForCausalLM, tcfg)
     assert m.hp.arch == "stablelm"
     assert m.hp.norm_type == "ln" and m.hp.rope_dim == d // 4
+
+
+def test_convert_olmo2_matches_transformers(tmp_path):
+    from transformers import Olmo2Config, Olmo2ForCausalLM
+
+    rng = np.random.default_rng(16)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, KV, L, FF = 256, 64, 4, 2, 2, 96
+    d = C // H
+    cfg = {
+        "architectures": ["Olmo2ForCausalLM"],
+        "hidden_size": C, "intermediate_size": FF,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "num_hidden_layers": L, "max_position_embeddings": 256,
+        "rms_norm_eps": 1e-5, "rope_theta": 10000.0, "vocab_size": V,
+        "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "model.embed_tokens.weight": r(V, C),
+        "model.norm.weight": 1.0 + r(C),
+        "lm_head.weight": r(V, C),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        ws.update({
+            p + "self_attn.q_proj.weight": r(H * d, C),
+            p + "self_attn.k_proj.weight": r(KV * d, C),
+            p + "self_attn.v_proj.weight": r(KV * d, C),
+            p + "self_attn.o_proj.weight": r(C, H * d),
+            p + "self_attn.q_norm.weight": 1.0 + r(H * d),
+            p + "self_attn.k_norm.weight": 1.0 + r(KV * d),
+            p + "post_attention_layernorm.weight": 1.0 + r(C),
+            p + "post_feedforward_layernorm.weight": 1.0 + r(C),
+            p + "mlp.gate_proj.weight": r(FF, C),
+            p + "mlp.up_proj.weight": r(FF, C),
+            p + "mlp.down_proj.weight": r(C, FF),
+        })
+    tcfg = Olmo2Config(
+        vocab_size=V, hidden_size=C, intermediate_size=FF,
+        num_hidden_layers=L, num_attention_heads=H, num_key_value_heads=KV,
+        rms_norm_eps=1e-5, rope_theta=10000.0, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    m = _convert_and_compare(tmp_path, cfg, ws, Olmo2ForCausalLM, tcfg)
+    assert m.hp.arch == "olmo2"
