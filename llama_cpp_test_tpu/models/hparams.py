@@ -154,7 +154,7 @@ def hparams_from_metadata(md: dict) -> HParams:
         n_expert=g("expert_count", 0),
         n_expert_used=g("expert_used_count", 0),
         n_ff_exp=g("expert_feed_forward_length", 0),
-        norm_topk=arch != "qwen2moe",
+        norm_topk=arch not in ("qwen2moe", "olmoe"),
         sliding_window=g("attention.sliding_window", 0),
         swa_pattern=max(1, swa_pattern),
         rope_freq_base_swa=(g("rope.local_freq_base", 10000.0)

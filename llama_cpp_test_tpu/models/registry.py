@@ -92,6 +92,12 @@ register_arch(ArchSpec("stablelm", family="llama", rope_type="neox",
 register_arch(ArchSpec("olmo2", family="llama", rope_type="neox",
                        notes="post-norm-only, flat qk-norm"))
 
+# olmoe: standard pre-norm MoE (64x top-8, UNnormalized routing weights)
+# with olmo2-style flat QK RMSNorms — reference llm_build_olmoe;
+# converter test cross-validates vs transformers
+register_arch(ArchSpec("olmoe", family="llama", rope_type="neox",
+                       notes="moe, flat qk-norm, no-topk-norm"))
+
 # gemma family: GeGLU + sqrt(n_embd) embedding scale; gemma2 adds sandwich
 # norms, attn/final logit softcapping and alternating SWA; gemma3 adds
 # qk-norms and 5:1 local/global SWA with its own local rope base

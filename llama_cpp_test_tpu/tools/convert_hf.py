@@ -40,6 +40,7 @@ ARCH_MAP = {
     "GraniteForCausalLM": "granite",
     "StableLmForCausalLM": "stablelm",
     "Olmo2ForCausalLM": "olmo2",
+    "OlmoeForCausalLM": "olmoe",
 }
 
 # HF suffix -> GGUF suffix (per-layer), mirroring gguf-py tensor_mapping

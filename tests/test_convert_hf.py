@@ -666,3 +666,56 @@ def test_convert_olmo2_matches_transformers(tmp_path):
     )
     m = _convert_and_compare(tmp_path, cfg, ws, Olmo2ForCausalLM, tcfg)
     assert m.hp.arch == "olmo2"
+
+
+def test_convert_olmoe_matches_transformers(tmp_path):
+    from transformers import OlmoeConfig, OlmoeForCausalLM
+
+    rng = np.random.default_rng(17)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, KV, L, E, FFE = 256, 64, 4, 2, 2, 4, 48
+    d = C // H
+    cfg = {
+        "architectures": ["OlmoeForCausalLM"],
+        "hidden_size": C, "intermediate_size": FFE,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "num_hidden_layers": L, "max_position_embeddings": 256,
+        "rms_norm_eps": 1e-5, "rope_theta": 10000.0, "vocab_size": V,
+        "num_experts": E, "num_experts_per_tok": 2,
+        "norm_topk_prob": False,
+        "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "model.embed_tokens.weight": r(V, C),
+        "model.norm.weight": 1.0 + r(C),
+        "lm_head.weight": r(V, C),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        ws.update({
+            p + "input_layernorm.weight": 1.0 + r(C),
+            p + "self_attn.q_proj.weight": r(H * d, C),
+            p + "self_attn.k_proj.weight": r(KV * d, C),
+            p + "self_attn.v_proj.weight": r(KV * d, C),
+            p + "self_attn.o_proj.weight": r(C, H * d),
+            p + "self_attn.q_norm.weight": 1.0 + r(H * d),
+            p + "self_attn.k_norm.weight": 1.0 + r(KV * d),
+            p + "post_attention_layernorm.weight": 1.0 + r(C),
+            p + "mlp.gate.weight": r(E, C),
+        })
+        for e in range(E):
+            q = p + f"mlp.experts.{e}."
+            ws.update({
+                q + "gate_proj.weight": r(FFE, C),
+                q + "up_proj.weight": r(FFE, C),
+                q + "down_proj.weight": r(C, FFE),
+            })
+    tcfg = OlmoeConfig(
+        vocab_size=V, hidden_size=C, intermediate_size=FFE,
+        num_hidden_layers=L, num_attention_heads=H, num_key_value_heads=KV,
+        num_experts=E, num_experts_per_tok=2, norm_topk_prob=False,
+        rms_norm_eps=1e-5, rope_theta=10000.0, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    m = _convert_and_compare(tmp_path, cfg, ws, OlmoeForCausalLM, tcfg)
+    assert m.hp.arch == "olmoe" and m.hp.n_expert == E
