@@ -161,16 +161,21 @@ def hparams_from_metadata(md: dict) -> HParams:
                             if arch == "gemma3" else 0.0),
         attn_scale=attn_scale,
         rope_type=rope_type,
-        parallel_residual=arch in ("phi2", "falcon", "gptneox"),
+        parallel_residual=arch in ("phi2", "falcon", "gptneox",
+                                   "command-r"),
         norm_type=("ln" if arch in ("phi2", "falcon", "gptneox",
-                                    "stablelm") else "rms"),
-        ffn_gated=arch not in ("phi2", "falcon", "gptneox"),
+                                    "stablelm", "command-r") else "rms"),
+        ffn_gated=arch not in ("phi2", "falcon", "gptneox"),  # command-r: gated
         act_fn="gelu" if (gemma_like or arch in ("phi2", "falcon",
                                                  "gptneox")) else "silu",
         embd_scale=(_math.sqrt(n_embd) if gemma_like
                     else g("embedding_scale", 1.0)),
         residual_scale=g("residual_scale", 1.0),
-        logits_scale=g("logit_scale", 1.0),
+        # lm_head DIVIDES by logits_scale: granite stores a divisor
+        # (1/f_logit_scale applied, llm_build_granite); command-r stores a
+        # multiplier (ggml_scale by f_logit_scale) -> invert here
+        logits_scale=(1.0 / g("logit_scale", 1.0)
+                      if arch == "command-r" else g("logit_scale", 1.0)),
         attn_softcap=g("attn_logit_softcapping",
                        50.0 if arch == "gemma2" else 0.0),
         final_softcap=g("final_logit_softcapping",

@@ -729,11 +729,17 @@ def _forward_layer_parallel(x, lw, hp, positions, inv_freq, mscale, attend,
         o = jax.lax.psum(o, tp_axis)
     if lw.bo is not None:
         o = o + lw.bo
-    u = linear(ffn_in, lw.w_up, out_dtype=jnp.float32)
-    if lw.b_up is not None:
-        u = u + lw.b_up
-    act = jax.nn.gelu(u, approximate=True) if hp.act_fn == "gelu" \
-        else jax.nn.silu(u)
+    if lw.w_gate is not None or lw.w_gateup is not None:
+        # command-r: parallel residual with a GATED SwiGLU FFN
+        # (llm_build_command_r's build_ffn with gate)
+        g, u = gateup_proj(ffn_in, lw)
+        act = layers.swiglu(g, u, hp.act_fn)
+    else:
+        u = linear(ffn_in, lw.w_up, out_dtype=jnp.float32)
+        if lw.b_up is not None:
+            u = u + lw.b_up
+        act = jax.nn.gelu(u, approximate=True) if hp.act_fn == "gelu" \
+            else jax.nn.silu(u)
     ffn = linear(act.astype(jnp.bfloat16), lw.w_down, out_dtype=jnp.float32)
     if tp_axis is not None:
         ffn = jax.lax.psum(ffn, tp_axis)

@@ -106,6 +106,14 @@ for _name in ("gemma", "gemma2", "gemma3"):
     register_arch(ArchSpec(_name, family="llama", rope_type="neox",
                            notes="gelu, embd-scale, softcap, swa-pattern"))
 
+# command-r: parallel-residual with ONE LayerNorm feeding both branches,
+# a GATED SwiGLU FFN (unlike phi2/falcon's plain GELU), interleaved
+# (NORM) rope, and a logit-scale multiplier — reference
+# llm_build_command_r; converter test cross-validates vs transformers
+register_arch(ArchSpec("command-r", family="phi2", rope_type="norm",
+                       notes="parallel-residual, layernorm, gated-ffn, "
+                             "logit-scale"))
+
 # phi2: parallel-residual family (test_arch_quirks phi2 suite)
 register_arch(ArchSpec("phi2", family="phi2", rope_type="neox",
                        notes="parallel-residual, layernorm, partial-rope"))

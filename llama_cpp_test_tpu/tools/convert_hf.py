@@ -41,6 +41,7 @@ ARCH_MAP = {
     "StableLmForCausalLM": "stablelm",
     "Olmo2ForCausalLM": "olmo2",
     "OlmoeForCausalLM": "olmoe",
+    "CohereForCausalLM": "command-r",
 }
 
 # HF suffix -> GGUF suffix (per-layer), mirroring gguf-py tensor_mapping
@@ -344,6 +345,11 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
             "attn_logit_softcapping", 50.0)
         md[f"{arch}.final_logit_softcapping"] = cfg.get(
             "final_logit_softcapping", 30.0)
+    if arch == "command-r":
+        md[f"{arch}.logit_scale"] = cfg.get("logit_scale", 0.0625)
+        md[f"{arch}.attention.layer_norm_epsilon"] = cfg.get(
+            "layer_norm_eps", 1e-5)
+        del md[f"{arch}.attention.layer_norm_rms_epsilon"]
     if arch == "stablelm":
         # LayerNorm arch with partial rotary (StableLmConfig)
         md[f"{arch}.rope.dimension_count"] = int(

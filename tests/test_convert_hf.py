@@ -719,3 +719,49 @@ def test_convert_olmoe_matches_transformers(tmp_path):
     )
     m = _convert_and_compare(tmp_path, cfg, ws, OlmoeForCausalLM, tcfg)
     assert m.hp.arch == "olmoe" and m.hp.n_expert == E
+
+
+def test_convert_commandr_matches_transformers(tmp_path):
+    from transformers import CohereConfig, CohereForCausalLM
+
+    rng = np.random.default_rng(18)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, KV, L, FF = 256, 64, 4, 2, 2, 96
+    d = C // H
+    cfg = {
+        "architectures": ["CohereForCausalLM"],
+        "hidden_size": C, "intermediate_size": FF,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "num_hidden_layers": L, "max_position_embeddings": 256,
+        "layer_norm_eps": 1e-5, "rope_theta": 10000.0, "vocab_size": V,
+        "logit_scale": 0.25, "tie_word_embeddings": False,
+        "use_qk_norm": False,
+        "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "model.embed_tokens.weight": r(V, C),
+        "model.norm.weight": 1.0 + r(C),
+        "lm_head.weight": r(V, C),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        ws.update({
+            p + "input_layernorm.weight": 1.0 + r(C),
+            p + "self_attn.q_proj.weight": r(H * d, C),
+            p + "self_attn.k_proj.weight": r(KV * d, C),
+            p + "self_attn.v_proj.weight": r(KV * d, C),
+            p + "self_attn.o_proj.weight": r(C, H * d),
+            p + "mlp.gate_proj.weight": r(FF, C),
+            p + "mlp.up_proj.weight": r(FF, C),
+            p + "mlp.down_proj.weight": r(C, FF),
+        })
+    tcfg = CohereConfig(
+        vocab_size=V, hidden_size=C, intermediate_size=FF,
+        num_hidden_layers=L, num_attention_heads=H, num_key_value_heads=KV,
+        layer_norm_eps=1e-5, rope_theta=10000.0, logit_scale=0.25,
+        tie_word_embeddings=False, use_qk_norm=False,
+        attn_implementation="eager",
+    )
+    m = _convert_and_compare(tmp_path, cfg, ws, CohereForCausalLM, tcfg)
+    assert m.hp.arch == "command-r"
+    assert m.hp.parallel_residual and m.hp.norm_type == "ln"
