@@ -163,11 +163,12 @@ def hparams_from_metadata(md: dict) -> HParams:
         rope_type=rope_type,
         parallel_residual=arch in ("phi2", "falcon", "gptneox",
                                    "command-r"),
-        norm_type=("ln" if arch in ("phi2", "falcon", "gptneox",
-                                    "stablelm", "command-r") else "rms"),
+        norm_type=("ln" if arch in ("phi2", "falcon", "gptneox", "stablelm",
+                                    "command-r", "starcoder2") else "rms"),
         ffn_gated=arch not in ("phi2", "falcon", "gptneox"),  # command-r: gated
         act_fn="gelu" if (gemma_like or arch in ("phi2", "falcon",
-                                                 "gptneox")) else "silu",
+                                                 "gptneox",
+                                                 "starcoder2")) else "silu",
         embd_scale=(_math.sqrt(n_embd) if gemma_like
                     else g("embedding_scale", 1.0)),
         residual_scale=g("residual_scale", 1.0),

@@ -359,7 +359,7 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
                 lw.w_gateup = fuse_qtensors([lw.w_gate, lw.w_up])
                 if lw.w_gateup is not None:
                     lw.w_gate = lw.w_up = None
-        else:  # non-gated FFN (phi2): up -> act -> down
+        else:  # non-gated FFN (phi2 family, starcoder2): up -> act -> down
             lw.w_up = col(p + "ffn_up.weight")
             lw.w_down = row(p + "ffn_down.weight")
         for bname, attr, perm in (("attn_q.bias", "bq", q_perm),
@@ -663,6 +663,8 @@ def forward_layer(
     if tp_axis is not None:
         # row-parallel wo: every device holds a partial sum over its heads
         o = jax.lax.psum(o, tp_axis)
+    if lw.bo is not None:  # starcoder2-style output-projection bias
+        o = o + lw.bo
     if lw.attn_post_norm is not None:  # gemma2 sandwich norm
         o = layers.rms_norm(o, lw.attn_post_norm, hp.rms_eps)
     if hp.residual_scale != 1.0:  # granite mup multiplier
@@ -677,12 +679,24 @@ def forward_layer(
         cur = layers.rms_norm(x, lw.ffn_norm, hp.rms_eps)
     if lw.gate_inp is not None:
         ffn = moe_ffn(cur, lw, hp, ep_axis=ep_axis, ep=ep)
+    elif lw.w_gate is None and lw.w_gateup is None:
+        # non-gated sequential FFN (starcoder2: act(up(x)) @ down)
+        u = linear_lora(cur, lw.w_up, lora.get("w_up"),
+                        out_dtype=jnp.float32)
+        if lw.b_up is not None:
+            u = u + lw.b_up
+        act = jax.nn.gelu(u, approximate=True) if hp.act_fn == "gelu" \
+            else jax.nn.silu(u)
+        ffn = linear_lora(act.astype(jnp.bfloat16), lw.w_down,
+                          lora.get("w_down"))
     else:
         g, u = gateup_proj(cur, lw)
         ffn = linear_lora(layers.swiglu(g, u, hp.act_fn), lw.w_down,
                           lora.get("w_down"))
     if tp_axis is not None:
         ffn = jax.lax.psum(ffn, tp_axis)  # row-parallel ffn_down partials
+    if lw.b_down is not None:
+        ffn = ffn + lw.b_down
     if lw.gate_inp_shexp is not None:
         ffn = ffn + shared_expert_ffn(cur, lw, hp)
     if hp.residual_scale != 1.0:  # granite mup multiplier

@@ -114,6 +114,12 @@ register_arch(ArchSpec("command-r", family="phi2", rope_type="norm",
                        notes="parallel-residual, layernorm, gated-ffn, "
                              "logit-scale"))
 
+# starcoder2: sequential LayerNorm family with a NON-gated GELU FFN and
+# biases on every projection — reference llm_build_starcoder2; converter
+# test cross-validates vs transformers
+register_arch(ArchSpec("starcoder2", family="llama", rope_type="neox",
+                       notes="layernorm, non-gated-gelu, biases"))
+
 # phi2: parallel-residual family (test_arch_quirks phi2 suite)
 register_arch(ArchSpec("phi2", family="phi2", rope_type="neox",
                        notes="parallel-residual, layernorm, partial-rope"))

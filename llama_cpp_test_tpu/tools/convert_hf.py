@@ -42,6 +42,7 @@ ARCH_MAP = {
     "Olmo2ForCausalLM": "olmo2",
     "OlmoeForCausalLM": "olmoe",
     "CohereForCausalLM": "command-r",
+    "Starcoder2ForCausalLM": "starcoder2",
 }
 
 # HF suffix -> GGUF suffix (per-layer), mirroring gguf-py tensor_mapping
@@ -71,6 +72,16 @@ LAYER_MAP = {
     "mlp.shared_expert.down_proj.weight": "ffn_down_shexp.weight",
     "mlp.shared_expert_gate.weight": "ffn_gate_inp_shexp.weight",
 }
+
+# starcoder2: c_fc/c_proj non-gated MLP with biases everywhere
+STARCODER2_LAYER_MAP = dict(LAYER_MAP)
+STARCODER2_LAYER_MAP.update({
+    "self_attn.o_proj.bias": "attn_output.bias",
+    "mlp.c_fc.weight": "ffn_up.weight",
+    "mlp.c_fc.bias": "ffn_up.bias",
+    "mlp.c_proj.weight": "ffn_down.weight",
+    "mlp.c_proj.bias": "ffn_down.bias",
+})
 
 # olmo2: post-norm-only — post_attention/post_feedforward norms map to the
 # POST-norm tensors; there are no pre-norm tensors at all
@@ -192,7 +203,8 @@ def map_name(name: str, arch: str = "llama") -> str | None:
     lay = {"phi2": PHI2_LAYER_MAP, "falcon": FALCON_LAYER_MAP,
            "phi3": PHI3_LAYER_MAP, "gemma2": GEMMA2_LAYER_MAP,
            "gemma3": GEMMA2_LAYER_MAP,
-           "olmo2": OLMO2_LAYER_MAP}.get(arch, LAYER_MAP)
+           "olmo2": OLMO2_LAYER_MAP,
+           "starcoder2": STARCODER2_LAYER_MAP}.get(arch, LAYER_MAP)
     if name in top:
         return top[name]
     prefix = "transformer.h." if arch == "falcon" else "model.layers."
@@ -345,6 +357,10 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
             "attn_logit_softcapping", 50.0)
         md[f"{arch}.final_logit_softcapping"] = cfg.get(
             "final_logit_softcapping", 30.0)
+    if arch == "starcoder2":
+        md[f"{arch}.attention.layer_norm_epsilon"] = cfg.get(
+            "norm_epsilon", 1e-5)
+        del md[f"{arch}.attention.layer_norm_rms_epsilon"]
     if arch == "command-r":
         md[f"{arch}.logit_scale"] = cfg.get("logit_scale", 0.0625)
         md[f"{arch}.attention.layer_norm_epsilon"] = cfg.get(

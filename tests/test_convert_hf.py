@@ -765,3 +765,56 @@ def test_convert_commandr_matches_transformers(tmp_path):
     m = _convert_and_compare(tmp_path, cfg, ws, CohereForCausalLM, tcfg)
     assert m.hp.arch == "command-r"
     assert m.hp.parallel_residual and m.hp.norm_type == "ln"
+
+
+def test_convert_starcoder2_matches_transformers(tmp_path):
+    from transformers import Starcoder2Config, Starcoder2ForCausalLM
+
+    rng = np.random.default_rng(19)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, KV, L, FF = 256, 64, 4, 2, 2, 96
+    d = C // H
+    cfg = {
+        "architectures": ["Starcoder2ForCausalLM"],
+        "hidden_size": C, "intermediate_size": FF,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "num_hidden_layers": L, "max_position_embeddings": 256,
+        "norm_epsilon": 1e-5, "rope_theta": 10000.0, "vocab_size": V,
+        "use_bias": True, "tie_word_embeddings": False,
+        "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "model.embed_tokens.weight": r(V, C),
+        "model.norm.weight": 1.0 + r(C),
+        "model.norm.bias": r(C),
+        "lm_head.weight": r(V, C),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        ws.update({
+            p + "input_layernorm.weight": 1.0 + r(C),
+            p + "input_layernorm.bias": r(C),
+            p + "self_attn.q_proj.weight": r(H * d, C),
+            p + "self_attn.q_proj.bias": r(H * d),
+            p + "self_attn.k_proj.weight": r(KV * d, C),
+            p + "self_attn.k_proj.bias": r(KV * d),
+            p + "self_attn.v_proj.weight": r(KV * d, C),
+            p + "self_attn.v_proj.bias": r(KV * d),
+            p + "self_attn.o_proj.weight": r(C, H * d),
+            p + "self_attn.o_proj.bias": r(C),
+            p + "post_attention_layernorm.weight": 1.0 + r(C),
+            p + "post_attention_layernorm.bias": r(C),
+            p + "mlp.c_fc.weight": r(FF, C),
+            p + "mlp.c_fc.bias": r(FF),
+            p + "mlp.c_proj.weight": r(C, FF),
+            p + "mlp.c_proj.bias": r(C),
+        })
+    tcfg = Starcoder2Config(
+        vocab_size=V, hidden_size=C, intermediate_size=FF,
+        num_hidden_layers=L, num_attention_heads=H, num_key_value_heads=KV,
+        norm_epsilon=1e-5, rope_theta=10000.0, use_bias=True,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    m = _convert_and_compare(tmp_path, cfg, ws, Starcoder2ForCausalLM, tcfg)
+    assert m.hp.arch == "starcoder2"
+    assert m.hp.norm_type == "ln" and m.hp.act_fn == "gelu"
