@@ -187,16 +187,18 @@ def load_clip(path: str) -> ClipModel:
 
 def sincos_pos_embed_2d(dim: int, side: int) -> np.ndarray:
     """2D sincos position embedding [side*side, dim] (the minicpmv
-    resampler's per-image pos table, clip.cpp get_2d_sincos_pos_embed:
-    [sin(h*w_d); cos(h*w_d); sin(w*w_d); cos(w*w_d)] quarters)."""
+    resampler's per-image pos table). Matches clip.cpp
+    get_2d_sincos_pos_embed EXACTLY, including its column-major flatten
+    (pos_embed[w*H + h] = [sincos(h) | sincos(w)]): at row-major index i
+    the first half encodes i % side and the second half i // side."""
     assert dim % 4 == 0
     quarter = dim // 4
     omega = 1.0 / (10000.0 ** (np.arange(quarter) / quarter))
     pos = np.arange(side, dtype=np.float32)
-    h = np.repeat(pos, side)[:, None] * omega[None]    # [S*S, q]
-    w = np.tile(pos, side)[:, None] * omega[None]
+    first = np.tile(pos, side)[:, None] * omega[None]    # i %  side ("h")
+    second = np.repeat(pos, side)[:, None] * omega[None]  # i // side ("w")
     return np.concatenate(
-        [np.sin(h), np.cos(h), np.sin(w), np.cos(w)],
+        [np.sin(first), np.cos(first), np.sin(second), np.cos(second)],
         axis=1).astype(np.float32)
 
 

@@ -74,7 +74,6 @@ class HParams:
     # input/output norm flavor: 'rms' (llama) or 'ln' (LayerNorm with bias)
     norm_type: str = "rms"
     # gated FFN (SwiGLU/GeGLU) vs plain up->act->down (phi2)
-    ffn_gated: bool = True
 
     @property
     def n_embd_head(self) -> int:
@@ -165,7 +164,6 @@ def hparams_from_metadata(md: dict) -> HParams:
                                    "command-r"),
         norm_type=("ln" if arch in ("phi2", "falcon", "gptneox", "stablelm",
                                     "command-r", "starcoder2") else "rms"),
-        ffn_gated=arch not in ("phi2", "falcon", "gptneox"),  # command-r: gated
         act_fn="gelu" if (gemma_like or arch in ("phi2", "falcon",
                                                  "gptneox",
                                                  "starcoder2")) else "silu",

@@ -294,6 +294,12 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
             wq = col(p + "attn_q.weight", q_perm)
             wk = col(p + "attn_k.weight", k_perm)
             wv = col(p + "attn_v.weight")
+        if p + "attn_norm.weight" not in t and hp.arch != "olmo2":
+            # only post-norm-only archs may omit pre-norms; anything else
+            # missing them is a broken conversion — fail loudly instead of
+            # silently running identity norms
+            raise KeyError(f"{p}attn_norm.weight missing (arch {hp.arch} "
+                           "requires pre-norms)")
         lw = LayerWeights(
             attn_norm=(_f32(reader, p + "attn_norm.weight")
                        if p + "attn_norm.weight" in t else None),
@@ -368,6 +374,11 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
             if p + bname in t:
                 bias = _f32(reader, p + bname)
                 setattr(lw, attr, bias[perm] if perm is not None else bias)
+        if hp.parallel_residual and p + "attn_q_norm.weight" in t:
+            raise NotImplementedError(
+                f"arch {hp.arch}: per-head QK norms on the parallel-"
+                "residual family (Command R+ style) are not applied by "
+                "this forward — refusing to run with wrong logits")
         for tname, attr in (("attn_q_norm.weight", "attn_q_norm"),
                             ("attn_k_norm.weight", "attn_k_norm"),
                             ("attn_post_norm.weight", "attn_post_norm"),
@@ -681,14 +692,7 @@ def forward_layer(
         ffn = moe_ffn(cur, lw, hp, ep_axis=ep_axis, ep=ep)
     elif lw.w_gate is None and lw.w_gateup is None:
         # non-gated sequential FFN (starcoder2: act(up(x)) @ down)
-        u = linear_lora(cur, lw.w_up, lora.get("w_up"),
-                        out_dtype=jnp.float32)
-        if lw.b_up is not None:
-            u = u + lw.b_up
-        act = jax.nn.gelu(u, approximate=True) if hp.act_fn == "gelu" \
-            else jax.nn.silu(u)
-        ffn = linear_lora(act.astype(jnp.bfloat16), lw.w_down,
-                          lora.get("w_down"))
+        ffn = ffn_nongated(cur, lw, hp, lora)
     else:
         g, u = gateup_proj(cur, lw)
         ffn = linear_lora(layers.swiglu(g, u, hp.act_fn), lw.w_down,
@@ -748,13 +752,10 @@ def _forward_layer_parallel(x, lw, hp, positions, inv_freq, mscale, attend,
         # (llm_build_command_r's build_ffn with gate)
         g, u = gateup_proj(ffn_in, lw)
         act = layers.swiglu(g, u, hp.act_fn)
+        ffn = linear(act.astype(jnp.bfloat16), lw.w_down,
+                     out_dtype=jnp.float32)
     else:
-        u = linear(ffn_in, lw.w_up, out_dtype=jnp.float32)
-        if lw.b_up is not None:
-            u = u + lw.b_up
-        act = jax.nn.gelu(u, approximate=True) if hp.act_fn == "gelu" \
-            else jax.nn.silu(u)
-    ffn = linear(act.astype(jnp.bfloat16), lw.w_down, out_dtype=jnp.float32)
+        ffn = ffn_nongated(ffn_in, lw, hp)
     if tp_axis is not None:
         ffn = jax.lax.psum(ffn, tp_axis)
     if lw.b_down is not None:
@@ -770,15 +771,35 @@ def embed(w: LlamaWeights, tokens: jax.Array,
     return e
 
 
+def final_norm(w: LlamaWeights, hp: HParams, x: jax.Array) -> jax.Array:
+    """The model's output norm (RMS or LayerNorm+bias per hp.norm_type) —
+    shared by lm_head and every pooled-embedding path so LayerNorm archs
+    aren't silently rms-normed off the main path."""
+    if hp.norm_type == "ln":
+        return layers.layer_norm(x, w.output_norm, w.output_norm_b,
+                                 hp.rms_eps)
+    return layers.rms_norm(x, w.output_norm, hp.rms_eps)
+
+
+def ffn_nongated(cur, lw, hp, lora=None):
+    """Non-gated FFN branch: act(up(x) + b) @ down + b (phi2 family and
+    starcoder2 share this shape)."""
+    lora = lora or {}
+    u = linear_lora(cur, lw.w_up, lora.get("w_up"), out_dtype=jnp.float32)
+    if lw.b_up is not None:
+        u = u + lw.b_up
+    act = jax.nn.gelu(u, approximate=True) if hp.act_fn == "gelu" \
+        else jax.nn.silu(u)
+    return linear_lora(act.astype(jnp.bfloat16), lw.w_down,
+                       lora.get("w_down"))
+
+
 def lm_head(w: LlamaWeights, hp: HParams, x: jax.Array,
             tp_axis: str | None = None) -> jax.Array:
     """Final norm + output projection -> f32 logits [.., n_vocab].
     Under TP the head is column-sharded over the vocab; local logits are
     all-gathered (tiled) so every device returns full [.., n_vocab]."""
-    if hp.norm_type == "ln":
-        x = layers.layer_norm(x, w.output_norm, w.output_norm_b, hp.rms_eps)
-    else:
-        x = layers.rms_norm(x, w.output_norm, hp.rms_eps)
+    x = final_norm(w, hp, x)
     logits = linear(x, w.output, out_dtype=jnp.float32)
     if tp_axis is not None:
         logits = jax.lax.all_gather(logits, tp_axis, axis=x.ndim - 1,

@@ -427,8 +427,7 @@ def build_mp_steps(hp: HParams, mesh: Mesh, w_template: LlamaWeights,
 
                 (n_valid,) = rest
                 nv = mb(n_valid, mc)
-                xn = _layers.rms_norm(xg, w.output_norm,
-                                      hp.rms_eps).astype(jnp.float32)
+                xn = llama_mod.final_norm(w, hp, xg).astype(jnp.float32)
                 tpos = jnp.arange(xn.shape[1])[None, :]
                 vmask = tpos < nv[:, None]
                 if pooling == "mean":

@@ -314,6 +314,7 @@ def build_embed_step(hp: HParams, mesh: Mesh, w_template: LlamaWeights,
                      pools_template: KVPools, pooling: str):
     """shard_map'ed pooled-embedding prefill (the llama_get_embeddings
     path on the ('dp','tp') mesh)."""
+    from ..models import llama as llama_mod
     from ..ops import layers as _layers
     from ..runtime import engine as eng
 
@@ -327,8 +328,7 @@ def build_embed_step(hp: HParams, mesh: Mesh, w_template: LlamaWeights,
         x, pools = eng._forward(
             w, pools, tokens, positions, block_table, slots, kv_len,
             hp=hp, decode=False, tp_axis="tp", tp=tp)
-        x = _layers.rms_norm(x, w.output_norm, hp.rms_eps) \
-            .astype(jnp.float32)
+        x = llama_mod.final_norm(w, hp, x).astype(jnp.float32)
         tpos = jnp.arange(x.shape[1])[None, :]
         valid = tpos < n_valid[:, None]
         if pooling == "mean":

@@ -182,12 +182,7 @@ def _embed_step(w: LlamaWeights, pools: KVPools, tokens, positions,
 
     x, pools = _forward(w, pools, tokens, positions, block_table, slots,
                         kv_len, hp=hp, decode=False, causal=causal)
-    if hp.norm_type == "ln":
-        x = _layers.layer_norm(x, w.output_norm, w.output_norm_b,
-                               hp.rms_eps).astype(jnp.float32)
-    else:
-        x = _layers.rms_norm(x, w.output_norm,
-                             hp.rms_eps).astype(jnp.float32)
+    x = llama_mod.final_norm(w, hp, x).astype(jnp.float32)
     tpos = jnp.arange(x.shape[1])[None, :]
     valid = tpos < n_valid[:, None]
     if n_skip is not None:

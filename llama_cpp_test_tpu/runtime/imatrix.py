@@ -85,7 +85,7 @@ def _imatrix_step(w: LlamaWeights, tokens, *, hp: HParams):
             act = layers.swiglu(g, u)
             record(p + "ffn_down.weight", act)
             x = x + linear(act, lw.w_down).astype(x.dtype)
-    x = layers.rms_norm(x, w.output_norm, hp.rms_eps)
+    x = llama_mod.final_norm(w, hp, x)
     record("output.weight", x)
     return stats
 

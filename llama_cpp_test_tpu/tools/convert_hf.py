@@ -361,6 +361,19 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
         md[f"{arch}.attention.layer_norm_epsilon"] = cfg.get(
             "norm_epsilon", 1e-5)
         del md[f"{arch}.attention.layer_norm_rms_epsilon"]
+    if arch == "command-r" and cfg.get("use_qk_norm"):
+        raise ValueError(
+            "command-r use_qk_norm=True (Command R+ style per-head "
+            "LayerNorms) is not supported yet — refusing to write a GGUF "
+            "that would run with wrong logits")
+    if arch == "stablelm" and cfg.get("qk_layernorm"):
+        raise ValueError(
+            "stablelm qk_layernorm=True is not supported yet — refusing "
+            "to write a GGUF that would run with wrong logits")
+    if arch == "stablelm" and cfg.get("use_parallel_residual"):
+        raise ValueError(
+            "stablelm use_parallel_residual=True (StableLM-2-12B) is not "
+            "supported yet")
     if arch == "command-r":
         md[f"{arch}.logit_scale"] = cfg.get("logit_scale", 0.0625)
         md[f"{arch}.attention.layer_norm_epsilon"] = cfg.get(
@@ -399,6 +412,8 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
 
     def emit(gname: str, arr: np.ndarray) -> None:
         tgt = ggml_dtype if arr.ndim >= 2 else GGMLType.F32
+        if "norm" in gname:
+            tgt = GGMLType.F32  # norm weights stay exact regardless of rank
         if tgt not in (GGMLType.F32, GGMLType.F16, GGMLType.BF16) and \
                 arr.shape[-1] % 32:
             tgt = GGMLType.F16

@@ -349,7 +349,6 @@ def test_phi2_hparams_parsed(tmp_path):
         hp = hparams_from_metadata(r.metadata)
     assert hp.parallel_residual
     assert hp.norm_type == "ln"
-    assert not hp.ffn_gated
     assert hp.rope_dim == PHI_HP["n_rot"]
     assert hp.rope_type == "neox"
 
