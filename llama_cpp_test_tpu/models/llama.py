@@ -137,6 +137,11 @@ class LlamaWeights:
     # SWA layers, reference llama-model.cpp:888/:7572); equals rope_inv_freq
     # for every other arch
     rope_inv_freq_swa: jax.Array | None = None
+    # phi3 longrope: the LONG-context table (inv_freq / rope_factors_long).
+    # rope_inv_freq then holds the SHORT table; Context selects long when
+    # n_ctx > rope_orig_ctx (reference llama-model.cpp:11434-11445
+    # get_rope_factors: long factors iff n_ctx_per_seq > n_ctx_orig).
+    rope_inv_freq_long: jax.Array | None = None
     # phi2-family: LayerNorm bias on the final norm + LM-head bias
     output_norm_b: jax.Array | None = None
     output_b: jax.Array | None = None
@@ -410,6 +415,20 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
         tok_embd = f_embd.result()
         output = f_out.result()
     inv_freq, mscale = layers.rope_freqs(hp)
+    inv_freq_long = None
+    if "rope_factors_short.weight" in t:
+        # phi3 longrope: per-pair factor tensors divide the base frequencies
+        # (ggml-cpu.c ggml_rope_cache_init theta/ff). rope_inv_freq becomes
+        # the SHORT table; the LONG table rides beside it and Context picks
+        # by n_ctx (reference llama-model.cpp:1621-1622, :11434-11445).
+        short_f = _f32(reader, "rope_factors_short.weight")
+        long_f = _f32(reader, "rope_factors_long.weight")
+        if short_f.shape != inv_freq.shape or long_f.shape != inv_freq.shape:
+            raise ValueError(
+                f"rope factor tensors must be [rope_dim/2]={inv_freq.shape}; "
+                f"got short {short_f.shape} long {long_f.shape}")
+        inv_freq_long = np.asarray(inv_freq / np.asarray(long_f), np.float32)
+        inv_freq = inv_freq / np.asarray(short_f)
     inv_freq_swa = None
     if hp.rope_freq_base_swa > 0 and \
             hp.rope_freq_base_swa != hp.rope_freq_base:
@@ -424,6 +443,7 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
         rope_inv_freq=np.asarray(inv_freq),
         rope_mscale=float(mscale),
         rope_inv_freq_swa=inv_freq_swa,
+        rope_inv_freq_long=inv_freq_long,
         output_norm_b=(_f32(reader, "output_norm.bias")
                        if "output_norm.bias" in t else None),
         output_b=(_f32(reader, "output.bias")

@@ -60,7 +60,11 @@ def rope_freqs(hp: HParams) -> tuple[np.ndarray, float]:
     half = hp.rope_dim // 2
     i = np.arange(half, dtype=np.float32)
     inv_freq = hp.rope_freq_base ** (-2.0 * i / hp.rope_dim)
-    mscale = 1.0
+    # attn_factor scales cos/sin unconditionally in ggml (rope_yarn's mscale
+    # param, ggml-cpu.c:10596-10604); longrope (phi3) sets it to
+    # sqrt(1 + ln(scale)/ln(orig_ctx)) at convert time — the factor tensors
+    # themselves are folded into inv_freq by load_weights.
+    mscale = float(hp.rope_attn_factor or 1.0)
     scaling = (hp.rope_scaling or "none").lower()
     factor = hp.rope_scale_factor or 1.0
     if scaling == "linear" and factor != 1.0:
@@ -78,7 +82,7 @@ def rope_freqs(hp: HParams) -> tuple[np.ndarray, float]:
         ramp = _yarn_ramp(low, high, hp.rope_dim)
         inv_freq_interp = inv_freq / factor
         inv_freq = inv_freq_interp * (1 - ramp) + inv_freq * ramp
-        mscale = float(hp.rope_attn_factor) * (1.0 + 0.1 * math.log(factor))
+        mscale *= 1.0 + 0.1 * math.log(factor)
     return np.asarray(inv_freq, np.float32), mscale
 
 

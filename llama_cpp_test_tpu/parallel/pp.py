@@ -226,6 +226,8 @@ def mp_weight_pspecs(w: LlamaWeights) -> LlamaWeights:
         rope_inv_freq=P(None),
         rope_mscale=w.rope_mscale,
         rope_inv_freq_swa=None if w.rope_inv_freq_swa is None else P(None),
+        rope_inv_freq_long=(None if w.rope_inv_freq_long is None
+                            else P(None)),
     )
 
 
@@ -240,6 +242,7 @@ def shard_mp_weights(w: LlamaWeights, mesh: Mesh) -> LlamaWeights:
         rope_inv_freq=w.rope_inv_freq,
         rope_mscale=w.rope_mscale,
         rope_inv_freq_swa=w.rope_inv_freq_swa,
+        rope_inv_freq_long=w.rope_inv_freq_long,
     )
     specs = mp_weight_pspecs(stacked)
 

@@ -107,6 +107,8 @@ def weight_pspecs(w: LlamaWeights) -> LlamaWeights:
         rope_inv_freq=P(None),
         rope_mscale=w.rope_mscale,
         rope_inv_freq_swa=None if w.rope_inv_freq_swa is None else P(None),
+        rope_inv_freq_long=(None if w.rope_inv_freq_long is None
+                            else P(None)),
     )
 
 

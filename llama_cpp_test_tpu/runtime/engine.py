@@ -454,6 +454,16 @@ class Context:
         hp = model.hp
         self.kv_type = kv_type
         self.n_ctx = n_ctx
+        # longrope (phi3): per-context long/short rope-table selection —
+        # the long table iff this context exceeds the pretraining window
+        # (reference llama-model.cpp:11434-11445 get_rope_factors on
+        # n_ctx_per_seq). A per-context weights VIEW, not a mutation: two
+        # contexts over one Model may legitimately differ.
+        w = model.weights
+        if (w.rope_inv_freq_long is not None and hp.rope_orig_ctx > 0
+                and n_ctx > hp.rope_orig_ctx):
+            w = dataclasses.replace(w, rope_inv_freq=w.rope_inv_freq_long)
+        self.w = w
         self.block_size = block_size
         self.mesh = model.mesh
         self.dp = int(self.mesh.shape["dp"]) if self.mesh is not None else 1
@@ -491,9 +501,9 @@ class Context:
             (self._prefill_fn, self._decode_fn, self._copy_fn,
              self._prefill_all_fn, self._window_fn, mk_shift,
              self._mp_embed_builder, self._nll_fn) = \
-                build_mp_steps(hp, self.mesh, model.weights, self.pools)
+                build_mp_steps(hp, self.mesh, self.w, self.pools)
             self._shift_fn = mk_shift(
-                model.weights.rope_inv_freq_swa is not None)
+                self.w.rope_inv_freq_swa is not None)
         elif self.mesh is not None:
             from ..parallel.tp import (build_copy_step, build_shift_step,
                                        build_tp_steps, build_window_step,
@@ -503,11 +513,11 @@ class Context:
                                                block_size, kv_type=kv_type)
             self.pools = shard_pools(self.pools, self.mesh)
             self._prefill_fn, self._prefill_all_fn, self._decode_fn = \
-                build_tp_steps(hp, self.mesh, model.weights, self.pools)
+                build_tp_steps(hp, self.mesh, self.w, self.pools)
             self._copy_fn = build_copy_step(self.mesh, self.pools)
-            self._shift_fn = build_shift_step(hp, self.mesh, model.weights,
+            self._shift_fn = build_shift_step(hp, self.mesh, self.w,
                                               self.pools)
-            self._window_fn = build_window_step(hp, self.mesh, model.weights,
+            self._window_fn = build_window_step(hp, self.mesh, self.w,
                                                 self.pools)
         else:
             self.pools = kv_cache.new_kv_pools(hp, num_blocks, block_size,
@@ -583,7 +593,7 @@ class Context:
         for bi in range(len(s.table.blocks)):
             s.table._ensure_writable(bi)
         self._drain_copies([s])
-        w = self.model.weights
+        w = self.w
         if self.mesh is None:
             self.pools = kv_cache.apply_shift(
                 self.pools, np.asarray(src, np.int32),
@@ -782,7 +792,7 @@ class Context:
             if s.pos_offset:
                 raise NotImplementedError("all_logits after self_extend")
             logits, self.pools = self._prefill_all_fn(
-                self.model.weights, self.pools, tok, pos, bt, slot_arr,
+                self.w, self.pools, tok, pos, bt, slot_arr,
                 kv_len)
             return np.asarray(logits[row, :n])
         last_ix = np.zeros((tok.shape[0],), np.int32)
@@ -792,11 +802,11 @@ class Context:
                 raise NotImplementedError("pos_offset: single-device only")
             rd = np.full((tok.shape[0],), s.pos_offset, np.int32)
             logits, self.pools = self._prefill_fn(
-                self.model.weights, self.pools, tok, pos, bt, slot_arr,
+                self.w, self.pools, tok, pos, bt, slot_arr,
                 kv_len, last_ix, rd)
         else:
             logits, self.pools = self._prefill_fn(
-                self.model.weights, self.pools, tok, pos, bt, slot_arr,
+                self.w, self.pools, tok, pos, bt, slot_arr,
                 kv_len, last_ix)
         return np.asarray(logits[row])
 
@@ -832,7 +842,7 @@ class Context:
         s.n_cached += n
         last_ix = np.asarray([n - 1], np.int32)
         logits, self.pools = _prefill_embeds_step(
-            self.model.weights, self.pools, jnp.asarray(x), pos, bt,
+            self.w, self.pools, jnp.asarray(x), pos, bt,
             slot_arr, kv_len, last_ix, hp=hp)
         return np.asarray(logits[0])
 
@@ -877,14 +887,14 @@ class Context:
                         from ..parallel.tp import build_embed_step
 
                         fn = build_embed_step(hp, self.mesh,
-                                              self.model.weights,
+                                              self.w,
                                               self.pools, pooling)
                     self._embed_fns[pooling] = fn
-                emb, self.pools = fn(self.model.weights, self.pools, tok,
+                emb, self.pools = fn(self.w, self.pools, tok,
                                      pos, bt, slot_arr, kv_len, n_valid)
                 return np.asarray(emb[row])
             emb, self.pools = _embed_step(
-                self.model.weights, self.pools, tok, pos, bt, slot_arr,
+                self.w, self.pools, tok, pos, bt, slot_arr,
                 kv_len, n_valid, np.asarray([n_skip], np.int32),
                 hp=hp, pooling=pooling, causal=causal)
             return np.asarray(emb[0])
@@ -907,7 +917,7 @@ class Context:
         tok0 = np.asarray([first_token], np.int32)
         pos0 = np.asarray([s.n_cached], np.int32)
         toks, self.pools = _decode_greedy_loop(
-            self.model.weights, self.pools, tok0, pos0, bt,
+            self.w, self.pools, tok0, pos0, bt,
             hp=hp, n_steps=n_steps)
         toks = [int(t) for t in np.asarray(toks)[:, 0]]
         s.tokens.append(int(first_token))
@@ -943,7 +953,7 @@ class Context:
             pos0[i] = s.n_cached
             bt[i] = bt_src[i]
         toks, ps, self.pools = _draft_window_step(
-            self.model.weights, self.pools, jnp.asarray(tok0),
+            self.w, self.pools, jnp.asarray(tok0),
             jnp.asarray(pos0), jnp.asarray(bt), jnp.asarray(valid),
             hp=hp, n_steps=n_steps)
         toks = np.asarray(toks)
@@ -1005,7 +1015,7 @@ class Context:
             s.tokens.extend(toks_i)
             s.n_cached += len(toks_i)
         logits, self.pools = self._prefill_all_fn(
-            self.model.weights, self.pools, tok, pos, bt, slot_arr, kv_len)
+            self.w, self.pools, tok, pos, bt, slot_arr, kv_len)
         logits = np.asarray(logits)
         return [logits[rowmap[i], : lens[i]] for i in range(b)]
 
@@ -1114,12 +1124,12 @@ class Context:
             hist_dev = jnp.asarray(ds.make_history(hist_rows, bsz))
         if self.mesh is not None:
             toks, hist, self.pools = self._window_fn(n_steps)(
-                self.model.weights, self.pools, tok0_dev,
+                self.w, self.pools, tok0_dev,
                 jnp.asarray(handle.pos0), jnp.asarray(bt), handle.valid,
                 handle.params, hist_dev, handle.key)
         else:
             toks, hist, self.pools = _decode_window_step(
-                self.model.weights, self.pools, tok0_dev,
+                self.w, self.pools, tok0_dev,
                 jnp.asarray(handle.pos0), jnp.asarray(bt), handle.valid,
                 handle.params, hist_dev, handle.key, hp=hp, n_steps=n_steps)
         handle.toks_dev = toks
@@ -1186,13 +1196,13 @@ class Context:
                 from ..parallel.tp import build_nll_step
 
                 self._nll_fn = build_nll_step(hp, self.mesh,
-                                              self.model.weights, self.pools)
+                                              self.w, self.pools)
             nll, self.pools = self._nll_fn(
-                self.model.weights, self.pools, tok, pos, bt, slot_arr,
+                self.w, self.pools, tok, pos, bt, slot_arr,
                 kv_len, targets, valid)
             return np.asarray(nll[row, : n - 1])
         nll, self.pools = _prefill_nll_step(
-            self.model.weights, self.pools, tok, pos, bt, slot_arr, kv_len,
+            self.w, self.pools, tok, pos, bt, slot_arr, kv_len,
             targets, valid, hp=hp)
         return np.asarray(nll[0, : n - 1])
 
@@ -1252,11 +1262,11 @@ class Context:
             s.n_cached += 1
         if rd is not None:
             logits, self.pools = self._decode_fn(
-                self.model.weights, self.pools, tok, pos, bt, slot_arr,
+                self.w, self.pools, tok, pos, bt, slot_arr,
                 kv_len, rd)
         else:
             logits, self.pools = self._decode_fn(
-                self.model.weights, self.pools, tok, pos, bt, slot_arr,
+                self.w, self.pools, tok, pos, bt, slot_arr,
                 kv_len)
         return np.asarray(logits)[rowmap]
 

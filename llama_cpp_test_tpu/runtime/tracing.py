@@ -87,7 +87,7 @@ def trace_eval(ctx: Context, tokens: list[int],
         slot_arr[0, :n] = slots
         bt = ctx._table_arr([s])
         kv_len = np.asarray([n], np.int32)
-        tensors = _trace_step(ctx.model.weights, ctx.pools, tok, pos, bt,
+        tensors = _trace_step(ctx.w, ctx.pools, tok, pos, bt,
                               slot_arr, kv_len, hp=hp)
         names = ["inp_embd"] + \
             [f"l_out-{i}" for i in range(hp.n_layer)] + ["result_output"]

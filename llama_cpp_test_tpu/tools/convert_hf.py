@@ -13,6 +13,7 @@ pytorch_model*.bin) and writes a GGUF the engine loads directly. Handles:
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 from typing import Iterator
@@ -398,12 +399,38 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
         md[f"{arch}.rope.local_freq_base"] = cfg.get(
             "rope_local_base_freq", 10000.0)
     rope_scaling = cfg.get("rope_scaling") or {}
-    if rope_scaling.get("type") in ("linear", "yarn"):
-        md[f"{arch}.rope.scaling.type"] = rope_scaling["type"]
+    scaling_type = rope_scaling.get("type") or rope_scaling.get("rope_type")
+    rope_factor_tensors: list[tuple[str, np.ndarray]] = []
+    if scaling_type in ("linear", "yarn"):
+        md[f"{arch}.rope.scaling.type"] = scaling_type
         md[f"{arch}.rope.scaling.factor"] = float(rope_scaling.get("factor", 1.0))
+    elif scaling_type in ("su", "longrope"):
+        # phi3 longrope (reference convert_hf_to_gguf.py Phi3MiniModel
+        # set_gguf_parameters / generate_extra_tensors :2550-2612): per-pair
+        # factor tensors become rope_factors_{long,short}.weight [dims/2],
+        # attn factor = sqrt(1 + ln(scale)/ln(orig_ctx)) for scale > 1.
+        orig = cfg["original_max_position_embeddings"]
+        scale = cfg.get("max_position_embeddings", orig) / orig
+        rope_dims = int(head_dim * cfg.get("partial_rotary_factor", 1.0))
+        long_f = np.asarray(rope_scaling["long_factor"], np.float32)
+        short_f = np.asarray(rope_scaling["short_factor"], np.float32)
+        if long_f.shape != (rope_dims // 2,) or \
+                short_f.shape != (rope_dims // 2,):
+            raise ValueError(
+                f"longrope factors must be [{rope_dims // 2}]; got "
+                f"long {long_f.shape} short {short_f.shape}")
+        md[f"{arch}.rope.scaling.type"] = "longrope"
+        md[f"{arch}.rope.scaling.original_context_length"] = int(orig)
+        md[f"{arch}.rope.scaling.attn_factor"] = float(
+            math.sqrt(1.0 + math.log(scale) / math.log(orig))
+            if scale > 1.0 else 1.0)
+        rope_factor_tensors = [("rope_factors_long.weight", long_f),
+                               ("rope_factors_short.weight", short_f)]
     md.update(_vocab_metadata(path, cfg))
     for key, val in md.items():
         w.add_kv(key, val)
+    for tname, tarr in rope_factor_tensors:
+        w.add_tensor(tname, tarr, ggml_type=GGMLType.F32)
 
     is_norm_rope = arch in ("llama", "granite")
     experts: dict[tuple[int, str], dict[int, np.ndarray]] = {}

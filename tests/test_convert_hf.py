@@ -122,9 +122,10 @@ def _bpe_tokenizer_json(d, n_vocab):
         json.dump(tj, f)
 
 
-def _convert_and_compare(tmp_path, cfg, ws, hf_cls, tcfg, tol=5e-3):
+def _convert_and_compare(tmp_path, cfg, ws, hf_cls, tcfg, tol=5e-3,
+                         tokens=None, n_ctx=64):
     hf_dir = tmp_path / "hf"
-    hf_dir.mkdir()
+    hf_dir.mkdir(exist_ok=True)
     with open(hf_dir / "config.json", "w") as f:
         json.dump(cfg, f)
     st.save_file(ws, str(hf_dir / "model.safetensors"))
@@ -140,14 +141,15 @@ def _convert_and_compare(tmp_path, cfg, ws, hf_cls, tcfg, tol=5e-3):
         {k: torch.from_numpy(v.copy()) for k, v in ws.items()}, strict=False)
     assert not missing.unexpected_keys, missing.unexpected_keys
     hf.eval()
-    tokens = [3, 17, 42, 9, 150, 7]
+    if tokens is None:
+        tokens = [3, 17, 42, 9, 150, 7]
     with torch.no_grad():
         ref = hf(torch.tensor([tokens])).logits[0].numpy()
 
     from llama_cpp_test_tpu.runtime.engine import Context, Model
 
     model = Model(out)
-    ctx = Context(model, n_ctx=64, n_seq_max=1, block_size=8)
+    ctx = Context(model, n_ctx=n_ctx, n_seq_max=1, block_size=8)
     got = ctx.prefill(ctx.new_seq(), tokens, all_logits=True)
     err = np.mean((got - ref) ** 2) / (np.mean(ref ** 2) + 1e-9)
     assert err < tol, err
@@ -526,6 +528,71 @@ def test_convert_phi3_matches_transformers(tmp_path):
     )
     m = _convert_and_compare(tmp_path, cfg, ws, Phi3ForCausalLM, tcfg)
     assert m.hp.arch == "phi3"
+
+
+def test_convert_phi3_longrope_matches_transformers(tmp_path):
+    """Longrope (su) scaling: factor tensors + attn factor + per-context
+    long/short table selection (reference Phi3MiniModel
+    generate_extra_tensors / llama-model.cpp:11434-11445)."""
+    from transformers import Phi3Config, Phi3ForCausalLM
+
+    rng = np.random.default_rng(11)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, KV, L, FF = 256, 64, 4, 2, 2, 96
+    d = C // H
+    orig_ctx, max_ctx = 16, 64
+    long_f = (1.0 + rng.uniform(0.5, 4.0, d // 2)).astype(np.float32)
+    short_f = (1.0 + rng.uniform(0.0, 0.2, d // 2)).astype(np.float32)
+    rope_scaling = {"type": "longrope",
+                    "long_factor": [float(x) for x in long_f],
+                    "short_factor": [float(x) for x in short_f]}
+    cfg = {
+        "architectures": ["Phi3ForCausalLM"],
+        "hidden_size": C, "intermediate_size": FF,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "num_hidden_layers": L,
+        "max_position_embeddings": max_ctx,
+        "original_max_position_embeddings": orig_ctx,
+        "rope_scaling": rope_scaling,
+        "rms_norm_eps": 1e-5, "rope_theta": 10000.0, "vocab_size": V,
+        "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "model.embed_tokens.weight": r(V, C),
+        "model.norm.weight": 1.0 + r(C),
+        "lm_head.weight": r(V, C),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        ws.update({
+            p + "input_layernorm.weight": 1.0 + r(C),
+            p + "self_attn.qkv_proj.weight": r((H + 2 * KV) * d, C),
+            p + "self_attn.o_proj.weight": r(C, H * d),
+            p + "post_attention_layernorm.weight": 1.0 + r(C),
+            p + "mlp.gate_up_proj.weight": r(2 * FF, C),
+            p + "mlp.down_proj.weight": r(C, FF),
+        })
+    tcfg = Phi3Config(
+        pad_token_id=0,
+        vocab_size=V, hidden_size=C, intermediate_size=FF,
+        num_hidden_layers=L, num_attention_heads=H, num_key_value_heads=KV,
+        max_position_embeddings=max_ctx,
+        original_max_position_embeddings=orig_ctx,
+        rope_scaling=rope_scaling,
+        rms_norm_eps=1e-5, rope_theta=10000.0, tie_word_embeddings=False,
+        attn_implementation="eager")
+    # short branch: sequence and n_ctx both within the pretraining window
+    m = _convert_and_compare(tmp_path, cfg, ws, Phi3ForCausalLM, tcfg,
+                             tokens=[3, 17, 42, 9, 150, 7], n_ctx=orig_ctx)
+    assert m.hp.rope_scaling == "longrope"
+    assert m.hp.rope_orig_ctx == orig_ctx
+    assert m.hp.rope_attn_factor > 1.0
+    assert m.weights.rope_inv_freq_long is not None
+    # long branch: n_ctx > orig on our side; transformers flips to long
+    # factors because max(position_ids)+1 > original_max_position_embeddings
+    long_toks = [int(x) for x in rng.integers(3, V, 20)]
+    _convert_and_compare(tmp_path, cfg, ws, Phi3ForCausalLM, tcfg,
+                         tokens=long_toks, n_ctx=max_ctx)
 
 
 def test_convert_granite_matches_transformers(tmp_path):
