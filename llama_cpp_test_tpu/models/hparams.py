@@ -160,8 +160,12 @@ def hparams_from_metadata(md: dict) -> HParams:
                             if arch == "gemma3" else 0.0),
         attn_scale=attn_scale,
         rope_type=rope_type,
-        parallel_residual=arch in ("phi2", "falcon", "gptneox",
-                                   "command-r"),
+        # stablelm GGUFs carry the flag explicitly (reference StableLMModel
+        # add_parallel_residual, convert_hf_to_gguf.py:1536); elsewhere it
+        # is an arch property
+        parallel_residual=bool(g("use_parallel_residual",
+                                 arch in ("phi2", "falcon", "gptneox",
+                                          "command-r"))),
         norm_type=("ln" if arch in ("phi2", "falcon", "gptneox", "stablelm",
                                     "command-r", "starcoder2") else "rms"),
         act_fn="gelu" if (gemma_like or arch in ("phi2", "falcon",

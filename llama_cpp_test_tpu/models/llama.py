@@ -379,11 +379,6 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
             if p + bname in t:
                 bias = _f32(reader, p + bname)
                 setattr(lw, attr, bias[perm] if perm is not None else bias)
-        if hp.parallel_residual and p + "attn_q_norm.weight" in t:
-            raise NotImplementedError(
-                f"arch {hp.arch}: per-head QK norms on the parallel-"
-                "residual family (Command R+ style) are not applied by "
-                "this forward — refusing to run with wrong logits")
         for tname, attr in (("attn_q_norm.weight", "attn_q_norm"),
                             ("attn_k_norm.weight", "attn_k_norm"),
                             ("attn_post_norm.weight", "attn_post_norm"),
@@ -391,7 +386,16 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
                             ("ffn_post_norm.weight", "ffn_post_norm"),
                             ("post_ffw_norm.weight", "ffn_post_norm")):
             if p + tname in t:
-                setattr(lw, attr, _f32(reader, p + tname))
+                arr = _f32(reader, p + tname)
+                if arr.ndim == 2 and q_perm is not None and \
+                        attr in ("attn_q_norm", "attn_k_norm"):
+                    # Command R+ per-head LayerNorm weights [H, d] live in
+                    # the checkpoint's interleaved-rope layout; q/k rows are
+                    # unpermuted to half-split at load, so the elementwise
+                    # norm weight follows the same within-head map (mean/var
+                    # are permutation-invariant, the weight multiply isn't)
+                    arr = arr[:, _unpermute_rows(1, hp.head_dim)]
+                setattr(lw, attr, arr)
         return lw
 
     # embedding table keeps the row-gather layout; the (possibly tied) lm
@@ -680,10 +684,18 @@ def forward_layer(
     q = q.reshape(b, tdim, h, d)
     k = k.reshape(b, tdim, kvh, d)
     v = v.reshape(b, tdim, kvh, d)
-    if not flat_qk and lw.attn_q_norm is not None:  # per-head RMS
-        q = layers.rms_norm(q, lw.attn_q_norm, hp.rms_eps)
+    # per-head qk-norm variants: weight [d] = shared RMS (qwen3/gemma3);
+    # weight [H, d] = DISTINCT per-head LayerNorms, no bias (stablelm-2-12B
+    # — reference llm_build_stablelm's build_norm LLM_NORM on [d, H, T];
+    # HF StableLmLayerNormPerHead)
+    if not flat_qk and lw.attn_q_norm is not None:
+        q = (layers.layer_norm(q, lw.attn_q_norm, None, hp.rms_eps)
+             if lw.attn_q_norm.ndim == 2
+             else layers.rms_norm(q, lw.attn_q_norm, hp.rms_eps))
     if not flat_qk and lw.attn_k_norm is not None:
-        k = layers.rms_norm(k, lw.attn_k_norm, hp.rms_eps)
+        k = (layers.layer_norm(k, lw.attn_k_norm, None, hp.rms_eps)
+             if lw.attn_k_norm.ndim == 2
+             else layers.rms_norm(k, lw.attn_k_norm, hp.rms_eps))
     q = layers.apply_rope(q, positions, inv_freq, mscale)
     k = layers.apply_rope(k, positions, inv_freq, mscale)
     attn_out = attend(q.astype(jnp.bfloat16),
@@ -757,6 +769,13 @@ def _forward_layer_parallel(x, lw, hp, positions, inv_freq, mscale, attend,
     q = q.reshape(b, tdim, h, d)
     k = k.reshape(b, tdim, kvh, d)
     v = v.reshape(b, tdim, kvh, d)
+    if lw.attn_q_norm is not None:
+        # Command R+ (use_qk_norm): distinct per-head LayerNorms before
+        # rope, weights [H, d] / [KV, d], no bias (reference
+        # llm_build_command_r's build_norm LLM_NORM on the head-split view)
+        q = layers.layer_norm(q, lw.attn_q_norm, None, hp.rms_eps)
+    if lw.attn_k_norm is not None:
+        k = layers.layer_norm(k, lw.attn_k_norm, None, hp.rms_eps)
     q = layers.apply_rope(q, positions, inv_freq, mscale)
     k = layers.apply_rope(k, positions, inv_freq, mscale)
     attn_out = attend(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),

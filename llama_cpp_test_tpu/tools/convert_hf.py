@@ -362,19 +362,14 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
         md[f"{arch}.attention.layer_norm_epsilon"] = cfg.get(
             "norm_epsilon", 1e-5)
         del md[f"{arch}.attention.layer_norm_rms_epsilon"]
-    if arch == "command-r" and cfg.get("use_qk_norm"):
-        raise ValueError(
-            "command-r use_qk_norm=True (Command R+ style per-head "
-            "LayerNorms) is not supported yet — refusing to write a GGUF "
-            "that would run with wrong logits")
-    if arch == "stablelm" and cfg.get("qk_layernorm"):
-        raise ValueError(
-            "stablelm qk_layernorm=True is not supported yet — refusing "
-            "to write a GGUF that would run with wrong logits")
-    if arch == "stablelm" and cfg.get("use_parallel_residual"):
-        raise ValueError(
-            "stablelm use_parallel_residual=True (StableLM-2-12B) is not "
-            "supported yet")
+    if arch == "stablelm":
+        # reference StableLMModel (convert_hf_to_gguf.py:1536) defaults the
+        # flag to TRUE for configs that omit it — that covers legacy
+        # StableLM-Epoch checkpoints, which this converter does not accept
+        # (only StableLmForCausalLM, whose HF default is False); so default
+        # to the HF default instead
+        md[f"{arch}.use_parallel_residual"] = bool(
+            cfg.get("use_parallel_residual", False))
     if arch == "command-r":
         md[f"{arch}.logit_scale"] = cfg.get("logit_scale", 0.0625)
         md[f"{arch}.attention.layer_norm_epsilon"] = cfg.get(
@@ -446,7 +441,24 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
             tgt = GGMLType.F16
         w.add_tensor(gname, arr, ggml_type=tgt)
 
+    # stablelm qk_layernorm: H (resp. KV) distinct per-head LayerNorms,
+    # stacked to one [H, d] tensor (reference StableLMModel._stack_qk_norm,
+    # convert_hf_to_gguf.py:1575-1587)
+    qk_norms: dict[tuple[int, str], dict[int, np.ndarray]] = {}
+
     for name, arr in iter_hf_tensors(path):
+        if ".q_layernorm.norms." in name or ".k_layernorm.norms." in name:
+            parts = name.split(".")
+            li, which, hi = int(parts[2]), parts[4], int(parts[6])
+            gn = "attn_q_norm" if which == "q_layernorm" else "attn_k_norm"
+            want = n_head if gn == "attn_q_norm" else n_kv
+            key = (li, gn)
+            qk_norms.setdefault(key, {})[hi] = np.asarray(arr, np.float32)
+            if len(qk_norms[key]) == want:
+                heads = qk_norms.pop(key)
+                emit(f"blk.{li}.{gn}.weight",
+                     np.stack([heads[h] for h in range(want)]))
+            continue
         # expert stacking: mixtral w1/w2/w3, qwen-moe {gate,up,down}_proj
         if ".block_sparse_moe.experts." in name or ".mlp.experts." in name:
             parts = name.split(".")
@@ -506,6 +518,9 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
         if gname == "output.weight":
             seen_output = True
         emit(gname, arr)
+    if qk_norms:
+        raise ValueError(f"unprocessed per-head qk norms: "
+                         f"{sorted(qk_norms)}")
     w.write()
 
 

@@ -690,6 +690,111 @@ def test_convert_stablelm_matches_transformers(tmp_path):
     assert m.hp.norm_type == "ln" and m.hp.rope_dim == d // 4
 
 
+def _stablelm_fixture(seed, parallel, qk_layernorm):
+    """Shared synthetic StableLM checkpoint across the variant axes
+    (per-head qk LayerNorms; use_parallel_residual a la StableLM-2-12B)."""
+    from transformers import StableLmConfig
+
+    rng = np.random.default_rng(seed)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, KV, L, FF = 256, 64, 4, 2, 2, 96
+    d = C // H
+    cfg = {
+        "architectures": ["StableLmForCausalLM"],
+        "hidden_size": C, "intermediate_size": FF,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "num_hidden_layers": L, "max_position_embeddings": 256,
+        "layer_norm_eps": 1e-5, "rope_theta": 10000.0, "vocab_size": V,
+        "partial_rotary_factor": 0.25, "use_qkv_bias": False,
+        "qk_layernorm": qk_layernorm,
+        "use_parallel_residual": parallel,
+        "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "model.embed_tokens.weight": r(V, C),
+        "model.norm.weight": 1.0 + r(C),
+        "model.norm.bias": r(C),
+        "lm_head.weight": r(V, C),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        ws.update({
+            p + "input_layernorm.weight": 1.0 + r(C),
+            p + "input_layernorm.bias": r(C),
+            p + "self_attn.q_proj.weight": r(H * d, C),
+            p + "self_attn.k_proj.weight": r(KV * d, C),
+            p + "self_attn.v_proj.weight": r(KV * d, C),
+            p + "self_attn.o_proj.weight": r(C, H * d),
+            p + "mlp.gate_proj.weight": r(FF, C),
+            p + "mlp.up_proj.weight": r(FF, C),
+            p + "mlp.down_proj.weight": r(C, FF),
+        })
+        if not parallel:
+            ws.update({
+                p + "post_attention_layernorm.weight": 1.0 + r(C),
+                p + "post_attention_layernorm.bias": r(C),
+            })
+        if qk_layernorm:
+            for j in range(H):
+                ws[p + f"self_attn.q_layernorm.norms.{j}.weight"] = \
+                    1.0 + r(d)
+            for j in range(KV):
+                ws[p + f"self_attn.k_layernorm.norms.{j}.weight"] = \
+                    1.0 + r(d)
+    tcfg = StableLmConfig(
+        vocab_size=V, hidden_size=C, intermediate_size=FF,
+        num_hidden_layers=L, num_attention_heads=H, num_key_value_heads=KV,
+        layer_norm_eps=1e-5, rope_theta=10000.0, tie_word_embeddings=False,
+        partial_rotary_factor=0.25, use_qkv_bias=False,
+        qk_layernorm=qk_layernorm, use_parallel_residual=parallel,
+        attn_implementation="eager",
+    )
+    return cfg, ws, tcfg
+
+
+def _patched_stablelm(tcfg):
+    """StableLmForCausalLM factory working around a transformers init bug:
+    _init_weights assumes every nn.LayerNorm has a bias, but the per-head
+    qk norms are built with bias=False."""
+    import torch.nn as nn
+    from transformers.models.stablelm import modeling_stablelm as ms
+
+    orig = ms.StableLmPreTrainedModel._init_weights
+
+    def safe(self, module):
+        if isinstance(module, nn.LayerNorm) and module.bias is None:
+            module.weight.data.fill_(1.0)
+            return
+        orig(self, module)
+
+    ms.StableLmPreTrainedModel._init_weights = safe
+    try:
+        return ms.StableLmForCausalLM(tcfg)
+    finally:
+        ms.StableLmPreTrainedModel._init_weights = orig
+
+
+def test_convert_stablelm_qk_layernorm_matches_transformers(tmp_path):
+    """Distinct per-head LayerNorms stacked to [H, d] (reference
+    StableLMModel._stack_qk_norm; llm_build_stablelm LLM_NORM on the
+    head-split view)."""
+    cfg, ws, tcfg = _stablelm_fixture(21, parallel=False, qk_layernorm=True)
+    m = _convert_and_compare(tmp_path, cfg, ws, _patched_stablelm, tcfg)
+    assert m.weights.layers[0].attn_q_norm.shape == (4, 16)
+    assert m.weights.layers[0].attn_k_norm.shape == (2, 16)
+    assert not m.hp.parallel_residual
+
+
+def test_convert_stablelm_parallel_residual_matches_transformers(tmp_path):
+    """StableLM-2-12B layout: parallel residual (no post-attention norm,
+    FFN fed from the attn norm) plus per-head qk LayerNorms (reference
+    llm_build_stablelm's ffn_norm-absent branch)."""
+    cfg, ws, tcfg = _stablelm_fixture(22, parallel=True, qk_layernorm=True)
+    m = _convert_and_compare(tmp_path, cfg, ws, _patched_stablelm, tcfg)
+    assert m.hp.parallel_residual
+    assert m.weights.layers[0].ffn_norm is None
+
+
 def test_convert_olmo2_matches_transformers(tmp_path):
     from transformers import Olmo2Config, Olmo2ForCausalLM
 
@@ -832,6 +937,58 @@ def test_convert_commandr_matches_transformers(tmp_path):
     m = _convert_and_compare(tmp_path, cfg, ws, CohereForCausalLM, tcfg)
     assert m.hp.arch == "command-r"
     assert m.hp.parallel_residual and m.hp.norm_type == "ln"
+
+
+def test_convert_commandr_qk_norm_matches_transformers(tmp_path):
+    """Command R+ use_qk_norm: distinct per-head LayerNorms [H, d]/[KV, d]
+    before rope on the parallel-residual family (reference
+    llm_build_command_r:8044-8067). The weights must also survive the
+    within-head interleaved->half-split load permutation."""
+    from transformers import CohereConfig, CohereForCausalLM
+
+    rng = np.random.default_rng(23)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, KV, L, FF = 256, 64, 4, 2, 2, 96
+    d = C // H
+    cfg = {
+        "architectures": ["CohereForCausalLM"],
+        "hidden_size": C, "intermediate_size": FF,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "num_hidden_layers": L, "max_position_embeddings": 256,
+        "layer_norm_eps": 1e-5, "rope_theta": 10000.0, "vocab_size": V,
+        "logit_scale": 0.25, "tie_word_embeddings": False,
+        "use_qk_norm": True,
+        "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "model.embed_tokens.weight": r(V, C),
+        "model.norm.weight": 1.0 + r(C),
+        "lm_head.weight": r(V, C),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        ws.update({
+            p + "input_layernorm.weight": 1.0 + r(C),
+            p + "self_attn.q_proj.weight": r(H * d, C),
+            p + "self_attn.k_proj.weight": r(KV * d, C),
+            p + "self_attn.v_proj.weight": r(KV * d, C),
+            p + "self_attn.o_proj.weight": r(C, H * d),
+            p + "self_attn.q_norm.weight": 1.0 + r(H, d),
+            p + "self_attn.k_norm.weight": 1.0 + r(KV, d),
+            p + "mlp.gate_proj.weight": r(FF, C),
+            p + "mlp.up_proj.weight": r(FF, C),
+            p + "mlp.down_proj.weight": r(C, FF),
+        })
+    tcfg = CohereConfig(
+        vocab_size=V, hidden_size=C, intermediate_size=FF,
+        num_hidden_layers=L, num_attention_heads=H, num_key_value_heads=KV,
+        layer_norm_eps=1e-5, rope_theta=10000.0, logit_scale=0.25,
+        tie_word_embeddings=False, use_qk_norm=True,
+        attn_implementation="eager",
+    )
+    m = _convert_and_compare(tmp_path, cfg, ws, CohereForCausalLM, tcfg)
+    assert m.weights.layers[0].attn_q_norm.shape == (H, d)
+    assert m.weights.layers[0].attn_k_norm.shape == (KV, d)
 
 
 def test_convert_starcoder2_matches_transformers(tmp_path):
