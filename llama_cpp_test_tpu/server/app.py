@@ -551,15 +551,10 @@ class LlamaServer:
         # (common_chat_templates_apply detection, chat.cpp:1600-1665);
         # reasoning_format='deepseek' (default, like the reference) moves
         # <think> preludes into message.reasoning_content
-        from .chat import detect_tool_format, parse_assistant_message
+        from .chat import parse_assistant_message
 
-        fmt = body.get("chat_format") or detect_tool_format(
-            self.model.reader.metadata.get("tokenizer.chat_template", ""))
+        fmt = self._chat_fmt(body, tools)
         extract = body.get("reasoning_format", "deepseek") != "none"
-        if not tools and fmt not in ("deepseek_r1", "command_r7b"):
-            # without tools, model-emitted tool markup is plain content
-            # (reference init_without_tools); reasoning still extracts
-            fmt = "content_only"
         parsed = parse_assistant_message(text, fmt,
                                          extract_reasoning=extract)
         if parsed["tool_calls"] and tools:
@@ -584,6 +579,20 @@ class LlamaServer:
             },
             "timings": self._timings(req),
         })
+
+    def _chat_fmt(self, body, tools) -> str:
+        """Tool-call format for this request: sniffed from the chat
+        template (common_chat_templates_apply detection,
+        chat.cpp:1600-1665); without tools, model-emitted tool markup is
+        plain content (reference init_without_tools) but reasoning formats
+        still extract."""
+        from .chat import detect_tool_format
+
+        fmt = body.get("chat_format") or detect_tool_format(
+            self.model.reader.metadata.get("tokenizer.chat_template", ""))
+        if not tools and fmt not in ("deepseek_r1", "command_r7b"):
+            fmt = "content_only"
+        return fmt
 
     @staticmethod
     def _timings(req: GenRequest) -> dict:
@@ -611,21 +620,52 @@ class LlamaServer:
         task = asyncio.ensure_future(
             self._run_request(prompt_tokens, body, stream_cb=cb))
         obj = "chat.completion.chunk" if chat else "text_completion"
+        parser = None
+        tools = None
+        if chat:
+            # format-aware streaming: tool-call markup is held back from
+            # content deltas, reasoning streams as reasoning_content, and
+            # completed calls arrive as OpenAI tool_calls deltas with
+            # finish_reason "tool_calls" (the reference server's
+            # common_chat_msg_diff streaming)
+            from .chat import StreamParser
+
+            tools = body.get("tools") or None
+            parser = StreamParser(
+                self._chat_fmt(body, tools),
+                body.get("reasoning_format", "deepseek") != "none")
+
+        def mk_chunk(payload: dict, finish) -> bytes:
+            chunk = {"id": rid, "object": obj,
+                     "created": int(time.time()), "model": self.alias,
+                     "choices": [{"index": 0, **payload,
+                                  "finish_reason": finish}]}
+            return f"data: {json.dumps(chunk)}\n\n".encode()
+
         while True:
             tok, piece, finished = await q.get()
-            if chat:
-                delta = {"content": piece or ""} if finished is None else {}
-                chunk = {"id": rid, "object": obj,
-                         "created": int(time.time()), "model": self.alias,
-                         "choices": [{"index": 0, "delta": delta,
-                                      "finish_reason": finished}]}
+            if not chat:
+                await resp.write(mk_chunk({"text": piece or ""}, finished))
+                if finished is not None:
+                    break
+                continue
+            if finished is None:
+                deltas = parser.feed(piece)
             else:
-                chunk = {"id": rid, "object": obj,
-                         "created": int(time.time()), "model": self.alias,
-                         "choices": [{"index": 0, "text": piece or "",
-                                      "finish_reason": finished}]}
-            await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
+                deltas = parser.feed(piece)  # the final token's text
+                tail, parsed = parser.finish()
+                deltas += tail
+                calls = parsed["tool_calls"] if tools else []
+                for idx, tc in enumerate(calls):
+                    deltas.append({"tool_calls": [
+                        {"index": idx, "id": tc["id"], "type": "function",
+                         "function": tc["function"]}]})
+                if calls:
+                    finished = "tool_calls"
+            for d in deltas:
+                await resp.write(mk_chunk({"delta": d}, None))
             if finished is not None:
+                await resp.write(mk_chunk({"delta": {}}, finished))
                 break
         await resp.write(b"data: [DONE]\n\n")
         await task

@@ -675,3 +675,152 @@ def parse_assistant_message(text: str, fmt: str = "auto",
         content, calls = parse_tool_calls(text)
     return {"content": content, "tool_calls": calls,
             "reasoning_content": reasoning}
+
+
+# -- SSE streaming ------------------------------------------------------------
+
+# per-format markup that may START a tool-call section: while the pending
+# text could still be a prefix of one of these, it is held back from the
+# content stream (common_chat_msg_parser's partial-parse holdback,
+# reference common/chat-parser.cpp); once one fully appears, everything
+# from it on is buffered for the end-of-stream authoritative parse
+_STREAM_TRIGGERS = {
+    "generic": ("<tool_call>", "[TOOL_CALLS]", "{"),
+    "auto": ("<tool_call>", "[TOOL_CALLS]", "{"),
+    "mistral_nemo": ("[TOOL_CALLS]",),
+    "llama_3_x": ("{",),
+    "llama_3_x_builtin": ("{", "<|python_tag|>"),
+    "deepseek_r1": ("<｜tool▁calls▁begin｜>", "<｜tool_calls_begin｜>",
+                    "<｜tool calls begin｜>"),
+    "hermes_2_pro": ("<tool_call>",),
+    "functionary_v3_2": (">>>",),
+    "functionary_v3_1": ("<function=", "<|python_tag|>"),
+    "command_r7b": ("<|START_ACTION|>",),
+    "content_only": (),
+}
+# markup that wraps plain content and is dropped from the stream in place
+_STREAM_STRIP = {
+    "command_r7b": ("<|START_RESPONSE|>", "<|END_RESPONSE|>"),
+}
+_THINK_OPEN = {"<think>": "</think>",
+               "<|START_THINKING|>": "<|END_THINKING|>"}
+
+
+def _holdback(s: str, markers) -> tuple[str, str]:
+    """Split s into (emit, keep): keep is the longest suffix of s that is a
+    PROPER prefix of any marker (may still grow into one)."""
+    maxk = max((len(m) for m in markers), default=1) - 1
+    for k in range(min(len(s), maxk), 0, -1):
+        suf = s[-k:]
+        if any(m.startswith(suf) and k < len(m) for m in markers):
+            return s[:-k], suf
+    return s, ""
+
+
+class StreamParser:
+    """Incremental assistant-output parsing for SSE chat streaming.
+
+    feed(piece) returns delta dicts ({"content": ...} or
+    {"reasoning_content": ...}) safe to emit NOW; tool-call markup never
+    leaks into the stream. finish() runs parse_assistant_message over the
+    full text — the single source of truth — and returns the trailing
+    deltas (anything held back that turned out to be plain content) plus
+    the parsed message, mirroring the reference's end-of-stream
+    common_chat_msg_diff against the partially-streamed message."""
+
+    def __init__(self, fmt: str, extract_reasoning: bool = False):
+        self.fmt = fmt
+        self.extract = extract_reasoning
+        self._raw: list[str] = []
+        self._pend = ""
+        self._state = "start"
+        self._close = ""
+        self._sent_content: list[str] = []
+        self._sent_reasoning: list[str] = []
+        self._markers = (tuple(_STREAM_TRIGGERS.get(fmt,
+                                                    _STREAM_TRIGGERS["generic"]))
+                         + _STREAM_STRIP.get(fmt, ()))
+        self._strip = set(_STREAM_STRIP.get(fmt, ()))
+
+    def _emit(self, out, key, text):
+        if text:
+            out.append({key: text})
+            (self._sent_content if key == "content"
+             else self._sent_reasoning).append(text)
+
+    def feed(self, piece: str) -> list[dict]:
+        piece = piece or ""
+        self._raw.append(piece)
+        if self._state == "tool":
+            return []
+        self._pend += piece
+        out: list[dict] = []
+        progress = True
+        while progress:
+            progress = False
+            if self._state == "start":
+                s = self._pend.lstrip()
+                if not s:
+                    break
+                if self.fmt == "functionary_v3_2":
+                    # leading ">>>all\n" / "all\n" section header is markup
+                    if "all\n".startswith(s):
+                        break
+                    if s.startswith("all\n"):
+                        self._pend = s[4:]
+                        progress = True
+                        continue
+                opens = _THINK_OPEN if self.extract else {}
+                if any(o.startswith(s) for o in opens):
+                    break  # may still become a think tag
+                hit = next((o for o in opens if s.startswith(o)), None)
+                if hit:
+                    self._state = "reasoning"
+                    self._close = _THINK_OPEN[hit]
+                    self._pend = s[len(hit):]
+                else:
+                    self._state = "content"
+                progress = True
+            elif self._state == "reasoning":
+                i = self._pend.find(self._close)
+                if i >= 0:
+                    self._emit(out, "reasoning_content", self._pend[:i])
+                    self._pend = self._pend[i + len(self._close):]
+                    self._state = "content"
+                    progress = True
+                else:
+                    emit, keep = _holdback(self._pend, (self._close,))
+                    self._emit(out, "reasoning_content", emit)
+                    self._pend = keep
+            elif self._state == "content":
+                first = None
+                for mk in self._markers:
+                    i = self._pend.find(mk)
+                    if i >= 0 and (first is None or i < first[0]):
+                        first = (i, mk)
+                if first is not None:
+                    i, mk = first
+                    self._emit(out, "content", self._pend[:i])
+                    if mk in self._strip:
+                        self._pend = self._pend[i + len(mk):]
+                        progress = True
+                    else:
+                        self._state = "tool"
+                        self._pend = ""
+                else:
+                    emit, keep = _holdback(self._pend, self._markers)
+                    self._emit(out, "content", emit)
+                    self._pend = keep
+        return out
+
+    def finish(self) -> tuple[list[dict], dict]:
+        parsed = parse_assistant_message("".join(self._raw), self.fmt,
+                                         extract_reasoning=self.extract)
+        out: list[dict] = []
+        for key, sent in (("reasoning_content", self._sent_reasoning),
+                          ("content", self._sent_content)):
+            done = "".join(sent)
+            full = parsed[key] or ""
+            if full.startswith(done) and len(full) > len(done):
+                out.append({key: full[len(done):]})
+        return out, parsed

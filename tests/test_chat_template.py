@@ -212,3 +212,89 @@ def test_parse_command_r7b():
     resp = parse_assistant_message(
         "<|START_RESPONSE|>hi there<|END_RESPONSE|>", fmt="command_r7b")
     assert resp["content"] == "hi there" and not resp["tool_calls"]
+
+
+# -- SSE stream parsing -------------------------------------------------------
+
+def _stream_all(text, fmt, extract=True, chunk=3):
+    """Feed text in small chunks; return (deltas, parsed)."""
+    from llama_cpp_test_tpu.server.chat import StreamParser
+
+    p = StreamParser(fmt, extract_reasoning=extract)
+    deltas = []
+    for i in range(0, len(text), chunk):
+        deltas.extend(p.feed(text[i:i + chunk]))
+    tail, parsed = p.finish()
+    return deltas + tail, parsed
+
+
+def _joined(deltas, key):
+    return "".join(d.get(key, "") for d in deltas)
+
+
+def test_stream_hermes_tool_call_heldback():
+    text = ('Sure, calling it now. <tool_call>{"name": "f", '
+            '"arguments": {"a": 1}}</tool_call>')
+    for chunk in (1, 3, 7, 50):
+        deltas, parsed = _stream_all(text, "hermes_2_pro", chunk=chunk)
+        assert "<tool_call>" not in _joined(deltas, "content")
+        assert _joined(deltas, "content").startswith("Sure, calling it now.")
+        assert parsed["tool_calls"][0]["function"]["name"] == "f"
+
+
+def test_stream_reasoning_deltas():
+    text = ("<think>step one.\nstep two.</think>The answer is 4."
+            "<｜tool▁calls▁begin｜><｜tool▁call▁begin｜>function"
+            "<｜tool▁sep｜>search\n```json\n{\"q\": \"x\"}\n```"
+            "<｜tool▁call▁end｜><｜tool▁calls▁end｜>")
+    deltas, parsed = _stream_all(text, "deepseek_r1", chunk=4)
+    r = _joined(deltas, "reasoning_content")
+    c = _joined(deltas, "content")
+    assert r == "step one.\nstep two."
+    assert c == "The answer is 4."
+    assert "tool▁calls" not in c and "<think>" not in c
+    assert parsed["tool_calls"][0]["function"]["name"] == "search"
+    # incremental deltas actually arrived DURING the stream, not only at
+    # finish (at least one content delta before the tool block completes)
+    assert any("reasoning_content" in d for d in deltas)
+
+
+def test_stream_false_trigger_recovers_at_finish():
+    # a lone '{' mid-content holds back streaming; the end-of-stream diff
+    # flushes it once the full parse shows no tool call
+    text = 'The set {1, 2} has two elements.'
+    deltas, parsed = _stream_all(text, "llama_3_x", chunk=5)
+    assert _joined(deltas, "content") == text
+    assert parsed["tool_calls"] == []
+
+
+def test_stream_command_r7b_response_markers_stripped():
+    text = "<|START_RESPONSE|>All good.<|END_RESPONSE|>"
+    deltas, parsed = _stream_all(text, "command_r7b", chunk=3)
+    c = _joined(deltas, "content")
+    assert "START_RESPONSE" not in c and "END_RESPONSE" not in c
+    assert c.strip() == "All good."
+
+
+def test_stream_command_r7b_action_buffered():
+    text = ('<|START_ACTION|>[{"tool_name": "calc", "parameters": '
+            '{"x": 2}}]<|END_ACTION|>')
+    deltas, parsed = _stream_all(text, "command_r7b", chunk=6)
+    assert _joined(deltas, "content") == ""
+    assert parsed["tool_calls"][0]["function"]["name"] == "calc"
+
+
+def test_stream_functionary_v32_header_stripped():
+    text = 'all\nHello there>>>get_time\n{"tz": "UTC"}'
+    deltas, parsed = _stream_all(text, "functionary_v3_2", chunk=2)
+    c = _joined(deltas, "content")
+    assert c == "Hello there"
+    assert parsed["tool_calls"][0]["function"]["name"] == "get_time"
+
+
+def test_stream_content_only_verbatim():
+    text = 'Plain text with <tool_call> markup kept {"as": "is"}.'
+    deltas, parsed = _stream_all(text, "content_only", chunk=4,
+                                 extract=False)
+    assert _joined(deltas, "content") == text
+    assert parsed["tool_calls"] == []

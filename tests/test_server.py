@@ -331,3 +331,38 @@ def test_sampling_body_lazy_grammar_triggers():
     assert p.grammar_trigger_patterns == (".*?(\\{)",)
     q = _sampling_from_body({"grammar": 'root ::= "x"'})
     assert not q.grammar_lazy and q.grammar_trigger_words == ()
+
+
+def test_chat_streaming_delta_shape(client):
+    """Chat SSE path rides the StreamParser: content deltas only, final
+    chunk carries the finish_reason (tool format is content_only for a
+    tools-less request, so text streams verbatim)."""
+    c, loop = client
+
+    async def go():
+        r = await c.post("/v1/chat/completions", json={
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 4, "temperature": 0.0,
+            "stream": True, "ignore_eos": True,
+        })
+        assert r.status == 200
+        chunks = []
+        async for line in r.content:
+            line = line.decode().strip()
+            if line.startswith("data: ") and line != "data: [DONE]":
+                chunks.append(json.loads(line[6:]))
+        assert chunks
+        assert all(ch["object"] == "chat.completion.chunk" for ch in chunks)
+        assert chunks[-1]["choices"][0]["finish_reason"] is not None
+        assert chunks[-1]["choices"][0]["delta"] == {}
+        streamed = "".join(
+            ch["choices"][0]["delta"].get("content", "") for ch in chunks)
+        # compare with the non-streaming answer for the same request
+        r2 = await c.post("/v1/chat/completions", json={
+            "messages": [{"role": "user", "content": "hi"}],
+            "max_tokens": 4, "temperature": 0.0, "ignore_eos": True,
+        })
+        body = await r2.json()
+        assert streamed == body["choices"][0]["message"]["content"]
+
+    loop.run_until_complete(go())
