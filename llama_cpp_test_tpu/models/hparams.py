@@ -106,7 +106,8 @@ def hparams_from_metadata(md: dict) -> HParams:
         n_vocab = len(toks) if toks is not None else 32000
     scaling = str(md.get(f"{arch}.rope.scaling.type", "none") or "none")
     neox_arches = {"falcon", "grok", "dbrx", "bert", "nomic-bert", "stablelm",
-                   "bitnet", "qwen", "qwen2", "qwen2moe", "qwen3", "qwen3moe",
+                   "bitnet", "qwen", "qwen2", "qwen2vl", "qwen2moe", "qwen3",
+                   "qwen3moe",
                    "olmo2", "olmoe",
                    "phi2", "phi3", "phimoe", "gemma", "gemma2", "gemma3",
                    "starcoder2", "openelm", "gptneox", "codeshell", "nemotron",

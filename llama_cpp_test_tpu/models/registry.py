@@ -53,6 +53,14 @@ register_arch(ArchSpec("qwen2", family="llama", rope_type="neox",
 register_arch(ArchSpec("qwen3", family="llama", rope_type="neox",
                        notes="qk-norm"))
 
+# qwen2vl: the Qwen2-VL text model. Text-only M-RoPE feeds every
+# dimension section the same position stream, which reduces exactly to
+# standard NEOX rope (reference llm_build_qwen2vl uses MROPE; equal
+# t/h/w positions make the section split a no-op) — so the llama family
+# serves it verbatim for text. Image positions (mmproj) NOT supported.
+register_arch(ArchSpec("qwen2vl", family="llama", rope_type="neox",
+                       notes="attn-bias, text-only (no vision M-RoPE)"))
+
 # qwen2moe: mixtral-style routed experts WITHOUT top-k renormalization,
 # plus a sigmoid-gated shared expert (reference llm_build_qwen2moe,
 # llama-model.cpp:6104-6225; test_arch_quirks qwen2moe suite)

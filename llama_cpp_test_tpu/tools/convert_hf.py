@@ -44,6 +44,11 @@ ARCH_MAP = {
     "OlmoeForCausalLM": "olmoe",
     "CohereForCausalLM": "command-r",
     "Starcoder2ForCausalLM": "starcoder2",
+    # text side only, like the reference's Qwen2VLModel (which also drops
+    # visual.*, convert_hf_to_gguf.py:2254-2274); text-only M-RoPE with
+    # equal position streams reduces to standard NEOX rope
+    "Qwen2VLForConditionalGeneration": "qwen2vl",
+    "Qwen2_5_VLForConditionalGeneration": "qwen2vl",
 }
 
 # HF suffix -> GGUF suffix (per-layer), mirroring gguf-py tensor_mapping
@@ -297,6 +302,9 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
     if arch is None:
         raise ValueError(f"unsupported architecture {archs[0]}; "
                          f"known: {sorted(ARCH_MAP)}")
+    if arch == "qwen2vl" and isinstance(cfg.get("text_config"), dict):
+        # VL configs nest the language-model hparams (transformers >= 4.52)
+        cfg = {**cfg, **cfg["text_config"]}
     n_head = cfg["num_attention_heads"]
     if arch == "falcon":
         # old (7B) arch: multi-query unless new_decoder_architecture
@@ -421,6 +429,14 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
             if scale > 1.0 else 1.0)
         rope_factor_tensors = [("rope_factors_long.weight", long_f),
                                ("rope_factors_short.weight", short_f)]
+    elif rope_scaling.get("mrope_section"):
+        # qwen2vl M-RoPE (reference Qwen2VLModel set_gguf_parameters,
+        # convert_hf_to_gguf.py:2258-2262): sections recorded for parity;
+        # text-only positions feed every section the same stream, which
+        # equals standard NEOX rope (the only mode this engine runs)
+        sections = list(rope_scaling["mrope_section"])
+        sections += [0] * max(0, 4 - len(sections))
+        md[f"{arch}.rope.dimension_sections"] = [int(s) for s in sections]
     md.update(_vocab_metadata(path, cfg))
     for key, val in md.items():
         w.add_kv(key, val)
@@ -446,7 +462,16 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
     # convert_hf_to_gguf.py:1575-1587)
     qk_norms: dict[tuple[int, str], dict[int, np.ndarray]] = {}
 
+    n_visual_skipped = 0
     for name, arr in iter_hf_tensors(path):
+        if arch == "qwen2vl":
+            if name.startswith(("visual.", "model.visual.")):
+                # vision tower not converted (mirrors the reference's
+                # Qwen2VLModel.get_tensors visual.* skip) — text-only GGUF
+                n_visual_skipped += 1
+                continue
+            if name.startswith("model.language_model."):
+                name = "model." + name[len("model.language_model."):]
         if ".q_layernorm.norms." in name or ".k_layernorm.norms." in name:
             parts = name.split(".")
             li, which, hi = int(parts[2]), parts[4], int(parts[6])
@@ -521,6 +546,10 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
     if qk_norms:
         raise ValueError(f"unprocessed per-head qk norms: "
                          f"{sorted(qk_norms)}")
+    if n_visual_skipped:
+        print(f"note: skipped {n_visual_skipped} visual.* tensors "
+              "(text-only conversion; vision/mmproj not supported for "
+              "qwen2vl)", file=sys.stderr)
     w.write()
 
 

@@ -1042,3 +1042,58 @@ def test_convert_starcoder2_matches_transformers(tmp_path):
     m = _convert_and_compare(tmp_path, cfg, ws, Starcoder2ForCausalLM, tcfg)
     assert m.hp.arch == "starcoder2"
     assert m.hp.norm_type == "ln" and m.hp.act_fn == "gelu"
+
+
+def test_convert_qwen2vl_text_matches_transformers(tmp_path):
+    """Qwen2-VL text side: visual.* dropped (like the reference's
+    Qwen2VLModel), model.language_model.* prefix rewritten, mrope sections
+    recorded; text-only M-RoPE with equal position streams equals standard
+    NEOX rope, so logits must match transformers exactly."""
+    import torch
+    from transformers import Qwen2VLConfig, Qwen2VLForConditionalGeneration
+
+    V, C, H, KV, L, FF = 256, 64, 4, 2, 2, 96
+    d = C // H
+    tcfg = Qwen2VLConfig(
+        text_config=dict(
+            hidden_size=C, intermediate_size=FF, num_hidden_layers=L,
+            num_attention_heads=H, num_key_value_heads=KV, vocab_size=V,
+            rope_theta=10000.0, max_position_embeddings=256,
+            rms_norm_eps=1e-5, tie_word_embeddings=False,
+            rope_scaling={"type": "mrope", "mrope_section": [4, 2, 2]}),
+        vision_config=dict(depth=2, embed_dim=32, hidden_size=C,
+                           num_heads=2, in_chans=3, spatial_merge_size=2),
+        attn_implementation="eager")
+    torch.manual_seed(7)
+    hf = Qwen2VLForConditionalGeneration(tcfg)
+    sd = hf.state_dict()
+    rng = np.random.default_rng(24)
+    ws = {}
+    for k, v in sd.items():
+        a = v.detach().numpy().astype(np.float32)
+        if a.ndim >= 1 and ("proj" in k or "embed" in k or "lm_head" in k
+                            or "mlp" in k):
+            a = (rng.standard_normal(a.shape) * 0.08).astype(np.float32)
+        elif "norm" in k and k.endswith("weight"):
+            a = a + (rng.standard_normal(a.shape) * 0.05).astype(np.float32)
+        ws[k] = a
+
+    cfg = {
+        "architectures": ["Qwen2VLForConditionalGeneration"],
+        "vocab_size": V,
+        "text_config": {
+            "hidden_size": C, "intermediate_size": FF,
+            "num_hidden_layers": L, "num_attention_heads": H,
+            "num_key_value_heads": KV, "vocab_size": V,
+            "rope_theta": 10000.0, "max_position_embeddings": 256,
+            "rms_norm_eps": 1e-5,
+            "rope_scaling": {"type": "mrope", "mrope_section": [4, 2, 2]},
+        },
+        "bos_token_id": 1, "eos_token_id": 2,
+    }
+    m = _convert_and_compare(
+        tmp_path, cfg, ws,
+        lambda c: Qwen2VLForConditionalGeneration(c), tcfg)
+    assert m.hp.arch == "qwen2vl"
+    md = m.reader.metadata
+    assert list(md["qwen2vl.rope.dimension_sections"]) == [4, 2, 2, 0]
