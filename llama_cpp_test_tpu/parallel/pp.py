@@ -567,7 +567,9 @@ def build_mp_steps(hp: HParams, mesh: Mesh, w_template: LlamaWeights,
             if pools.quantized:
                 kg = kg * ksf[l][:, s, None]              # dequantize
             kg = kg.transpose(1, 0, 2)[None]              # [1, n, KV, D]
-            kg = _layers.apply_rope(kg, dl[None], ifr, mscale[0])
+            # unscaled delta rotation: stored K already carries mscale
+            # (see runtime/kv_cache.py apply_shift)
+            kg = _layers.apply_rope(kg, dl[None], ifr, 1.0)
             kg = kg[0].transpose(1, 0, 2)
             if pools.quantized:
                 kq, ksc = kv_cache.quantize_q8(kg)        # requantize K

@@ -223,7 +223,14 @@ def apply_shift(pools: KVPools, src: jax.Array, dst: jax.Array,
         if inv_freq_swa is not None and hp is not None and \
                 _hparams.layer_window(hp, li) > 0:
             ifr = inv_freq_swa
-        kg = layers.apply_rope(kg, delta[None], ifr, mscale)
+        # delta rotation is UNSCALED: stored K already carries mscale from
+        # the original rope, and R(delta)·(mscale·R(p)k) = mscale·R(p+d)k
+        # exactly. (The reference passes yarn_attn_factor into its shift
+        # rope, build_rope_shift llama-context.cpp:484-493, re-scaling
+        # shifted K by mscale each shift — a known approximation this
+        # engine's shift-exactness tests would reject for attn_factor != 1,
+        # e.g. phi3-longrope.)
+        kg = layers.apply_rope(kg, delta[None], ifr, 1.0)
         kg = kg[0].transpose(1, 0, 2)
         if pools.quantized:
             kq, ksc = quantize_q8(kg)                    # requantize K

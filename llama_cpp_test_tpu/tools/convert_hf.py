@@ -337,6 +337,11 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
         f"{arch}.attention.layer_norm_rms_epsilon": cfg.get("rms_norm_eps", 1e-5),
         f"{arch}.vocab_size": cfg["vocab_size"],
     }
+    if arch == "phi3":
+        # Phi-4-mini class sets partial_rotary_factor (reference
+        # Phi3MiniModel: rope_dims = rot_pct * n_embd // n_head)
+        md[f"{arch}.rope.dimension_count"] = int(
+            head_dim * cfg.get("partial_rotary_factor", 1.0))
     if arch == "phi2":
         # partial rotary + plain LayerNorm epsilon (PhiConfig)
         md[f"{arch}.rope.dimension_count"] = int(

@@ -172,3 +172,34 @@ def test_compact_reuse_no_match_returns_lcp(model_path_1l):
                              max_keep=4)
     assert kept == 2
     assert s.n_cached == 2 and s.tokens == [3, 17]
+
+
+def test_shift_context_exact_with_attn_factor(model_path_1l):
+    """K-shift must re-base EXACTLY when rope mscale != 1 (phi3-longrope /
+    yarn attn_factor): the delta rotation is unscaled because stored K
+    already carries mscale. (The reference re-applies attn_factor in
+    build_rope_shift, llama-context.cpp:484-493 — a drift this engine's
+    shift-exactness contract rejects.)"""
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    m = Model(model_path_1l,
+              kv_overrides={"*.rope.scaling.attn_factor": 1.25})
+    assert m.hp.rope_attn_factor == 1.25
+    assert m.weights.rope_mscale == 1.25
+    toks = [3, 17, 42, 9, 105, 77, 12, 54]
+    n_keep, n_discard = 2, 3
+    kept = toks[:n_keep] + toks[n_keep + n_discard:]
+
+    ctx = Context(m, n_ctx=64, n_seq_max=2, block_size=8)
+    s = ctx.new_seq()
+    ctx.prefill(s, toks)
+    ctx.shift_context(s, n_keep, n_discard)
+    out = ctx.decode([s], [7])[0]
+
+    ctx2 = Context(m, n_ctx=64, n_seq_max=2, block_size=8)
+    s2 = ctx2.new_seq()
+    ctx2.prefill(s2, kept)
+    ref = ctx2.decode([s2], [7])[0]
+
+    assert nmse(ref, out) < 1e-4, nmse(ref, out)
+    assert np.argmax(ref) == np.argmax(out)
