@@ -1097,3 +1097,48 @@ def test_convert_qwen2vl_text_matches_transformers(tmp_path):
     assert m.hp.arch == "qwen2vl"
     md = m.reader.metadata
     assert list(md["qwen2vl.rope.dimension_sections"]) == [4, 2, 2, 0]
+
+
+def test_convert_phi3_partial_rotary_matches_transformers(tmp_path):
+    """Phi-4-mini class: partial_rotary_factor < 1 must reach
+    rope.dimension_count (reference Phi3MiniModel: rope_dims =
+    rot_pct * n_embd // n_head)."""
+    from transformers import Phi3Config, Phi3ForCausalLM
+
+    rng = np.random.default_rng(26)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, KV, L, FF = 256, 64, 4, 2, 2, 96
+    d = C // H
+    cfg = {
+        "architectures": ["Phi3ForCausalLM"],
+        "hidden_size": C, "intermediate_size": FF,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "num_hidden_layers": L, "max_position_embeddings": 256,
+        "partial_rotary_factor": 0.5,
+        "rms_norm_eps": 1e-5, "rope_theta": 10000.0, "vocab_size": V,
+        "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "model.embed_tokens.weight": r(V, C),
+        "model.norm.weight": 1.0 + r(C),
+        "lm_head.weight": r(V, C),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        ws.update({
+            p + "input_layernorm.weight": 1.0 + r(C),
+            p + "self_attn.qkv_proj.weight": r((H + 2 * KV) * d, C),
+            p + "self_attn.o_proj.weight": r(C, H * d),
+            p + "post_attention_layernorm.weight": 1.0 + r(C),
+            p + "mlp.gate_up_proj.weight": r(2 * FF, C),
+            p + "mlp.down_proj.weight": r(C, FF),
+        })
+    tcfg = Phi3Config(
+        pad_token_id=0,
+        vocab_size=V, hidden_size=C, intermediate_size=FF,
+        num_hidden_layers=L, num_attention_heads=H, num_key_value_heads=KV,
+        partial_rotary_factor=0.5,
+        rms_norm_eps=1e-5, rope_theta=10000.0, tie_word_embeddings=False,
+        attn_implementation="eager")
+    m = _convert_and_compare(tmp_path, cfg, ws, Phi3ForCausalLM, tcfg)
+    assert m.hp.rope_dim == d // 2
