@@ -168,10 +168,12 @@ def hparams_from_metadata(md: dict) -> HParams:
                                  arch in ("phi2", "falcon", "gptneox",
                                           "command-r"))),
         norm_type=("ln" if arch in ("phi2", "falcon", "gptneox", "stablelm",
-                                    "command-r", "starcoder2") else "rms"),
-        act_fn="gelu" if (gemma_like or arch in ("phi2", "falcon",
-                                                 "gptneox",
-                                                 "starcoder2")) else "silu",
+                                    "command-r", "starcoder2", "nemotron")
+                   else "rms"),
+        act_fn=("relu2" if arch == "nemotron" else
+                "gelu" if (gemma_like or arch in ("phi2", "falcon",
+                                                  "gptneox",
+                                                  "starcoder2")) else "silu"),
         embd_scale=(_math.sqrt(n_embd) if gemma_like
                     else g("embedding_scale", 1.0)),
         residual_scale=g("residual_scale", 1.0),

@@ -827,8 +827,12 @@ def ffn_nongated(cur, lw, hp, lora=None):
     u = linear_lora(cur, lw.w_up, lora.get("w_up"), out_dtype=jnp.float32)
     if lw.b_up is not None:
         u = u + lw.b_up
-    act = jax.nn.gelu(u, approximate=True) if hp.act_fn == "gelu" \
-        else jax.nn.silu(u)
+    if hp.act_fn == "gelu":
+        act = jax.nn.gelu(u, approximate=True)
+    elif hp.act_fn == "relu2":  # nemotron squared ReLU (LLM_FFN_RELU_SQR)
+        act = jnp.square(jax.nn.relu(u))
+    else:
+        act = jax.nn.silu(u)
     return linear_lora(act.astype(jnp.bfloat16), lw.w_down,
                        lora.get("w_down"))
 

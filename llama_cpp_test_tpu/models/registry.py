@@ -128,6 +128,13 @@ register_arch(ArchSpec("command-r", family="phi2", rope_type="norm",
 register_arch(ArchSpec("starcoder2", family="llama", rope_type="neox",
                        notes="layernorm, non-gated-gelu, biases"))
 
+# nemotron: LayerNorm1p (the +1 folded at convert, reference
+# NemotronModel:4952-4959) + non-gated squared-ReLU FFN + partial rotary
+# (reference llm_build_nemotron, llama-model.cpp:10120-10200)
+register_arch(ArchSpec("nemotron", family="llama", rope_type="neox",
+                       notes="layernorm1p, relu2 non-gated FFN, "
+                             "partial rotary"))
+
 # phi2: parallel-residual family (test_arch_quirks phi2 suite)
 register_arch(ArchSpec("phi2", family="phi2", rope_type="neox",
                        notes="parallel-residual, layernorm, partial-rope"))

@@ -49,6 +49,7 @@ ARCH_MAP = {
     # equal position streams reduces to standard NEOX rope
     "Qwen2VLForConditionalGeneration": "qwen2vl",
     "Qwen2_5_VLForConditionalGeneration": "qwen2vl",
+    "NemotronForCausalLM": "nemotron",
 }
 
 # HF suffix -> GGUF suffix (per-layer), mirroring gguf-py tensor_mapping
@@ -375,6 +376,14 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
         md[f"{arch}.attention.layer_norm_epsilon"] = cfg.get(
             "norm_epsilon", 1e-5)
         del md[f"{arch}.attention.layer_norm_rms_epsilon"]
+    if arch == "nemotron":
+        # LayerNorm eps + partial rotary (reference NemotronModel
+        # set_gguf_parameters, convert_hf_to_gguf.py:4930-4942)
+        md[f"{arch}.attention.layer_norm_epsilon"] = cfg.get(
+            "norm_eps", 1e-5)
+        del md[f"{arch}.attention.layer_norm_rms_epsilon"]
+        md[f"{arch}.rope.dimension_count"] = int(
+            head_dim * cfg.get("partial_rotary_factor", 0.5))
     if arch == "stablelm":
         # reference StableLMModel (convert_hf_to_gguf.py:1536) defaults the
         # flag to TRUE for configs that omit it — that covers legacy
@@ -543,6 +552,11 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
                 gname.endswith("post_ffw_norm.weight") or
                 gname == "output_norm.weight"):
             arr = arr + 1.0   # HF gemma stores (w - 1); GGUF stores w
+        if arch == "nemotron" and (gname.endswith("norm.weight")):
+            # layernorm1p: the +1 is folded into the weights at convert so
+            # the engine runs a plain LayerNorm (reference
+            # NemotronModel.modify_tensors, convert_hf_to_gguf.py:4952-4959)
+            arr = arr + 1.0
         if gname.endswith("ffn_gate_inp_shexp.weight"):
             arr = arr.reshape(-1)  # HF [1, C] -> GGUF [n_embd]
         if gname == "output.weight":

@@ -1142,3 +1142,53 @@ def test_convert_phi3_partial_rotary_matches_transformers(tmp_path):
         attn_implementation="eager")
     m = _convert_and_compare(tmp_path, cfg, ws, Phi3ForCausalLM, tcfg)
     assert m.hp.rope_dim == d // 2
+
+
+def test_convert_nemotron_matches_transformers(tmp_path):
+    """Nemotron: LayerNorm1p (+1 folded at convert), non-gated squared-ReLU
+    FFN, partial rotary (reference NemotronModel + llm_build_nemotron)."""
+    from transformers import NemotronConfig, NemotronForCausalLM
+
+    rng = np.random.default_rng(27)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, KV, L, FF = 256, 64, 4, 2, 2, 96
+    d = C // H
+    cfg = {
+        "architectures": ["NemotronForCausalLM"],
+        "hidden_size": C, "intermediate_size": FF,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "num_hidden_layers": L, "max_position_embeddings": 256,
+        "norm_eps": 1e-5, "rope_theta": 10000.0, "vocab_size": V,
+        "partial_rotary_factor": 0.5, "hidden_act": "relu2",
+        "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "model.embed_tokens.weight": r(V, C),
+        "model.norm.weight": r(C),        # layernorm1p: stored ~0-centered
+        "model.norm.bias": r(C),
+        "lm_head.weight": r(V, C),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        ws.update({
+            p + "input_layernorm.weight": r(C),
+            p + "input_layernorm.bias": r(C),
+            p + "self_attn.q_proj.weight": r(H * d, C),
+            p + "self_attn.k_proj.weight": r(KV * d, C),
+            p + "self_attn.v_proj.weight": r(KV * d, C),
+            p + "self_attn.o_proj.weight": r(C, H * d),
+            p + "post_attention_layernorm.weight": r(C),
+            p + "post_attention_layernorm.bias": r(C),
+            p + "mlp.up_proj.weight": r(FF, C),
+            p + "mlp.down_proj.weight": r(C, FF),
+        })
+    tcfg = NemotronConfig(
+        vocab_size=V, hidden_size=C, intermediate_size=FF,
+        num_hidden_layers=L, num_attention_heads=H, num_key_value_heads=KV,
+        norm_eps=1e-5, rope_theta=10000.0, tie_word_embeddings=False,
+        partial_rotary_factor=0.5, hidden_act="relu2",
+        attn_implementation="eager")
+    m = _convert_and_compare(tmp_path, cfg, ws, NemotronForCausalLM, tcfg)
+    assert m.hp.arch == "nemotron"
+    assert m.hp.act_fn == "relu2" and m.hp.norm_type == "ln"
+    assert m.hp.rope_dim == d // 2
