@@ -757,8 +757,18 @@ def _forward_layer_parallel(x, lw, hp, positions, inv_freq, mscale, attend,
     # falcon-40B routes the FFN branch through its own LayerNorm; phi2 and
     # falcon-7B feed both branches from the same one (llm_build_falcon:
     # "use the attn norm, not the result")
-    ffn_in = cur if lw.attn_norm_2 is None else layers.layer_norm(
-        x, lw.attn_norm_2, lw.attn_norm_2_b, hp.rms_eps)
+    if lw.attn_norm_2 is not None:
+        ffn_in = layers.layer_norm(x, lw.attn_norm_2, lw.attn_norm_2_b,
+                                   hp.rms_eps)
+    elif lw.ffn_norm is not None:
+        # gptneox parallel residual: x + attn(ln1(x)) + ffn(ln2(x)) with a
+        # DEDICATED ffn_norm on the layer input (reference
+        # llm_build_gptneox:8844-8867); phi2/falcon/stablelm-parallel GGUFs
+        # carry no ffn_norm and fall through to the shared attn norm
+        ffn_in = layers.layer_norm(x, lw.ffn_norm, lw.ffn_norm_b,
+                                   hp.rms_eps)
+    else:
+        ffn_in = cur
     q, k, v = qkv_proj(cur, lw, h * d, kvh * d)
     if lw.bq is not None:
         q = q + lw.bq

@@ -135,6 +135,14 @@ register_arch(ArchSpec("nemotron", family="llama", rope_type="neox",
                        notes="layernorm1p, relu2 non-gated FFN, "
                              "partial rotary"))
 
+# gptneox / pythia: parallel residual (config-switchable to sequential)
+# with a DEDICATED ffn_norm on the layer input, fused deinterleaved qkv,
+# non-gated GELU FFN with biases, partial rotary (reference
+# llm_build_gptneox, llama-model.cpp:8775-8900)
+register_arch(ArchSpec("gptneox", family="phi2", rope_type="neox",
+                       notes="parallel residual w/ dedicated ffn_norm, "
+                             "qkv fused, partial rotary"))
+
 # phi2: parallel-residual family (test_arch_quirks phi2 suite)
 register_arch(ArchSpec("phi2", family="phi2", rope_type="neox",
                        notes="parallel-residual, layernorm, partial-rope"))

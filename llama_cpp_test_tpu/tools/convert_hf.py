@@ -50,6 +50,7 @@ ARCH_MAP = {
     "Qwen2VLForConditionalGeneration": "qwen2vl",
     "Qwen2_5_VLForConditionalGeneration": "qwen2vl",
     "NemotronForCausalLM": "nemotron",
+    "GPTNeoXForCausalLM": "gptneox",
 }
 
 # HF suffix -> GGUF suffix (per-layer), mirroring gguf-py tensor_mapping
@@ -165,6 +166,30 @@ FALCON_TOP_MAP = {
     "lm_head.weight": "output.weight",
 }
 
+# gptneox / pythia (HF GPTNeoXForCausalLM, gpt_neox.layers.N. prefix);
+# qkv is deinterleaved [H,3,d] -> [q;k;v] in the convert loop (reference
+# GPTNeoXModel.modify_tensors, convert_hf_to_gguf.py:1017-1041)
+GPTNEOX_LAYER_MAP = {
+    "attention.query_key_value.weight": "attn_qkv.weight",
+    "attention.query_key_value.bias": "attn_qkv.bias",
+    "attention.dense.weight": "attn_output.weight",
+    "attention.dense.bias": "attn_output.bias",
+    "mlp.dense_h_to_4h.weight": "ffn_up.weight",
+    "mlp.dense_h_to_4h.bias": "ffn_up.bias",
+    "mlp.dense_4h_to_h.weight": "ffn_down.weight",
+    "mlp.dense_4h_to_h.bias": "ffn_down.bias",
+    "input_layernorm.weight": "attn_norm.weight",
+    "input_layernorm.bias": "attn_norm.bias",
+    "post_attention_layernorm.weight": "ffn_norm.weight",
+    "post_attention_layernorm.bias": "ffn_norm.bias",
+}
+GPTNEOX_TOP_MAP = {
+    "gpt_neox.embed_in.weight": "token_embd.weight",
+    "gpt_neox.final_layer_norm.weight": "output_norm.weight",
+    "gpt_neox.final_layer_norm.bias": "output_norm.bias",
+    "embed_out.weight": "output.weight",
+}
+
 TOP_MAP = {
     "model.embed_tokens.weight": "token_embd.weight",
     "model.norm.weight": "output_norm.weight",
@@ -206,15 +231,18 @@ def permute_qk(w: np.ndarray, n_head: int) -> np.ndarray:
 
 
 def map_name(name: str, arch: str = "llama") -> str | None:
-    top = {"phi2": PHI2_TOP_MAP, "falcon": FALCON_TOP_MAP}.get(arch, TOP_MAP)
+    top = {"phi2": PHI2_TOP_MAP, "falcon": FALCON_TOP_MAP,
+           "gptneox": GPTNEOX_TOP_MAP}.get(arch, TOP_MAP)
     lay = {"phi2": PHI2_LAYER_MAP, "falcon": FALCON_LAYER_MAP,
+           "gptneox": GPTNEOX_LAYER_MAP,
            "phi3": PHI3_LAYER_MAP, "gemma2": GEMMA2_LAYER_MAP,
            "gemma3": GEMMA2_LAYER_MAP,
            "olmo2": OLMO2_LAYER_MAP,
            "starcoder2": STARCODER2_LAYER_MAP}.get(arch, LAYER_MAP)
     if name in top:
         return top[name]
-    prefix = "transformer.h." if arch == "falcon" else "model.layers."
+    prefix = {"falcon": "transformer.h.",
+              "gptneox": "gpt_neox.layers."}.get(arch, "model.layers.")
     if name.startswith(prefix):
         rest = name[len(prefix):]
         idx, _, suffix = rest.partition(".")
@@ -384,6 +412,18 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
         del md[f"{arch}.attention.layer_norm_rms_epsilon"]
         md[f"{arch}.rope.dimension_count"] = int(
             head_dim * cfg.get("partial_rotary_factor", 0.5))
+    if arch == "gptneox":
+        # pythia family (reference GPTNeoXModel set_gguf_parameters,
+        # convert_hf_to_gguf.py:995-1007)
+        md[f"{arch}.attention.layer_norm_epsilon"] = cfg.get(
+            "layer_norm_eps", 1e-5)
+        del md[f"{arch}.attention.layer_norm_rms_epsilon"]
+        md[f"{arch}.rope.dimension_count"] = int(
+            head_dim * cfg.get("rotary_pct", 0.25))
+        md[f"{arch}.rope.freq_base"] = cfg.get(
+            "rope_theta", cfg.get("rotary_emb_base", 10000.0))
+        md[f"{arch}.use_parallel_residual"] = bool(
+            cfg.get("use_parallel_residual", True))
     if arch == "stablelm":
         # reference StableLMModel (convert_hf_to_gguf.py:1536) defaults the
         # flag to TRUE for configs that omit it — that covers legacy
@@ -546,6 +586,15 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
         if arch == "falcon" and gname.endswith("attn_qkv.weight") and \
                 cfg.get("new_decoder_architecture"):
             arr = deinterleave_falcon_qkv(arr, n_head, n_kv, head_dim)
+        if arch == "gptneox" and gname.endswith("attn_qkv.weight"):
+            # per-head [q|k|v] interleave -> contiguous [q; k; v] rows
+            # (reference GPTNeoXModel.modify_tensors reshape)
+            arr = arr.reshape(n_head, 3, head_dim, arr.shape[-1]) \
+                     .transpose(1, 0, 2, 3).reshape(3 * n_head * head_dim,
+                                                    arr.shape[-1])
+        if arch == "gptneox" and gname.endswith("attn_qkv.bias"):
+            arr = arr.reshape(n_head, 3, head_dim) \
+                     .transpose(1, 0, 2).reshape(-1)
         if arch in ("gemma", "gemma2", "gemma3") and (
                 gname.endswith("_norm.weight") or
                 gname.endswith("post_attention_norm.weight") or

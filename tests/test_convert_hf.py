@@ -1192,3 +1192,70 @@ def test_convert_nemotron_matches_transformers(tmp_path):
     assert m.hp.arch == "nemotron"
     assert m.hp.act_fn == "relu2" and m.hp.norm_type == "ln"
     assert m.hp.rope_dim == d // 2
+
+
+def _gptneox_fixture(seed, parallel):
+    from transformers import GPTNeoXConfig
+
+    rng = np.random.default_rng(seed)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, L, FF = 256, 64, 4, 2, 96
+    d = C // H
+    cfg = {
+        "architectures": ["GPTNeoXForCausalLM"],
+        "hidden_size": C, "intermediate_size": FF,
+        "num_attention_heads": H, "num_hidden_layers": L,
+        "max_position_embeddings": 256, "rotary_pct": 0.25,
+        "layer_norm_eps": 1e-5, "rope_theta": 10000.0, "vocab_size": V,
+        "use_parallel_residual": parallel,
+        "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "gpt_neox.embed_in.weight": r(V, C),
+        "gpt_neox.final_layer_norm.weight": 1.0 + r(C),
+        "gpt_neox.final_layer_norm.bias": r(C),
+        "embed_out.weight": r(V, C),
+    }
+    for i in range(L):
+        p = f"gpt_neox.layers.{i}."
+        ws.update({
+            p + "input_layernorm.weight": 1.0 + r(C),
+            p + "input_layernorm.bias": r(C),
+            p + "post_attention_layernorm.weight": 1.0 + r(C),
+            p + "post_attention_layernorm.bias": r(C),
+            p + "attention.query_key_value.weight": r(3 * C, C),
+            p + "attention.query_key_value.bias": r(3 * C),
+            p + "attention.dense.weight": r(C, C),
+            p + "attention.dense.bias": r(C),
+            p + "mlp.dense_h_to_4h.weight": r(FF, C),
+            p + "mlp.dense_h_to_4h.bias": r(FF),
+            p + "mlp.dense_4h_to_h.weight": r(C, FF),
+            p + "mlp.dense_4h_to_h.bias": r(C),
+        })
+    tcfg = GPTNeoXConfig(
+        vocab_size=V, hidden_size=C, intermediate_size=FF,
+        num_hidden_layers=L, num_attention_heads=H, rotary_pct=0.25,
+        layer_norm_eps=1e-5, rope_theta=10000.0, tie_word_embeddings=False,
+        use_parallel_residual=parallel, attn_implementation="eager")
+    return cfg, ws, tcfg
+
+
+def test_convert_gptneox_parallel_matches_transformers(tmp_path):
+    """Pythia layout: parallel residual with the dedicated ffn_norm on the
+    layer input, interleaved fused qkv deinterleaved at convert (reference
+    GPTNeoXModel + llm_build_gptneox)."""
+    from transformers import GPTNeoXForCausalLM
+
+    cfg, ws, tcfg = _gptneox_fixture(28, parallel=True)
+    m = _convert_and_compare(tmp_path, cfg, ws, GPTNeoXForCausalLM, tcfg)
+    assert m.hp.arch == "gptneox" and m.hp.parallel_residual
+    assert m.hp.rope_dim == 4  # rotary_pct 0.25 of d=16
+
+
+def test_convert_gptneox_sequential_matches_transformers(tmp_path):
+    """use_parallel_residual=False routes through the sequential family."""
+    from transformers import GPTNeoXForCausalLM
+
+    cfg, ws, tcfg = _gptneox_fixture(29, parallel=False)
+    m = _convert_and_compare(tmp_path, cfg, ws, GPTNeoXForCausalLM, tcfg)
+    assert not m.hp.parallel_residual
