@@ -49,6 +49,9 @@ class HParams:
     # gemma3-27B use 1/sqrt(n_embd/n_head) (reference llama-model.cpp:902,
     # :7463 — f_attention_scale with n_embd/n_head 144/168 vs head_dim 128).
     attn_scale: float = 0.0
+    # olmo clip_qkv: clamp q/k/v projections to +-clamp_kqv; 0 = off
+    # (reference llama-hparams.h f_clamp_kqv, llm_build_olmo ggml_clamp)
+    clamp_kqv: float = 0.0
     # SWA layer pattern: with sliding_window set, layer li is GLOBAL when
     # (li + 1) % swa_pattern == 0 (gemma2: 2 = alternating, gemma3: 6 = 5
     # local : 1 global); 1 = every layer sliding (mistral)
@@ -160,6 +163,7 @@ def hparams_from_metadata(md: dict) -> HParams:
         rope_freq_base_swa=(g("rope.local_freq_base", 10000.0)
                             if arch == "gemma3" else 0.0),
         attn_scale=attn_scale,
+        clamp_kqv=g("attention.clamp_kqv", 0.0),
         rope_type=rope_type,
         # stablelm GGUFs carry the flag explicitly (reference StableLMModel
         # add_parallel_residual, convert_hf_to_gguf.py:1536); elsewhere it
@@ -168,7 +172,8 @@ def hparams_from_metadata(md: dict) -> HParams:
                                  arch in ("phi2", "falcon", "gptneox",
                                           "command-r"))),
         norm_type=("ln" if arch in ("phi2", "falcon", "gptneox", "stablelm",
-                                    "command-r", "starcoder2", "nemotron")
+                                    "command-r", "starcoder2", "nemotron",
+                                    "olmo")  # olmo: NON-PARAMETRIC LN
                    else "rms"),
         act_fn=("relu2" if arch == "nemotron" else
                 "gelu" if (gemma_like or arch in ("phi2", "falcon",

@@ -299,10 +299,12 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
             wq = col(p + "attn_q.weight", q_perm)
             wk = col(p + "attn_k.weight", k_perm)
             wv = col(p + "attn_v.weight")
-        if p + "attn_norm.weight" not in t and hp.arch != "olmo2":
-            # only post-norm-only archs may omit pre-norms; anything else
-            # missing them is a broken conversion — fail loudly instead of
-            # silently running identity norms
+        if p + "attn_norm.weight" not in t and \
+                hp.arch not in ("olmo2", "olmo"):
+            # only post-norm-only (olmo2) and non-parametric-norm (olmo)
+            # archs may omit norm tensors; anything else missing them is a
+            # broken conversion — fail loudly instead of silently running
+            # identity norms
             raise KeyError(f"{p}attn_norm.weight missing (arch {hp.arch} "
                            "requires pre-norms)")
         lw = LayerWeights(
@@ -441,7 +443,8 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
         inv_freq_swa = np.asarray(layers.rope_freqs(hp_swa)[0])
     w = LlamaWeights(
         tok_embd=tok_embd,
-        output_norm=_f32(reader, "output_norm.weight"),
+        output_norm=(_f32(reader, "output_norm.weight")
+                     if "output_norm.weight" in t else None),
         output=output,
         layers=layer_list,
         rope_inv_freq=np.asarray(inv_freq),
@@ -660,13 +663,20 @@ def forward_layer(
                                        mscale, attend, tp_axis, tp)
 
     lora = lw.lora or {}
-    if lw.attn_norm is None:   # olmo2: post-norm only, identity pre-norm
-        cur = x
-    elif hp.norm_type == "ln":  # stablelm: LayerNorm, sequential family
+    if hp.norm_type == "ln":
+        # stablelm/gptneox: LayerNorm with weights; olmo: NON-PARAMETRIC
+        # LayerNorm — no norm tensors at all (reference llm_build_olmo
+        # build_norm with NULL weight)
         cur = layers.layer_norm(x, lw.attn_norm, lw.attn_norm_b, hp.rms_eps)
+    elif lw.attn_norm is None:  # olmo2: post-norm only, identity pre-norm
+        cur = x
     else:
         cur = layers.rms_norm(x, lw.attn_norm, hp.rms_eps)
     q, k, v = qkv_proj(cur, lw, h * d, kvh * d)
+    if hp.clamp_kqv > 0.0:  # olmo clip_qkv (reference ggml_clamp on q/k/v)
+        q = jnp.clip(q, -hp.clamp_kqv, hp.clamp_kqv)
+        k = jnp.clip(k, -hp.clamp_kqv, hp.clamp_kqv)
+        v = jnp.clip(v, -hp.clamp_kqv, hp.clamp_kqv)
     if lw.bq is not None:
         q = q + lw.bq
     if lw.bk is not None:
@@ -714,10 +724,10 @@ def forward_layer(
         o = o * hp.residual_scale
     x = x + o.astype(x.dtype)
 
-    if lw.ffn_norm is None:    # olmo2: post-norm only
-        cur = x
-    elif hp.norm_type == "ln":
+    if hp.norm_type == "ln":   # weights optional: olmo is non-parametric
         cur = layers.layer_norm(x, lw.ffn_norm, lw.ffn_norm_b, hp.rms_eps)
+    elif lw.ffn_norm is None:  # olmo2: post-norm only
+        cur = x
     else:
         cur = layers.rms_norm(x, lw.ffn_norm, hp.rms_eps)
     if lw.gate_inp is not None:

@@ -135,6 +135,12 @@ register_arch(ArchSpec("nemotron", family="llama", rope_type="neox",
                        notes="layernorm1p, relu2 non-gated FFN, "
                              "partial rotary"))
 
+# olmo (v1): llama body with NON-PARAMETRIC LayerNorms (no norm tensors)
+# and clip_qkv clamping (reference llm_build_olmo,
+# llama-model.cpp:8276-8380)
+register_arch(ArchSpec("olmo", family="llama", rope_type="norm",
+                       notes="non-parametric LN, clamp_kqv"))
+
 # gptneox / pythia: parallel residual (config-switchable to sequential)
 # with a DEDICATED ffn_norm on the layer input, fused deinterleaved qkv,
 # non-gated GELU FFN with biases, partial rotary (reference

@@ -24,14 +24,17 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float) -> jax.Array:
     return (xf * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)).astype(x.dtype)
 
 
-def layer_norm(x: jax.Array, weight: jax.Array, bias: jax.Array | None,
-               eps: float) -> jax.Array:
-    """Mean-centered LayerNorm with optional bias (phi2/falcon-style archs —
-    reference build_norm with LLM_NORM, llama-graph.cpp)."""
+def layer_norm(x: jax.Array, weight: jax.Array | None,
+               bias: jax.Array | None, eps: float) -> jax.Array:
+    """Mean-centered LayerNorm with optional weight/bias (phi2/falcon-style
+    archs — reference build_norm with LLM_NORM, llama-graph.cpp; olmo's
+    non-parametric norm passes weight=None)."""
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
     var = jnp.mean((xf - mu) * (xf - mu), axis=-1, keepdims=True)
-    y = (xf - mu) * jax.lax.rsqrt(var + eps) * weight.astype(jnp.float32)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    if weight is not None:
+        y = y * weight.astype(jnp.float32)
     if bias is not None:
         y = y + bias.astype(jnp.float32)
     return y.astype(x.dtype)

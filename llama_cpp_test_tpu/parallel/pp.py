@@ -220,7 +220,7 @@ def mp_weight_pspecs(w: LlamaWeights) -> LlamaWeights:
     """Spec tree for LlamaWeights whose layers == [stacked LayerWeights]."""
     return LlamaWeights(
         tok_embd=_qt_spec(w.tok_embd, "rep"),
-        output_norm=P(None),
+        output_norm=None if w.output_norm is None else P(None),
         output=_qt_spec(w.output, "col"),
         layers=[stacked_layer_pspecs(w.layers[0])],
         rope_inv_freq=P(None),

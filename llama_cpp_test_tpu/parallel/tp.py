@@ -101,7 +101,7 @@ def weight_pspecs(w: LlamaWeights) -> LlamaWeights:
 
     return LlamaWeights(
         tok_embd=_qt_spec(w.tok_embd, "rep"),
-        output_norm=P(None),
+        output_norm=None if w.output_norm is None else P(None),
         output=_qt_spec(w.output, "col"),
         layers=[layer_spec(lw) for lw in w.layers],
         rope_inv_freq=P(None),

@@ -51,6 +51,7 @@ ARCH_MAP = {
     "Qwen2_5_VLForConditionalGeneration": "qwen2vl",
     "NemotronForCausalLM": "nemotron",
     "GPTNeoXForCausalLM": "gptneox",
+    "OlmoForCausalLM": "olmo",
 }
 
 # HF suffix -> GGUF suffix (per-layer), mirroring gguf-py tensor_mapping
@@ -412,6 +413,14 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
         del md[f"{arch}.attention.layer_norm_rms_epsilon"]
         md[f"{arch}.rope.dimension_count"] = int(
             head_dim * cfg.get("partial_rotary_factor", 0.5))
+    if arch == "olmo":
+        # non-parametric LayerNorm (no norm tensors at all) + clip_qkv
+        # (reference OlmoModel set_gguf_parameters,
+        # convert_hf_to_gguf.py:3850-3855)
+        md[f"{arch}.attention.layer_norm_epsilon"] = 1e-5
+        del md[f"{arch}.attention.layer_norm_rms_epsilon"]
+        if cfg.get("clip_qkv") is not None:
+            md[f"{arch}.attention.clamp_kqv"] = float(cfg["clip_qkv"])
     if arch == "gptneox":
         # pythia family (reference GPTNeoXModel set_gguf_parameters,
         # convert_hf_to_gguf.py:995-1007)
@@ -497,7 +506,7 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
     for tname, tarr in rope_factor_tensors:
         w.add_tensor(tname, tarr, ggml_type=GGMLType.F32)
 
-    is_norm_rope = arch in ("llama", "granite")
+    is_norm_rope = arch in ("llama", "granite", "olmo")
     experts: dict[tuple[int, str], dict[int, np.ndarray]] = {}
     n_expert = n_expert_cfg or 0
     seen_output = False

@@ -1259,3 +1259,48 @@ def test_convert_gptneox_sequential_matches_transformers(tmp_path):
     cfg, ws, tcfg = _gptneox_fixture(29, parallel=False)
     m = _convert_and_compare(tmp_path, cfg, ws, GPTNeoXForCausalLM, tcfg)
     assert not m.hp.parallel_residual
+
+
+def test_convert_olmo_matches_transformers(tmp_path):
+    """OLMo-1: non-parametric LayerNorms (no norm tensors in the
+    checkpoint or the GGUF) + clip_qkv clamping (reference OlmoModel +
+    llm_build_olmo's NULL-weight build_norm and ggml_clamp)."""
+    from transformers import OlmoConfig, OlmoForCausalLM
+
+    rng = np.random.default_rng(30)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, KV, L, FF = 256, 64, 4, 2, 2, 96
+    d = C // H
+    cfg = {
+        "architectures": ["OlmoForCausalLM"],
+        "hidden_size": C, "intermediate_size": FF,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "num_hidden_layers": L, "max_position_embeddings": 256,
+        "rope_theta": 10000.0, "vocab_size": V, "clip_qkv": 0.05,
+        "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "model.embed_tokens.weight": r(V, C),
+        "lm_head.weight": r(V, C),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        ws.update({
+            p + "self_attn.q_proj.weight": r(H * d, C),
+            p + "self_attn.k_proj.weight": r(KV * d, C),
+            p + "self_attn.v_proj.weight": r(KV * d, C),
+            p + "self_attn.o_proj.weight": r(C, H * d),
+            p + "mlp.gate_proj.weight": r(FF, C),
+            p + "mlp.up_proj.weight": r(FF, C),
+            p + "mlp.down_proj.weight": r(C, FF),
+        })
+    tcfg = OlmoConfig(
+        vocab_size=V, hidden_size=C, intermediate_size=FF,
+        num_hidden_layers=L, num_attention_heads=H, num_key_value_heads=KV,
+        rope_theta=10000.0, tie_word_embeddings=False, clip_qkv=0.05,
+        attn_implementation="eager")
+    m = _convert_and_compare(tmp_path, cfg, ws, OlmoForCausalLM, tcfg)
+    assert m.hp.arch == "olmo" and m.hp.norm_type == "ln"
+    assert abs(m.hp.clamp_kqv - 0.05) < 1e-6
+    assert m.weights.layers[0].attn_norm is None
+    assert m.weights.output_norm is None
