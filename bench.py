@@ -70,9 +70,8 @@ def build_moe_model(path):
 
 
 # BASELINE.json north-star config #2: Llama-3-8B geometry (synthesized
-# Q4_K weights). Opt-in via BENCH_8B=1 — building + first-compiling the
-# 4.7GB model takes tens of minutes, so the driver's default run skips it;
-# the measured row is recorded in KBENCH.md.
+# Q4_K weights). Default ON (the headline metric) — disable with BENCH_8B=0
+# if the build+compile budget (tens of minutes cold) is unavailable.
 L3_8B_HP = dict(n_vocab=128256, n_embd=4096, n_head=32, n_head_kv=8,
                 head_dim=128, n_layer=32, n_ff=14336)
 
@@ -273,8 +272,8 @@ def main():
         except Exception as e:  # pragma: no cover
             extra["moe_8x_top2"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
-    # ---- Llama-3-8B geometry (opt-in: BENCH_8B=1) -------------------------
-    if os.environ.get("BENCH_8B") == "1":
+    # ---- Llama-3-8B geometry (north star; opt-out: BENCH_8B=0) ------------
+    if os.environ.get("BENCH_8B", "1") != "0" and not fast:
         try:
             if not os.path.exists(L3_8B_CACHE):
                 from llama_cpp_test_tpu.quant import codecs
@@ -310,13 +309,29 @@ def main():
             extra["llama3_8b_decode"] = {
                 "error": f"{type(e).__name__}: {e}"[:200]}
 
-    result = {
-        "metric": f"tinyllama1.1b_q4k_decode_tok_s_{backend}",
-        "value": round(tg_loop, 2),
-        "unit": "tok/s",
-        "vs_baseline": round(tg_loop / roof1, 4),
-        "extra": extra,
+    # Headline = the BASELINE north-star row (Llama-3-8B decode) when it ran;
+    # TinyLlama decode is the secondary row either way.
+    extra["tinyllama_decode"] = {
+        "tok_s": round(tg_loop, 2),
+        "vs_roofline": round(tg_loop / roof1, 4),
     }
+    row8 = extra.get("llama3_8b_decode")
+    if row8 and "tok_s" in row8:
+        result = {
+            "metric": f"llama3_8b_q4k_decode_tok_s_{backend}",
+            "value": row8["tok_s"],
+            "unit": "tok/s",
+            "vs_baseline": row8["vs_roofline"],
+            "extra": extra,
+        }
+    else:
+        result = {
+            "metric": f"tinyllama1.1b_q4k_decode_tok_s_{backend}",
+            "value": round(tg_loop, 2),
+            "unit": "tok/s",
+            "vs_baseline": round(tg_loop / roof1, 4),
+            "extra": extra,
+        }
     print(f"# decode {tg_loop:.1f} tok/s (roofline {roof1:.0f}) | "
           f"prefill {pp_tok_s:.1f} | extra: {extra}", file=sys.stderr)
     print(json.dumps(result))

@@ -105,7 +105,14 @@ def ineligible_reasons(p) -> list[str]:
 
 
 def eligible(p) -> bool:
-    """True when a SamplerParams chain is exactly expressible on device."""
+    """True when a SamplerParams chain is expressible on device.
+
+    Exactness: with the default 'auto' selector, vocabs <= 64k use exact
+    top_k and the device chain matches the host chain token-for-token.
+    For larger vocabs (e.g. llama3's 128k) candidate selection is the
+    segmented selector — greedy stays exact; stochastic sampling has
+    ~0.95+ recall at ranks >= 2 (LLAMA_TPU_TOPK=sort restores full
+    exactness at ~10x the selection cost)."""
     return not ineligible_reasons(p)
 
 
@@ -157,6 +164,9 @@ def _penalize_candidates(vals, cand_ids, hist, hist_valid, p):
 
 
 # Candidate-selection implementation for the large-vocab fast path:
+#   auto   — exact lax.top_k for V <= 64k (measured FASTER than approx on
+#            v5e at 32k vocab), segmented selection above (sort is ~10x
+#            slower at 128k). Default.
 #   approx — jax.lax.approx_max_k (native PartialReduce where supported)
 #   seg    — segmented max: pad V to 512 segments, take each segment's
 #            max (two elementwise passes, no sort), then an exact top_k
@@ -164,8 +174,11 @@ def _penalize_candidates(vals, cand_ids, hist, hist_valid, p):
 #            max is always a segment winner); sampling recall matches
 #            approx-top-k-style selection (misses only when multiple
 #            top-k tokens share a ~64-wide vocab segment).
-#   sort   — exact lax.top_k (full per-row sort).
-_TOPK_IMPL = os.environ.get("LLAMA_TPU_TOPK", "approx")
+#   sort   — exact lax.top_k (full per-row sort) at every vocab size.
+# Under 'auto', 32k-vocab serving is fully exact; >64k vocabs use the
+# segmented selector whose rank>=2 recall caveat is documented in
+# ineligible_reasons/server stats.
+_TOPK_IMPL = os.environ.get("LLAMA_TPU_TOPK", "auto")
 _N_SEG = 512
 
 
@@ -249,11 +262,17 @@ def sample_tokens(logits: jax.Array, p: DeviceSamplerParams,
         # but their rank>=2 recall (~0.95+) means active penalties can in
         # rare cases surface a token approx dropped; LLAMA_TPU_TOPK=sort
         # restores full exactness at the cost of a 32k-wide sort.
-        if _TOPK_IMPL == "seg":
+        impl = _TOPK_IMPL
+        if impl == "auto":
+            # Measured on v5e (B=64, RTT-inclusive): at V=32000 the exact
+            # sort is FASTEST (1.19ms vs approx 1.44 / seg 1.48); at
+            # V=128256 the sort blows up (6.9ms) and seg wins (0.60 vs
+            # approx 0.70). So: exact top_k for vocabs <= 64k, segmented
+            # selection above.
+            impl = "sort" if v <= 65536 else "seg"
+        if impl == "seg":
             rvals, rids = _segmented_top_candidates(logits, k_max)
-        elif jax.default_backend() == "tpu" and _TOPK_IMPL == "approx":
-            # lax.top_k lowers to a full per-row SORT on TPU (~ms at
-            # [64, 32k]); approx_max_k is the native PartialReduce.
+        elif jax.default_backend() == "tpu" and impl == "approx":
             rvals, rids = jax.lax.approx_max_k(logits, k_max)
         else:
             rvals, rids = jax.lax.top_k(logits, k_max)

@@ -82,7 +82,16 @@ def kv_bytes_per_token(hp: HParams, dtype_bytes: int = 2) -> int:
 
 
 def quantize_q8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """x [..., D] -> (int8 [..., D], scale [...]) with absmax/127 scaling."""
+    """x [..., D] -> (int8 [..., D], scale [...]) with absmax/127 scaling.
+
+    DELIBERATELY coarser than the reference q8_0 KV type (one scale per
+    32-element group, ggml type_k/type_v): one scale per (head, token)
+    slot, i.e. per head_dim values. The per-slot scale keeps the scale
+    plane [KV, NB, BS] Mosaic-legal (page-major, no ragged last dim) and
+    halves the scatter count on the write path. Measured cost vs 32-groups
+    at D=128: RMSE 0.0065 vs 0.0054 (gaussian), 0.0126 vs 0.0095
+    (laplace) — ~1.2-1.3x, both ~40+ dB SNR; TinyLlama decode token
+    streams were identical vs bf16 KV in tests/test_kv_q8.py."""
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
     scale = amax / 127.0
     q = jnp.round(x.astype(jnp.float32) / jnp.maximum(scale[..., None],

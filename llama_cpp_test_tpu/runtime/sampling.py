@@ -425,8 +425,12 @@ class Infill(Sampler):
         keep = alive & (is_eog | (p >= 0.2))
         n_non_eog = int((keep & ~is_eog).sum())
         if n_non_eog == 0:
-            # reduce to EOT (the vocab's end-of-sequence)
-            st.ids = np.asarray([self.vocab.eos_id], np.int32)
+            # reduce to the dedicated EOT token when the vocab has one,
+            # falling back to EOS (reference llama_sampler_infill_apply
+            # uses special_eot_id-then-eos order)
+            term = self.vocab.eot_id if getattr(self.vocab, "eot_id", -1) \
+                not in (-1, None) else self.vocab.eos_id
+            st.ids = np.asarray([term], np.int32)
             st.logits = np.asarray([1.0], np.float32)
             st.sorted_ = False
             st.probs = None

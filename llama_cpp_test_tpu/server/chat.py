@@ -87,7 +87,10 @@ def _llama2(msgs, gen, sys_block=True):
                 system = ""
             out.append(f"[INST] {content} [/INST]")
         else:
-            out.append(m["content"])
+            # reference (src/llama-chat.cpp LLM_CHAT_TEMPLATE_LLAMA_2*)
+            # terminates each assistant turn with </s> before reopening
+            # [INST] for the next user turn
+            out.append(f"{m['content']}</s>")
     return "".join(out)
 
 

@@ -48,6 +48,9 @@ class Vocab:
     fim_pad_id: int = -1
     fim_rep_id: int = -1
     fim_sep_id: int = -1
+    # dedicated end-of-turn token (reference llama-vocab special_eot_id;
+    # -1 = absent, callers fall back to eos_id)
+    eot_id: int = -1
 
     def __post_init__(self):
         self.token_to_id = {t: i for i, t in enumerate(self.tokens)}
@@ -115,6 +118,19 @@ def vocab_from_metadata(md: dict) -> Vocab:
                              "<fim_suffix>", "<｜fim▁hole｜>"))
     fim_mid = fim_id("mid", ("<|fim_middle|>", "<fim-middle>", "<MID>",
                              "<fim_middle>", "<｜fim▁end｜>"))
+
+    # dedicated end-of-turn id (reference llama-vocab.cpp special_eot_id:
+    # explicit key, else well-known turn-terminator token names)
+    eot = get("tokenizer.ggml.eot_token_id")
+    if eot is not None:
+        eot = int(eot)
+    else:
+        eot = -1
+        for i, t in enumerate(tokens):
+            if t in ("<|eot_id|>", "<|im_end|>", "<|end|>", "<end_of_turn>",
+                     "<|eom_id|>", "<EOT>"):
+                eot = i
+                break
     return Vocab(
         model=model,
         pre=get("tokenizer.ggml.pre", "default"),
@@ -136,6 +152,7 @@ def vocab_from_metadata(md: dict) -> Vocab:
         fim_rep_id=fim_id("rep", ("<|fim_repo|>", "<fim-repo>", "<REPO>",
                                   "<|repo_name|>")),
         fim_sep_id=fim_id("sep", ("<|file_sep|>",)),
+        eot_id=eot,
     )
 
 

@@ -36,6 +36,13 @@ def test_builtin_formats(name, needle):
     assert needle in out, out
 
 
+def test_llama2_multiturn_assistant_terminator():
+    """Assistant turns end with </s> before the next [INST] (reference
+    src/llama-chat.cpp LLM_CHAT_TEMPLATE_LLAMA_2*)."""
+    out = _BUILTINS["llama2"](MSGS, True)
+    assert "Hello</s>[INST] Bye [/INST]" in out
+
+
 def test_detect_from_jinja_source():
     assert detect_template("{% if x %}<|im_start|>{{role}}") == "chatml"
     assert detect_template("...<<SYS>>...") == "llama2-sys"
