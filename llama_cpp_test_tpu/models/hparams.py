@@ -38,6 +38,23 @@ class HParams:
     # normalize the selected top-k routing weights (build_moe_ffn norm_w;
     # true for mixtral, FALSE for qwen2moe — reference llama-model.cpp:6191)
     norm_topk: bool = True
+    # deepseek2 MoE extensions (reference llama-hparams.h n_layer_dense_lead
+    # / n_expert_shared / expert_weights_scale / expert_gating_func)
+    n_layer_dense_lead: int = 0      # leading layers use the dense FFN
+    n_expert_shared: int = 0         # always-on shared experts (ungated)
+    expert_weights_scale: float = 1.0  # routed output multiplier
+    expert_gating: str = "softmax"   # 'softmax' | 'sigmoid' (deepseek v3)
+    # MLA attention (deepseek2; reference llm_build_deepseek2):
+    # low-rank q/kv compression ranks; 0 = standard attention
+    n_lora_q: int = 0
+    n_lora_kv: int = 0
+    # value head dim when != head_dim (MLA: qk 192 vs v 128);
+    # 0 = same as head_dim
+    head_dim_v: int = 0
+    # yarn attention-magnitude log multiplier (deepseek2: 0.1*mscale_all_dim;
+    # folded into attn_scale as mscale^2, NOT into the rope tables — see
+    # hparams_from_metadata and reference llama-model.cpp:9217-9219)
+    rope_yarn_log_mul: float = 0.0
     # misc
     sliding_window: int = 0
     # RoPE freq base for sliding-window layers (gemma3: 10000 while global
@@ -81,6 +98,11 @@ class HParams:
     @property
     def n_embd_head(self) -> int:
         return self.head_dim
+
+    @property
+    def v_dim(self) -> int:
+        """Value head dim (== head_dim except MLA archs)."""
+        return self.head_dim_v or self.head_dim
 
     @property
     def n_gqa(self) -> int:
@@ -137,6 +159,21 @@ def hparams_from_metadata(md: dict) -> HParams:
     # phi2 stores a plain layer_norm_epsilon (LayerNorm arch); reuse rms_eps
     eps = g("attention.layer_norm_rms_epsilon",
             g("attention.layer_norm_epsilon", 1e-5))
+    # deepseek2 MLA: the yarn magnitude correction rides the ATTENTION
+    # scale, not the rope tables. Reference llama-model.cpp:9216-9220
+    # pre-scales kq_scale = mscale^2/sqrt(dk) with mscale = attn_factor *
+    # (1 + rope_yarn_log_mul * ln(1/freq_scale)) and cancels the rope's own
+    # yarn mscale via attn_factor_scaled; net rope magnitude is 1 (HF
+    # DeepseekV2 has mscale == mscale_all_dim so its cos/sin scaling
+    # ratio is 1 too). rope_freqs() skips its yarn mscale for this arch.
+    yarn_log_mul = g("rope.scaling.yarn_log_multiplier", 0.0)
+    if arch == "deepseek2":
+        factor = g("rope.scaling.factor", 1.0)
+        m = 1.0
+        if scaling == "yarn" and factor > 1.0:
+            m = g("rope.scaling.attn_factor", 1.0) * \
+                (1.0 + yarn_log_mul * _math.log(factor))
+        attn_scale = m * m / _math.sqrt(head_dim)
     hp = HParams(
         arch=arch,
         n_vocab=n_vocab,
@@ -157,7 +194,18 @@ def hparams_from_metadata(md: dict) -> HParams:
         n_expert=g("expert_count", 0),
         n_expert_used=g("expert_used_count", 0),
         n_ff_exp=g("expert_feed_forward_length", 0),
-        norm_topk=arch not in ("qwen2moe", "olmoe"),
+        norm_topk=(bool(g("expert_weights_norm", False))
+                   if arch == "deepseek2"
+                   else arch not in ("qwen2moe", "olmoe")),
+        n_layer_dense_lead=g("leading_dense_block_count", 0),
+        n_expert_shared=g("expert_shared_count", 0),
+        expert_weights_scale=g("expert_weights_scale", 1.0),
+        expert_gating=("sigmoid" if int(g("expert_gating_func", 1)) == 2
+                       else "softmax"),
+        n_lora_q=g("attention.q_lora_rank", 0),
+        n_lora_kv=g("attention.kv_lora_rank", 0),
+        head_dim_v=g("attention.value_length", 0),
+        rope_yarn_log_mul=yarn_log_mul,
         sliding_window=g("attention.sliding_window", 0),
         swa_pattern=max(1, swa_pattern),
         rope_freq_base_swa=(g("rope.local_freq_base", 10000.0)

@@ -123,6 +123,20 @@ class LayerWeights:
     # when the source tensors share quant type; None otherwise.
     wqkv: QTensor | None = None
     w_gateup: QTensor | None = None
+    # deepseek2 MLA (reference llm_build_deepseek2): low-rank q projection
+    # (wq_a -> rms -> wq_b; big models only — lite uses plain wq), shared
+    # compressed kv+pe projection (wkv_a: [kv_lora_rank + rope_dim]),
+    # rms on the compressed kv, and the up-projection wkv_b
+    # ([H * (nope_dim + v_dim)])
+    wq_a: QTensor | None = None
+    wq_b: QTensor | None = None
+    attn_q_a_norm: jax.Array | None = None
+    wkv_a: QTensor | None = None
+    attn_kv_a_norm: jax.Array | None = None
+    wkv_b: QTensor | None = None
+    # deepseek-v3 expert-selection bias (reference build_moe_ffn
+    # exp_probs_b: biases selection only, weights stay unbiased)
+    exp_probs_b: jax.Array | None = None
 
 
 @dataclasses.dataclass
@@ -290,10 +304,38 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
                                    info.ggml_type, hi - lo, k)
         return mk(0, n_q), mk(n_q, n_q + n_kv), mk(n_q + n_kv, n_q + 2 * n_kv)
 
+    def _mla_q_perm() -> np.ndarray:
+        """Per-head row permutation for MLA q projections: identity on the
+        nope rows, interleaved->half-split on the trailing pe rows (the
+        common permutation cancels in q_pe . k_pe, so only the rope
+        convention changes — same trick as the NORM-rope archs)."""
+        dk, rd = hp.head_dim, hp.rope_dim
+        nope = dk - rd
+        idx = np.arange(hp.n_head * dk, dtype=np.int64)
+        sub = _unpermute_rows(1, rd)
+        for h in range(hp.n_head):
+            base = h * dk + nope
+            idx[base:base + rd] = base + sub
+        return idx
+
+    def _mla_kva_perm() -> np.ndarray:
+        """attn_kv_a_mqa rows: identity on kv_lora_rank, pe-permuted tail."""
+        rd = hp.rope_dim
+        idx = np.arange(hp.n_lora_kv + rd, dtype=np.int64)
+        idx[hp.n_lora_kv:] = hp.n_lora_kv + _unpermute_rows(1, rd)
+        return idx
+
     def layer(i: int) -> LayerWeights:
         p = f"blk.{i}."
-        fused_src = p + "attn_qkv.weight" in t
-        if fused_src:
+        mla = p + "attn_kv_a_mqa.weight" in t
+        if mla and tp > 1:
+            raise NotImplementedError(
+                "deepseek2 MLA attention is single-device / pipeline only; "
+                "tensor-parallel MLA plane sharding is not implemented")
+        fused_src = (not mla) and p + "attn_qkv.weight" in t
+        if mla:
+            wq = wk = wv = None
+        elif fused_src:
             wq, wk, wv = split_qkv(i)
         else:
             wq = col(p + "attn_q.weight", q_perm)
@@ -335,7 +377,22 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
             lw.bq = bias[:n_q]
             lw.bk = bias[n_q:n_q + n_kv]
             lw.bv = bias[n_q + n_kv:n_q + 2 * n_kv]
-        if tp == 1:
+        if mla:
+            # deepseek2 MLA tensors (reference llm_load_tensors DEEPSEEK2,
+            # llama-model.cpp; tensor names llama-arch.cpp:1022-1028)
+            if p + "attn_q_a.weight" in t:
+                lw.wq_a = _repack_2d(reader, p + "attn_q_a.weight")
+                lw.attn_q_a_norm = _f32(reader, p + "attn_q_a_norm.weight")
+                lw.wq_b = _repack_2d(reader, p + "attn_q_b.weight",
+                                     _mla_q_perm())
+            else:  # lite: plain full-rank q
+                lw.wq = _repack_2d(reader, p + "attn_q.weight",
+                                   _mla_q_perm())
+            lw.wkv_a = _repack_2d(reader, p + "attn_kv_a_mqa.weight",
+                                  _mla_kva_perm())
+            lw.attn_kv_a_norm = _f32(reader, p + "attn_kv_a_norm.weight")
+            lw.wkv_b = _repack_2d(reader, p + "attn_kv_b.weight")
+        if tp == 1 and not mla:
             lw.wqkv = fuse_qtensors([lw.wq, lw.wk, lw.wv])
             if lw.wqkv is not None:
                 lw.wq = lw.wk = lw.wv = None  # fused plane replaces them
@@ -358,12 +415,18 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
                                                        lw.up_exps])
                 if lw.gateup_exps is not None:
                     lw.gate_exps = lw.up_exps = None  # fused replaces them
-            if p + "ffn_gate_inp_shexp.weight" in t:  # qwen2moe shared
-                lw.gate_inp_shexp = _f32(
-                    reader, p + "ffn_gate_inp_shexp.weight")
+            if p + "ffn_up_shexp.weight" in t:
+                # shared expert: qwen2moe gates it with a scalar sigmoid
+                # (ffn_gate_inp_shexp); deepseek2's is ungated/always-on
+                # (reference llm_build_deepseek2 ffn_shexp add)
+                if p + "ffn_gate_inp_shexp.weight" in t:
+                    lw.gate_inp_shexp = _f32(
+                        reader, p + "ffn_gate_inp_shexp.weight")
                 lw.gate_shexp = _repack_2d(reader, p + "ffn_gate_shexp.weight")
                 lw.up_shexp = _repack_2d(reader, p + "ffn_up_shexp.weight")
                 lw.down_shexp = _repack_2d(reader, p + "ffn_down_shexp.weight")
+            if p + "exp_probs_b.bias" in t:  # deepseek-v3 selection bias
+                lw.exp_probs_b = _f32(reader, p + "exp_probs_b.bias")
         elif p + "ffn_gate.weight" in t:
             lw.w_gate = col(p + "ffn_gate.weight")
             lw.w_up = col(p + "ffn_up.weight")
@@ -507,11 +570,22 @@ def moe_ffn(x: jax.Array, lw: LayerWeights, hp: HParams,
     b, tdim = x.shape[0], x.shape[1]
     xf = x.reshape(-1, x.shape[-1])
     router = linear(xf, lw.gate_inp)                      # [M, E] (E global)
-    probs = jax.nn.softmax(router, axis=-1)
-    topv, topi = jax.lax.top_k(probs, hp.n_expert_used)   # [M, k]
+    if hp.expert_gating == "sigmoid":  # deepseek-v3 gating func
+        probs = jax.nn.sigmoid(router)
+    else:
+        probs = jax.nn.softmax(router, axis=-1)
+    if lw.exp_probs_b is not None:
+        # deepseek-v3 e_score_correction: bias the SELECTION only; the
+        # mixing weights stay unbiased (build_moe_ffn selection_probs)
+        _, topi = jax.lax.top_k(probs + lw.exp_probs_b, hp.n_expert_used)
+        topv = jnp.take_along_axis(probs, topi, axis=-1)
+    else:
+        topv, topi = jax.lax.top_k(probs, hp.n_expert_used)   # [M, k]
     if hp.norm_topk:
         # normalize selected weights (true for mixtral, false for qwen2moe)
         topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    if hp.expert_weights_scale != 1.0:  # deepseek routed_scaling_factor
+        topv = topv * hp.expert_weights_scale
     e_local = hp.n_expert // ep
     off = jax.lax.axis_index(ep_axis) * e_local \
         if ep_axis is not None and ep > 1 else 0
@@ -526,18 +600,23 @@ def moe_ffn(x: jax.Array, lw: LayerWeights, hp: HParams,
 
 def shared_expert_ffn(cur: jax.Array, lw: LayerWeights,
                       hp: HParams) -> jax.Array:
-    """qwen2moe shared expert: sigmoid(x . gate_inp_shexp) x SwiGLU(x).
+    """Always-on shared expert: SwiGLU(x), gated by a scalar sigmoid
+    sigmoid(x . gate_inp_shexp) when that vector exists (qwen2moe,
+    reference llama-model.cpp:6198-6221) and ungated otherwise
+    (deepseek2, llm_build_deepseek2's plain ffn_shexp add).
     Weights are replicated, so the caller adds this AFTER any tp/ep psum
     of the routed output (adding inside would multiply it by the shard
-    count). Reference llama-model.cpp:6198-6221."""
+    count)."""
     b, tdim = cur.shape[0], cur.shape[1]
     xf = cur.reshape(-1, cur.shape[-1])
-    gate = jax.nn.sigmoid(
-        xf.astype(jnp.float32) @ lw.gate_inp_shexp.astype(jnp.float32))
     g = linear(xf, lw.gate_shexp)
     u = linear(xf, lw.up_shexp)
     sh = linear(layers.swiglu(g, u, hp.act_fn), lw.down_shexp)
-    return (sh * gate[:, None]).reshape(b, tdim, hp.n_embd)
+    if lw.gate_inp_shexp is not None:
+        gate = jax.nn.sigmoid(
+            xf.astype(jnp.float32) @ lw.gate_inp_shexp.astype(jnp.float32))
+        sh = sh * gate[:, None]
+    return sh.reshape(b, tdim, hp.n_embd)
 
 
 def _moe_grouped(xf, lw, hp, topi, topv, e_local, off):
@@ -623,6 +702,51 @@ def qkv_proj(cur: jax.Array, lw: LayerWeights, n_q: int, n_kv: int):
     return q, k, v
 
 
+def mla_qkv(cur: jax.Array, lw: LayerWeights, hp: HParams,
+            positions: jax.Array, inv_freq: jax.Array, mscale: float):
+    """deepseek2 MLA projections -> roped q/k and dk-padded v, all
+    [B, T, H, head_dim] (reference llm_build_deepseek2,
+    llama-model.cpp:9247-9356; HF DeepseekV2Attention.forward).
+
+    q: (wq_a -> rms -> wq_b) or plain wq -> per head [nope | pe];
+    kv: wkv_a -> [compressed kv_lora_rank | shared k_pe(rope_dim)];
+        rms(compressed) -> wkv_b -> per head [k_nope | v].
+    RoPE rotates ONLY the 64-dim pe slices; k_pe is one head broadcast to
+    all (MQA-style). The pe rows were load-permuted interleaved->half-split
+    so the NEOX-device rotation equals the checkpoint's NORM convention.
+    v is zero-padded from v_dim to head_dim so the shared paged-KV cache
+    and attention kernels run unchanged; the caller slices [:v_dim] off
+    the attention output. (This 'naive MLA' mirrors the reference's cache
+    layout; the compressed-cache absorption variant is a possible future
+    decode optimization.)"""
+    b, tdim, c = cur.shape
+    h, dk, rd, dv = hp.n_head, hp.head_dim, hp.rope_dim, hp.v_dim
+    nope = dk - rd
+    lora = lw.lora or {}
+    if lw.wq_a is not None:
+        qa = linear_lora(cur, lw.wq_a, lora.get("wq_a"))
+        qa = layers.rms_norm(qa, lw.attn_q_a_norm, hp.rms_eps)
+        q = linear_lora(qa.astype(jnp.bfloat16), lw.wq_b, lora.get("wq_b"))
+    else:
+        q = linear_lora(cur, lw.wq, lora.get("wq"))
+    q = q.reshape(b, tdim, h, dk)
+    kva = linear(cur, lw.wkv_a)                       # [B,T, rank+rd] f32
+    kv_c = layers.rms_norm(kva[..., :hp.n_lora_kv], lw.attn_kv_a_norm,
+                           hp.rms_eps)
+    k_pe = kva[..., hp.n_lora_kv:][:, :, None, :]     # [B,T,1,rd] shared
+    kvb = linear(kv_c.astype(jnp.bfloat16), lw.wkv_b)
+    kvb = kvb.reshape(b, tdim, h, nope + dv)
+    q_pe = layers.apply_rope(q[..., nope:], positions, inv_freq, mscale)
+    k_pe = layers.apply_rope(k_pe, positions, inv_freq, mscale)
+    q = jnp.concatenate([q[..., :nope], q_pe], axis=-1)
+    k = jnp.concatenate([kvb[..., :nope],
+                         jnp.broadcast_to(k_pe, (b, tdim, h, rd))], axis=-1)
+    v = kvb[..., nope:]
+    if dv < dk:
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, dk - dv)))
+    return q, k, v
+
+
 def gateup_proj(cur: jax.Array, lw: LayerWeights):
     """SwiGLU gate/up projections, fused when available."""
     lora = lw.lora or {}
@@ -672,6 +796,19 @@ def forward_layer(
         cur = x
     else:
         cur = layers.rms_norm(x, lw.attn_norm, hp.rms_eps)
+    if lw.wkv_a is not None:
+        # deepseek2 MLA attention (reference llm_build_deepseek2,
+        # llama-model.cpp:9247-9356)
+        q, k, v = mla_qkv(cur, lw, hp, positions, inv_freq, mscale)
+        attn_out = attend(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                          v.astype(jnp.bfloat16))
+        attn_out = attn_out[..., :hp.v_dim].reshape(b, tdim, h * hp.v_dim)
+        o = linear_lora(attn_out, lw.wo, lora.get("wo"),
+                        out_dtype=jnp.float32)
+        if lw.bo is not None:
+            o = o + lw.bo
+        x = x + o.astype(x.dtype)
+        return _forward_layer_ffn(x, lw, hp, tp_axis, ep_axis, ep, lora)
     q, k, v = qkv_proj(cur, lw, h * d, kvh * d)
     if hp.clamp_kqv > 0.0:  # olmo clip_qkv (reference ggml_clamp on q/k/v)
         q = jnp.clip(q, -hp.clamp_kqv, hp.clamp_kqv)
@@ -724,6 +861,12 @@ def forward_layer(
         o = o * hp.residual_scale
     x = x + o.astype(x.dtype)
 
+    return _forward_layer_ffn(x, lw, hp, tp_axis, ep_axis, ep, lora)
+
+
+def _forward_layer_ffn(x, lw, hp, tp_axis, ep_axis, ep, lora):
+    """FFN half of the sequential-residual layer (shared by the standard
+    and MLA attention paths)."""
     if hp.norm_type == "ln":   # weights optional: olmo is non-parametric
         cur = layers.layer_norm(x, lw.ffn_norm, lw.ffn_norm_b, hp.rms_eps)
     elif lw.ffn_norm is None:  # olmo2: post-norm only
@@ -743,7 +886,7 @@ def forward_layer(
         ffn = jax.lax.psum(ffn, tp_axis)  # row-parallel ffn_down partials
     if lw.b_down is not None:
         ffn = ffn + lw.b_down
-    if lw.gate_inp_shexp is not None:
+    if lw.up_shexp is not None:
         ffn = ffn + shared_expert_ffn(cur, lw, hp)
     if hp.residual_scale != 1.0:  # granite mup multiplier
         ffn = ffn * hp.residual_scale

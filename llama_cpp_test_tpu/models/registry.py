@@ -161,6 +161,18 @@ register_arch(ArchSpec("falcon", family="phi2", rope_type="neox",
                        notes="parallel-residual, layernorm, attn_norm_2"))
 
 
+# deepseek2: MLA attention (low-rank q/kv compression: q_a/q_b or wq,
+# kv_a_mqa + kv_b; qk head 192 = 128 nope + 64 rope-pe, v head 128) with
+# NORM-rope on the pe slices, yarn mscale^2 folded into the attention
+# scale; MoE layers after n_layer_dense_lead dense leads, with ungated
+# always-on shared experts, routed-weight scale, optional sigmoid gating
+# + selection bias (deepseek-v3). Covers DeepSeek-V2/V2.5/V3/R1 and the
+# R1 distills' teacher arch. (reference llm_build_deepseek2,
+# llama-model.cpp:9212-9420; converter DeepseekV2Model)
+register_arch(ArchSpec("deepseek2", family="llama", rope_type="norm",
+                       notes="mla, moe shared+dense-lead, yarn-log-mul"))
+
+
 def get_arch(name: str) -> ArchSpec:
     spec = ARCHITECTURES.get(name)
     if spec is None:

@@ -85,7 +85,12 @@ def rope_freqs(hp: HParams) -> tuple[np.ndarray, float]:
         ramp = _yarn_ramp(low, high, hp.rope_dim)
         inv_freq_interp = inv_freq / factor
         inv_freq = inv_freq_interp * (1 - ramp) + inv_freq * ramp
-        mscale *= 1.0 + 0.1 * math.log(factor)
+        if hp.arch != "deepseek2":
+            # deepseek2 folds the yarn magnitude into the ATTENTION scale
+            # (mscale^2 in hparams.attn_scale); its rope runs at magnitude
+            # 1 — the reference cancels the rope-side mscale with
+            # attn_factor_scaled (llama-model.cpp:9219)
+            mscale *= 1.0 + 0.1 * math.log(factor)
     return np.asarray(inv_freq, np.float32), mscale
 
 

@@ -52,6 +52,10 @@ ARCH_MAP = {
     "NemotronForCausalLM": "nemotron",
     "GPTNeoXForCausalLM": "gptneox",
     "OlmoForCausalLM": "olmo",
+    # MLA + MoE family (reference DeepseekV2Model covers V2/V2.5/V3/R1,
+    # convert_hf_to_gguf.py:4304)
+    "DeepseekV2ForCausalLM": "deepseek2",
+    "DeepseekV3ForCausalLM": "deepseek2",
 }
 
 # HF suffix -> GGUF suffix (per-layer), mirroring gguf-py tensor_mapping
@@ -80,6 +84,19 @@ LAYER_MAP = {
     "mlp.shared_expert.up_proj.weight": "ffn_up_shexp.weight",
     "mlp.shared_expert.down_proj.weight": "ffn_down_shexp.weight",
     "mlp.shared_expert_gate.weight": "ffn_gate_inp_shexp.weight",
+    # deepseek2 MLA attention + shared experts (note the plural
+    # 'shared_experts' vs qwen2moe's singular; reference gguf-py
+    # tensor_mapping.py ATTN_Q_A/ATTN_KV_A_MQA/... entries)
+    "self_attn.q_a_proj.weight": "attn_q_a.weight",
+    "self_attn.q_a_layernorm.weight": "attn_q_a_norm.weight",
+    "self_attn.q_b_proj.weight": "attn_q_b.weight",
+    "self_attn.kv_a_proj_with_mqa.weight": "attn_kv_a_mqa.weight",
+    "self_attn.kv_a_layernorm.weight": "attn_kv_a_norm.weight",
+    "self_attn.kv_b_proj.weight": "attn_kv_b.weight",
+    "mlp.shared_experts.gate_proj.weight": "ffn_gate_shexp.weight",
+    "mlp.shared_experts.up_proj.weight": "ffn_up_shexp.weight",
+    "mlp.shared_experts.down_proj.weight": "ffn_down_shexp.weight",
+    "mlp.gate.e_score_correction_bias": "exp_probs_b.bias",
 }
 
 # starcoder2: c_fc/c_proj non-gated MLP with biases everywhere
@@ -383,7 +400,8 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
         md[f"{arch}.attention.layer_norm_epsilon"] = cfg.get(
             "layer_norm_epsilon", 1e-5)
         del md[f"{arch}.attention.layer_norm_rms_epsilon"]
-    n_expert_cfg = cfg.get("num_local_experts") or cfg.get("num_experts")
+    n_expert_cfg = (cfg.get("num_local_experts") or cfg.get("num_experts")
+                    or cfg.get("n_routed_experts"))
     if n_expert_cfg:
         md[f"{arch}.expert_count"] = n_expert_cfg
         md[f"{arch}.expert_used_count"] = cfg.get("num_experts_per_tok", 2)
@@ -464,6 +482,38 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
             "sliding_window_pattern", 6)
         md[f"{arch}.rope.local_freq_base"] = cfg.get(
             "rope_local_base_freq", 10000.0)
+    if arch == "deepseek2":
+        # MLA + deepseek-MoE keys (reference DeepseekV2Model
+        # set_gguf_parameters, convert_hf_to_gguf.py:4310-4341)
+        qk_rope = cfg["qk_rope_head_dim"]
+        qk_nope = cfg["qk_nope_head_dim"]
+        md[f"{arch}.attention.key_length"] = qk_nope + qk_rope
+        md[f"{arch}.attention.value_length"] = cfg["v_head_dim"]
+        md[f"{arch}.rope.dimension_count"] = qk_rope
+        # MLA's kv_b always fans out to n_head k/v heads; the cache is MHA
+        md[f"{arch}.attention.head_count_kv"] = n_head
+        md[f"{arch}.leading_dense_block_count"] = cfg.get(
+            "first_k_dense_replace", 0)
+        if cfg.get("q_lora_rank"):
+            md[f"{arch}.attention.q_lora_rank"] = cfg["q_lora_rank"]
+        md[f"{arch}.attention.kv_lora_rank"] = cfg["kv_lora_rank"]
+        if cfg.get("n_routed_experts"):
+            # expert_count/used/ffe ride the generic MoE block below
+            md[f"{arch}.expert_shared_count"] = cfg.get(
+                "n_shared_experts", 0)
+            md[f"{arch}.expert_weights_scale"] = float(
+                cfg.get("routed_scaling_factor", 1.0))
+            md[f"{arch}.expert_weights_norm"] = bool(
+                cfg.get("norm_topk_prob", False))
+            md[f"{arch}.expert_gating_func"] = \
+                2 if cfg.get("scoring_func") == "sigmoid" else 1
+        ds_scaling = cfg.get("rope_scaling") or {}
+        if (ds_scaling.get("type") or ds_scaling.get("rope_type")) == "yarn":
+            md[f"{arch}.rope.scaling.original_context_length"] = int(
+                ds_scaling.get("original_max_position_embeddings",
+                               cfg.get("max_position_embeddings", 4096)))
+            md[f"{arch}.rope.scaling.yarn_log_multiplier"] = \
+                0.1 * float(ds_scaling.get("mscale_all_dim", 1.0))
     rope_scaling = cfg.get("rope_scaling") or {}
     scaling_type = rope_scaling.get("type") or rope_scaling.get("rope_type")
     rope_factor_tensors: list[tuple[str, np.ndarray]] = []

@@ -1304,3 +1304,210 @@ def test_convert_olmo_matches_transformers(tmp_path):
     assert abs(m.hp.clamp_kqv - 0.05) < 1e-6
     assert m.weights.layers[0].attn_norm is None
     assert m.weights.output_norm is None
+
+
+def _deepseek_ws(rng, cfg, q_lora=None):
+    """Synthesize DeepseekV2 HF weights for the given tiny config."""
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, L = cfg["vocab_size"], cfg["hidden_size"], cfg["num_hidden_layers"]
+    H = cfg["num_attention_heads"]
+    dk = cfg["qk_nope_head_dim"] + cfg["qk_rope_head_dim"]
+    dv = cfg["v_head_dim"]
+    kvr = cfg["kv_lora_rank"]
+    E, FFE = cfg["n_routed_experts"], cfg["moe_intermediate_size"]
+    ws = {
+        "model.embed_tokens.weight": r(V, C),
+        "model.norm.weight": 1.0 + r(C),
+        "lm_head.weight": r(V, C),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        ws.update({
+            p + "input_layernorm.weight": 1.0 + r(C),
+            p + "post_attention_layernorm.weight": 1.0 + r(C),
+            p + "self_attn.kv_a_proj_with_mqa.weight":
+                r(kvr + cfg["qk_rope_head_dim"], C),
+            p + "self_attn.kv_a_layernorm.weight": 1.0 + r(kvr),
+            p + "self_attn.kv_b_proj.weight":
+                r(H * (cfg["qk_nope_head_dim"] + dv), kvr),
+            p + "self_attn.o_proj.weight": r(C, H * dv),
+        })
+        if q_lora:
+            ws.update({
+                p + "self_attn.q_a_proj.weight": r(q_lora, C),
+                p + "self_attn.q_a_layernorm.weight": 1.0 + r(q_lora),
+                p + "self_attn.q_b_proj.weight": r(H * dk, q_lora),
+            })
+        else:
+            ws[p + "self_attn.q_proj.weight"] = r(H * dk, C)
+        if i < cfg["first_k_dense_replace"]:
+            ws.update({
+                p + "mlp.gate_proj.weight": r(cfg["intermediate_size"], C),
+                p + "mlp.up_proj.weight": r(cfg["intermediate_size"], C),
+                p + "mlp.down_proj.weight": r(C, cfg["intermediate_size"]),
+            })
+        else:
+            ws[p + "mlp.gate.weight"] = r(E, C)
+            nsh = cfg["n_shared_experts"]
+            ws.update({
+                p + "mlp.shared_experts.gate_proj.weight": r(FFE * nsh, C),
+                p + "mlp.shared_experts.up_proj.weight": r(FFE * nsh, C),
+                p + "mlp.shared_experts.down_proj.weight": r(C, FFE * nsh),
+            })
+            for e in range(E):
+                q = p + f"mlp.experts.{e}."
+                ws.update({
+                    q + "gate_proj.weight": r(FFE, C),
+                    q + "up_proj.weight": r(FFE, C),
+                    q + "down_proj.weight": r(C, FFE),
+                })
+    return ws
+
+
+def _deepseek_cfg(q_lora=None, rope_scaling=None):
+    return {
+        "architectures": ["DeepseekV2ForCausalLM"],
+        "hidden_size": 64, "intermediate_size": 96,
+        "num_attention_heads": 4, "num_key_value_heads": 4,
+        "num_hidden_layers": 3, "max_position_embeddings": 256,
+        "rms_norm_eps": 1e-5, "rope_theta": 10000.0, "vocab_size": 256,
+        "qk_nope_head_dim": 16, "qk_rope_head_dim": 8, "v_head_dim": 12,
+        "kv_lora_rank": 32, "q_lora_rank": q_lora,
+        "first_k_dense_replace": 1, "n_routed_experts": 4,
+        "num_experts_per_tok": 2, "moe_intermediate_size": 48,
+        "n_shared_experts": 2, "routed_scaling_factor": 2.5,
+        "norm_topk_prob": False, "scoring_func": "softmax",
+        "topk_method": "greedy", "n_group": 1, "topk_group": 1,
+        "aux_loss_alpha": 0.0, "seq_aux": False,
+        "attention_bias": False, "rope_scaling": rope_scaling,
+        "bos_token_id": 1, "eos_token_id": 2,
+    }
+
+
+def test_convert_deepseek2_lite_matches_transformers(tmp_path):
+    """DeepSeek-V2-Lite shape: plain wq (no q lora), MLA kv compression,
+    1 dense lead + MoE layers with ungated shared experts and
+    routed_scaling_factor (reference llm_build_deepseek2 is_lite path)."""
+    from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+
+    cfg = _deepseek_cfg()
+    ws = _deepseek_ws(np.random.default_rng(21), cfg)
+    tcfg = DeepseekV2Config(
+        **{k: v for k, v in cfg.items() if k != "architectures"},
+        tie_word_embeddings=False, attn_implementation="eager")
+    m = _convert_and_compare(tmp_path, cfg, ws, DeepseekV2ForCausalLM, tcfg)
+    assert m.hp.arch == "deepseek2"
+    assert m.hp.head_dim == 24 and m.hp.v_dim == 12
+    assert m.hp.n_lora_kv == 32 and m.hp.n_lora_q == 0
+    assert m.hp.n_layer_dense_lead == 1 and m.hp.n_expert_shared == 2
+    assert abs(m.hp.expert_weights_scale - 2.5) < 1e-6
+    assert m.weights.layers[0].gate_inp is None       # dense lead
+    assert m.weights.layers[1].gate_inp is not None   # MoE
+    assert m.weights.layers[1].up_shexp is not None
+    assert m.weights.layers[1].gate_inp_shexp is None  # ungated shared
+
+
+def test_convert_deepseek2_qlora_yarn_matches_transformers(tmp_path):
+    """Big-model shape: q_a/q_b low-rank q + yarn rope with mscale_all_dim.
+
+    The yarn attention magnitude: the reference (llama-model.cpp:9216-9220,
+    matching DeepSeek's original modeling code) folds
+    mscale^2 = (1 + 0.1*mscale_all_dim*ln(factor))^2 into the softmax
+    scale. transformers' NATIVE DeepseekV2 port does NOT (its
+    attention_scaling ratio is 1 when mscale == mscale_all_dim and
+    self.scaling stays qk_head_dim**-0.5) — a known divergence from the
+    original trust_remote_code implementation. The HF reference here is
+    patched to the original semantics before comparing."""
+    import math as _math
+
+    from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+
+    factor, msad = 8.0, 0.707
+    rs = {"type": "yarn", "factor": factor,
+          "original_max_position_embeddings": 32,
+          "beta_fast": 32.0, "beta_slow": 1.0,
+          "mscale": msad, "mscale_all_dim": msad}
+    cfg = _deepseek_cfg(q_lora=24, rope_scaling=rs)
+    ws = _deepseek_ws(np.random.default_rng(22), cfg, q_lora=24)
+
+    hf_dir = tmp_path / "hf"
+    hf_dir.mkdir(exist_ok=True)
+    with open(hf_dir / "config.json", "w") as f:
+        json.dump(cfg, f)
+    st.save_file(ws, str(hf_dir / "model.safetensors"))
+    _bpe_tokenizer_json(str(hf_dir), cfg["vocab_size"])
+
+    from llama_cpp_test_tpu.tools.convert_hf import convert
+
+    out = str(tmp_path / "m.gguf")
+    convert(str(hf_dir), out, dtype="F32")
+
+    tcfg = DeepseekV2Config(
+        **{k: v for k, v in cfg.items() if k != "architectures"},
+        tie_word_embeddings=False, attn_implementation="eager")
+    hf = DeepseekV2ForCausalLM(tcfg)
+    missing = hf.load_state_dict(
+        {k: torch.from_numpy(v.copy()) for k, v in ws.items()}, strict=False)
+    assert not missing.unexpected_keys, missing.unexpected_keys
+    m2 = (1.0 + 0.1 * msad * _math.log(factor)) ** 2
+    for lyr in hf.model.layers:
+        lyr.self_attn.scaling = m2 / _math.sqrt(24)  # original semantics
+    hf.eval()
+    tokens = [3, 17, 42, 9, 150, 7, 88, 201]
+    with torch.no_grad():
+        ref = hf(torch.tensor([tokens])).logits[0].numpy()
+
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    model = Model(out)
+    assert model.hp.n_lora_q == 24
+    assert abs(model.hp.rope_yarn_log_mul - 0.1 * msad) < 1e-6
+    assert abs(model.hp.attn_scale - m2 / _math.sqrt(24)) < 1e-6
+    ctx = Context(model, n_ctx=64, n_seq_max=1, block_size=8)
+    got = ctx.prefill(ctx.new_seq(), tokens, all_logits=True)
+    err = np.mean((got - ref) ** 2) / (np.mean(ref ** 2) + 1e-9)
+    assert err < 5e-3, err
+    assert np.argmax(got[-1]) == np.argmax(ref[-1])
+
+
+def test_deepseek2_e2e_greedy_decode_matches_transformers(tmp_path):
+    """Full engine decode loop (prefill + paged-KV greedy steps) vs HF
+    greedy generation on the converted DeepSeek-V2-Lite-shaped model."""
+    from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+
+    cfg = _deepseek_cfg()
+    ws = _deepseek_ws(np.random.default_rng(23), cfg)
+    hf_dir = tmp_path / "hf"
+    hf_dir.mkdir(exist_ok=True)
+    with open(hf_dir / "config.json", "w") as f:
+        json.dump(cfg, f)
+    st.save_file(ws, str(hf_dir / "model.safetensors"))
+    _bpe_tokenizer_json(str(hf_dir), cfg["vocab_size"])
+
+    from llama_cpp_test_tpu.tools.convert_hf import convert
+
+    out = str(tmp_path / "m.gguf")
+    convert(str(hf_dir), out, dtype="F32")
+
+    tcfg = DeepseekV2Config(
+        **{k: v for k, v in cfg.items() if k != "architectures"},
+        tie_word_embeddings=False, attn_implementation="eager")
+    hf = DeepseekV2ForCausalLM(tcfg)
+    hf.load_state_dict({k: torch.from_numpy(v.copy())
+                        for k, v in ws.items()}, strict=False)
+    hf.eval()
+    prompt = [3, 17, 42, 9]
+    # 6 steps: step 8 of this random tiny model hits a near-tied logit
+    # pair and flips on f32 summation order; 6 is stably separated
+    n_new = 6
+    with torch.no_grad():
+        ref = hf.generate(torch.tensor([prompt]), max_new_tokens=n_new,
+                          do_sample=False, eos_token_id=None,
+                          pad_token_id=0)[0].tolist()[len(prompt):]
+
+    from llama_cpp_test_tpu.runtime.engine import Context, Model, generate
+
+    model = Model(out)
+    ctx = Context(model, n_ctx=64, n_seq_max=1, block_size=8)
+    got = list(generate(ctx, prompt, n_new))
+    assert got == ref, (got, ref)

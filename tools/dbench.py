@@ -354,9 +354,14 @@ def time_scan(step, x0, ws):
     t0 = time.time()
     np.asarray(loop(x0, ws))
     print(f"  compile+first: {time.time()-t0:.1f}s", flush=True)
-    t0 = time.perf_counter()
-    np.asarray(loop(x0, ws))
-    return (time.perf_counter() - t0 - _rtt()) / N_ITER
+    # min-of-N: single timed runs show up to 40% tunnel-contention spread
+    # (round-5 callfloor.py measurements)
+    best = float("inf")
+    for _ in range(int(os.environ.get("DB_REPS", "3"))):
+        t0 = time.perf_counter()
+        np.asarray(loop(x0, ws))
+        best = min(best, time.perf_counter() - t0)
+    return (best - _rtt()) / N_ITER
 
 
 def main():
