@@ -17,7 +17,8 @@ def main(argv=None) -> int:
     ap.add_argument("-p", "--prompt", action="append", required=True,
                     help="text to embed (repeatable; '\\n'-separated batches)")
     ap.add_argument("--pooling", choices=["mean", "cls", "last"],
-                    default="mean")
+                    default=None,
+                    help="default: the model's pooling_type (bert: cls)")
     ap.add_argument("--embd-normalize", type=int, default=2,
                     help="-1: none, 2: L2 (default)")
     ap.add_argument("--similarity", action="store_true",

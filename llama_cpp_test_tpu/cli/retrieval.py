@@ -36,7 +36,8 @@ def main(argv=None) -> int:
     ap.add_argument("--query", action="append", default=[],
                     help="one-shot query (repeatable); omit for stdin loop")
     ap.add_argument("--pooling", choices=["mean", "cls", "last"],
-                    default="mean")
+                    default=None,
+                    help="default: the model's pooling_type (bert: cls)")
     args = ap.parse_args(argv)
 
     from ..runtime.engine import Context, Model

@@ -91,6 +91,14 @@ class HParams:
     # phi2/falcon-family quirks (reference llm_build_phi2):
     # parallel residual x + attn(norm(x)) + ffn(norm(x)) with ONE shared norm
     parallel_residual: bool = False
+    # bert-family encoders (reference llm_build_bert): POST-norm layers
+    # (x = LN(x + attn(x)); x = LN(x + ffn(x))), bidirectional attention,
+    # learned-position or rope position encoding, no lm head
+    post_norm: bool = False
+    causal: bool = True          # default attention causality
+    pos_embd: str = "rope"       # 'rope' | 'learned' (bert) | 'none'
+    pooling: str = "last"        # default pooling for embed(): GGUF
+    #                              {arch}.pooling_type (llama.h enum)
     # input/output norm flavor: 'rms' (llama) or 'ln' (LayerNorm with bias)
     norm_type: str = "rms"
     # gated FFN (SwiGLU/GeGLU) vs plain up->act->down (phi2)
@@ -221,9 +229,11 @@ def hparams_from_metadata(md: dict) -> HParams:
                                           "command-r"))),
         norm_type=("ln" if arch in ("phi2", "falcon", "gptneox", "stablelm",
                                     "command-r", "starcoder2", "nemotron",
-                                    "olmo")  # olmo: NON-PARAMETRIC LN
+                                    "olmo",  # olmo: NON-PARAMETRIC LN
+                                    "bert", "nomic-bert")
                    else "rms"),
         act_fn=("relu2" if arch == "nemotron" else
+                "gelu_erf" if arch == "bert" else
                 "gelu" if (gemma_like or arch in ("phi2", "falcon",
                                                   "gptneox",
                                                   "starcoder2")) else "silu"),
@@ -239,6 +249,14 @@ def hparams_from_metadata(md: dict) -> HParams:
                        50.0 if arch == "gemma2" else 0.0),
         final_softcap=g("final_logit_softcapping",
                         30.0 if arch == "gemma2" else 0.0),
+        post_norm=arch in ("bert", "nomic-bert"),
+        causal=arch not in ("bert", "nomic-bert"),
+        pos_embd=("learned" if arch == "bert" else "rope"),
+        # default mean everywhere (the historical behavior of this
+        # engine's embed paths); GGUF {arch}.pooling_type overrides
+        # (bert converter writes CLS)
+        pooling={0: "none", 1: "mean", 2: "cls", 3: "last"}.get(
+            int(g("pooling_type", 1)), "mean"),
     )
     return hp
 

@@ -137,6 +137,12 @@ class LayerWeights:
     # deepseek-v3 expert-selection bias (reference build_moe_ffn
     # exp_probs_b: biases selection only, weights stay unbiased)
     exp_probs_b: jax.Array | None = None
+    # bert-family POST-norms: LN applied to (input + branch) sums
+    # (reference llm_build_bert attn_out_norm / layer_out_norm)
+    attn_out_norm: jax.Array | None = None
+    attn_out_norm_b: jax.Array | None = None
+    layer_out_norm: jax.Array | None = None
+    layer_out_norm_b: jax.Array | None = None
 
 
 @dataclasses.dataclass
@@ -159,6 +165,13 @@ class LlamaWeights:
     # phi2-family: LayerNorm bias on the final norm + LM-head bias
     output_norm_b: jax.Array | None = None
     output_b: jax.Array | None = None
+    # bert-family input-embedding extras (reference llm_build_bert):
+    # learned absolute positions, token-type ("Sentence A") row, and the
+    # embedding LayerNorm
+    pos_embd: jax.Array | None = None      # [n_ctx_train, C] f32
+    type_embd: jax.Array | None = None     # [n_types, C] f32
+    tok_norm: jax.Array | None = None
+    tok_norm_b: jax.Array | None = None
 
     def inv_freq_for(self, window: int) -> jax.Array:
         """Per-layer rope table: the SWA table when the layer is sliding."""
@@ -342,7 +355,7 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
             wk = col(p + "attn_k.weight", k_perm)
             wv = col(p + "attn_v.weight")
         if p + "attn_norm.weight" not in t and \
-                hp.arch not in ("olmo2", "olmo"):
+                hp.arch not in ("olmo2", "olmo") and not hp.post_norm:
             # only post-norm-only (olmo2) and non-parametric-norm (olmo)
             # archs may omit norm tensors; anything else missing them is a
             # broken conversion — fail loudly instead of silently running
@@ -449,7 +462,12 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
                             ("attn_post_norm.weight", "attn_post_norm"),
                             ("post_attention_norm.weight", "attn_post_norm"),
                             ("ffn_post_norm.weight", "ffn_post_norm"),
-                            ("post_ffw_norm.weight", "ffn_post_norm")):
+                            ("post_ffw_norm.weight", "ffn_post_norm"),
+                            # bert-family post-norms on the residual sums
+                            ("attn_output_norm.weight", "attn_out_norm"),
+                            ("attn_output_norm.bias", "attn_out_norm_b"),
+                            ("layer_output_norm.weight", "layer_out_norm"),
+                            ("layer_output_norm.bias", "layer_out_norm_b")):
             if p + tname in t:
                 arr = _f32(reader, p + tname)
                 if arr.ndim == 2 and q_perm is not None and \
@@ -477,9 +495,14 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
         # the one matmul wide enough that narrow tiles dominate (32000 ->
         # npk 16000 only divides tile_n=128 => 125 grid steps; padded to
         # 16384 it runs 16 steps of 1024 for +2.4% bytes)
-        f_out = ex.submit(col, "output.weight", None, 1024) \
-            if "output.weight" in t \
-            else ex.submit(col, "token_embd.weight", None, 1024)  # tied
+        if hp.post_norm:
+            # bert-family encoders have no lm head; point output at the
+            # embedding rows (never dispatched — embed() is the only path)
+            f_out = f_embd
+        elif "output.weight" in t:
+            f_out = ex.submit(col, "output.weight", None, 1024)
+        else:
+            f_out = ex.submit(col, "token_embd.weight", None, 1024)  # tied
         layer_list = list(ex.map(layer, range(hp.n_layer)))
         tok_embd = f_embd.result()
         output = f_out.result()
@@ -518,6 +541,14 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
                        if "output_norm.bias" in t else None),
         output_b=(_f32(reader, "output.bias")
                   if "output.bias" in t else None),
+        pos_embd=(_f32(reader, "position_embd.weight")
+                  if "position_embd.weight" in t else None),
+        type_embd=(_f32(reader, "token_types.weight")
+                   if "token_types.weight" in t else None),
+        tok_norm=(_f32(reader, "token_embd_norm.weight")
+                  if "token_embd_norm.weight" in t else None),
+        tok_norm_b=(_f32(reader, "token_embd_norm.bias")
+                    if "token_embd_norm.bias" in t else None),
     )
     return hp, w
 
@@ -782,6 +813,9 @@ def forward_layer(
     # local head counts under tensor parallelism (weights column-sharded)
     h, kvh, d = hp.n_head // tp, hp.n_head_kv // tp, hp.head_dim
 
+    if hp.post_norm:
+        return _forward_layer_postnorm(x, lw, hp, positions, inv_freq,
+                                       mscale, attend)
     if hp.parallel_residual:
         return _forward_layer_parallel(x, lw, hp, positions, inv_freq,
                                        mscale, attend, tp_axis, tp)
@@ -898,6 +932,64 @@ def _forward_layer_ffn(x, lw, hp, tp_axis, ep_axis, ep, lora):
     return x
 
 
+def _forward_layer_postnorm(x, lw, hp, positions, inv_freq, mscale, attend):
+    """bert-family encoder layer (reference llm_build_bert,
+    llama-model.cpp:5191-5350): NO pre-norms — LayerNorm is applied to the
+    residual SUMS: x = LN(x + attn(x)); x = LN(x + ffn(x)). Attention runs
+    bidirectional (hp.causal False via the engine's causal flag), with
+    biases on every projection; positions are learned embeddings (bert,
+    added in embed_extras) or NEOX rope (nomic-bert)."""
+    b, tdim, c = x.shape
+    h, kvh, d = hp.n_head, hp.n_head_kv, hp.head_dim
+    lora = lw.lora or {}
+    q, k, v = qkv_proj(x, lw, h * d, kvh * d)
+    if lw.bq is not None:
+        q = q + lw.bq
+    if lw.bk is not None:
+        k = k + lw.bk
+    if lw.bv is not None:
+        v = v + lw.bv
+    q = q.reshape(b, tdim, h, d)
+    k = k.reshape(b, tdim, kvh, d)
+    v = v.reshape(b, tdim, kvh, d)
+    if hp.pos_embd == "rope":  # nomic-bert; bert uses learned positions
+        q = layers.apply_rope(q, positions, inv_freq, mscale)
+        k = layers.apply_rope(k, positions, inv_freq, mscale)
+    attn = attend(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                  v.astype(jnp.bfloat16)).reshape(b, tdim, h * d)
+    o = linear_lora(attn, lw.wo, lora.get("wo"), out_dtype=jnp.float32)
+    if lw.bo is not None:
+        o = o + lw.bo
+    x = layers.layer_norm(x.astype(jnp.float32) + o, lw.attn_out_norm,
+                          lw.attn_out_norm_b, hp.rms_eps).astype(x.dtype)
+    if lw.w_gate is not None or lw.w_gateup is not None:
+        g, u = gateup_proj(x, lw)
+        ffn = linear_lora(layers.swiglu(g, u, hp.act_fn), lw.w_down,
+                          lora.get("w_down"))
+    else:
+        ffn = ffn_nongated(x, lw, hp, lora)
+    if lw.b_down is not None:
+        ffn = ffn + lw.b_down
+    x = layers.layer_norm(x.astype(jnp.float32) + ffn, lw.layer_out_norm,
+                          lw.layer_out_norm_b, hp.rms_eps).astype(x.dtype)
+    return x
+
+
+def embed_extras(w: LlamaWeights, hp: HParams, x: jax.Array,
+                 positions: jax.Array) -> jax.Array:
+    """bert-family input-embedding additions (reference llm_build_bert):
+    token-type row 0 ("Sentence A" — the reference hardcodes type 0),
+    learned absolute position rows, then the embedding LayerNorm."""
+    xf = x.astype(jnp.float32)
+    if w.type_embd is not None:
+        xf = xf + w.type_embd[0]
+    if w.pos_embd is not None:
+        xf = xf + jnp.take(w.pos_embd, positions, axis=0)
+    if w.tok_norm is not None:
+        xf = layers.layer_norm(xf, w.tok_norm, w.tok_norm_b, hp.rms_eps)
+    return xf.astype(jnp.bfloat16)
+
+
 def _forward_layer_parallel(x, lw, hp, positions, inv_freq, mscale, attend,
                             tp_axis=None, tp=1):
     """phi2-family layer: ONE LayerNorm feeds both branches and the residual
@@ -977,6 +1069,10 @@ def final_norm(w: LlamaWeights, hp: HParams, x: jax.Array) -> jax.Array:
     """The model's output norm (RMS or LayerNorm+bias per hp.norm_type) —
     shared by lm_head and every pooled-embedding path so LayerNorm archs
     aren't silently rms-normed off the main path."""
+    if hp.post_norm:
+        # bert-family: every layer already ends with layer_out_norm and
+        # there is no final norm tensor (llm_build_bert result_embd)
+        return x
     if hp.norm_type == "ln":
         return layers.layer_norm(x, w.output_norm, w.output_norm_b,
                                  hp.rms_eps)
@@ -992,6 +1088,10 @@ def ffn_nongated(cur, lw, hp, lora=None):
         u = u + lw.b_up
     if hp.act_fn == "gelu":
         act = jax.nn.gelu(u, approximate=True)
+    elif hp.act_fn == "gelu_erf":
+        # bert: HF uses the EXACT erf gelu (ACT2FN['gelu']); ggml's GELU
+        # is the tanh approximation — exact form keeps HF logit parity
+        act = jax.nn.gelu(u, approximate=False)
     elif hp.act_fn == "relu2":  # nemotron squared ReLU (LLM_FFN_RELU_SQR)
         act = jnp.square(jax.nn.relu(u))
     else:

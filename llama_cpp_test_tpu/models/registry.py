@@ -173,6 +173,19 @@ register_arch(ArchSpec("deepseek2", family="llama", rope_type="norm",
                        notes="mla, moe shared+dense-lead, yarn-log-mul"))
 
 
+# bert: POST-norm bidirectional encoder — learned absolute positions +
+# token-type row + embedding LayerNorm, biased projections, exact-erf
+# GELU FFN, LN over residual sums, no lm head (embeddings/rerank model
+# class). nomic-bert: same body with NEOX rope instead of learned
+# positions and an unbiased SwiGLU FFN. (reference llm_build_bert,
+# llama-model.cpp:5191-5350)
+register_arch(ArchSpec("bert", family="bert", rope_type="neox",
+                       notes="post-norm encoder, learned positions, "
+                             "non-causal"))
+register_arch(ArchSpec("nomic-bert", family="bert", rope_type="neox",
+                       notes="post-norm encoder, rope, swiglu, non-causal"))
+
+
 def get_arch(name: str) -> ArchSpec:
     spec = ARCHITECTURES.get(name)
     if spec is None:

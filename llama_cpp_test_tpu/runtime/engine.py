@@ -76,6 +76,8 @@ def _forward(w: LlamaWeights, pools: KVPools, tokens, positions, block_table,
     llava_eval_image_embed analogue (reference examples/llava/llava.cpp)."""
     x = llama_mod.embed(w, tokens, hp.embd_scale) if x_embd is None \
         else x_embd.astype(jnp.bfloat16)
+    if hp.post_norm:  # bert-family: type/position rows + embedding LN
+        x = llama_mod.embed_extras(w, hp, x, positions)
     scale = hparams_mod.attn_scale_of(hp)
     cap = hp.attn_softcap
     rope_pos = positions if rope_delta is None else \
@@ -846,13 +848,19 @@ class Context:
             slot_arr, kv_len, last_ix, hp=hp)
         return np.asarray(logits[0])
 
-    def embed(self, tokens: list[int], pooling: str = "mean",
-              causal: bool = True, n_skip: int = 0) -> np.ndarray:
+    def embed(self, tokens: list[int], pooling: str | None = None,
+              causal: bool | None = None, n_skip: int = 0) -> np.ndarray:
         """Pooled L2-normalized embedding of a token sequence [n_embd].
         Runs single-device, on the ('dp','tp') mesh, or on the pipeline
         mesh (parallel/pp.py 'embed' pipeline pass). causal=False uses
-        bidirectional attention (gritlm embedding mode; single-device)."""
+        bidirectional attention (gritlm embedding mode / bert-family
+        encoders; single-device). pooling/causal default to the MODEL's
+        hparams (bert: non-causal + CLS; decoders: causal + mean)."""
         hp = self.model.hp
+        if pooling is None:
+            pooling = hp.pooling if hp.pooling != "none" else "mean"
+        if causal is None:
+            causal = hp.causal
         if (not causal or n_skip) and self.mesh is not None:
             raise NotImplementedError(
                 "non-causal / skip-pooled embed: single-device only")

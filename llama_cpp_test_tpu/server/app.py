@@ -410,7 +410,9 @@ class LlamaServer:
                 not isinstance(inputs, list) or
                 (inputs and isinstance(inputs[0], int))):
             inputs = [inputs]
-        pooling = body.get("pooling", "mean")
+        # None = the model's own default (bert: non-causal CLS; decoders:
+        # causal mean) — Context.embed resolves from hparams
+        pooling = body.get("pooling")
         loop = asyncio.get_running_loop()
         out = []
         for i, item in enumerate(inputs):
@@ -438,7 +440,7 @@ class LlamaServer:
         def emb_of(text):
             toks = self._tokenize_prompt(text)
             with self.engine.ctx_lock:
-                return self.sched.ctx.embed(toks, "mean")
+                return self.sched.ctx.embed(toks)
 
         qv = await loop.run_in_executor(None, emb_of, query)
         results = []

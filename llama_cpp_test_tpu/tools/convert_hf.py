@@ -56,6 +56,38 @@ ARCH_MAP = {
     # convert_hf_to_gguf.py:4304)
     "DeepseekV2ForCausalLM": "deepseek2",
     "DeepseekV3ForCausalLM": "deepseek2",
+    # embedding-class encoders (reference BertModel, convert_hf_to_gguf.py)
+    "BertModel": "bert",
+    "BertForMaskedLM": "bert",
+    "BertForSequenceClassification": "bert",
+}
+
+# bert: HF encoder.layer.N.* names (reference gguf-py tensor_mapping bert
+# entries); biased projections + post-norm LayerNorms
+BERT_TOP_MAP = {
+    "embeddings.word_embeddings.weight": "token_embd.weight",
+    "embeddings.position_embeddings.weight": "position_embd.weight",
+    "embeddings.token_type_embeddings.weight": "token_types.weight",
+    "embeddings.LayerNorm.weight": "token_embd_norm.weight",
+    "embeddings.LayerNorm.bias": "token_embd_norm.bias",
+}
+BERT_LAYER_MAP = {
+    "attention.self.query.weight": "attn_q.weight",
+    "attention.self.query.bias": "attn_q.bias",
+    "attention.self.key.weight": "attn_k.weight",
+    "attention.self.key.bias": "attn_k.bias",
+    "attention.self.value.weight": "attn_v.weight",
+    "attention.self.value.bias": "attn_v.bias",
+    "attention.output.dense.weight": "attn_output.weight",
+    "attention.output.dense.bias": "attn_output.bias",
+    "attention.output.LayerNorm.weight": "attn_output_norm.weight",
+    "attention.output.LayerNorm.bias": "attn_output_norm.bias",
+    "intermediate.dense.weight": "ffn_up.weight",
+    "intermediate.dense.bias": "ffn_up.bias",
+    "output.dense.weight": "ffn_down.weight",
+    "output.dense.bias": "ffn_down.bias",
+    "output.LayerNorm.weight": "layer_output_norm.weight",
+    "output.LayerNorm.bias": "layer_output_norm.bias",
 }
 
 # HF suffix -> GGUF suffix (per-layer), mirroring gguf-py tensor_mapping
@@ -249,6 +281,17 @@ def permute_qk(w: np.ndarray, n_head: int) -> np.ndarray:
 
 
 def map_name(name: str, arch: str = "llama") -> str | None:
+    if arch == "bert":
+        if name.startswith("bert."):  # BertForMaskedLM prefix
+            name = name[len("bert."):]
+        if name in BERT_TOP_MAP:
+            return BERT_TOP_MAP[name]
+        if name.startswith("encoder.layer."):
+            rest = name[len("encoder.layer."):]
+            idx, _, suffix = rest.partition(".")
+            mapped = BERT_LAYER_MAP.get(suffix)
+            return f"blk.{idx}.{mapped}" if mapped else None
+        return None
     top = {"phi2": PHI2_TOP_MAP, "falcon": FALCON_TOP_MAP,
            "gptneox": GPTNEOX_TOP_MAP}.get(arch, TOP_MAP)
     lay = {"phi2": PHI2_LAYER_MAP, "falcon": FALCON_LAYER_MAP,
@@ -322,6 +365,27 @@ def _vocab_metadata(path: str, cfg: dict) -> dict:
                 "tokenizer.ggml.token_type": np.asarray(types, np.int32),
                 "tokenizer.ggml.merges": merges,
             })
+        elif model.get("type") == "WordPiece":
+            # bert-family WPM vocab (reference BertModel set_vocab)
+            vocab = model["vocab"]
+            tokens = [None] * len(vocab)
+            for tok, i in vocab.items():
+                if i < len(tokens):
+                    tokens[i] = tok
+            types = [1] * len(tokens)
+            for a in tj.get("added_tokens", []):
+                if a["id"] < len(tokens):
+                    types[a["id"]] = 3 if a.get("special") else 4
+            tokens = [t if t is not None else f"[UNUSED_{i}]"
+                      for i, t in enumerate(tokens)]
+            md.update({
+                "tokenizer.ggml.model": "bert",
+                "tokenizer.ggml.tokens": tokens,
+                "tokenizer.ggml.token_type": np.asarray(types, np.int32),
+            })
+            unk = vocab.get("[UNK]")
+            if unk is not None:
+                md["tokenizer.ggml.unknown_token_id"] = int(unk)
         elif model.get("type") in ("Unigram",) or os.path.exists(spm_path):
             pass  # fall through to SPM below
     if "tokenizer.ggml.model" not in md and os.path.exists(spm_path):
@@ -439,6 +503,13 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
         del md[f"{arch}.attention.layer_norm_rms_epsilon"]
         if cfg.get("clip_qkv") is not None:
             md[f"{arch}.attention.clamp_kqv"] = float(cfg["clip_qkv"])
+    if arch == "bert":
+        # post-norm encoder (reference BertModel set_gguf_parameters):
+        # LayerNorm eps + CLS pooling; non-causal is implied by the arch
+        md[f"{arch}.attention.layer_norm_epsilon"] = cfg.get(
+            "layer_norm_eps", 1e-12)
+        del md[f"{arch}.attention.layer_norm_rms_epsilon"]
+        md[f"{arch}.pooling_type"] = 2  # CLS
     if arch == "gptneox":
         # pythia family (reference GPTNeoXModel set_gguf_parameters,
         # convert_hf_to_gguf.py:995-1007)

@@ -1511,3 +1511,97 @@ def test_deepseek2_e2e_greedy_decode_matches_transformers(tmp_path):
     ctx = Context(model, n_ctx=64, n_seq_max=1, block_size=8)
     got = list(generate(ctx, prompt, n_new))
     assert got == ref, (got, ref)
+
+
+def test_convert_bert_matches_transformers(tmp_path):
+    """bert embedding-class encoder: post-norm layers, learned positions,
+    token-type row, bidirectional attention, CLS/mean pooled embeddings
+    cross-validated against transformers BertModel hidden states."""
+    from transformers import BertConfig, BertModel
+
+    rng = np.random.default_rng(31)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, L, FF, P = 128, 64, 4, 2, 96, 64
+    cfg = {
+        "architectures": ["BertModel"],
+        "hidden_size": C, "intermediate_size": FF,
+        "num_attention_heads": H, "num_hidden_layers": L,
+        "max_position_embeddings": P, "vocab_size": V,
+        "layer_norm_eps": 1e-12, "hidden_act": "gelu",
+        "type_vocab_size": 2, "pad_token_id": 0,
+    }
+    ws = {
+        "embeddings.word_embeddings.weight": r(V, C),
+        "embeddings.position_embeddings.weight": r(P, C),
+        "embeddings.token_type_embeddings.weight": r(2, C),
+        "embeddings.LayerNorm.weight": 1.0 + r(C),
+        "embeddings.LayerNorm.bias": r(C),
+    }
+    for i in range(L):
+        p = f"encoder.layer.{i}."
+        ws.update({
+            p + "attention.self.query.weight": r(C, C),
+            p + "attention.self.query.bias": r(C),
+            p + "attention.self.key.weight": r(C, C),
+            p + "attention.self.key.bias": r(C),
+            p + "attention.self.value.weight": r(C, C),
+            p + "attention.self.value.bias": r(C),
+            p + "attention.output.dense.weight": r(C, C),
+            p + "attention.output.dense.bias": r(C),
+            p + "attention.output.LayerNorm.weight": 1.0 + r(C),
+            p + "attention.output.LayerNorm.bias": r(C),
+            p + "intermediate.dense.weight": r(FF, C),
+            p + "intermediate.dense.bias": r(FF),
+            p + "output.dense.weight": r(C, FF),
+            p + "output.dense.bias": r(C),
+            p + "output.LayerNorm.weight": 1.0 + r(C),
+            p + "output.LayerNorm.bias": r(C),
+        })
+    hf_dir = tmp_path / "hf"
+    hf_dir.mkdir()
+    with open(hf_dir / "config.json", "w") as f:
+        json.dump(cfg, f)
+    st.save_file(ws, str(hf_dir / "model.safetensors"))
+    # WordPiece tokenizer.json
+    vocab = {f"[T{i}]": i for i in range(V)}
+    vocab["[UNK]"] = 0
+    tj = {"model": {"type": "WordPiece", "vocab": vocab},
+          "added_tokens": [{"id": 101, "content": "[CLS]", "special": True},
+                           {"id": 102, "content": "[SEP]", "special": True}]}
+    with open(hf_dir / "tokenizer.json", "w") as f:
+        json.dump(tj, f)
+
+    from llama_cpp_test_tpu.tools.convert_hf import convert
+
+    out = str(tmp_path / "m.gguf")
+    convert(str(hf_dir), out, dtype="F32")
+
+    tcfg = BertConfig(**{k: v for k, v in cfg.items()
+                         if k != "architectures"},
+                      attn_implementation="eager")
+    hf = BertModel(tcfg, add_pooling_layer=False)
+    missing = hf.load_state_dict(
+        {k: torch.from_numpy(v.copy()) for k, v in ws.items()}, strict=False)
+    assert not missing.unexpected_keys, missing.unexpected_keys
+    hf.eval()
+    tokens = [101, 7, 42, 9, 55, 102]
+    with torch.no_grad():
+        hid = hf(torch.tensor([tokens])).last_hidden_state[0].numpy()
+
+    def norm(v):
+        return v / np.linalg.norm(v)
+
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    model = Model(out)
+    assert model.hp.arch == "bert" and model.hp.post_norm
+    assert not model.hp.causal and model.hp.pooling == "cls"
+    ctx = Context(model, n_ctx=64, n_seq_max=1, block_size=8)
+    cls = ctx.embed(tokens, pooling="cls", causal=False)
+    ref_cls = norm(hid[0])
+    assert np.abs(cls - ref_cls).max() < 2e-2, np.abs(cls - ref_cls).max()
+    mean = ctx.embed(tokens, pooling="mean", causal=False)
+    ref_mean = norm(hid.mean(axis=0))
+    assert np.abs(mean - ref_mean).max() < 2e-2
+    cos = float(np.dot(cls, ref_cls))
+    assert cos > 0.999, cos
