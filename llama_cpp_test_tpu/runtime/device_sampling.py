@@ -104,6 +104,34 @@ def ineligible_reasons(p) -> list[str]:
     return reasons
 
 
+# candidate count for the slow-path top-K download (scheduler
+# _decode_host_step_candidates): large enough that top_k + a full
+# penalty ring still fit, small enough that the download is trivial
+# (2*256 floats/row vs [V] f32)
+HOST_CANDIDATES_K = 256
+
+
+def host_candidates_eligible(p) -> bool:
+    """Host-chain (slow-path) rows that can sample from a device top-K
+    download instead of full-vocab logits.
+
+    Safe when every pre-top_k chain element only touches tokens that are
+    guaranteed inside the downloaded top-K: penalties can demote at most
+    penalty_last_n distinct tokens, so raw rank top_k + penalty_last_n
+    always covers the post-penalty top_k (the same argument as the
+    windowed device path's candidate-only penalties). Grammar masks run
+    on the candidates with a full-logits fallback when they reject all K.
+    NOT safe: DRY and logit_bias (may promote tokens at arbitrary raw
+    rank), mirostat (needs the full distribution's surprise estimate),
+    and top_k <= 0 (chain starts from the whole vocab)."""
+    pen = p.penalty_last_n if (p.penalty_repeat != 1.0 or
+                               p.penalty_freq != 0.0 or
+                               p.penalty_present != 0.0) else 0
+    return (0 < p.top_k and p.top_k + pen <= HOST_CANDIDATES_K and
+            p.dry_multiplier == 0.0 and not p.logit_bias and
+            p.mirostat == 0)
+
+
 def eligible(p) -> bool:
     """True when a SamplerParams chain is expressible on device.
 

@@ -230,6 +230,27 @@ def _decode_step(w: LlamaWeights, pools: KVPools, tokens, positions,
     return logits, pools
 
 
+@functools.partial(jax.jit, static_argnames=("hp", "k"), donate_argnums=(1,))
+def _decode_topk_step(w: LlamaWeights, pools: KVPools, tokens, positions,
+                      block_table, slots, kv_len, rope_delta=None,
+                      *, hp: HParams, k: int):
+    """One decode step returning only the top-k (vals, ids) per row.
+
+    The grammar/exotic-sampler host path's cost on a tunneled device is
+    the [B, V] f32 logits download (~13ms/row at 128k vocab over the
+    ~10MB/s link); candidate-safe host chains only need the top candidates
+    (reference semantics: every sampler after top_k operates on the
+    narrowed candidate array anyway, llama-sampling.cpp chain order), so
+    this downloads 2*B*k values instead. Exact lax.top_k — measured
+    FASTER than approx_max_k at 32k vocab on v5e, and still ~7ms cheaper
+    than the download it replaces at 128k."""
+    x, pools = _forward(w, pools, tokens, positions, block_table, slots,
+                        kv_len, hp=hp, decode=True, rope_delta=rope_delta)
+    logits = llama_mod.lm_head(w, hp, x)[:, 0]
+    vals, ids = jax.lax.top_k(logits, k)
+    return vals, ids.astype(jnp.int32), pools
+
+
 @functools.partial(jax.jit, static_argnames=("hp", "n_steps"),
                    donate_argnums=(1,))
 def _decode_greedy_loop(w: LlamaWeights, pools: KVPools, tok0, pos0,
@@ -1214,10 +1235,19 @@ class Context:
             targets, valid, hp=hp)
         return np.asarray(nll[0, : n - 1])
 
-    def decode(self, seqs: Seq[SeqState], tokens: Seq[int]) -> np.ndarray:
+    def decode(self, seqs: Seq[SeqState], tokens: Seq[int],
+               top_k: int = 0):
         """One decode step for a batch of sequences. Returns logits [B, V]
         in the caller's order. Rows are arranged so each dp group's pinned
-        sequences land on its shard of the batch axis."""
+        sequences land on its shard of the batch axis.
+
+        top_k > 0 (single-device only): return (vals [B, top_k],
+        ids [B, top_k]) instead of full logits — the candidate-download
+        path for host-chain sampling over a slow device link."""
+        if top_k > 0 and self.mesh is not None:
+            raise NotImplementedError(
+                "decode(top_k=...) is single-device; mesh callers download "
+                "full logits")
         self._check_abort()
         hp = self.model.hp
         b = len(seqs)
@@ -1268,6 +1298,11 @@ class Context:
         for s, t in zip(seqs, tokens):
             s.tokens.append(int(t))
             s.n_cached += 1
+        if top_k > 0:
+            vals, ids, self.pools = _decode_topk_step(
+                self.w, self.pools, tok, pos, bt, slot_arr, kv_len, rd,
+                hp=hp, k=top_k)
+            return np.asarray(vals)[rowmap], np.asarray(ids)[rowmap]
         if rd is not None:
             logits, self.pools = self._decode_fn(
                 self.w, self.pools, tok, pos, bt, slot_arr,

@@ -448,6 +448,13 @@ class GrammarSampler:
             keep[i] = self.grammar.accepts_text(piece)
         if keep.any():
             st.logits = np.where(keep, st.logits, -np.inf)
+        else:
+            # nothing in the candidate set is grammar-legal. On the
+            # full-vocab host path this fails OPEN (a stuck grammar must
+            # not dead-end generation); candidate-download callers check
+            # the flag and fall back to full logits instead
+            # (SamplerChain.sample_candidates).
+            st.all_rejected = True
         st.sorted_ = False
         st.probs = None
 

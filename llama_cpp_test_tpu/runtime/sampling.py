@@ -568,6 +568,30 @@ class SamplerChain:
                   st.ids[int(np.argmax(st.logits))])
         return tok
 
+    def sample_candidates(self, vals: np.ndarray,
+                          ids: np.ndarray) -> int | None:
+        """Run the chain on a pre-narrowed candidate set (device top-k
+        download) instead of full-vocab logits. Semantics match sample()
+        for candidate-safe chains (see device_sampling's
+        host_candidates_eligible): the reference applies every sampler
+        after top_k to the narrowed candidate array anyway. Returns None
+        when the chain (e.g. a grammar mask) rejects every candidate —
+        the caller falls back to a full-logits step."""
+        st = SampleState(logits=np.asarray(vals, np.float32).copy(),
+                         ids=np.asarray(ids, np.int32).copy())
+        for s in self.samplers:
+            # bail BEFORE a downstream sampler (Dist's softmax) sees an
+            # all--inf set — a grammar can mask every candidate
+            if len(st.ids) == 0 or not np.isfinite(st.logits).any() or \
+                    getattr(st, "all_rejected", False):
+                return None
+            s.apply(st)
+        if len(st.ids) == 0 or not np.isfinite(st.logits).any() or \
+                getattr(st, "all_rejected", False):
+            return None
+        return int(st.ids[0] if len(st.ids) == 1 else
+                   st.ids[int(np.argmax(st.logits))])
+
     def accept(self, token: int) -> None:
         for s in self.samplers:
             s.accept(token)

@@ -142,6 +142,11 @@ class Scheduler:
         # fast/slow sampling-path counters (device_sampling observability)
         self.n_decode_fast = 0     # tokens decoded via windowed device path
         self.n_decode_slow = 0     # tokens via per-token host sampling
+        # slow-path tokens that rode the top-K candidate download (no
+        # [B, V] logits transfer) and how often the chain rejected every
+        # candidate and re-ran with full logits
+        self.n_decode_cand = 0
+        self.n_cand_fallback = 0
 
     # -- submission -----------------------------------------------------------
 
@@ -376,6 +381,12 @@ class Scheduler:
         """One per-token decode + host-chain sampling step."""
         if not gen:
             return
+        from . import device_sampling as ds
+
+        if self.ctx.mesh is None and all(
+                ds.host_candidates_eligible(s.req.sampling) for s in gen):
+            self._decode_host_step_candidates(gen)
+            return
         t0 = time.time()
         logits = self.ctx.decode([s.seq for s in gen],
                                  [s.next_token for s in gen])
@@ -385,6 +396,43 @@ class Scheduler:
         for s, lg in zip(gen, logits):
             s.cache_tokens.append(s.next_token)
             self._emit(s, lg)
+
+    def _decode_host_step_candidates(self, gen: list[Slot]) -> None:
+        """Slow-row decode via a device top-K candidate download.
+
+        The host path exists for chains the device can't express (grammar
+        being the common one); its dominant cost on a tunneled device is
+        the [B, V] f32 logits download (~13ms/row at 128k vocab). For
+        candidate-safe chains (device_sampling.host_candidates_eligible)
+        the device returns only the top-K (vals, ids) — 2*K floats/row —
+        and the host chain (incl. the grammar pushdown mask) runs on the
+        candidate set, which is what the reference chain does after top_k
+        anyway (llama-sampling.cpp ordering). If the chain rejects every
+        candidate (grammar-legal tokens all below rank K), the step is
+        rolled back and redone with full logits."""
+        from . import device_sampling as ds
+
+        t0 = time.time()
+        pre = [s.seq.n_cached for s in gen]
+        toks_in = [s.next_token for s in gen]
+        vals, ids = self.ctx.decode([s.seq for s in gen], toks_in,
+                                    top_k=ds.HOST_CANDIDATES_K)
+        self.t_gen += time.time() - t0
+        self.n_gen_tokens += len(gen)
+        self.n_decode_slow += len(gen)
+        self.n_decode_cand += len(gen)
+        for i, s in enumerate(gen):
+            s.cache_tokens.append(s.next_token)
+            tok = s.sampler.sample_candidates(vals[i], ids[i])
+            if tok is None:
+                # rare: every downloaded candidate was chain-rejected —
+                # discard the step's KV and redo with full logits
+                self.n_cand_fallback += 1
+                self.ctx.truncate_seq(s.seq, pre[i])
+                lg = self.ctx.decode([s.seq], [toks_in[i]])[0]
+                tok = s.sampler.sample(lg)
+            s.sampler.accept(tok)
+            self._process_token(s, tok)
 
     def _decode_spec_round(self, gen: list[Slot]) -> None:
         """One speculative round for ALL generating slots: batched greedy
@@ -622,6 +670,8 @@ class Scheduler:
                 self.n_gen_tokens / self.t_gen, 2) if self.t_gen else 0,
             "gen_tokens_fast_path": self.n_decode_fast,
             "gen_tokens_slow_path": self.n_decode_slow,
+            "gen_tokens_candidate_path": self.n_decode_cand,
+            "candidate_path_fallbacks": self.n_cand_fallback,
             "windows_chained": self.n_windows_chained,
             "windows_rolled_back": self.n_windows_rolled_back,
             "slots_idle": sum(s.state == SlotState.IDLE for s in self.slots),

@@ -229,3 +229,71 @@ def test_mixed_eligibility_batch_split(sched_model):
                                 sampling=greedy(), ignore_eos=True))
     sch2.run()
     assert fast1.output_tokens == r1.output_tokens
+
+
+def test_grammar_candidate_download_path(sched_model):
+    """Grammar rows ride the top-K candidate download (no [B, V] logits
+    transfer) with token parity vs the full-logits host path."""
+    from llama_cpp_test_tpu.runtime.engine import Context
+    from llama_cpp_test_tpu.runtime.scheduler import GenRequest, Scheduler
+    from llama_cpp_test_tpu.runtime.sampling import SamplerParams
+
+    def run(monkey_off=False):
+        import llama_cpp_test_tpu.runtime.device_sampling as ds
+
+        orig = ds.host_candidates_eligible
+        if monkey_off:
+            ds.host_candidates_eligible = lambda p: False
+        try:
+            ctx = Context(sched_model, n_ctx=64, n_seq_max=2, block_size=8)
+            sch = Scheduler(ctx, n_slots=1, chunk_size=16)
+            r = sch.submit(GenRequest(
+                [3, 17], max_tokens=6,
+                sampling=SamplerParams(temp=0.7, top_k=20, seed=5,
+                                       grammar="root ::= [0-9]+"),
+                ignore_eos=True))
+            sch.run()
+            return r, sch.metrics()
+        finally:
+            ds.host_candidates_eligible = orig
+
+    r, m = run()
+    assert len(r.output_tokens) >= 1
+    # first token is sampled from prefill logits; every decode step after
+    # rides the candidate download
+    assert m["gen_tokens_candidate_path"] >= len(r.output_tokens) - 1
+    tok = sched_model.tokenizer
+    text = "".join(tok.token_to_piece(t) for t in r.output_tokens)
+    assert text and all(c in "0123456789" for c in text), text
+
+    # token parity with the full-logits host path (same chain, same seed)
+    r2, m2 = run(monkey_off=True)
+    assert m2["gen_tokens_candidate_path"] == 0
+    assert r2.output_tokens == r.output_tokens
+
+
+def test_grammar_candidate_fallback_full_logits(sched_model, monkeypatch):
+    """When the grammar rejects every downloaded candidate the step rolls
+    back and re-runs with full logits — output stays grammar-legal."""
+    import llama_cpp_test_tpu.runtime.device_sampling as ds
+    from llama_cpp_test_tpu.runtime.engine import Context
+    from llama_cpp_test_tpu.runtime.scheduler import GenRequest, Scheduler
+    from llama_cpp_test_tpu.runtime.sampling import SamplerParams
+
+    # K=4 candidates: the random model's top-4 are almost surely not
+    # digits, forcing the all-rejected fallback
+    monkeypatch.setattr(ds, "HOST_CANDIDATES_K", 4)
+    ctx = Context(sched_model, n_ctx=64, n_seq_max=2, block_size=8)
+    sch = Scheduler(ctx, n_slots=1, chunk_size=16)
+    r = sch.submit(GenRequest(
+        [3, 17], max_tokens=4,
+        sampling=SamplerParams(temp=0.7, top_k=2, seed=5,
+                               grammar="root ::= [0-9]+"),
+        ignore_eos=True))
+    sch.run()
+    m = sch.metrics()
+    assert m["gen_tokens_candidate_path"] >= 1
+    assert m["candidate_path_fallbacks"] >= 1
+    tok = sched_model.tokenizer
+    text = "".join(tok.token_to_piece(t) for t in r.output_tokens)
+    assert text and all(c in "0123456789" for c in text), text
