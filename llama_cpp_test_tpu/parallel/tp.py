@@ -278,22 +278,26 @@ def build_tp_steps(hp: HParams, mesh: Mesh, w_template: LlamaWeights,
     batch = P("dp")          # [B, ...] sharded over dp
     rep = P()
 
-    def mk(decode: bool, all_logits: bool, with_last_ix: bool):
+    def mk(decode: bool, all_logits: bool, with_last_ix: bool,
+           with_rd: bool = False):
         in_specs = (wspec, pspec, batch, batch, batch, batch, batch) + \
-            ((batch,) if with_last_ix else ())
+            ((batch,) if with_last_ix else ()) + \
+            ((batch,) if with_rd else ())
         out_specs = (batch, pspec)
 
         def body(w, pools, tokens, positions, block_table, slots, kv_len,
                  *rest):
+            rest = list(rest)
+            last_ix = rest.pop(0) if with_last_ix else None
+            rd = rest.pop(0) if with_rd else None
             x, pools = eng._forward(
                 w, pools, tokens, positions, block_table, slots, kv_len,
-                hp=hp, decode=decode, tp_axis="tp", tp=tp)
+                hp=hp, decode=decode, tp_axis="tp", tp=tp, rope_delta=rd)
             if decode:
                 logits = llama_mod.lm_head(w, hp, x, tp_axis="tp")[:, 0]
             elif all_logits:
                 logits = llama_mod.lm_head(w, hp, x, tp_axis="tp")
             else:
-                (last_ix,) = rest
                 h_last = jnp.take_along_axis(
                     x, last_ix[:, None, None], axis=1)[:, 0]
                 logits = llama_mod.lm_head(
@@ -309,7 +313,13 @@ def build_tp_steps(hp: HParams, mesh: Mesh, w_template: LlamaWeights,
     prefill = mk(decode=False, all_logits=False, with_last_ix=True)
     prefill_all = mk(decode=False, all_logits=True, with_last_ix=False)
     decode = mk(decode=True, all_logits=False, with_last_ix=False)
-    return prefill, prefill_all, decode
+    # rope_delta variants: Self-Extend's grouped repositioning offset
+    # (SeqState.pos_offset) threaded through the mesh steps
+    prefill_rd = mk(decode=False, all_logits=False, with_last_ix=True,
+                    with_rd=True)
+    decode_rd = mk(decode=True, all_logits=False, with_last_ix=False,
+                   with_rd=True)
+    return prefill, prefill_all, decode, prefill_rd, decode_rd
 
 
 def build_embed_step(hp: HParams, mesh: Mesh, w_template: LlamaWeights,

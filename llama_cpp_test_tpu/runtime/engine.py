@@ -514,6 +514,10 @@ class Context:
         self.abort_callback = None
         self._embed_fns: dict = {}
         self._nll_fn = None
+        # rope_delta (Self-Extend) step variants; built for tp/dp meshes,
+        # None on single-device (the base steps take rd directly) and mp
+        self._prefill_rd_fn = None
+        self._decode_rd_fn = None
         # block-table width bucket: full table for n_ctx
         self.nbmax = n_ctx // block_size
         if self.mp:
@@ -535,7 +539,8 @@ class Context:
             self.pools = kv_cache.new_kv_pools(hp, num_blocks * self.dp,
                                                block_size, kv_type=kv_type)
             self.pools = shard_pools(self.pools, self.mesh)
-            self._prefill_fn, self._prefill_all_fn, self._decode_fn = \
+            (self._prefill_fn, self._prefill_all_fn, self._decode_fn,
+             self._prefill_rd_fn, self._decode_rd_fn) = \
                 build_tp_steps(hp, self.mesh, self.w, self.pools)
             self._copy_fn = build_copy_step(self.mesh, self.pools)
             self._shift_fn = build_shift_step(hp, self.mesh, self.w,
@@ -821,10 +826,14 @@ class Context:
         last_ix = np.zeros((tok.shape[0],), np.int32)
         last_ix[row] = n - 1
         if s.pos_offset:
-            if self.mesh is not None:
-                raise NotImplementedError("pos_offset: single-device only")
+            if self.mp:
+                raise NotImplementedError(
+                    "pos_offset (Self-Extend) is not supported on a "
+                    "pipeline mesh; tp/dp meshes and single-device are")
             rd = np.full((tok.shape[0],), s.pos_offset, np.int32)
-            logits, self.pools = self._prefill_fn(
+            fn = self._prefill_rd_fn if self.mesh is not None \
+                else self._prefill_fn
+            logits, self.pools = fn(
                 self.w, self.pools, tok, pos, bt, slot_arr,
                 kv_len, last_ix, rd)
         else:
@@ -1290,8 +1299,10 @@ class Context:
                 kv_len[row] = s.n_cached + 1
         rd = None
         if any(s.pos_offset for s in seqs):
-            if self.mesh is not None:
-                raise NotImplementedError("pos_offset: single-device only")
+            if self.mp:
+                raise NotImplementedError(
+                    "pos_offset (Self-Extend) is not supported on a "
+                    "pipeline mesh; tp/dp meshes and single-device are")
             rd = np.zeros((bsz,), np.int32)
             for i, s in enumerate(seqs):
                 rd[rowmap[i]] = s.pos_offset
@@ -1304,7 +1315,9 @@ class Context:
                 hp=hp, k=top_k)
             return np.asarray(vals)[rowmap], np.asarray(ids)[rowmap]
         if rd is not None:
-            logits, self.pools = self._decode_fn(
+            fn = self._decode_rd_fn if self.mesh is not None \
+                else self._decode_fn
+            logits, self.pools = fn(
                 self.w, self.pools, tok, pos, bt, slot_arr,
                 kv_len, rd)
         else:

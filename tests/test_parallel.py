@@ -367,3 +367,38 @@ def test_mp_quantized_kv(moe_model_path):
     rd2 = ref_ctx.decode([rs], [9])[0]
     d2 = ctx.decode([s], [9])[0]
     assert nmse(rd2, d2) < 5e-3
+
+
+def test_tp_self_extend_matches_single_device(tp_model):
+    """Self-Extend grouped repositioning on the ('dp','tp') mesh: the
+    K-rotation shift plus the pos_offset rope_delta threaded through the
+    mesh prefill/decode steps must match the single-device path."""
+    path, wts = tp_model
+    from llama_cpp_test_tpu.parallel.mesh import make_mesh
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    prompt = list(range(3, 27))
+
+    def run(mesh):
+        m = Model(path, mesh=mesh)
+        ctx = Context(m, n_ctx=64, n_seq_max=2, block_size=8)
+        s = ctx.new_seq()
+        lg = ctx.prefill(s, prompt)
+        tok = int(np.argmax(lg))
+        ctx.self_extend(s, n_keep=4, group=4)
+        assert s.pos_offset != 0  # the offset path must actually engage
+        out = []
+        for _ in range(4):
+            lg = ctx.decode([s], [tok])[0]
+            tok = int(np.argmax(lg))
+            out.append(tok)
+        # prefill after self_extend exercises the prefill rope_delta path
+        s2_lg = ctx.prefill(s, [5, 9, 11])
+        return out, lg, s2_lg
+
+    ref_out, ref_lg, ref_p = run(None)
+    mesh = make_mesh(dp=2, tp=2)
+    tp_out, tp_lg, tp_p = run(mesh)
+    assert ref_out == tp_out
+    assert nmse(ref_lg, tp_lg) < 1e-5
+    assert nmse(ref_p, tp_p) < 1e-5
