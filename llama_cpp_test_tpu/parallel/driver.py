@@ -95,6 +95,13 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes:
 
 
 def _enc_val(v):
+    from ..runtime.engine import WindowHandle
+
+    if isinstance(v, WindowHandle):
+        # chained-window carry: device arrays can't ride the wire — each
+        # rank substitutes ITS OWN last dispatched (un-discarded) handle,
+        # which holds the equivalent per-rank device state
+        return {"W": 0}
     if isinstance(v, SeqState):
         return {"S": v.seq_id}
     if dataclasses.is_dataclass(v) and type(v).__name__ == "SamplerParams":
@@ -113,9 +120,15 @@ def _enc_val(v):
     raise TypeError(f"driver wire: unsupported type {type(v).__name__}")
 
 
+# marker the follower replaces with its own pending WindowHandle
+_CARRY_SENTINEL = object()
+
+
 def _dec_val(ctx: Context, v):
     if isinstance(v, dict):
         (tag, payload), = v.items()
+        if tag == "W":
+            return _CARRY_SENTINEL
         if tag == "S":
             return ctx.seqs[payload]
         if tag == "P":
@@ -170,11 +183,14 @@ class DriverContext(Context):
     contexts (accept-before-init deadlocks: the follower can't connect
     until its own init finishes, which needs the driver's participation)."""
 
-    # the scheduler's chained decode_window_async carries DEVICE arrays
-    # between windows — not expressible on the wire, so multi-host serving
-    # uses the synchronous replicated decode_window instead (the scheduler
-    # checks this flag and skips speculative window chaining)
-    supports_window_chaining = False
+    # chained decode_window_async: the carry's DEVICE arrays can't ride
+    # the wire, but each rank's carry is ITS OWN previous dispatch — so
+    # the wire only names the chain ({"W": 0} sentinel) and followers
+    # substitute their local pending handle. fetch/discard points are
+    # broadcast explicitly so follower sequence state advances at exactly
+    # the driver's sync points (round-4 limitation removed: multi-host
+    # serving now keeps the double-buffered window overlap).
+    supports_window_chaining = True
 
     def __init__(self, *args, followers: list[socket.socket], **kwargs):
         self._followers = followers
@@ -207,6 +223,37 @@ def _wrap(method: str):
 
 for _m in REPLICATED:
     setattr(DriverContext, _m, _wrap(_m))
+
+
+def _driver_decode_window_async(self, *args, **kwargs):
+    """Replicated async window dispatch. The returned handle's fetch() is
+    wrapped to broadcast the sync point first: followers fetch their own
+    oldest pending handle there, applying sequence state at exactly the
+    driver's fetch order (WindowHandle applies tokens/n_cached at fetch,
+    not dispatch)."""
+    self._bcast("decode_window_async", args, kwargs)
+    h = Context.decode_window_async(self, *args, **kwargs)
+    orig_fetch = h.fetch
+
+    def fetch():
+        if h._result is None and not getattr(h, "_discarded", False):
+            self._bcast("__fetch_window__", [], {})
+        return orig_fetch()
+
+    h.fetch = fetch
+    return h
+
+
+def _driver_discard_window(self, h) -> None:
+    """Abandon a dispatched-but-unfetched chained window on every rank
+    (the scheduler's mid-window-stop rollback): followers drop their
+    newest pending handle without applying its state."""
+    h._discarded = True
+    self._bcast("__discard_window__", [], {})
+
+
+DriverContext.decode_window_async = _driver_decode_window_async
+DriverContext.discard_window = _driver_discard_window
 
 
 def serve_followers(port: int, n_followers: int,
@@ -259,11 +306,30 @@ def follower_loop(ctx: Context, driver_host: str, port: int,
             _time.sleep(0.1)
     sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
     _authenticate_client(sock)
+    from collections import deque
+
+    pending: deque = deque()  # this rank's un-fetched WindowHandles
     try:
         while True:
             method, args, kwargs = _recv_msg(sock)
             if method == "__stop__":
                 return
+            if method == "__fetch_window__":
+                # the driver's handle.fetch() sync point: apply the OLDEST
+                # pending window's state (fetch order == chain order)
+                pending.popleft().fetch()
+                continue
+            if method == "__discard_window__":
+                # abandoned chained window: drop the NEWEST dispatch
+                # without applying its state (the driver never fetched it)
+                pending.pop()
+                continue
+            if method == "decode_window_async":
+                dargs, dkw = _decode_args(ctx, args, kwargs)
+                if dkw.get("carry") is _CARRY_SENTINEL:
+                    dkw["carry"] = pending[-1]
+                pending.append(ctx.decode_window_async(*dargs, **dkw))
+                continue
             if method not in REPLICATED:
                 # never dispatch arbitrary attribute names from the wire
                 raise ValueError(

@@ -254,21 +254,27 @@ def _decode_topk_step(w: LlamaWeights, pools: KVPools, tokens, positions,
 @functools.partial(jax.jit, static_argnames=("hp", "n_steps"),
                    donate_argnums=(1,))
 def _decode_greedy_loop(w: LlamaWeights, pools: KVPools, tok0, pos0,
-                        block_table, *, hp: HParams, n_steps: int):
+                        block_table, valid, *, hp: HParams, n_steps: int):
     """n_steps greedy decode steps fully on device (lax.scan): one dispatch
     and one [n_steps, B] download per window instead of per-token logits
     round-trips — essential when the host link is slow (TPU tunnel) and the
     analogue of llama-cli's tight greedy loop. Slots are derived on device
-    from the position and the block table.
+    from the position and the block table; invalid (pad) rows' KV writes
+    are dropped via slot -1.
 
-    tok0 [B] int32; pos0 [B] positions of tok0; returns (tokens [n_steps, B]
-    = tok0's successors, pools)."""
+    tok0 [B] int32; pos0 [B] positions of tok0; valid [B] bool; returns
+    (tokens [n_steps, B] = tok0's successors, pools). B is padded to >= 8
+    by the caller: the qmm kernel's minimum row tile is 8, and feeding it
+    [8, C] directly removes four pad/slice/cast XLA ops around each of the
+    ~129 per-step projection calls (measured 2.0 ms/step at 8B geometry —
+    tools/stepanatomy.py full 10.85 vs the bare 7.79 ms qmm chain)."""
     bs = pools.block_size
 
     def body(carry, _):
         pools, tok, pos = carry
         slots = (jnp.take_along_axis(
             block_table, (pos // bs)[:, None], axis=1)[:, 0] * bs + pos % bs)
+        slots = jnp.where(valid, slots, -1)
         x, pools = _forward(w, pools, tok[:, None], pos[:, None], block_table,
                             slots[:, None], pos + 1, hp=hp, decode=True)
         logits = llama_mod.lm_head(w, hp, x)[:, 0]
@@ -951,11 +957,19 @@ class Context:
         # reserve blocks for the whole window up front
         s.table.append_tokens(n_steps)
         self._drain_copies([s])
-        bt = self._table_arr([s])
-        tok0 = np.asarray([first_token], np.int32)
-        pos0 = np.asarray([s.n_cached], np.int32)
+        # pad rows to the qmm kernel's minimum tile_m (8): see
+        # _decode_greedy_loop — avoids per-call pad/slice glue
+        bsz = 8
+        bt = np.zeros((bsz, self.nbmax), np.int32)
+        bt[0] = self._table_arr([s])[0]
+        tok0 = np.zeros((bsz,), np.int32)
+        tok0[0] = first_token
+        pos0 = np.zeros((bsz,), np.int32)
+        pos0[0] = s.n_cached
+        valid = np.zeros((bsz,), bool)
+        valid[0] = True
         toks, self.pools = _decode_greedy_loop(
-            self.w, self.pools, tok0, pos0, bt,
+            self.w, self.pools, tok0, pos0, bt, valid,
             hp=hp, n_steps=n_steps)
         toks = [int(t) for t in np.asarray(toks)[:, 0]]
         s.tokens.append(int(first_token))
@@ -979,7 +993,7 @@ class Context:
         for s in seqs:
             s.table.append_tokens(n_steps)
         self._drain_copies(seqs)
-        bsz = 1 << (b - 1).bit_length()
+        bsz = max(8, 1 << (b - 1).bit_length())  # qmm tile_m floor: 8 rows
         tok0 = np.zeros((bsz,), np.int32)
         pos0 = np.zeros((bsz,), np.int32)
         bt = np.zeros((bsz, self.nbmax), np.int32)
@@ -1126,6 +1140,11 @@ class Context:
                 r = self.M * b_mb
             else:
                 r = 1 << (r - 1).bit_length()
+                if self.mesh is None:
+                    # qmm's minimum row tile is 8: padding the batch there
+                    # (instead of inside every projection call) removes the
+                    # per-call pad/slice glue (see _decode_greedy_loop)
+                    r = max(r, 8)
             bsz = self.dp * r
             tok0 = np.zeros((bsz,), np.int32)
             pos0 = np.zeros((bsz,), np.int32)
@@ -1279,6 +1298,9 @@ class Context:
             r = self.M * b_mb
         else:
             r = 1 << (r - 1).bit_length()
+            if self.mesh is None:
+                # min 8 rows: qmm tile_m floor (see _decode_greedy_loop)
+                r = max(r, 8)
         bsz = self.dp * r
         tok = np.zeros((bsz, 1), np.int32)
         pos = np.zeros((bsz, 1), np.int32)

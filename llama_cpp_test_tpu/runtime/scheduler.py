@@ -581,8 +581,14 @@ class Scheduler:
             if not clean:
                 # a slot stopped (or shifted state) mid-window: the chained
                 # dispatch is wasted — drop its device results and free the
-                # blocks it reserved on every still-live sequence
+                # blocks it reserved on every still-live sequence. On a
+                # multi-host DriverContext the discard must be broadcast
+                # BEFORE the truncations so followers drop their pending
+                # handle instead of fetching it at the next sync point.
                 self.n_windows_rolled_back += 1
+                discard = getattr(self.ctx, "discard_window", None)
+                if discard is not None:
+                    discard(nxt)
                 for s in gen:
                     if s.state == SlotState.GENERATING and s.seq is not None:
                         self.ctx.truncate_seq(s.seq, s.seq.n_cached)

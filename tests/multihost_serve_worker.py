@@ -54,10 +54,14 @@ def main():
     from llama_cpp_test_tpu.runtime.scheduler import GenRequest, Scheduler
 
     sched = Scheduler(ctx, n_slots=2, decode_window=4)
+    # 2 requests on 2 slots with budget 16 >> window 4: the chained
+    # double-buffered window path engages (asserted by the test — the
+    # round-4 build silently fell back to synchronous windows here)
     reqs = [
-        sched.submit(GenRequest([3 + i, 17, 42], max_tokens=8,
-                                sampling=SamplerParams(temp=0.0)))
-        for i in range(3)
+        sched.submit(GenRequest([3 + i, 17, 42], max_tokens=16,
+                                sampling=SamplerParams(temp=0.0),
+                                ignore_eos=True))
+        for i in range(2)
     ]
     t0 = time.time()
     sched.run()
@@ -67,6 +71,7 @@ def main():
     for r in reqs:
         out.extend(r.output_tokens)
         out.append(-1)
+    out.append(int(sched.metrics()["windows_chained"]))
     out.append(int(round(n_tok / dt * 1000)))  # tok/s x1000, last element
     ctx.close()
     np.save(out_path, np.asarray(out, np.int64))

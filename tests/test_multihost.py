@@ -116,9 +116,16 @@ def test_two_process_distributed_serving(tmp_path):
         test_engine.HP = old
     r1 = _run_serve_workers(tmp_path, path, 1)
     r2 = _run_serve_workers(tmp_path, path, 2)
-    # same tokens (everything before the trailing tok/s element)
-    np.testing.assert_array_equal(r1[:-1], r2[:-1])
+    # same tokens (everything before the trailing chained-count + tok/s)
+    np.testing.assert_array_equal(r1[:-2], r2[:-2])
+    # the chained double-buffered window path must ENGAGE on the
+    # multi-host DriverContext (round 4 silently fell back to sync
+    # windows, losing the scheduler-overlap win exactly where the
+    # multi-host scaling target applies)
+    assert r2[-2] >= 1, f"windows_chained={r2[-2]} on 2-proc serving"
+    assert r1[-2] >= 1, f"windows_chained={r1[-2]} on 1-proc serving"
     tok_s_1 = r1[-1] / 1000.0
     tok_s_2 = r2[-1] / 1000.0
     print(f"serving tok/s: 1-proc {tok_s_1:.1f}, 2-proc {tok_s_2:.1f}, "
-          f"ratio {tok_s_2 / max(tok_s_1, 1e-9):.2f}")
+          f"ratio {tok_s_2 / max(tok_s_1, 1e-9):.2f} "
+          f"(chained windows: {r1[-2]}/{r2[-2]})")
