@@ -186,6 +186,29 @@ register_arch(ArchSpec("nomic-bert", family="bert", rope_type="neox",
                        notes="post-norm encoder, rope, swiglu, non-causal"))
 
 
+# minicpm: llama body with mup-style scalar multipliers — embeddings x
+# scale_emb, residual branches x scale_depth/sqrt(L), logits / logit
+# scale — all riding the same hparams fields granite uses (reference
+# llm_build_llama via LLM_ARCH_MINICPM scales, llama-model.cpp:11461,
+# :3958; longrope factor tensors supported like phi3)
+register_arch(ArchSpec("minicpm", family="llama", rope_type="norm",
+                       notes="embd/residual/logit scales, longrope"))
+
+# internlm2: llama body; the converter deinterleaves the grouped fused
+# wqkv ((g q-heads, 1 k, 1 v) per kv group) into standard tensors with
+# the NORM-rope q/k permutation (reference llm_build_internlm2,
+# llama-model.cpp:6973; InternLM2Model.modify_tensors)
+register_arch(ArchSpec("internlm2", family="llama", rope_type="norm",
+                       notes="fused grouped wqkv at convert"))
+
+# baichuan(-7B): llama body; the converter splits the fused W_pack into
+# permuted q/k + v (reference llm_build_baichuan, llama-model.cpp:4358).
+# The 13B ALiBi variant is NOT supported (no attention-bias kernels) —
+# the converter refuses it loudly.
+register_arch(ArchSpec("baichuan", family="llama", rope_type="norm",
+                       notes="W_pack split at convert; 7B rope only"))
+
+
 def get_arch(name: str) -> ArchSpec:
     spec = ARCHITECTURES.get(name)
     if spec is None:

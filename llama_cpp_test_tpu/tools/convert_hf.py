@@ -60,6 +60,26 @@ ARCH_MAP = {
     "BertModel": "bert",
     "BertForMaskedLM": "bert",
     "BertForSequenceClassification": "bert",
+    # llama-bodied archs with convert-time tensor surgery
+    "MiniCPMForCausalLM": "minicpm",
+    "InternLM2ForCausalLM": "internlm2",
+    "BaichuanForCausalLM": "baichuan",
+    "BaiChuanForCausalLM": "baichuan",
+}
+
+# internlm2 HF names (reference InternLM2Model; wqkv handled separately)
+INTERNLM2_TOP_MAP = {
+    "model.tok_embeddings.weight": "token_embd.weight",
+    "model.norm.weight": "output_norm.weight",
+    "output.weight": "output.weight",
+}
+INTERNLM2_LAYER_MAP = {
+    "attention.wo.weight": "attn_output.weight",
+    "feed_forward.w1.weight": "ffn_gate.weight",
+    "feed_forward.w3.weight": "ffn_up.weight",
+    "feed_forward.w2.weight": "ffn_down.weight",
+    "attention_norm.weight": "attn_norm.weight",
+    "ffn_norm.weight": "ffn_norm.weight",
 }
 
 # bert: HF encoder.layer.N.* names (reference gguf-py tensor_mapping bert
@@ -281,6 +301,15 @@ def permute_qk(w: np.ndarray, n_head: int) -> np.ndarray:
 
 
 def map_name(name: str, arch: str = "llama") -> str | None:
+    if arch == "internlm2":
+        if name in INTERNLM2_TOP_MAP:
+            return INTERNLM2_TOP_MAP[name]
+        if name.startswith("model.layers."):
+            rest = name[len("model.layers."):]
+            idx, _, suffix = rest.partition(".")
+            mapped = INTERNLM2_LAYER_MAP.get(suffix)
+            return f"blk.{idx}.{mapped}" if mapped else None
+        return None
     if arch == "bert":
         if name.startswith("bert."):  # BertForMaskedLM prefix
             name = name[len("bert."):]
@@ -510,6 +539,22 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
             "layer_norm_eps", 1e-12)
         del md[f"{arch}.attention.layer_norm_rms_epsilon"]
         md[f"{arch}.pooling_type"] = 2  # CLS
+    if arch == "minicpm":
+        # mup-style scalar multipliers (reference MiniCPMModel
+        # set_gguf_parameters, convert_hf_to_gguf.py)
+        md[f"{arch}.embedding_scale"] = float(cfg["scale_emb"])
+        md[f"{arch}.residual_scale"] = (
+            cfg["scale_depth"] / cfg["num_hidden_layers"] ** 0.5)
+        md[f"{arch}.logit_scale"] = (
+            cfg["hidden_size"] / cfg["dim_model_base"])
+    if arch == "baichuan" and (cfg.get("position_embedding") == "alibi"
+                               or cfg.get("num_hidden_layers", 0) >= 40):
+        # 13B-class Baichuan uses ALiBi position bias (reference treats it
+        # as rope-type NONE + alibi); no attention-bias kernel here — fail
+        # loudly instead of converting a model that would run wrong math
+        raise ValueError(
+            "baichuan ALiBi variant (13B-class) is not supported; only "
+            "the rope-based 7B-class converts")
     if arch == "gptneox":
         # pythia family (reference GPTNeoXModel set_gguf_parameters,
         # convert_hf_to_gguf.py:995-1007)
@@ -627,7 +672,7 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
     for tname, tarr in rope_factor_tensors:
         w.add_tensor(tname, tarr, ggml_type=GGMLType.F32)
 
-    is_norm_rope = arch in ("llama", "granite", "olmo")
+    is_norm_rope = arch in ("llama", "granite", "olmo", "minicpm")
     experts: dict[tuple[int, str], dict[int, np.ndarray]] = {}
     n_expert = n_expert_cfg or 0
     seen_output = False
@@ -683,6 +728,33 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
                 w.add_tensor(f"blk.{key[0]}.{key[1]}.weight", stacked,
                              ggml_type=ggml_dtype)
                 del experts[key]
+            continue
+        # internlm2 grouped fused wqkv: ((q_per_kv q-heads, 1 k, 1 v) per
+        # kv group) rows deinterleave into standard q/k/v with the
+        # NORM-rope permutation (reference InternLM2Model.modify_tensors)
+        if arch == "internlm2" and name.endswith("attention.wqkv.weight"):
+            idx = name.split(".")[2]
+            a = np.asarray(arr, np.float32)
+            qpk = n_head // n_kv
+            g = a.reshape(n_kv, qpk + 2, head_dim, a.shape[-1])
+            q = g[:, :qpk].reshape(n_head * head_dim, -1)
+            k = g[:, -2].reshape(n_kv * head_dim, -1)
+            v = g[:, -1].reshape(n_kv * head_dim, -1)
+            emit(f"blk.{idx}.attn_q.weight", permute_qk(q, n_head))
+            emit(f"blk.{idx}.attn_k.weight", permute_qk(k, n_kv))
+            emit(f"blk.{idx}.attn_v.weight", v)
+            continue
+        # baichuan-7B fused W_pack: three equal stacked blocks [q; k; v]
+        # (reference BaichuanModel._reverse_hf_permute_part)
+        if arch == "baichuan" and name.endswith("self_attn.W_pack.weight"):
+            idx = name.split(".")[2]
+            a = np.asarray(arr, np.float32)
+            part = a.shape[0] // 3
+            emit(f"blk.{idx}.attn_q.weight",
+                 permute_qk(a[:part], n_head))
+            emit(f"blk.{idx}.attn_k.weight",
+                 permute_qk(a[part:2 * part], n_kv))
+            emit(f"blk.{idx}.attn_v.weight", a[2 * part:])
             continue
         # phi3 fused rows split into standard tensors (Phi3Model
         # modify_tensors does the same split in the reference)

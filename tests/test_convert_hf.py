@@ -1605,3 +1605,192 @@ def test_convert_bert_matches_transformers(tmp_path):
     assert np.abs(mean - ref_mean).max() < 2e-2
     cos = float(np.dot(cls, ref_cls))
     assert cos > 0.999, cos
+
+
+def _llama_body_ws(rng, V=256, C=64, H=4, KV=2, L=2, FF=96, d=16):
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    ws = {
+        "model.embed_tokens.weight": r(V, C),
+        "model.norm.weight": 1.0 + r(C),
+        "lm_head.weight": r(V, C),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        ws.update({
+            p + "input_layernorm.weight": 1.0 + r(C),
+            p + "self_attn.q_proj.weight": r(H * d, C),
+            p + "self_attn.k_proj.weight": r(KV * d, C),
+            p + "self_attn.v_proj.weight": r(KV * d, C),
+            p + "self_attn.o_proj.weight": r(C, H * d),
+            p + "post_attention_layernorm.weight": 1.0 + r(C),
+            p + "mlp.gate_proj.weight": r(FF, C),
+            p + "mlp.up_proj.weight": r(FF, C),
+            p + "mlp.down_proj.weight": r(C, FF),
+        })
+    return ws
+
+
+def _ref_llama_logits(ws, tokens, V=256, C=64, H=4, KV=2, L=2, FF=96, d=16):
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    tcfg = LlamaConfig(
+        vocab_size=V, hidden_size=C, intermediate_size=FF, head_dim=d,
+        num_hidden_layers=L, num_attention_heads=H, num_key_value_heads=KV,
+        rms_norm_eps=1e-5, rope_theta=10000.0, tie_word_embeddings=False,
+        attn_implementation="eager")
+    hf = LlamaForCausalLM(tcfg)
+    missing = hf.load_state_dict(
+        {k: torch.from_numpy(v.copy()) for k, v in ws.items()}, strict=False)
+    assert not missing.unexpected_keys, missing.unexpected_keys
+    hf.eval()
+    with torch.no_grad():
+        return hf(torch.tensor([tokens])).logits[0].numpy()
+
+
+def _convert_and_logits(tmp_path, cfg, ws, tokens, sub="hf"):
+    hf_dir = tmp_path / sub
+    hf_dir.mkdir(exist_ok=True)
+    with open(hf_dir / "config.json", "w") as f:
+        json.dump(cfg, f)
+    st.save_file(ws, str(hf_dir / "model.safetensors"))
+    _bpe_tokenizer_json(str(hf_dir), cfg["vocab_size"])
+    from llama_cpp_test_tpu.tools.convert_hf import convert
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    out = str(tmp_path / f"{sub}.gguf")
+    convert(str(hf_dir), out, dtype="F32")
+    model = Model(out)
+    ctx = Context(model, n_ctx=64, n_seq_max=1, block_size=8)
+    return model, ctx.prefill(ctx.new_seq(), tokens, all_logits=True)
+
+
+def test_convert_minicpm_scale_folding_equivalence(tmp_path):
+    """minicpm == llama with scale_emb folded into embeddings,
+    scale_depth/sqrt(L) into o/down projections, and 1/logit_scale into
+    the lm head (exact: RMSNorm is scale-invariant) — so the HF Llama
+    forward on folded weights is bit-level ground truth."""
+    rng = np.random.default_rng(41)
+    V, C, H, KV, L, FF, d = 256, 64, 4, 2, 2, 96, 16
+    ws = _llama_body_ws(rng, V, C, H, KV, L, FF, d)
+    s_emb, s_depth, dim_base = 12.0, 1.4, 16.0
+    s_res = s_depth / L ** 0.5
+    s_logit = C / dim_base
+    cfg = {
+        "architectures": ["MiniCPMForCausalLM"],
+        "hidden_size": C, "intermediate_size": FF, "head_dim": d,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "num_hidden_layers": L, "max_position_embeddings": 256,
+        "rms_norm_eps": 1e-5, "rope_theta": 10000.0, "vocab_size": V,
+        "scale_emb": s_emb, "scale_depth": s_depth, "dim_model_base":
+        dim_base, "bos_token_id": 1, "eos_token_id": 2,
+    }
+    tokens = [3, 17, 42, 9, 150, 7]
+    m, got = _convert_and_logits(tmp_path, cfg, ws, tokens)
+    assert m.hp.arch == "minicpm"
+    assert abs(m.hp.embd_scale - s_emb) < 1e-6
+    assert abs(m.hp.residual_scale - s_res) < 1e-6
+
+    folded = dict(ws)
+    folded["model.embed_tokens.weight"] = ws["model.embed_tokens.weight"] * s_emb
+    folded["lm_head.weight"] = ws["lm_head.weight"] / s_logit
+    for i in range(L):
+        p = f"model.layers.{i}."
+        folded[p + "self_attn.o_proj.weight"] = \
+            ws[p + "self_attn.o_proj.weight"] * s_res
+        folded[p + "mlp.down_proj.weight"] = \
+            ws[p + "mlp.down_proj.weight"] * s_res
+    ref = _ref_llama_logits(folded, tokens, V, C, H, KV, L, FF, d)
+    err = np.mean((got - ref) ** 2) / (np.mean(ref ** 2) + 1e-9)
+    assert err < 5e-3, err
+    assert np.argmax(got[-1]) == np.argmax(ref[-1])
+
+
+def test_convert_internlm2_wqkv_deinterleave(tmp_path):
+    """internlm2's grouped fused wqkv, assembled from a known llama
+    checkpoint's q/k/v, must convert back to logits identical to the HF
+    Llama forward on the original weights."""
+    rng = np.random.default_rng(42)
+    V, C, H, KV, L, FF, d = 256, 64, 4, 2, 2, 96, 16
+    lws = _llama_body_ws(rng, V, C, H, KV, L, FF, d)
+    qpk = H // KV
+    ws = {
+        "model.tok_embeddings.weight": lws["model.embed_tokens.weight"],
+        "model.norm.weight": lws["model.norm.weight"],
+        "output.weight": lws["lm_head.weight"],
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        q = lws[p + "self_attn.q_proj.weight"].reshape(KV, qpk, d, C)
+        k = lws[p + "self_attn.k_proj.weight"].reshape(KV, 1, d, C)
+        v = lws[p + "self_attn.v_proj.weight"].reshape(KV, 1, d, C)
+        wqkv = np.concatenate([q, k, v], axis=1).reshape(-1, C)
+        ws.update({
+            p + "attention.wqkv.weight": wqkv,
+            p + "attention.wo.weight": lws[p + "self_attn.o_proj.weight"],
+            p + "attention_norm.weight": lws[p + "input_layernorm.weight"],
+            p + "ffn_norm.weight": lws[p + "post_attention_layernorm.weight"],
+            p + "feed_forward.w1.weight": lws[p + "mlp.gate_proj.weight"],
+            p + "feed_forward.w3.weight": lws[p + "mlp.up_proj.weight"],
+            p + "feed_forward.w2.weight": lws[p + "mlp.down_proj.weight"],
+        })
+    cfg = {
+        "architectures": ["InternLM2ForCausalLM"],
+        "hidden_size": C, "intermediate_size": FF, "head_dim": d,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "num_hidden_layers": L, "max_position_embeddings": 256,
+        "rms_norm_eps": 1e-5, "rope_theta": 10000.0, "vocab_size": V,
+        "bos_token_id": 1, "eos_token_id": 2,
+    }
+    tokens = [3, 17, 42, 9, 150, 7]
+    m, got = _convert_and_logits(tmp_path, cfg, ws, tokens)
+    assert m.hp.arch == "internlm2"
+    ref = _ref_llama_logits(lws, tokens, V, C, H, KV, L, FF, d)
+    err = np.mean((got - ref) ** 2) / (np.mean(ref ** 2) + 1e-9)
+    assert err < 5e-3, err
+    assert np.argmax(got[-1]) == np.argmax(ref[-1])
+
+
+def test_convert_baichuan_wpack_split(tmp_path):
+    """baichuan-7B's fused W_pack (stacked [q; k; v]) assembled from a
+    known llama checkpoint converts to identical logits; the ALiBi
+    13B-class config is refused."""
+    rng = np.random.default_rng(43)
+    V, C, H, L, FF = 256, 64, 4, 2, 96
+    d = C // H
+    lws = _llama_body_ws(rng, V, C, H, H, L, FF, d)
+    ws = {k: v for k, v in lws.items() if "q_proj" not in k
+          and "k_proj" not in k and "v_proj" not in k}
+    for i in range(L):
+        p = f"model.layers.{i}."
+        ws[p + "self_attn.W_pack.weight"] = np.concatenate([
+            lws[p + "self_attn.q_proj.weight"],
+            lws[p + "self_attn.k_proj.weight"],
+            lws[p + "self_attn.v_proj.weight"]], axis=0)
+    cfg = {
+        "architectures": ["BaichuanForCausalLM"],
+        "hidden_size": C, "intermediate_size": FF,
+        "num_attention_heads": H, "num_hidden_layers": L,
+        "max_position_embeddings": 256, "rms_norm_eps": 1e-5,
+        "rope_theta": 10000.0, "vocab_size": V,
+        "bos_token_id": 1, "eos_token_id": 2,
+    }
+    tokens = [3, 17, 42, 9, 150, 7]
+    m, got = _convert_and_logits(tmp_path, cfg, ws, tokens)
+    assert m.hp.arch == "baichuan"
+    ref = _ref_llama_logits(lws, tokens, V, C, H, H, L, FF, d)
+    err = np.mean((got - ref) ** 2) / (np.mean(ref ** 2) + 1e-9)
+    assert err < 5e-3, err
+    assert np.argmax(got[-1]) == np.argmax(ref[-1])
+
+    # ALiBi variant refused
+    import pytest as _pytest
+    from llama_cpp_test_tpu.tools.convert_hf import convert
+
+    bad_dir = tmp_path / "alibi"
+    bad_dir.mkdir()
+    with open(bad_dir / "config.json", "w") as f:
+        json.dump({**cfg, "num_hidden_layers": 40}, f)
+    st.save_file(ws, str(bad_dir / "model.safetensors"))
+    _bpe_tokenizer_json(str(bad_dir), V)
+    with _pytest.raises(ValueError, match="ALiBi"):
+        convert(str(bad_dir), str(tmp_path / "bad.gguf"), dtype="F32")
