@@ -36,16 +36,31 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
-    from ..models.clip import encode_image, load_clip, preprocess_image
+    from ..gguf.reader import open_gguf
     from ..runtime.engine import Context, Model
     from ..runtime.sampling import SamplerChain, SamplerParams
 
     t0 = time.time()
     model = Model(args.model)
-    clip = load_clip(args.mmproj)
-    print(f"# model+mmproj loaded in {time.time()-t0:.1f}s "
-          f"(vit {clip.n_layer}L hidden {clip.hidden}, "
-          f"{clip.n_patches} patches/img)", file=sys.stderr)
+    # auto-detect the projector family (the clip_is_qwen2vl dispatch of
+    # the reference qwen2vl-cli, examples/llava/qwen2vl-cli.cpp)
+    is_qwen2vl = bool(open_gguf(args.mmproj).metadata.get(
+        "clip.has_qwen2vl_merger"))
+    if is_qwen2vl:
+        from ..models import qwen2vl_vision as qv
+
+        vis = qv.load_qwen2vl_vision(args.mmproj)
+        print(f"# model+mmproj loaded in {time.time()-t0:.1f}s "
+              f"(qwen2vl vit {vis.n_layer}L embed {vis.embed})",
+              file=sys.stderr)
+    else:
+        from ..models.clip import (encode_image, load_clip,
+                                   preprocess_image)
+
+        clip = load_clip(args.mmproj)
+        print(f"# model+mmproj loaded in {time.time()-t0:.1f}s "
+              f"(vit {clip.n_layer}L hidden {clip.hidden}, "
+              f"{clip.n_patches} patches/img)", file=sys.stderr)
     if model.tokenizer is None:
         print("error: model has no tokenizer", file=sys.stderr)
         return 1
@@ -65,11 +80,23 @@ def main(argv=None) -> int:
             from PIL import Image
 
             t0 = time.time()
-            px = preprocess_image(clip, Image.open(args.image[i - 1]))
-            emb = encode_image(clip, px)
+            img = Image.open(args.image[i - 1])
+            if is_qwen2vl:
+                # M-RoPE image positions + compressed text continuation
+                # (reference qwen2vl-cli.cpp:28-60)
+                patches, gh, gw = qv.preprocess_image(vis, img)
+                emb = qv.encode_image(vis, patches, gh, gw)
+                t_img = s.n_cached + s.pos_offset
+                mr = qv.mrope_image_positions(t_img, gh, gw)
+                logits = ctx.prefill_embeds(s, emb, mrope_pos=mr)
+                s.pos_offset = (qv.mrope_delta_after_image(t_img, gh, gw)
+                                - s.n_cached)
+            else:
+                px = preprocess_image(clip, img)
+                emb = encode_image(clip, px)
+                logits = ctx.prefill_embeds(s, emb)
             print(f"# image {i}: {emb.shape[0]} embeddings in "
                   f"{time.time()-t0:.2f}s", file=sys.stderr)
-            logits = ctx.prefill_embeds(s, emb)
         toks = model.tokenizer.encode(seg, add_special=(i == 0))
         if toks:
             logits = ctx.prefill(s, toks)

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import dataclasses
 
+import numpy as np
+
 
 @dataclasses.dataclass(frozen=True)
 class HParams:
@@ -55,6 +57,11 @@ class HParams:
     # folded into attn_scale as mscale^2, NOT into the rope tables — see
     # hparams_from_metadata and reference llama-model.cpp:9217-9219)
     rope_yarn_log_mul: float = 0.0
+    # qwen2vl M-RoPE frequency sections (t, h, w) over the rope half-dims:
+    # image tokens rope each frequency with its section's position stream;
+    # equal streams (text) reduce to standard NEOX rope
+    # (reference GGML_ROPE_TYPE_MROPE; {arch}.rope.dimension_sections)
+    mrope_sections: tuple = ()
     # misc
     sliding_window: int = 0
     # RoPE freq base for sliding-window layers (gemma3: 10000 while global
@@ -257,6 +264,9 @@ def hparams_from_metadata(md: dict) -> HParams:
         # (bert converter writes CLS)
         pooling={0: "none", 1: "mean", 2: "cls", 3: "last"}.get(
             int(g("pooling_type", 1)), "mean"),
+        mrope_sections=tuple(
+            int(x) for x in np.asarray(
+                md.get(f"{arch}.rope.dimension_sections", []))[:3]),
     )
     return hp
 

@@ -808,6 +808,7 @@ def forward_layer(
     tp: int = 1,                 # static size of that axis
     ep_axis: str | None = None,  # expert-parallel axis (MoE layers)
     ep: int = 1,
+    mrope_pos: jax.Array | None = None,  # [B, T, 3] qwen2vl image streams
 ) -> jax.Array:
     b, tdim, c = x.shape
     # local head counts under tensor parallelism (weights column-sharded)
@@ -877,8 +878,15 @@ def forward_layer(
         k = (layers.layer_norm(k, lw.attn_k_norm, None, hp.rms_eps)
              if lw.attn_k_norm.ndim == 2
              else layers.rms_norm(k, lw.attn_k_norm, hp.rms_eps))
-    q = layers.apply_rope(q, positions, inv_freq, mscale)
-    k = layers.apply_rope(k, positions, inv_freq, mscale)
+    if mrope_pos is not None and hp.mrope_sections:
+        # qwen2vl image M-RoPE: per-frequency-section position streams
+        q = layers.apply_mrope(q, mrope_pos, inv_freq, hp.mrope_sections,
+                               mscale)
+        k = layers.apply_mrope(k, mrope_pos, inv_freq, hp.mrope_sections,
+                               mscale)
+    else:
+        q = layers.apply_rope(q, positions, inv_freq, mscale)
+        k = layers.apply_rope(k, positions, inv_freq, mscale)
     attn_out = attend(q.astype(jnp.bfloat16),
                       k.astype(jnp.bfloat16),
                       v.astype(jnp.bfloat16))

@@ -53,13 +53,16 @@ register_arch(ArchSpec("qwen2", family="llama", rope_type="neox",
 register_arch(ArchSpec("qwen3", family="llama", rope_type="neox",
                        notes="qk-norm"))
 
-# qwen2vl: the Qwen2-VL text model. Text-only M-RoPE feeds every
-# dimension section the same position stream, which reduces exactly to
-# standard NEOX rope (reference llm_build_qwen2vl uses MROPE; equal
-# t/h/w positions make the section split a no-op) — so the llama family
-# serves it verbatim for text. Image positions (mmproj) NOT supported.
+# qwen2vl: the Qwen2-VL text model. Text M-RoPE with equal t/h/w
+# streams reduces exactly to standard NEOX rope; IMAGE tokens rope with
+# per-section position streams (hp.mrope_sections + forward_layer's
+# apply_mrope), fed by the models/qwen2vl_vision.py tower through
+# prefill_embeds(mrope_pos=...) and pos_offset'd text continuation
+# (reference llm_build_qwen2vl GGML_ROPE_TYPE_MROPE +
+# examples/llava/qwen2vl-cli.cpp; cross-validated end-to-end in
+# tests/test_qwen2vl_vision.py).
 register_arch(ArchSpec("qwen2vl", family="llama", rope_type="neox",
-                       notes="attn-bias, text-only (no vision M-RoPE)"))
+                       notes="attn-bias, M-RoPE incl. image positions"))
 
 # qwen2moe: mixtral-style routed experts WITHOUT top-k renormalization,
 # plus a sigmoid-gated shared expert (reference llm_build_qwen2moe,

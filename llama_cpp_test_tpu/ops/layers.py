@@ -118,6 +118,39 @@ def apply_rope(x: jax.Array, positions: jax.Array, inv_freq: jax.Array,
     return jnp.concatenate(parts, axis=-1).astype(x.dtype)
 
 
+def apply_mrope(x: jax.Array, pos3: jax.Array, inv_freq: jax.Array,
+                sections: tuple, mscale: float = 1.0) -> jax.Array:
+    """Multi-stream (M-RoPE) rotary embedding for qwen2vl image tokens.
+
+    x: [..., T, H, D]; pos3: [..., T, 3] (t, h, w) position streams;
+    sections (s_t, s_h, s_w) partition the D/2 frequency indices — each
+    frequency rotates with its section's stream (reference
+    GGML_ROPE_TYPE_MROPE / HF apply_multimodal_rotary_pos_emb: the cos/sin
+    tables are section-concatenated from the per-stream tables). Equal
+    streams reduce exactly to apply_rope."""
+    half = inv_freq.shape[-1]
+    s_t, s_h, s_w = sections
+    assert s_t + s_h + s_w == half, (sections, half)
+    p = pos3.astype(jnp.float32)
+    theta = jnp.concatenate([
+        p[..., 0:1] * inv_freq[:s_t],
+        p[..., 1:2] * inv_freq[s_t:s_t + s_h],
+        p[..., 2:3] * inv_freq[s_t + s_h:],
+    ], axis=-1)                                    # [..., T, half]
+    d = x.shape[-1]
+    rot = 2 * half
+    cos = (jnp.cos(theta) * mscale)[..., None, :]
+    sin = (jnp.sin(theta) * mscale)[..., None, :]
+    x1 = x[..., :half].astype(jnp.float32)
+    x2 = x[..., half:rot].astype(jnp.float32)
+    o1 = x1 * cos - x2 * sin
+    o2 = x2 * cos + x1 * sin
+    parts = [o1, o2]
+    if rot < d:
+        parts.append(x[..., rot:].astype(jnp.float32))
+    return jnp.concatenate(parts, axis=-1).astype(x.dtype)
+
+
 def swiglu(gate: jax.Array, up: jax.Array, act: str = "silu") -> jax.Array:
     """Gated FFN activation: act(gate) * up. act 'silu' (llama SwiGLU) or
     'gelu' (gemma GeGLU, tanh approximation like gelu_pytorch_tanh)."""

@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os
 import time
 from typing import Any, Callable, Iterator, Sequence as Seq
 
@@ -56,6 +57,12 @@ def _bucket(n: int, buckets: Seq[int]) -> int:
 
 TOKEN_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048)
 
+# Minimum decode batch rows (qmm's tile_m floor is 8; padding the batch
+# once per step removes per-projection pad/slice glue, but multiplies the
+# attention grid and per-row op work for small models). A/B-able:
+# LLAMA_TPU_DECODE_PAD=1 restores unpadded rows.
+DECODE_PAD_ROWS = int(os.environ.get("LLAMA_TPU_DECODE_PAD", "8"))
+
 
 # ---------------------------------------------------------------------------
 # jitted step
@@ -64,7 +71,7 @@ TOKEN_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048)
 def _forward(w: LlamaWeights, pools: KVPools, tokens, positions, block_table,
              slots, kv_len, *, hp: HParams, decode: bool,
              tp_axis: str | None = None, tp: int = 1, rope_delta=None,
-             x_embd=None, causal: bool = True):
+             x_embd=None, causal: bool = True, mrope_pos=None):
     """Shared forward: embeds, runs all layers (writing KV), final norm is NOT
     applied (lm_head does it). Returns (hidden [B, T, C], pools).
 
@@ -128,7 +135,8 @@ def _forward(w: LlamaWeights, pools: KVPools, tokens, positions, block_table,
         x = llama_mod.forward_layer(
             x, lw, hp, rope_pos,
             w.inv_freq_for(hparams_mod.layer_window(hp, li)),
-            w.rope_mscale, attend, tp_axis=tp_axis, tp=tp)
+            w.rope_mscale, attend, tp_axis=tp_axis, tp=tp,
+            mrope_pos=mrope_pos)
     if quant:
         return x, KVPools(new_k, new_v, new_ks, new_vs)
     return x, KVPools(new_k, new_v)
@@ -149,12 +157,15 @@ def _prefill_step(w: LlamaWeights, pools: KVPools, tokens, positions,
 
 @functools.partial(jax.jit, static_argnames=("hp",), donate_argnums=(1,))
 def _prefill_embeds_step(w: LlamaWeights, pools: KVPools, x_embd, positions,
-                         block_table, slots, kv_len, last_ix,
+                         block_table, slots, kv_len, last_ix, mrope_pos=None,
                          *, hp: HParams):
     """Prefill a chunk of pre-computed embeddings (multimodal image
-    features). x_embd: [B, T, C] f32/bf16. Returns (logits [B, V], pools)."""
+    features). x_embd: [B, T, C] f32/bf16. mrope_pos [B, T, 3]: qwen2vl
+    image-token position streams (None = standard rope from positions).
+    Returns (logits [B, V], pools)."""
     x, pools = _forward(w, pools, None, positions, block_table, slots,
-                        kv_len, hp=hp, decode=False, x_embd=x_embd)
+                        kv_len, hp=hp, decode=False, x_embd=x_embd,
+                        mrope_pos=mrope_pos)
     h_last = jnp.take_along_axis(x, last_ix[:, None, None], axis=1)[:, 0]
     logits = llama_mod.lm_head(w, hp, h_last[:, None])[:, 0]
     return logits, pools
@@ -849,7 +860,8 @@ class Context:
         return np.asarray(logits[row])
 
     def prefill_embeds(self, s: SeqState, embeds: np.ndarray,
-                       placeholder_token: int = -1) -> np.ndarray:
+                       placeholder_token: int = -1,
+                       mrope_pos: np.ndarray | None = None) -> np.ndarray:
         """Prefill pre-computed input embeddings [T, C] (multimodal image
         features from models/clip.encode_image) instead of tokens — the
         llava_eval_image_embed analogue. The sequence's token list records
@@ -879,9 +891,18 @@ class Context:
         s.tokens.extend([placeholder_token] * n)
         s.n_cached += n
         last_ix = np.asarray([n - 1], np.int32)
+        mr = None
+        if mrope_pos is not None:
+            # qwen2vl image M-RoPE streams [n, 3]; cache positions (mask
+            # order) stay t0..t0+n — only the rotation uses the streams.
+            # The CALLER updates s.pos_offset afterwards so following text
+            # tokens rope at the compressed position (get_rope_index
+            # semantics; reference qwen2vl-cli.cpp:28-60)
+            mr = np.zeros((1, tb, 3), np.int32)
+            mr[0, :n] = np.asarray(mrope_pos, np.int32)
         logits, self.pools = _prefill_embeds_step(
             self.w, self.pools, jnp.asarray(x), pos, bt,
-            slot_arr, kv_len, last_ix, hp=hp)
+            slot_arr, kv_len, last_ix, mr, hp=hp)
         return np.asarray(logits[0])
 
     def embed(self, tokens: list[int], pooling: str | None = None,
@@ -959,7 +980,7 @@ class Context:
         self._drain_copies([s])
         # pad rows to the qmm kernel's minimum tile_m (8): see
         # _decode_greedy_loop — avoids per-call pad/slice glue
-        bsz = 8
+        bsz = max(1, DECODE_PAD_ROWS)
         bt = np.zeros((bsz, self.nbmax), np.int32)
         bt[0] = self._table_arr([s])[0]
         tok0 = np.zeros((bsz,), np.int32)
@@ -993,7 +1014,7 @@ class Context:
         for s in seqs:
             s.table.append_tokens(n_steps)
         self._drain_copies(seqs)
-        bsz = max(8, 1 << (b - 1).bit_length())  # qmm tile_m floor: 8 rows
+        bsz = max(DECODE_PAD_ROWS, 1 << (b - 1).bit_length())
         tok0 = np.zeros((bsz,), np.int32)
         pos0 = np.zeros((bsz,), np.int32)
         bt = np.zeros((bsz, self.nbmax), np.int32)
@@ -1144,7 +1165,7 @@ class Context:
                     # qmm's minimum row tile is 8: padding the batch there
                     # (instead of inside every projection call) removes the
                     # per-call pad/slice glue (see _decode_greedy_loop)
-                    r = max(r, 8)
+                    r = max(r, DECODE_PAD_ROWS)
             bsz = self.dp * r
             tok0 = np.zeros((bsz,), np.int32)
             pos0 = np.zeros((bsz,), np.int32)
@@ -1299,8 +1320,8 @@ class Context:
         else:
             r = 1 << (r - 1).bit_length()
             if self.mesh is None:
-                # min 8 rows: qmm tile_m floor (see _decode_greedy_loop)
-                r = max(r, 8)
+                # min rows: qmm tile_m floor (see _decode_greedy_loop)
+                r = max(r, DECODE_PAD_ROWS)
         bsz = self.dp * r
         tok = np.zeros((bsz, 1), np.int32)
         pos = np.zeros((bsz, 1), np.int32)

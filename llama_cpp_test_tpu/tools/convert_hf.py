@@ -818,8 +818,90 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
                          f"{sorted(qk_norms)}")
     if n_visual_skipped:
         print(f"note: skipped {n_visual_skipped} visual.* tensors "
-              "(text-only conversion; vision/mmproj not supported for "
-              "qwen2vl)", file=sys.stderr)
+              "(text GGUF; write the vision tower separately with "
+              "--mmproj)", file=sys.stderr)
+    w.write()
+
+
+def convert_qwen2vl_mmproj(path: str, out_path: str) -> None:
+    """Qwen2-VL vision tower + merger -> mmproj GGUF with the reference
+    surgery script's naming (examples/llava/qwen2_vl_surgery.py), so files
+    from either converter load interchangeably: fused qkv split into
+    q/k/v, the Conv3d patch embed split into two per-frame conv2d
+    tensors, merger ln_q -> v.post_ln, merger.mlp.{0,2} -> mm.{0,2}, and
+    the surgery's SWAPPED mlp names (fc1 -> ffn_down, fc2 -> ffn_up)."""
+    with open(os.path.join(path, "config.json"), encoding="utf-8") as f:
+        cfg = json.load(f)
+    vcfg = cfg.get("vision_config") or {}
+    if not vcfg:
+        raise ValueError("config.json has no vision_config "
+                         "(not a Qwen2-VL checkpoint)")
+    embed = vcfg.get("embed_dim", 1280)
+    w = GGUFWriter(out_path, arch="clip")
+    md = {
+        "clip.has_text_encoder": False,
+        "clip.has_vision_encoder": True,
+        "clip.has_qwen2vl_merger": True,
+        "clip.projector_type": "qwen2vl_merger",
+        "clip.use_silu": "silu" in vcfg.get("hidden_act", "quick_gelu"),
+        "clip.use_gelu": ("gelu" in vcfg.get("hidden_act", "quick_gelu")
+                          and "quick" not in vcfg.get("hidden_act", "")),
+        "clip.vision.patch_size": vcfg.get("patch_size", 14),
+        "clip.vision.image_size": 14 * 40,
+        "clip.vision.embedding_length": embed,
+        "clip.vision.projection_dim": vcfg.get(
+            "hidden_size", cfg.get("hidden_size", 0)),
+        "clip.vision.attention.head_count": vcfg.get("num_heads", 16),
+        "clip.vision.attention.layer_norm_epsilon": 1e-6,
+        "clip.vision.block_count": vcfg.get("depth", 32),
+        "clip.vision.feed_forward_length": 0,
+    }
+    for k, v in md.items():
+        w.add_kv(k, v)
+
+    def emit(gname, arr):
+        w.add_tensor(gname, np.asarray(arr, np.float32),
+                     ggml_type=GGMLType.F32)
+
+    n_emitted = 0
+    for name, arr in iter_hf_tensors(path):
+        for pre in ("model.visual.", "visual."):
+            if name.startswith(pre):
+                name = name[len(pre):]
+                break
+        else:
+            continue
+        n_emitted += 1
+        if name == "patch_embed.proj.weight":
+            a = np.asarray(arr, np.float32).reshape(
+                embed, 3, 2, vcfg.get("patch_size", 14), -1)
+            emit("v.patch_embd.weight", a[:, :, 0])
+            emit("v.patch_embd.weight.1", a[:, :, 1])
+        elif ".attn.qkv." in name:
+            li = name.split(".")[1]
+            a = np.asarray(arr, np.float32)
+            c = a.shape[0] // 3
+            kind = "weight" if name.endswith("weight") else "bias"
+            emit(f"v.blk.{li}.attn_q.{kind}", a[:c])
+            emit(f"v.blk.{li}.attn_k.{kind}", a[c:2 * c])
+            emit(f"v.blk.{li}.attn_v.{kind}", a[2 * c:])
+        elif name.startswith("merger.ln_q."):
+            emit("v.post_ln." + name.rsplit(".", 1)[1], arr)
+        elif name.startswith("merger.mlp."):
+            _, _, idx, kind = name.split(".")
+            emit(f"mm.{idx}.{kind}", arr)
+        elif name.startswith("blocks."):
+            _, li, rest = name.split(".", 2)
+            rest = (rest.replace("norm1", "ln1").replace("norm2", "ln2")
+                        .replace("attn.proj", "attn_out")
+                        .replace("mlp.fc1", "ffn_down")   # surgery quirk
+                        .replace("mlp.fc2", "ffn_up")
+                        .replace("attn.", "attn_"))
+            emit(f"v.blk.{li}.{rest}", arr)
+        else:
+            n_emitted -= 1
+    if not n_emitted:
+        raise ValueError("no visual.* tensors found in checkpoint")
     w.write()
 
 
@@ -831,8 +913,14 @@ def main(argv=None) -> int:
     ap.add_argument("-o", "--outfile", required=True)
     ap.add_argument("--outtype", default="F16",
                     choices=["F16", "BF16", "F32", "Q8_0"])
+    ap.add_argument("--mmproj", action="store_true",
+                    help="write the Qwen2-VL vision tower mmproj GGUF "
+                         "instead of the text model")
     args = ap.parse_args(argv)
-    convert(args.model_dir, args.outfile, args.outtype)
+    if args.mmproj:
+        convert_qwen2vl_mmproj(args.model_dir, args.outfile)
+    else:
+        convert(args.model_dir, args.outfile, args.outtype)
     print(f"wrote {args.outfile}")
     return 0
 

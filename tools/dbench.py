@@ -182,7 +182,16 @@ def build_gmm():
     from llama_cpp_test_tpu.ops import gmm as gmm_mod
 
     rng = np.random.default_rng(0)
-    C_, FF_, E, KU, NLm = 1024, 1536, 8, 2, 8
+    # default: bench.py moe_8x_top2 scaled geometry. DB_GMM_GEOM=mixtral
+    # uses FULL Mixtral-8x7B expert planes (BASELINE config #4 flagship
+    # size; DB_GMM_NL layers keep build+compile bounded — per-layer cost
+    # extrapolates, expert planes are the flagship 4096x14336)
+    if os.environ.get("DB_GMM_GEOM") == "mixtral":
+        C_, FF_, E, KU = 4096, 14336, 8, 2
+        NLm = int(os.environ.get("DB_GMM_NL", "4"))
+    else:
+        C_, FF_, E, KU = 1024, 1536, 8, 2
+        NLm = int(os.environ.get("DB_GMM_NL", "8"))
     tile_m = 8
 
     def mk_exp(n, k):
