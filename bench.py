@@ -69,6 +69,25 @@ def build_moe_model(path):
     _tiny_gguf(path, qtype=GGMLType.Q4_K, **MOE_HP)
 
 
+# BASELINE config #4 at FLAGSHIP expert geometry: full Mixtral-8x7B expert
+# planes (4096 x 14336, 8 experts, top-2) with 8 layers so the synthesized
+# Q4_K model (~6.4GB) fits one chip's HBM beside the KV pool — per-token
+# cost extrapolates linearly in layers, expert-plane economics are the
+# flagship ones (dbench gmm at this geometry: 496 GB/s = 60.6% roofline
+# vs 0.10 at quarter scale — the small row was dispatch-floor-bound).
+MOE_FLAGSHIP_HP = dict(n_vocab=32000, n_embd=4096, n_head=32, n_head_kv=8,
+                       head_dim=128, n_layer=8, n_ff=14336, n_expert=8,
+                       n_expert_used=2)
+MOE_FLAGSHIP_CACHE = "/tmp/bench_moe_flagship_q4k.gguf"
+
+
+def build_moe_flagship(path):
+    from llama_cpp_test_tpu.gguf.constants import GGMLType
+    from __graft_entry__ import _tiny_gguf
+
+    _tiny_gguf(path, qtype=GGMLType.Q4_K, **MOE_FLAGSHIP_HP)
+
+
 # BASELINE.json north-star config #2: Llama-3-8B geometry (synthesized
 # Q4_K weights). Default ON (the headline metric) — disable with BENCH_8B=0
 # if the build+compile budget (tens of minutes cold) is unavailable.
@@ -272,6 +291,41 @@ def main():
         except Exception as e:  # pragma: no cover
             extra["moe_8x_top2"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
+    # ---- Mixtral flagship-geometry MoE (opt-out: BENCH_MOE_FLAGSHIP=0) ----
+    if os.environ.get("BENCH_MOE_FLAGSHIP", "1") != "0" and not fast:
+        try:
+            if not os.path.exists(MOE_FLAGSHIP_CACHE):
+                from llama_cpp_test_tpu.quant import codecs
+
+                t0 = time.time()
+                codecs.set_refine_iters(0)
+                try:
+                    build_moe_flagship(MOE_FLAGSHIP_CACHE)
+                finally:
+                    codecs.set_refine_iters(2)
+                print(f"# built flagship MoE in {time.time()-t0:.1f}s",
+                      file=sys.stderr)
+            mf = Model(MOE_FLAGSHIP_CACHE)
+            ctxf = Context(mf, n_ctx=512, n_seq_max=2, block_size=32)
+            sf = ctxf.new_seq()
+            lg = ctxf.prefill(sf, list(rng.integers(1, 30000, 64)))
+            tokf = int(np.argmax(lg))
+            ctxf.decode_greedy_loop(sf, tokf, 64)  # compile
+            t0 = time.time()
+            ctxf.decode_greedy_loop(sf, tokf, 64)
+            dt = time.time() - t0
+            mf_tok_s = 64 / dt
+            rooff = bw / (moe_bytes_per_token(MOE_FLAGSHIP_HP) +
+                          kv_bytes_per_token(MOE_FLAGSHIP_HP, 150))
+            extra["moe_flagship_decode"] = {
+                "tok_s": round(mf_tok_s, 1),
+                "vs_roofline": round(mf_tok_s / rooff, 4),
+            }
+            del mf, ctxf
+        except Exception as e:  # pragma: no cover
+            extra["moe_flagship_decode"] = {
+                "error": f"{type(e).__name__}: {e}"[:200]}
+
     # ---- Llama-3-8B geometry (north star; opt-out: BENCH_8B=0) ------------
     if os.environ.get("BENCH_8B", "1") != "0" and not fast:
         try:
@@ -303,6 +357,31 @@ def main():
             extra["llama3_8b_decode"] = {
                 "tok_s": round(tok_s8, 1),
                 "vs_roofline": round(tok_s8 / roof8, 4),
+            }
+            # prefill MFU at the north-star geometry (TTFT driver): the
+            # compute-bound regime — compare against the nominal bf16 MXU
+            # peak (dbench r5: the fused-qmm prefill chain alone runs at
+            # ~52% of nominal; the dense control measured 225 TFLOP/s)
+            s8b = ctx8.new_seq()
+            prompt8 = list(rng.integers(1, 100000, 512))
+            ctx8.prefill(s8b, prompt8)     # compile this seq's shape
+            ctx8.free_seq(s8b)
+            s8c = ctx8.new_seq()
+            t0 = time.time()
+            np.asarray(ctx8.prefill(s8c, prompt8))
+            dtp = time.time() - t0
+            hp8 = L3_8B_HP
+            c8, ff8, l8, v8 = (hp8["n_embd"], hp8["n_ff"], hp8["n_layer"],
+                               hp8["n_vocab"])
+            per_layer = (c8 * hp8["n_head"] * hp8["head_dim"] * 2 +
+                         2 * c8 * hp8["n_head_kv"] * hp8["head_dim"] +
+                         3 * c8 * ff8)
+            flops = 2 * 512 * (l8 * per_layer + v8 * c8)
+            mxu_peak = {"v5e": 197e12, "v5p": 459e12,
+                        "v4": 275e12, "v6e": 918e12}.get(gen, 197e12)
+            extra["prefill_8b_pp512"] = {
+                "tok_s": round(512 / dtp, 1),
+                "mfu": round(flops / dtp / mxu_peak, 4),
             }
             del m8, ctx8
         except Exception as e:  # pragma: no cover

@@ -57,11 +57,14 @@ def _bucket(n: int, buckets: Seq[int]) -> int:
 
 TOKEN_BUCKETS = (8, 16, 32, 64, 128, 256, 512, 1024, 2048)
 
-# Minimum decode batch rows (qmm's tile_m floor is 8; padding the batch
-# once per step removes per-projection pad/slice glue, but multiplies the
-# attention grid and per-row op work for small models). A/B-able:
-# LLAMA_TPU_DECODE_PAD=1 restores unpadded rows.
-DECODE_PAD_ROWS = int(os.environ.get("LLAMA_TPU_DECODE_PAD", "8"))
+# Minimum decode batch rows. A round-5 hypothesis was that padding the
+# batch to qmm's tile_m floor (8) once per step would remove the
+# per-projection pad/slice glue measured at 2 ms/step (8B,
+# tools/stepanatomy.py); the clean A/B/A REFUTED it: TinyLlama decode
+# 442.6/445.1 tok/s padded vs 497.2 unpadded (XLA folds the small pads
+# cheaply, while 8x attention-grid rows and per-row op work are real).
+# Kept as an env A/B hook; default 1 = unpadded.
+DECODE_PAD_ROWS = int(os.environ.get("LLAMA_TPU_DECODE_PAD", "1"))
 
 
 # ---------------------------------------------------------------------------
@@ -274,11 +277,9 @@ def _decode_greedy_loop(w: LlamaWeights, pools: KVPools, tok0, pos0,
     are dropped via slot -1.
 
     tok0 [B] int32; pos0 [B] positions of tok0; valid [B] bool; returns
-    (tokens [n_steps, B] = tok0's successors, pools). B is padded to >= 8
-    by the caller: the qmm kernel's minimum row tile is 8, and feeding it
-    [8, C] directly removes four pad/slice/cast XLA ops around each of the
-    ~129 per-step projection calls (measured 2.0 ms/step at 8B geometry —
-    tools/stepanatomy.py full 10.85 vs the bare 7.79 ms qmm chain)."""
+    (tokens [n_steps, B] = tok0's successors, pools). The caller pads B
+    to DECODE_PAD_ROWS (default 1 — the pad-to-tile_m=8 hypothesis was
+    A/B-refuted, see the constant's comment)."""
     bs = pools.block_size
 
     def body(carry, _):
