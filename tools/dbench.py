@@ -121,6 +121,52 @@ def build_chain(mk, matmul):
     return step, x0, (layers, head), total
 
 
+def build_split_chain():
+    """The ENGINE's projection call pattern: fused wqkv / gate|up tensors
+    through qmm_split (one kernel pass + per-part pack-slice/reshape/cast)
+    vs build_chain's plain qmm. The difference isolates the split-output
+    glue that stepanatomy measured as ~2ms/step at 8B geometry."""
+    from llama_cpp_test_tpu.quant.repack import fuse_qtensors
+
+    rng = np.random.default_rng(0)
+    layers = []
+    total = 0
+    hq = 32
+    kvh, d = (8, 128) if GEOM == "8b" else (4, 64)
+    for _ in range(NL):
+        wq, b1 = mk_q4k(hq * d, C, rng)
+        wk, b2 = mk_q4k(kvh * d, C, rng)
+        wv, b3 = mk_q4k(kvh * d, C, rng)
+        wqkv = fuse_qtensors([wq, wk, wv])
+        wo, b4 = mk_q4k(C, C, rng)
+        g, b5 = mk_q4k(FF, C, rng)
+        u, b6 = mk_q4k(FF, C, rng)
+        gu = fuse_qtensors([g, u])
+        dn, b7 = mk_q4k(C, FF, rng)
+        layers.append((wqkv, wo, gu, dn))
+        total += b1 + b2 + b3 + b4 + b5 + b6 + b7
+    head, nb = mk_q4k(V, C, rng, mult=2048)
+    total += nb
+
+    from llama_cpp_test_tpu.ops.qmatmul import qmm_split
+
+    def step(x, ws):
+        lys, hd = ws
+        for wqkv, wo, gu, dn in lys:
+            q, k, v = qmm_split(x, wqkv, tile_n=TILE_N)
+            y = qmm((q[:, :C] + 1e-9 * (k[:, :1] + v[:, :1]))
+                    .astype(jnp.bfloat16), wo)
+            g2, u2 = qmm_split(y.astype(jnp.bfloat16), gu, tile_n=TILE_N)
+            h = (jax.nn.silu(g2) * u2)
+            x = qmm(h.astype(jnp.bfloat16), dn)[:, :C].astype(jnp.bfloat16)
+        logits = qmm(x, hd)
+        return x + (logits[:, :1] * 1e-9).astype(x.dtype)
+
+    x0 = jnp.asarray(np.random.default_rng(1).standard_normal((B, C)),
+                     jnp.bfloat16)
+    return step, x0, (layers, head), total
+
+
 def build_attn():
     from llama_cpp_test_tpu.ops.paged_attention import paged_attention_decode
 
@@ -386,6 +432,7 @@ def main():
         "qmm_nomin": lambda: build_chain(
             mk_q40, lambda x, qt: qmm(x, qt, tile_n=TILE_N)),
         "qmm_xla": lambda: build_chain(mk_q4k, qmm_xla),
+        "qmm_split": build_split_chain,
         "dense": lambda: build_chain(mk_dense, lambda x, qt: jnp.dot(
             x, qt.qs, preferred_element_type=jnp.float32)[:, :qt.n_orig]),
         "attn": build_attn,
