@@ -237,13 +237,15 @@ def hparams_from_metadata(md: dict) -> HParams:
         norm_type=("ln" if arch in ("phi2", "falcon", "gptneox", "stablelm",
                                     "command-r", "starcoder2", "nemotron",
                                     "olmo",  # olmo: NON-PARAMETRIC LN
-                                    "bert", "nomic-bert")
+                                    "bert", "nomic-bert",
+                                    "gpt2", "starcoder")
                    else "rms"),
         act_fn=("relu2" if arch == "nemotron" else
                 "gelu_erf" if arch == "bert" else
                 "gelu" if (gemma_like or arch in ("phi2", "falcon",
-                                                  "gptneox",
-                                                  "starcoder2")) else "silu"),
+                                                  "gptneox", "starcoder2",
+                                                  "gpt2", "starcoder"))
+                else "silu"),
         embd_scale=(_math.sqrt(n_embd) if gemma_like
                     else g("embedding_scale", 1.0)),
         residual_scale=g("residual_scale", 1.0),
@@ -258,7 +260,8 @@ def hparams_from_metadata(md: dict) -> HParams:
                         30.0 if arch == "gemma2" else 0.0),
         post_norm=arch in ("bert", "nomic-bert"),
         causal=arch not in ("bert", "nomic-bert"),
-        pos_embd=("learned" if arch == "bert" else "rope"),
+        pos_embd=("learned" if arch in ("bert", "gpt2", "starcoder")
+                  else "rope"),
         # default mean everywhere (the historical behavior of this
         # engine's embed paths); GGUF {arch}.pooling_type overrides
         # (bert converter writes CLS)

@@ -884,9 +884,11 @@ def forward_layer(
                                mscale)
         k = layers.apply_mrope(k, mrope_pos, inv_freq, hp.mrope_sections,
                                mscale)
-    else:
+    elif hp.pos_embd == "rope":
         q = layers.apply_rope(q, positions, inv_freq, mscale)
         k = layers.apply_rope(k, positions, inv_freq, mscale)
+    # learned-position archs (gpt2): no rotation — positions entered at
+    # the embedding (embed_extras)
     attn_out = attend(q.astype(jnp.bfloat16),
                       k.astype(jnp.bfloat16),
                       v.astype(jnp.bfloat16))

@@ -212,6 +212,15 @@ register_arch(ArchSpec("baichuan", family="llama", rope_type="norm",
                        notes="W_pack split at convert; 7B rope only"))
 
 
+# gpt2: sequential LayerNorm decoder with LEARNED absolute positions (no
+# rope — position rows added at the embedding like bert), fused
+# attn_qkv(+bias), non-gated GELU FFN with biases, tied lm head
+# (reference llm_build_gpt2; converter transposes HF's Conv1D weights)
+register_arch(ArchSpec("gpt2", family="llama", rope_type="norm",
+                       notes="learned positions, layernorm, fused qkv, "
+                             "non-gated gelu"))
+
+
 def get_arch(name: str) -> ArchSpec:
     spec = ARCHITECTURES.get(name)
     if spec is None:

@@ -86,7 +86,9 @@ def _forward(w: LlamaWeights, pools: KVPools, tokens, positions, block_table,
     llava_eval_image_embed analogue (reference examples/llava/llava.cpp)."""
     x = llama_mod.embed(w, tokens, hp.embd_scale) if x_embd is None \
         else x_embd.astype(jnp.bfloat16)
-    if hp.post_norm:  # bert-family: type/position rows + embedding LN
+    if hp.post_norm or hp.pos_embd == "learned":
+        # bert-family type/position rows + embedding LN; gpt2-family
+        # learned absolute positions
         x = llama_mod.embed_extras(w, hp, x, positions)
     scale = hparams_mod.attn_scale_of(hp)
     cap = hp.attn_softcap
@@ -671,6 +673,12 @@ class Context:
         n = s.n_cached
         if n_discard <= 0 or n_keep + n_discard > n:
             raise ValueError("shift_context: bad n_keep/n_discard")
+        if self.model.hp.pos_embd != "rope":
+            # learned-position archs (gpt2/bert): K holds absolute position
+            # information that a rope delta cannot re-base
+            raise NotImplementedError(
+                "context shift requires rope positions "
+                f"(arch {self.model.hp.arch} uses learned positions)")
         s.table.ensure_resident()
         src = [self._seq_slot(s, i) for i in range(n_keep + n_discard, n)]
         dst = [self._seq_slot(s, i) for i in range(n_keep, n - n_discard)]

@@ -65,7 +65,36 @@ ARCH_MAP = {
     "InternLM2ForCausalLM": "internlm2",
     "BaichuanForCausalLM": "baichuan",
     "BaiChuanForCausalLM": "baichuan",
+    # learned-position LayerNorm decoder (Conv1D weights transposed)
+    "GPT2LMHeadModel": "gpt2",
+    "GPT2Model": "gpt2",
 }
+
+# gpt2 (reference GPT2Model converter): Conv1D projections transpose at
+# convert; learned positions ride position_embd like bert
+GPT2_TOP_MAP = {
+    "transformer.wte.weight": "token_embd.weight",
+    "transformer.wpe.weight": "position_embd.weight",
+    "transformer.ln_f.weight": "output_norm.weight",
+    "transformer.ln_f.bias": "output_norm.bias",
+}
+GPT2_LAYER_MAP = {
+    "ln_1.weight": "attn_norm.weight",
+    "ln_1.bias": "attn_norm.bias",
+    "attn.c_attn.weight": "attn_qkv.weight",
+    "attn.c_attn.bias": "attn_qkv.bias",
+    "attn.c_proj.weight": "attn_output.weight",
+    "attn.c_proj.bias": "attn_output.bias",
+    "ln_2.weight": "ffn_norm.weight",
+    "ln_2.bias": "ffn_norm.bias",
+    "mlp.c_fc.weight": "ffn_up.weight",
+    "mlp.c_fc.bias": "ffn_up.bias",
+    "mlp.c_proj.weight": "ffn_down.weight",
+    "mlp.c_proj.bias": "ffn_down.bias",
+}
+# HF Conv1D stores [in, out]; GGUF wants [out, in]
+GPT2_TRANSPOSE = ("attn_qkv.weight", "attn_output.weight",
+                  "ffn_up.weight", "ffn_down.weight")
 
 # internlm2 HF names (reference InternLM2Model; wqkv handled separately)
 INTERNLM2_TOP_MAP = {
@@ -301,6 +330,13 @@ def permute_qk(w: np.ndarray, n_head: int) -> np.ndarray:
 
 
 def map_name(name: str, arch: str = "llama") -> str | None:
+    if arch == "gpt2":
+        if name.startswith("transformer.h."):
+            rest = name[len("transformer.h."):]
+            idx, _, suffix = rest.partition(".")
+            mapped = GPT2_LAYER_MAP.get(suffix)
+            return f"blk.{idx}.{mapped}" if mapped else None
+        return GPT2_TOP_MAP.get(name)
     if arch == "internlm2":
         if name in INTERNLM2_TOP_MAP:
             return INTERNLM2_TOP_MAP[name]
@@ -445,6 +481,15 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
     if arch == "qwen2vl" and isinstance(cfg.get("text_config"), dict):
         # VL configs nest the language-model hparams (transformers >= 4.52)
         cfg = {**cfg, **cfg["text_config"]}
+    if arch == "gpt2":
+        # GPT2Config uses its own key names
+        cfg = {**cfg,
+               "num_attention_heads": cfg.get("n_head", 12),
+               "hidden_size": cfg.get("n_embd", 768),
+               "num_hidden_layers": cfg.get("n_layer", 12),
+               "max_position_embeddings": cfg.get("n_positions", 1024),
+               "intermediate_size": (cfg.get("n_inner") or
+                                     4 * cfg.get("n_embd", 768))}
     n_head = cfg["num_attention_heads"]
     if arch == "falcon":
         # old (7B) arch: multi-query unless new_decoder_architecture
@@ -539,6 +584,10 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
             "layer_norm_eps", 1e-12)
         del md[f"{arch}.attention.layer_norm_rms_epsilon"]
         md[f"{arch}.pooling_type"] = 2  # CLS
+    if arch == "gpt2":
+        md[f"{arch}.attention.layer_norm_epsilon"] = cfg.get(
+            "layer_norm_epsilon", 1e-5)
+        del md[f"{arch}.attention.layer_norm_rms_epsilon"]
     if arch == "minicpm":
         # mup-style scalar multipliers (reference MiniCPMModel
         # set_gguf_parameters, convert_hf_to_gguf.py)
@@ -781,6 +830,8 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
         arr = np.asarray(arr)
         if arr.dtype != np.float32:
             arr = arr.astype(np.float32)
+        if arch == "gpt2" and gname.endswith(GPT2_TRANSPOSE):
+            arr = np.ascontiguousarray(arr.T)  # Conv1D [in,out] -> [out,in]
         if is_norm_rope and gname.endswith("attn_q.weight"):
             arr = permute_qk(arr, n_head)
         elif is_norm_rope and gname.endswith("attn_k.weight"):

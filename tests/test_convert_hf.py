@@ -1794,3 +1794,68 @@ def test_convert_baichuan_wpack_split(tmp_path):
     _bpe_tokenizer_json(str(bad_dir), V)
     with _pytest.raises(ValueError, match="ALiBi"):
         convert(str(bad_dir), str(tmp_path / "bad.gguf"), dtype="F32")
+
+
+def test_convert_gpt2_matches_transformers(tmp_path):
+    """gpt2: learned absolute positions (no rope), LayerNorm decoder with
+    fused Conv1D qkv (transposed at convert), non-gated GELU FFN, tied
+    head — logits cross-validated vs transformers GPT2LMHeadModel."""
+    from transformers import GPT2Config, GPT2LMHeadModel
+
+    rng = np.random.default_rng(61)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, L, FF, P = 256, 64, 4, 2, 96, 128
+    cfg = {
+        "architectures": ["GPT2LMHeadModel"],
+        "n_embd": C, "n_head": H, "n_layer": L, "n_positions": P,
+        "n_inner": FF, "vocab_size": V, "layer_norm_epsilon": 1e-5,
+        "activation_function": "gelu_new",
+        "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "transformer.wte.weight": r(V, C),
+        "transformer.wpe.weight": r(P, C),
+        "transformer.ln_f.weight": 1.0 + r(C),
+        "transformer.ln_f.bias": r(C),
+    }
+    for i in range(L):
+        p = f"transformer.h.{i}."
+        ws.update({
+            p + "ln_1.weight": 1.0 + r(C), p + "ln_1.bias": r(C),
+            p + "attn.c_attn.weight": r(C, 3 * C),   # Conv1D [in, out]
+            p + "attn.c_attn.bias": r(3 * C),
+            p + "attn.c_proj.weight": r(C, C),
+            p + "attn.c_proj.bias": r(C),
+            p + "ln_2.weight": 1.0 + r(C), p + "ln_2.bias": r(C),
+            p + "mlp.c_fc.weight": r(C, FF), p + "mlp.c_fc.bias": r(FF),
+            p + "mlp.c_proj.weight": r(FF, C), p + "mlp.c_proj.bias": r(C),
+        })
+    tokens = [3, 17, 42, 9, 150, 7]
+    m, got = _convert_and_logits(tmp_path, cfg, ws, tokens)
+    assert m.hp.arch == "gpt2" and m.hp.pos_embd == "learned"
+    assert m.hp.norm_type == "ln" and m.weights.pos_embd is not None
+
+    tcfg = GPT2Config(vocab_size=V, n_embd=C, n_head=H, n_layer=L,
+                      n_positions=P, n_inner=FF, layer_norm_epsilon=1e-5,
+                      activation_function="gelu_new",
+                      attn_implementation="eager")
+    hf = GPT2LMHeadModel(tcfg)
+    missing = hf.load_state_dict(
+        {k: torch.from_numpy(v.copy()) for k, v in ws.items()}, strict=False)
+    assert not missing.unexpected_keys, missing.unexpected_keys
+    hf.eval()
+    with torch.no_grad():
+        ref = hf(torch.tensor([tokens])).logits[0].numpy()
+    err = np.mean((got - ref) ** 2) / (np.mean(ref ** 2) + 1e-9)
+    assert err < 5e-3, err
+    assert np.argmax(got[-1]) == np.argmax(ref[-1])
+
+    # decode steps (incremental positions through embed_extras)
+    from llama_cpp_test_tpu.runtime.engine import Context, generate
+    ctx = Context(m, n_ctx=64, n_seq_max=1, block_size=8)
+    out = list(generate(ctx, tokens, 4))
+    with torch.no_grad():
+        ref_gen = hf.generate(torch.tensor([tokens]), max_new_tokens=4,
+                              do_sample=False, eos_token_id=None,
+                              pad_token_id=0)[0].tolist()[len(tokens):]
+    assert out == ref_gen, (out, ref_gen)
