@@ -354,9 +354,16 @@ def main():
             tok_s8 = 64 / dt
             roof8 = bw / (weight_bytes_per_token(L3_8B_HP, bits=5.0) +
                           kv_bytes_per_token(L3_8B_HP, 600))
+            # KBENCH round-5: fused 4-bit dequant is bound by per-ELEMENT
+            # VPU processing at ~0.96 T elem/s (Q4_K and int8 take equal
+            # time per element), so the attainable ceiling for this format
+            # is elems/0.96T — report progress against BOTH rooflines
+            elems8 = weight_bytes_per_token(L3_8B_HP, bits=8.0)  # = elems
+            elem_roof8 = 0.96e12 / elems8
             extra["llama3_8b_decode"] = {
                 "tok_s": round(tok_s8, 1),
                 "vs_roofline": round(tok_s8 / roof8, 4),
+                "vs_elem_roofline": round(tok_s8 / elem_roof8, 4),
             }
             # prefill MFU at the north-star geometry (TTFT driver): the
             # compute-bound regime — compare against the nominal bf16 MXU
