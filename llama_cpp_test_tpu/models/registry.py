@@ -221,6 +221,14 @@ register_arch(ArchSpec("gpt2", family="llama", rope_type="norm",
                              "non-gated gelu"))
 
 
+# starcoder (v1 / santacoder, GPTBigCode): gpt2 body with MULTI-QUERY
+# attention (1 kv head) and nn.Linear projections (no Conv1D transpose)
+# (reference llm_build_starcoder)
+register_arch(ArchSpec("starcoder", family="llama", rope_type="norm",
+                       notes="learned positions, layernorm, MQA, "
+                             "non-gated gelu"))
+
+
 def get_arch(name: str) -> ArchSpec:
     spec = ARCHITECTURES.get(name)
     if spec is None:

@@ -456,7 +456,8 @@ def parse_tool_calls(text: str) -> tuple[str, list[dict]]:
 # format ids mirror COMMON_CHAT_FORMAT_* (reference common/chat.h:45-58)
 TOOL_FORMATS = ("auto", "generic", "mistral_nemo", "llama_3_x",
                 "llama_3_x_builtin", "deepseek_r1", "functionary_v3_2",
-                "functionary_v3_1", "hermes_2_pro", "command_r7b")
+                "functionary_v3_1", "hermes_2_pro", "command_r7b",
+                "firefunction_v2")
 
 
 def detect_tool_format(jinja_src: str) -> str:
@@ -478,6 +479,8 @@ def detect_tool_format(jinja_src: str) -> str:
             else "llama_3_x"
     if "[TOOL_CALLS]" in src:
         return "mistral_nemo"
+    if " functools[" in src:
+        return "firefunction_v2"
     return "generic"
 
 
@@ -674,6 +677,20 @@ def parse_assistant_message(text: str, fmt: str = "auto",
             resp = _CR7B_RESPONSE_RE.search(text)
             if resp:
                 content = resp.group(1).strip()
+    elif fmt == "firefunction_v2":
+        # " functools[{...}, ...]" prefixed JSON call array (reference
+        # common_chat_parse_firefunction_v2, common/chat.cpp:1192)
+        content = text
+        idx = text.find("functools[")
+        if idx >= 0:
+            arr = _parse_json_prefix(text[idx + len("functools"):])
+            if arr and isinstance(arr[0], list):
+                for obj in arr[0]:
+                    if isinstance(obj, dict) and obj.get("name"):
+                        _mk_call(obj["name"], obj.get("arguments", {}),
+                                 calls)
+                if calls:
+                    content = text[:idx].rstrip()
     else:  # generic / mistral_nemo ride the shared extractor
         content, calls = parse_tool_calls(text)
     return {"content": content, "tool_calls": calls,
@@ -698,6 +715,7 @@ _STREAM_TRIGGERS = {
     "hermes_2_pro": ("<tool_call>",),
     "functionary_v3_2": (">>>",),
     "functionary_v3_1": ("<function=", "<|python_tag|>"),
+    "firefunction_v2": (" functools[", "functools["),
     "command_r7b": ("<|START_ACTION|>",),
     "content_only": (),
 }

@@ -68,6 +68,8 @@ ARCH_MAP = {
     # learned-position LayerNorm decoder (Conv1D weights transposed)
     "GPT2LMHeadModel": "gpt2",
     "GPT2Model": "gpt2",
+    # starcoder1/santacoder: gpt2 body with MQA and nn.Linear projections
+    "GPTBigCodeForCausalLM": "starcoder",
 }
 
 # gpt2 (reference GPT2Model converter): Conv1D projections transpose at
@@ -330,7 +332,7 @@ def permute_qk(w: np.ndarray, n_head: int) -> np.ndarray:
 
 
 def map_name(name: str, arch: str = "llama") -> str | None:
-    if arch == "gpt2":
+    if arch in ("gpt2", "starcoder"):  # same transformer.h.* names
         if name.startswith("transformer.h."):
             rest = name[len("transformer.h."):]
             idx, _, suffix = rest.partition(".")
@@ -481,8 +483,9 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
     if arch == "qwen2vl" and isinstance(cfg.get("text_config"), dict):
         # VL configs nest the language-model hparams (transformers >= 4.52)
         cfg = {**cfg, **cfg["text_config"]}
-    if arch == "gpt2":
-        # GPT2Config uses its own key names
+    if arch in ("gpt2", "starcoder"):
+        # GPT2Config/GPTBigCodeConfig use their own key names; starcoder
+        # is multi-query (1 kv head) unless the flag is off
         cfg = {**cfg,
                "num_attention_heads": cfg.get("n_head", 12),
                "hidden_size": cfg.get("n_embd", 768),
@@ -490,6 +493,10 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
                "max_position_embeddings": cfg.get("n_positions", 1024),
                "intermediate_size": (cfg.get("n_inner") or
                                      4 * cfg.get("n_embd", 768))}
+        if arch == "starcoder":
+            cfg = {**cfg, "num_key_value_heads":
+                   1 if cfg.get("multi_query", True)
+                   else cfg["num_attention_heads"]}
     n_head = cfg["num_attention_heads"]
     if arch == "falcon":
         # old (7B) arch: multi-query unless new_decoder_architecture
@@ -584,7 +591,7 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
             "layer_norm_eps", 1e-12)
         del md[f"{arch}.attention.layer_norm_rms_epsilon"]
         md[f"{arch}.pooling_type"] = 2  # CLS
-    if arch == "gpt2":
+    if arch in ("gpt2", "starcoder"):
         md[f"{arch}.attention.layer_norm_epsilon"] = cfg.get(
             "layer_norm_epsilon", 1e-5)
         del md[f"{arch}.attention.layer_norm_rms_epsilon"]

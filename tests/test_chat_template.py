@@ -305,3 +305,26 @@ def test_stream_content_only_verbatim():
                                  extract=False)
     assert _joined(deltas, "content") == text
     assert parsed["tool_calls"] == []
+
+
+def test_firefunction_v2_tool_calls():
+    """FireFunction-v2 ' functools[...]' prefixed call array (reference
+    common_chat_parse_firefunction_v2, common/chat.cpp:1192)."""
+    import json
+
+    from llama_cpp_test_tpu.server.chat import (detect_tool_format,
+                                                parse_assistant_message)
+
+    assert detect_tool_format(
+        '{{" functools[" if tools else ""}}') == "firefunction_v2"
+    out = parse_assistant_message(
+        ' functools[{"name": "get_weather", "arguments": {"city": "SF"}},'
+        ' {"name": "now", "arguments": {}}]', fmt="firefunction_v2")
+    assert len(out["tool_calls"]) == 2
+    assert out["tool_calls"][0]["function"]["name"] == "get_weather"
+    assert json.loads(
+        out["tool_calls"][0]["function"]["arguments"]) == {"city": "SF"}
+    assert out["content"] == ""
+    # plain text passes through
+    out2 = parse_assistant_message("no calls here", fmt="firefunction_v2")
+    assert out2["tool_calls"] == [] and out2["content"] == "no calls here"

@@ -1859,3 +1859,59 @@ def test_convert_gpt2_matches_transformers(tmp_path):
                               do_sample=False, eos_token_id=None,
                               pad_token_id=0)[0].tolist()[len(tokens):]
     assert out == ref_gen, (out, ref_gen)
+
+
+def test_convert_starcoder_matches_transformers(tmp_path):
+    """starcoder1/santacoder (GPTBigCode): gpt2 body with multi-query
+    attention and Linear (untransposed) projections."""
+    from transformers import GPTBigCodeConfig, GPTBigCodeForCausalLM
+
+    rng = np.random.default_rng(62)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, L, FF, P = 256, 64, 4, 2, 96, 128
+    d = C // H
+    cfg = {
+        "architectures": ["GPTBigCodeForCausalLM"],
+        "n_embd": C, "n_head": H, "n_layer": L, "n_positions": P,
+        "n_inner": FF, "vocab_size": V, "layer_norm_epsilon": 1e-5,
+        "activation_function": "gelu_pytorch_tanh", "multi_query": True,
+        "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "transformer.wte.weight": r(V, C),
+        "transformer.wpe.weight": r(P, C),
+        "transformer.ln_f.weight": 1.0 + r(C),
+        "transformer.ln_f.bias": r(C),
+    }
+    for i in range(L):
+        p = f"transformer.h.{i}."
+        ws.update({
+            p + "ln_1.weight": 1.0 + r(C), p + "ln_1.bias": r(C),
+            p + "attn.c_attn.weight": r(C + 2 * d, C),  # Linear [out, in]
+            p + "attn.c_attn.bias": r(C + 2 * d),
+            p + "attn.c_proj.weight": r(C, C),
+            p + "attn.c_proj.bias": r(C),
+            p + "ln_2.weight": 1.0 + r(C), p + "ln_2.bias": r(C),
+            p + "mlp.c_fc.weight": r(FF, C), p + "mlp.c_fc.bias": r(FF),
+            p + "mlp.c_proj.weight": r(C, FF), p + "mlp.c_proj.bias": r(C),
+        })
+    tokens = [3, 17, 42, 9, 150, 7]
+    m, got = _convert_and_logits(tmp_path, cfg, ws, tokens)
+    assert m.hp.arch == "starcoder" and m.hp.n_head_kv == 1
+    assert m.hp.pos_embd == "learned"
+
+    tcfg = GPTBigCodeConfig(vocab_size=V, n_embd=C, n_head=H, n_layer=L,
+                            n_positions=P, n_inner=FF,
+                            layer_norm_epsilon=1e-5, multi_query=True,
+                            activation_function="gelu_pytorch_tanh",
+                            attn_implementation="eager")
+    hf = GPTBigCodeForCausalLM(tcfg)
+    missing = hf.load_state_dict(
+        {k: torch.from_numpy(v.copy()) for k, v in ws.items()}, strict=False)
+    assert not missing.unexpected_keys, missing.unexpected_keys
+    hf.eval()
+    with torch.no_grad():
+        ref = hf(torch.tensor([tokens])).logits[0].numpy()
+    err = np.mean((got - ref) ** 2) / (np.mean(ref ** 2) + 1e-9)
+    assert err < 5e-3, err
+    assert np.argmax(got[-1]) == np.argmax(ref[-1])
