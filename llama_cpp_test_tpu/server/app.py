@@ -651,19 +651,18 @@ class LlamaServer:
                 if finished is not None:
                     break
                 continue
-            if finished is None:
-                deltas = parser.feed(piece)
-            else:
-                deltas = parser.feed(piece)  # the final token's text
+            deltas = parser.feed(piece)
+            if finished is not None:
+                # finish() reconciles streamed argument fragments with the
+                # authoritative parse: tail carries any unshipped argument
+                # remainder plus whole deltas for never-streamed calls
                 tail, parsed = parser.finish()
                 deltas += tail
-                calls = parsed["tool_calls"] if tools else []
-                for idx, tc in enumerate(calls):
-                    deltas.append({"tool_calls": [
-                        {"index": idx, "id": tc["id"], "type": "function",
-                         "function": tc["function"]}]})
-                if calls:
+                if parsed["tool_calls"] and tools:
                     finished = "tool_calls"
+            if not tools:
+                # tools not requested: drop tool deltas, keep content
+                deltas = [d for d in deltas if "tool_calls" not in d]
             for d in deltas:
                 await resp.write(mk_chunk({"delta": d}, None))
             if finished is not None:

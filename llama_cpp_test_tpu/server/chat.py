@@ -749,6 +749,16 @@ class StreamParser:
     the parsed message, mirroring the reference's end-of-stream
     common_chat_msg_diff against the partially-streamed message."""
 
+    # formats whose tool-call bodies carry a JSON arguments OBJECT whose
+    # raw text can stream as OpenAI-style argument fragments (the
+    # reference's incremental common_chat_msg_diff); functionary/command
+    # formats wrap args in non-JSON markup and stay whole-call-at-finish
+    _ARG_STREAM_FMTS = ("hermes_2_pro", "mistral_nemo", "firefunction_v2",
+                        "generic", "auto", "llama_3_x")
+    _TC_NAME_RE = re.compile(
+        r'"name"\s*:\s*"((?:[^"\\]|\\.)*)"')
+    _TC_ARGS_RE = re.compile(r'"(?:arguments|parameters)"\s*:\s*\{')
+
     def __init__(self, fmt: str, extract_reasoning: bool = False):
         self.fmt = fmt
         self.extract = extract_reasoning
@@ -762,6 +772,15 @@ class StreamParser:
                                                     _STREAM_TRIGGERS["generic"]))
                          + _STREAM_STRIP.get(fmt, ()))
         self._strip = set(_STREAM_STRIP.get(fmt, ()))
+        # incremental tool-call state
+        self._tool_buf = ""
+        self._tc_scan = 0            # cursor for the next "name" search
+        self._tc_args_sent: list[str] = []   # streamed raw args per call
+        self._tc_open = False        # inside an args object
+        self._tc_pos = 0             # next unstreamed char of the args
+        self._tc_depth = 0
+        self._tc_in_str = False
+        self._tc_esc = False
 
     def _emit(self, out, key, text):
         if text:
@@ -769,11 +788,76 @@ class StreamParser:
             (self._sent_content if key == "content"
              else self._sent_reasoning).append(text)
 
+    def _tool_deltas(self, out: list[dict]) -> None:
+        """Incremental OpenAI-style tool_calls deltas from the buffered
+        tool section: a header delta (index/id/name) as soon as the call's
+        name and its args object open are visible, then RAW argument-text
+        fragments as they arrive (everything inside the args object is
+        arguments by construction). finish() reconciles with the
+        authoritative parse."""
+        if self.fmt not in self._ARG_STREAM_FMTS:
+            return
+        buf = self._tool_buf
+        while True:
+            if not self._tc_open:
+                m = self._TC_NAME_RE.search(buf, self._tc_scan)
+                if not m:
+                    return
+                ma = self._TC_ARGS_RE.search(buf, m.end())
+                if not ma:
+                    return
+                idx = len(self._tc_args_sent)
+                out.append({"tool_calls": [{
+                    "index": idx, "id": f"call_{idx}", "type": "function",
+                    "function": {"name": json.loads(f'"{m.group(1)}"'),
+                                 "arguments": ""}}]})
+                self._tc_args_sent.append("")
+                self._tc_open = True
+                self._tc_pos = ma.end() - 1   # at the opening '{'
+                self._tc_depth = 0
+                self._tc_in_str = self._tc_esc = False
+            i = self._tc_pos
+            end = None
+            while i < len(buf):
+                c = buf[i]
+                if self._tc_esc:
+                    self._tc_esc = False
+                elif self._tc_in_str:
+                    if c == "\\":
+                        self._tc_esc = True
+                    elif c == '"':
+                        self._tc_in_str = False
+                elif c == '"':
+                    self._tc_in_str = True
+                elif c == "{":
+                    self._tc_depth += 1
+                elif c == "}":
+                    self._tc_depth -= 1
+                    if self._tc_depth == 0:
+                        end = i + 1
+                        i = end
+                        break
+                i += 1
+            frag = buf[self._tc_pos:i]
+            if frag:
+                self._tc_args_sent[-1] += frag
+                out.append({"tool_calls": [{
+                    "index": len(self._tc_args_sent) - 1,
+                    "function": {"arguments": frag}}]})
+            self._tc_pos = i
+            if end is None:
+                return
+            self._tc_open = False
+            self._tc_scan = end
+
     def feed(self, piece: str) -> list[dict]:
         piece = piece or ""
         self._raw.append(piece)
         if self._state == "tool":
-            return []
+            self._tool_buf += piece
+            out: list[dict] = []
+            self._tool_deltas(out)
+            return out
         self._pend += piece
         out: list[dict] = []
         progress = True
@@ -827,7 +911,11 @@ class StreamParser:
                         progress = True
                     else:
                         self._state = "tool"
+                        # seed the tool buffer with the marker onward so
+                        # argument fragments stream from this very piece
+                        self._tool_buf = self._pend[i:]
                         self._pend = ""
+                        self._tool_deltas(out)
                 else:
                     emit, keep = _holdback(self._pend, self._markers)
                     self._emit(out, "content", emit)
@@ -844,4 +932,38 @@ class StreamParser:
             full = parsed[key] or ""
             if full.startswith(done) and len(full) > len(done):
                 out.append({key: full[len(done):]})
+        # reconcile streamed argument fragments with the authoritative
+        # parse (the reference's end-of-stream common_chat_msg_diff):
+        # stream any unshipped remainder; calls never streamed (unsupported
+        # formats / late markup) arrive whole here
+        for i, call in enumerate(parsed.get("tool_calls") or []):
+            full_args = call["function"]["arguments"]
+            if i < len(self._tc_args_sent):
+                done = self._tc_args_sent[i]
+                if full_args.startswith(done):
+                    if len(full_args) > len(done):
+                        out.append({"tool_calls": [{
+                            "index": i,
+                            "function": {"arguments":
+                                         full_args[len(done):]}}]})
+                else:
+                    # normalization-only mismatch (the parser re-dumps the
+                    # JSON): keep the STREAMED raw text authoritative when
+                    # it decodes to the same object, so stream and final
+                    # message agree
+                    try:
+                        if json.loads(done) == json.loads(full_args):
+                            call["function"]["arguments"] = done
+                    except (json.JSONDecodeError, ValueError):
+                        pass
+            else:
+                out.append({"tool_calls": [{
+                    "index": i, "id": call.get("id", f"call_{i}"),
+                    "type": "function",
+                    "function": {"name": call["function"]["name"],
+                                 "arguments": ""}}]})
+                if full_args:
+                    out.append({"tool_calls": [{
+                        "index": i,
+                        "function": {"arguments": full_args}}]})
         return out, parsed

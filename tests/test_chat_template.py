@@ -328,3 +328,56 @@ def test_firefunction_v2_tool_calls():
     # plain text passes through
     out2 = parse_assistant_message("no calls here", fmt="firefunction_v2")
     assert out2["tool_calls"] == [] and out2["content"] == "no calls here"
+
+
+def test_stream_incremental_argument_deltas():
+    """Arguments stream as OpenAI-style fragments DURING the tool block
+    (the reference's incremental common_chat_msg_diff), not one whole
+    call at finish."""
+    import json
+
+    text = ('Okay. <tool_call>{"name": "get_weather", '
+            '"arguments": {"city": "San Francisco", "unit": "C"}}'
+            '</tool_call>')
+    deltas, parsed = _stream_all(text, "hermes_2_pro", chunk=3)
+    tc = [d["tool_calls"][0] for d in deltas if "tool_calls" in d]
+    assert tc, "no tool_call deltas streamed"
+    header = tc[0]
+    assert header["function"]["name"] == "get_weather"
+    assert header["id"] == "call_0" and header["index"] == 0
+    frags = [c["function"]["arguments"] for c in tc
+             if "arguments" in c["function"]]
+    # multiple argument fragments arrived (incremental, not whole-call)
+    assert len([f for f in frags if f]) >= 3, frags
+    streamed = "".join(frags)
+    final_args = parsed["tool_calls"][0]["function"]["arguments"]
+    assert streamed == final_args  # stream and final message agree
+    assert json.loads(streamed) == {"city": "San Francisco", "unit": "C"}
+
+
+def test_stream_multiple_calls_indexed():
+    import json
+
+    text = ('[TOOL_CALLS][{"name": "a", "arguments": {"x": 1}}, '
+            '{"name": "b", "arguments": {"y": {"z": 2}}}]')
+    deltas, parsed = _stream_all(text, "mistral_nemo", chunk=4)
+    tc = [d["tool_calls"][0] for d in deltas if "tool_calls" in d]
+    idx0 = [c for c in tc if c["index"] == 0]
+    idx1 = [c for c in tc if c["index"] == 1]
+    assert idx0 and idx1
+    assert idx0[0]["function"]["name"] == "a"
+    assert idx1[0]["function"]["name"] == "b"
+    a0 = "".join(c["function"].get("arguments", "") for c in idx0)
+    a1 = "".join(c["function"].get("arguments", "") for c in idx1)
+    assert json.loads(a0) == {"x": 1}
+    assert json.loads(a1) == {"y": {"z": 2}}
+    assert len(parsed["tool_calls"]) == 2
+
+
+def test_stream_unsupported_format_whole_call_at_finish():
+    """functionary-style markup still arrives as whole calls at finish."""
+    text = 'all\nok>>>get_time\n{"tz": "UTC"}'
+    deltas, parsed = _stream_all(text, "functionary_v3_2", chunk=2)
+    tc = [d["tool_calls"][0] for d in deltas if "tool_calls" in d]
+    assert tc and tc[0]["function"]["name"] == "get_time"
+    assert parsed["tool_calls"][0]["function"]["name"] == "get_time"
