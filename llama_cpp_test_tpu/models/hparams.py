@@ -103,7 +103,12 @@ class HParams:
     # learned-position or rope position encoding, no lm head
     post_norm: bool = False
     causal: bool = True          # default attention causality
-    pos_embd: str = "rope"       # 'rope' | 'learned' (bert) | 'none'
+    pos_embd: str = "rope"       # 'rope' | 'learned' (bert) | 'none' (alibi)
+    # ALiBi position bias (bloom/mpt class): per-head slopes added to the
+    # attention logits; attention rides the XLA paths (the Pallas kernels
+    # have no bias input). max_bias = ggml soft_max_ext max_bias / HF 8.0
+    alibi: bool = False
+    alibi_max_bias: float = 8.0
     pooling: str = "last"        # default pooling for embed(): GGUF
     #                              {arch}.pooling_type (llama.h enum)
     # input/output norm flavor: 'rms' (llama) or 'ln' (LayerNorm with bias)
@@ -238,13 +243,14 @@ def hparams_from_metadata(md: dict) -> HParams:
                                     "command-r", "starcoder2", "nemotron",
                                     "olmo",  # olmo: NON-PARAMETRIC LN
                                     "bert", "nomic-bert",
-                                    "gpt2", "starcoder")
+                                    "gpt2", "starcoder", "bloom")
                    else "rms"),
         act_fn=("relu2" if arch == "nemotron" else
                 "gelu_erf" if arch == "bert" else
                 "gelu" if (gemma_like or arch in ("phi2", "falcon",
                                                   "gptneox", "starcoder2",
-                                                  "gpt2", "starcoder"))
+                                                  "gpt2", "starcoder",
+                                                  "bloom"))
                 else "silu"),
         embd_scale=(_math.sqrt(n_embd) if gemma_like
                     else g("embedding_scale", 1.0)),
@@ -261,7 +267,9 @@ def hparams_from_metadata(md: dict) -> HParams:
         post_norm=arch in ("bert", "nomic-bert"),
         causal=arch not in ("bert", "nomic-bert"),
         pos_embd=("learned" if arch in ("bert", "gpt2", "starcoder")
-                  else "rope"),
+                  else "none" if arch == "bloom" else "rope"),
+        alibi=arch == "bloom",
+        alibi_max_bias=g("attention.max_alibi_bias", 8.0),
         # default mean everywhere (the historical behavior of this
         # engine's embed paths); GGUF {arch}.pooling_type overrides
         # (bert converter writes CLS)

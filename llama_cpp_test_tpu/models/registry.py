@@ -229,6 +229,16 @@ register_arch(ArchSpec("starcoder", family="llama", rope_type="norm",
                              "non-gated gelu"))
 
 
+# bloom: ALiBi decoder — no positional embedding at all; per-head slope
+# bias added to the attention logits (XLA attend paths; the Pallas
+# kernels have no bias input), embedding LayerNorm, fused per-head-
+# interleaved qkv deinterleaved at convert, non-gated GELU FFN with
+# biases, tied head (reference llm_build_bloom, llama-model.cpp:5370+)
+register_arch(ArchSpec("bloom", family="llama", rope_type="norm",
+                       notes="alibi, embedding-LN, fused qkv, "
+                             "non-gated gelu"))
+
+
 def get_arch(name: str) -> ArchSpec:
     spec = ARCHITECTURES.get(name)
     if spec is None:

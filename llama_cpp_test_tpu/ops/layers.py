@@ -162,12 +162,28 @@ def swiglu(gate: jax.Array, up: jax.Array, act: str = "silu") -> jax.Array:
     return (a * up.astype(jnp.float32)).astype(gate.dtype)
 
 
+def alibi_slopes(n_head: int, max_bias: float = 8.0) -> np.ndarray:
+    """Per-head ALiBi slopes (HF build_alibi_tensor / ggml soft_max_ext
+    max_bias convention): the closest power-of-two head count gets
+    2^(-max_bias*(i+1)/n); extra heads interleave at half the step."""
+    n = 2 ** int(math.floor(math.log2(n_head)))
+    base = 2.0 ** (-max_bias / n)
+    slopes = [base ** (i + 1) for i in range(n)]
+    if n < n_head:
+        base2 = 2.0 ** (-(max_bias / 2.0) / n)
+        slopes += [base2 ** (2 * i + 1) for i in range(n_head - n)]
+    return np.asarray(slopes[:n_head], np.float32)
+
+
 def attention(q: jax.Array, k: jax.Array, v: jax.Array, mask: jax.Array,
-              scale: float | None = None, softcap: float = 0.0) -> jax.Array:
+              scale: float | None = None, softcap: float = 0.0,
+              alibi: jax.Array | None = None) -> jax.Array:
     """Masked multi-head attention with GQA broadcast.
 
     q: [B, T, H, D]; k/v: [B, S, KV, D]; mask: [B, T, S] bool (True = attend).
-    Returns [B, T, H, D].
+    alibi: optional [H] slopes — adds slope_h * kv_index to the logits
+    (row-constant shift-equivalent to slope * (kv_pos - q_pos), HF Bloom
+    semantics). Returns [B, T, H, D].
     """
     b, t, h, d = q.shape
     s = k.shape[1]
@@ -181,6 +197,10 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, mask: jax.Array,
     logits = jnp.einsum("btgrd,bsgd->bgrts", qf, kf) * scale
     if softcap > 0:
         logits = jnp.tanh(logits / softcap) * softcap
+    if alibi is not None:
+        sl = alibi.astype(jnp.float32).reshape(kv, rep)
+        logits = logits + (sl[:, :, None, None] *
+                           jnp.arange(s, dtype=jnp.float32))[None]
     neg = jnp.finfo(jnp.float32).min
     logits = jnp.where(mask[:, None, None, :, :], logits, neg)
     p = jax.nn.softmax(logits, axis=-1)

@@ -86,15 +86,26 @@ def _forward(w: LlamaWeights, pools: KVPools, tokens, positions, block_table,
     llava_eval_image_embed analogue (reference examples/llava/llava.cpp)."""
     x = llama_mod.embed(w, tokens, hp.embd_scale) if x_embd is None \
         else x_embd.astype(jnp.bfloat16)
-    if hp.post_norm or hp.pos_embd == "learned":
+    if hp.post_norm or hp.pos_embd != "rope":
         # bert-family type/position rows + embedding LN; gpt2-family
-        # learned absolute positions
+        # learned absolute positions; bloom's embedding LayerNorm
         x = llama_mod.embed_extras(w, hp, x, positions)
     scale = hparams_mod.attn_scale_of(hp)
     cap = hp.attn_softcap
     rope_pos = positions if rope_delta is None else \
         positions + rope_delta[:, None]
     quant = pools.quantized
+    alibi = None
+    if hp.alibi:
+        # per-head ALiBi slopes; under tp each shard takes its heads' slice
+        al_full = jnp.asarray(llama_mod.layers.alibi_slopes(
+            hp.n_head, hp.alibi_max_bias))
+        if tp_axis is not None and tp > 1:
+            hl = hp.n_head // tp
+            alibi = jax.lax.dynamic_slice_in_dim(
+                al_full, jax.lax.axis_index(tp_axis) * hl, hl)
+        else:
+            alibi = al_full
     new_k, new_v = list(pools.k), list(pools.v)
     new_ks = list(pools.k_scale) if quant else None
     new_vs = list(pools.v_scale) if quant else None
@@ -108,7 +119,7 @@ def _forward(w: LlamaWeights, pools: KVPools, tokens, positions, block_table,
                     new_k[_li], new_ks[_li], k_cur, slots)
                 new_v[_li], new_vs[_li] = kv_cache.write_kv_q8(
                     new_v[_li], new_vs[_li], v_cur, slots)
-                if decode:
+                if decode and alibi is None:
                     return kv_cache.attend_decode_q8(
                         q, new_k[_li], new_ks[_li], new_v[_li], new_vs[_li],
                         block_table, kv_len, scale,
@@ -119,15 +130,18 @@ def _forward(w: LlamaWeights, pools: KVPools, tokens, positions, block_table,
                                           block_table)
                 qpos = positions if causal else jnp.broadcast_to(
                     (kv_len - 1)[:, None], positions.shape)
+                if decode:  # quantized ALiBi decode: dequant-gather path
+                    qpos = jnp.broadcast_to((kv_len - 1)[:, None],
+                                            (q.shape[0], 1))
                 return kv_cache.attend_gathered(
                     q, k, v, qpos, kv_len, scale,
-                    hparams_mod.layer_window(hp, _li), cap)
+                    hparams_mod.layer_window(hp, _li), cap, alibi=alibi)
             new_k[_li] = kv_cache.write_kv(new_k[_li], k_cur, slots)
             new_v[_li] = kv_cache.write_kv(new_v[_li], v_cur, slots)
             if decode:
                 return kv_cache.attend_decode(
                     q, new_k[_li], new_v[_li], block_table, kv_len, scale,
-                    hparams_mod.layer_window(hp, _li), cap)
+                    hparams_mod.layer_window(hp, _li), cap, alibi=alibi)
             # non-causal (bidirectional) attention for embedding-mode
             # models (gritlm's llama_set_causal_attn(false)): every token
             # attends to the whole chunk — rope still uses true positions
@@ -135,7 +149,7 @@ def _forward(w: LlamaWeights, pools: KVPools, tokens, positions, block_table,
                 (kv_len - 1)[:, None], positions.shape)
             return kv_cache.attend_prefill(
                 q, new_k[_li], new_v[_li], block_table, mask_pos, kv_len,
-                scale, hparams_mod.layer_window(hp, _li), cap)
+                scale, hparams_mod.layer_window(hp, _li), cap, alibi=alibi)
 
         x = llama_mod.forward_layer(
             x, lw, hp, rope_pos,

@@ -265,7 +265,8 @@ def apply_shift(pools: KVPools, src: jax.Array, dst: jax.Array,
 
 def attend_gathered(q: jax.Array, k: jax.Array, v: jax.Array,
                     positions: jax.Array, kv_len: jax.Array, scale: float,
-                    window: int = 0, soft_cap: float = 0.0) -> jax.Array:
+                    window: int = 0, soft_cap: float = 0.0,
+                    alibi: jax.Array | None = None) -> jax.Array:
     """Masked attention over already-gathered KV [B, S, KV, D]."""
     s = k.shape[1]
     sidx = jnp.arange(s)[None, None, :]                  # [1, 1, S]
@@ -273,24 +274,27 @@ def attend_gathered(q: jax.Array, k: jax.Array, v: jax.Array,
     mask = mask & (sidx < kv_len[:, None, None])
     if window > 0:
         mask = mask & (sidx > positions[:, :, None] - window)
-    return layers.attention(q, k, v, mask, scale, softcap=soft_cap)
+    return layers.attention(q, k, v, mask, scale, softcap=soft_cap,
+                            alibi=alibi)
 
 
 def attend_prefill_xla(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
                        block_table: jax.Array, positions: jax.Array,
                        kv_len: jax.Array, scale: float,
-                       window: int = 0, soft_cap: float = 0.0) -> jax.Array:
+                       window: int = 0, soft_cap: float = 0.0,
+                       alibi: jax.Array | None = None) -> jax.Array:
     """Reference prefill attention: full-cache gather + masked softmax."""
     k = gather_kv(k_pool, block_table)  # [B, S, KV, D]
     v = gather_kv(v_pool, block_table)
     return attend_gathered(q, k, v, positions, kv_len, scale, window,
-                           soft_cap)
+                           soft_cap, alibi=alibi)
 
 
 def attend_prefill(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
                    block_table: jax.Array, positions: jax.Array,
                    kv_len: jax.Array, scale: float,
-                   window: int = 0, soft_cap: float = 0.0) -> jax.Array:
+                   window: int = 0, soft_cap: float = 0.0,
+                   alibi: jax.Array | None = None) -> jax.Array:
     """Attention for a prefill chunk whose KV (incl. any cached prefix) is
     already written to the pools.
 
@@ -302,9 +306,12 @@ def attend_prefill(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
     Dispatch: Pallas chunked-flash kernel on TPU (streams pages, O(page)
     memory — ops/flash_prefill.py); XLA full-gather reference elsewhere.
     """
-    if jax.default_backend() != "tpu":
+    if jax.default_backend() != "tpu" or alibi is not None:
+        # ALiBi archs ride the XLA path: the Pallas flash kernel has no
+        # position-bias input (still jitted/fused, just not paged-flash)
         return attend_prefill_xla(q, k_pool, v_pool, block_table, positions,
-                                  kv_len, scale, window, soft_cap)
+                                  kv_len, scale, window, soft_cap,
+                                  alibi=alibi)
     from ..ops.flash_prefill import flash_prefill
 
     return flash_prefill(
@@ -316,24 +323,26 @@ def attend_prefill(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
 def attend_decode_xla(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
                       block_table: jax.Array, kv_len: jax.Array,
                       scale: float, window: int = 0,
-                      soft_cap: float = 0.0) -> jax.Array:
+                      soft_cap: float = 0.0,
+                      alibi: jax.Array | None = None) -> jax.Array:
     """Reference decode path (T==1 per sequence) via gather + masked softmax."""
     positions = (kv_len - 1)[:, None]
-    return attend_prefill(q, k_pool, v_pool, block_table, positions, kv_len,
-                          scale, window, soft_cap)
+    return attend_prefill_xla(q, k_pool, v_pool, block_table, positions,
+                              kv_len, scale, window, soft_cap, alibi=alibi)
 
 
 def attend_decode(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
                   block_table: jax.Array, kv_len: jax.Array,
                   scale: float, window: int = 0,
-                  soft_cap: float = 0.0) -> jax.Array:
+                  soft_cap: float = 0.0,
+                  alibi: jax.Array | None = None) -> jax.Array:
     """Decode attention dispatch: Pallas paged kernel on TPU, XLA elsewhere.
 
     q: [B, 1, H, D] -> [B, 1, H, D].
     """
-    if jax.default_backend() != "tpu" or window > 0:
+    if jax.default_backend() != "tpu" or window > 0 or alibi is not None:
         return attend_decode_xla(q, k_pool, v_pool, block_table, kv_len,
-                                 scale, window, soft_cap)
+                                 scale, window, soft_cap, alibi=alibi)
     b = q.shape[0]
     nbmax = block_table.shape[1]
     bs = k_pool.shape[2]

@@ -70,6 +70,33 @@ ARCH_MAP = {
     "GPT2Model": "gpt2",
     # starcoder1/santacoder: gpt2 body with MQA and nn.Linear projections
     "GPTBigCodeForCausalLM": "starcoder",
+    # ALiBi decoder (no positional embedding)
+    "BloomForCausalLM": "bloom",
+    "BloomModel": "bloom",
+}
+
+# bloom (reference BloomModel converter): per-head-interleaved fused qkv
+# deinterleaved in the convert loop; embedding LayerNorm kept
+BLOOM_TOP_MAP = {
+    "word_embeddings.weight": "token_embd.weight",
+    "word_embeddings_layernorm.weight": "token_embd_norm.weight",
+    "word_embeddings_layernorm.bias": "token_embd_norm.bias",
+    "ln_f.weight": "output_norm.weight",
+    "ln_f.bias": "output_norm.bias",
+}
+BLOOM_LAYER_MAP = {
+    "input_layernorm.weight": "attn_norm.weight",
+    "input_layernorm.bias": "attn_norm.bias",
+    "self_attention.query_key_value.weight": "attn_qkv.weight",
+    "self_attention.query_key_value.bias": "attn_qkv.bias",
+    "self_attention.dense.weight": "attn_output.weight",
+    "self_attention.dense.bias": "attn_output.bias",
+    "post_attention_layernorm.weight": "ffn_norm.weight",
+    "post_attention_layernorm.bias": "ffn_norm.bias",
+    "mlp.dense_h_to_4h.weight": "ffn_up.weight",
+    "mlp.dense_h_to_4h.bias": "ffn_up.bias",
+    "mlp.dense_4h_to_h.weight": "ffn_down.weight",
+    "mlp.dense_4h_to_h.bias": "ffn_down.bias",
 }
 
 # gpt2 (reference GPT2Model converter): Conv1D projections transpose at
@@ -332,6 +359,17 @@ def permute_qk(w: np.ndarray, n_head: int) -> np.ndarray:
 
 
 def map_name(name: str, arch: str = "llama") -> str | None:
+    if arch == "bloom":
+        if name.startswith("transformer."):
+            name = name[len("transformer."):]
+        if name in BLOOM_TOP_MAP:
+            return BLOOM_TOP_MAP[name]
+        if name.startswith("h."):
+            rest = name[len("h."):]
+            idx, _, suffix = rest.partition(".")
+            mapped = BLOOM_LAYER_MAP.get(suffix)
+            return f"blk.{idx}.{mapped}" if mapped else None
+        return None
     if arch in ("gpt2", "starcoder"):  # same transformer.h.* names
         if name.startswith("transformer.h."):
             rest = name[len("transformer.h."):]
@@ -497,6 +535,15 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
             cfg = {**cfg, "num_key_value_heads":
                    1 if cfg.get("multi_query", True)
                    else cfg["num_attention_heads"]}
+    if arch == "bloom":
+        # BloomConfig key names; no positional embedding (ALiBi)
+        hs = cfg.get("hidden_size") or cfg.get("n_embed", 768)
+        cfg = {**cfg,
+               "num_attention_heads": cfg.get("n_head", 12),
+               "hidden_size": hs,
+               "num_hidden_layers": cfg.get("n_layer", 12),
+               "max_position_embeddings": 2048,
+               "intermediate_size": 4 * hs}
     n_head = cfg["num_attention_heads"]
     if arch == "falcon":
         # old (7B) arch: multi-query unless new_decoder_architecture
@@ -591,10 +638,12 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
             "layer_norm_eps", 1e-12)
         del md[f"{arch}.attention.layer_norm_rms_epsilon"]
         md[f"{arch}.pooling_type"] = 2  # CLS
-    if arch in ("gpt2", "starcoder"):
+    if arch in ("gpt2", "starcoder", "bloom"):
         md[f"{arch}.attention.layer_norm_epsilon"] = cfg.get(
             "layer_norm_epsilon", 1e-5)
         del md[f"{arch}.attention.layer_norm_rms_epsilon"]
+    if arch == "bloom":
+        md[f"{arch}.attention.max_alibi_bias"] = 8.0
     if arch == "minicpm":
         # mup-style scalar multipliers (reference MiniCPMModel
         # set_gguf_parameters, convert_hf_to_gguf.py)
@@ -839,6 +888,14 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
             arr = arr.astype(np.float32)
         if arch == "gpt2" and gname.endswith(GPT2_TRANSPOSE):
             arr = np.ascontiguousarray(arr.T)  # Conv1D [in,out] -> [out,in]
+        if arch == "bloom" and gname.endswith("attn_qkv.weight"):
+            # HF bloom fuses qkv per-head-interleaved [H, 3, d, C] ->
+            # contiguous [q; k; v] rows (reference BloomModel
+            # modify_tensors reshape)
+            arr = arr.reshape(n_head, 3, head_dim, arr.shape[-1])                      .transpose(1, 0, 2, 3).reshape(3 * n_head * head_dim,
+                                                    arr.shape[-1])
+        if arch == "bloom" and gname.endswith("attn_qkv.bias"):
+            arr = arr.reshape(n_head, 3, head_dim)                      .transpose(1, 0, 2).reshape(-1)
         if is_norm_rope and gname.endswith("attn_q.weight"):
             arr = permute_qk(arr, n_head)
         elif is_norm_rope and gname.endswith("attn_k.weight"):

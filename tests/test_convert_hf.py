@@ -1915,3 +1915,85 @@ def test_convert_starcoder_matches_transformers(tmp_path):
     err = np.mean((got - ref) ** 2) / (np.mean(ref ** 2) + 1e-9)
     assert err < 5e-3, err
     assert np.argmax(got[-1]) == np.argmax(ref[-1])
+
+
+def test_convert_bloom_alibi_matches_transformers(tmp_path):
+    """bloom: ALiBi decoder (no positional embedding), embedding
+    LayerNorm, per-head-interleaved fused qkv deinterleaved at convert,
+    non-gated GELU FFN — logits + greedy generation cross-validated vs
+    transformers BloomForCausalLM (ALiBi slope parity included)."""
+    from transformers import BloomConfig, BloomForCausalLM
+
+    rng = np.random.default_rng(71)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, L = 256, 64, 4, 2
+    FF = 4 * C
+    cfg = {
+        "architectures": ["BloomForCausalLM"],
+        "hidden_size": C, "n_head": H, "n_layer": L, "vocab_size": V,
+        "layer_norm_epsilon": 1e-5, "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "transformer.word_embeddings.weight": r(V, C),
+        "transformer.word_embeddings_layernorm.weight": 1.0 + r(C),
+        "transformer.word_embeddings_layernorm.bias": r(C),
+        "transformer.ln_f.weight": 1.0 + r(C),
+        "transformer.ln_f.bias": r(C),
+    }
+    for i in range(L):
+        p = f"transformer.h.{i}."
+        ws.update({
+            p + "input_layernorm.weight": 1.0 + r(C),
+            p + "input_layernorm.bias": r(C),
+            p + "self_attention.query_key_value.weight": r(3 * C, C),
+            p + "self_attention.query_key_value.bias": r(3 * C),
+            p + "self_attention.dense.weight": r(C, C),
+            p + "self_attention.dense.bias": r(C),
+            p + "post_attention_layernorm.weight": 1.0 + r(C),
+            p + "post_attention_layernorm.bias": r(C),
+            p + "mlp.dense_h_to_4h.weight": r(FF, C),
+            p + "mlp.dense_h_to_4h.bias": r(FF),
+            p + "mlp.dense_4h_to_h.weight": r(C, FF),
+            p + "mlp.dense_4h_to_h.bias": r(C),
+        })
+    tokens = [3, 17, 42, 9, 150, 7]
+    m, got = _convert_and_logits(tmp_path, cfg, ws, tokens)
+    assert m.hp.arch == "bloom" and m.hp.alibi
+    assert m.hp.pos_embd == "none" and m.weights.tok_norm is not None
+
+    tcfg = BloomConfig(vocab_size=V, hidden_size=C, n_head=H, n_layer=L,
+                       layer_norm_epsilon=1e-5,
+                       attn_implementation="eager")
+    hf = BloomForCausalLM(tcfg)
+    missing = hf.load_state_dict(
+        {k: torch.from_numpy(v.copy()) for k, v in ws.items()}, strict=False)
+    assert not missing.unexpected_keys, missing.unexpected_keys
+    hf.eval()
+    with torch.no_grad():
+        ref = hf(torch.tensor([tokens])).logits[0].numpy()
+    err = np.mean((got - ref) ** 2) / (np.mean(ref ** 2) + 1e-9)
+    assert err < 5e-3, err
+    assert np.argmax(got[-1]) == np.argmax(ref[-1])
+
+    # greedy decode steps keep parity (ALiBi bias in the decode path too)
+    from llama_cpp_test_tpu.runtime.engine import Context, generate
+    ctx = Context(m, n_ctx=64, n_seq_max=1, block_size=8)
+    out = list(generate(ctx, tokens, 4))
+    with torch.no_grad():
+        ref_gen = hf.generate(torch.tensor([tokens]), max_new_tokens=4,
+                              do_sample=False, eos_token_id=None,
+                              pad_token_id=0)[0].tolist()[len(tokens):]
+    assert out == ref_gen, (out, ref_gen)
+
+
+def test_alibi_slopes_match_hf():
+    """Per-head slope formula parity with HF build_alibi_tensor, incl.
+    non-power-of-two head counts (the interleaved second ladder)."""
+    from transformers.models.bloom.modeling_bloom import build_alibi_tensor
+
+    from llama_cpp_test_tpu.ops.layers import alibi_slopes
+
+    for H in (4, 6, 12, 14, 32, 71):
+        mask = torch.ones(1, 5)
+        hf = build_alibi_tensor(mask, H, torch.float32)[:, 0, 1].numpy()
+        np.testing.assert_allclose(alibi_slopes(H), hf, rtol=1e-6)
