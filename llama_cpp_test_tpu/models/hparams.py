@@ -109,6 +109,7 @@ class HParams:
     # have no bias input). max_bias = ggml soft_max_ext max_bias / HF 8.0
     alibi: bool = False
     alibi_max_bias: float = 8.0
+    alibi_style: str = "bloom"   # 'bloom' | 'mpt' (non-pow2 head order)
     pooling: str = "last"        # default pooling for embed(): GGUF
     #                              {arch}.pooling_type (llama.h enum)
     # input/output norm flavor: 'rms' (llama) or 'ln' (LayerNorm with bias)
@@ -243,10 +244,11 @@ def hparams_from_metadata(md: dict) -> HParams:
                                     "command-r", "starcoder2", "nemotron",
                                     "olmo",  # olmo: NON-PARAMETRIC LN
                                     "bert", "nomic-bert",
-                                    "gpt2", "starcoder", "bloom")
+                                    "gpt2", "starcoder", "bloom", "mpt")
                    else "rms"),
         act_fn=("relu2" if arch == "nemotron" else
-                "gelu_erf" if arch == "bert" else
+                # bert/mpt: HF applies the EXACT erf gelu
+                "gelu_erf" if arch in ("bert", "mpt") else
                 "gelu" if (gemma_like or arch in ("phi2", "falcon",
                                                   "gptneox", "starcoder2",
                                                   "gpt2", "starcoder",
@@ -267,9 +269,10 @@ def hparams_from_metadata(md: dict) -> HParams:
         post_norm=arch in ("bert", "nomic-bert"),
         causal=arch not in ("bert", "nomic-bert"),
         pos_embd=("learned" if arch in ("bert", "gpt2", "starcoder")
-                  else "none" if arch == "bloom" else "rope"),
-        alibi=arch == "bloom",
+                  else "none" if arch in ("bloom", "mpt") else "rope"),
+        alibi=arch in ("bloom", "mpt"),
         alibi_max_bias=g("attention.max_alibi_bias", 8.0),
+        alibi_style="mpt" if arch == "mpt" else "bloom",
         # default mean everywhere (the historical behavior of this
         # engine's embed paths); GGUF {arch}.pooling_type overrides
         # (bert converter writes CLS)

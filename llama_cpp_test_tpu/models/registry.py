@@ -239,6 +239,15 @@ register_arch(ArchSpec("bloom", family="llama", rope_type="norm",
                              "non-gated gelu"))
 
 
+# mpt: ALiBi decoder like bloom but with the MPT slope ordering for
+# non-power-of-two head counts, bias-free projections/norms (no_bias),
+# contiguous fused Wqkv, non-gated GELU FFN, tied head
+# (reference llm_build_mpt)
+register_arch(ArchSpec("mpt", family="llama", rope_type="norm",
+                       notes="alibi (mpt slopes), fused qkv, "
+                             "non-gated gelu, bias-free"))
+
+
 def get_arch(name: str) -> ArchSpec:
     spec = ARCHITECTURES.get(name)
     if spec is None:

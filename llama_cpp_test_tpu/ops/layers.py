@@ -162,10 +162,21 @@ def swiglu(gate: jax.Array, up: jax.Array, act: str = "silu") -> jax.Array:
     return (a * up.astype(jnp.float32)).astype(gate.dtype)
 
 
-def alibi_slopes(n_head: int, max_bias: float = 8.0) -> np.ndarray:
-    """Per-head ALiBi slopes (HF build_alibi_tensor / ggml soft_max_ext
-    max_bias convention): the closest power-of-two head count gets
-    2^(-max_bias*(i+1)/n); extra heads interleave at half the step."""
+def alibi_slopes(n_head: int, max_bias: float = 8.0,
+                 style: str = "bloom") -> np.ndarray:
+    """Per-head ALiBi slopes.
+
+    'bloom' (HF build_alibi_tensor / ggml soft_max_ext max_bias): the
+    closest power-of-two head count gets 2^(-max_bias*(i+1)/n); extra
+    heads interleave at half the step. 'mpt' (HF build_mpt_alibi_tensor):
+    slopes computed for the NEXT power of two, then odd-index slopes
+    first — slightly different for non-power-of-two head counts."""
+    if style == "mpt":
+        n = 2 ** int(math.ceil(math.log2(n_head)))
+        slopes = [2.0 ** (-(i + 1) * max_bias / n) for i in range(n)]
+        if n != n_head:
+            slopes = slopes[1::2] + slopes[::2]
+        return np.asarray(slopes[:n_head], np.float32)
     n = 2 ** int(math.floor(math.log2(n_head)))
     base = 2.0 ** (-max_bias / n)
     slopes = [base ** (i + 1) for i in range(n)]

@@ -99,7 +99,7 @@ def _forward(w: LlamaWeights, pools: KVPools, tokens, positions, block_table,
     if hp.alibi:
         # per-head ALiBi slopes; under tp each shard takes its heads' slice
         al_full = jnp.asarray(llama_mod.layers.alibi_slopes(
-            hp.n_head, hp.alibi_max_bias))
+            hp.n_head, hp.alibi_max_bias, style=hp.alibi_style))
         if tp_axis is not None and tp > 1:
             hl = hp.n_head // tp
             alibi = jax.lax.dynamic_slice_in_dim(

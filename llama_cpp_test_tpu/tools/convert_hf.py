@@ -70,9 +70,32 @@ ARCH_MAP = {
     "GPT2Model": "gpt2",
     # starcoder1/santacoder: gpt2 body with MQA and nn.Linear projections
     "GPTBigCodeForCausalLM": "starcoder",
-    # ALiBi decoder (no positional embedding)
+    # ALiBi decoders (no positional embedding)
     "BloomForCausalLM": "bloom",
     "BloomModel": "bloom",
+    "MptForCausalLM": "mpt",
+    "MPTForCausalLM": "mpt",
+}
+
+# mpt (reference MPTModel converter): contiguous fused Wqkv, bias-free
+MPT_TOP_MAP = {
+    "wte.weight": "token_embd.weight",
+    "norm_f.weight": "output_norm.weight",
+    "norm_f.bias": "output_norm.bias",
+}
+MPT_LAYER_MAP = {
+    "norm_1.weight": "attn_norm.weight",
+    "norm_1.bias": "attn_norm.bias",
+    "attn.Wqkv.weight": "attn_qkv.weight",
+    "attn.Wqkv.bias": "attn_qkv.bias",
+    "attn.out_proj.weight": "attn_output.weight",
+    "attn.out_proj.bias": "attn_output.bias",
+    "norm_2.weight": "ffn_norm.weight",
+    "norm_2.bias": "ffn_norm.bias",
+    "ffn.up_proj.weight": "ffn_up.weight",
+    "ffn.up_proj.bias": "ffn_up.bias",
+    "ffn.down_proj.weight": "ffn_down.weight",
+    "ffn.down_proj.bias": "ffn_down.bias",
 }
 
 # bloom (reference BloomModel converter): per-head-interleaved fused qkv
@@ -359,6 +382,17 @@ def permute_qk(w: np.ndarray, n_head: int) -> np.ndarray:
 
 
 def map_name(name: str, arch: str = "llama") -> str | None:
+    if arch == "mpt":
+        if name.startswith("transformer."):
+            name = name[len("transformer."):]
+        if name in MPT_TOP_MAP:
+            return MPT_TOP_MAP[name]
+        if name.startswith("blocks."):
+            rest = name[len("blocks."):]
+            idx, _, suffix = rest.partition(".")
+            mapped = MPT_LAYER_MAP.get(suffix)
+            return f"blk.{idx}.{mapped}" if mapped else None
+        return None
     if arch == "bloom":
         if name.startswith("transformer."):
             name = name[len("transformer."):]
@@ -544,6 +578,15 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
                "num_hidden_layers": cfg.get("n_layer", 12),
                "max_position_embeddings": 2048,
                "intermediate_size": 4 * hs}
+    if arch == "mpt":
+        hs = cfg.get("d_model", 768)
+        cfg = {**cfg,
+               "num_attention_heads": cfg.get("n_heads", 12),
+               "hidden_size": hs,
+               "num_hidden_layers": cfg.get("n_layers", 12),
+               "max_position_embeddings": cfg.get("max_seq_len", 2048),
+               "intermediate_size": int(
+                   cfg.get("expansion_ratio", 4) * hs)}
     n_head = cfg["num_attention_heads"]
     if arch == "falcon":
         # old (7B) arch: multi-query unless new_decoder_architecture
@@ -638,12 +681,15 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
             "layer_norm_eps", 1e-12)
         del md[f"{arch}.attention.layer_norm_rms_epsilon"]
         md[f"{arch}.pooling_type"] = 2  # CLS
-    if arch in ("gpt2", "starcoder", "bloom"):
+    if arch in ("gpt2", "starcoder", "bloom", "mpt"):
         md[f"{arch}.attention.layer_norm_epsilon"] = cfg.get(
             "layer_norm_epsilon", 1e-5)
         del md[f"{arch}.attention.layer_norm_rms_epsilon"]
     if arch == "bloom":
         md[f"{arch}.attention.max_alibi_bias"] = 8.0
+    if arch == "mpt":
+        md[f"{arch}.attention.max_alibi_bias"] = float(
+            (cfg.get("attn_config") or {}).get("alibi_bias_max", 8.0))
     if arch == "minicpm":
         # mup-style scalar multipliers (reference MiniCPMModel
         # set_gguf_parameters, convert_hf_to_gguf.py)

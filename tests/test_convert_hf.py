@@ -1997,3 +1997,65 @@ def test_alibi_slopes_match_hf():
         mask = torch.ones(1, 5)
         hf = build_alibi_tensor(mask, H, torch.float32)[:, 0, 1].numpy()
         np.testing.assert_allclose(alibi_slopes(H), hf, rtol=1e-6)
+
+
+def test_convert_mpt_alibi_matches_transformers(tmp_path):
+    """mpt: bias-free ALiBi decoder with the MPT slope ordering and a
+    contiguous fused Wqkv — logits + greedy decode vs transformers."""
+    from transformers import MptConfig, MptForCausalLM
+
+    # seed 73: seed 72's random logits had a sub-1e-4 top-2 margin at the
+    # last position (bf16 activation noise flips it); margins here are
+    # robust
+    rng = np.random.default_rng(73)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, L = 256, 60, 6, 2   # 6 heads: MPT's non-pow2 slope order
+    FF = 4 * C
+    cfg = {
+        "architectures": ["MptForCausalLM"],
+        "d_model": C, "n_heads": H, "n_layers": L, "vocab_size": V,
+        "max_seq_len": 256, "expansion_ratio": 4,
+        "attn_config": {"alibi": True, "alibi_bias_max": 8},
+        "no_bias": True, "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "transformer.wte.weight": r(V, C),
+        "transformer.norm_f.weight": 1.0 + r(C),
+    }
+    for i in range(L):
+        p = f"transformer.blocks.{i}."
+        ws.update({
+            p + "norm_1.weight": 1.0 + r(C),
+            p + "attn.Wqkv.weight": r(3 * C, C),
+            p + "attn.out_proj.weight": r(C, C),
+            p + "norm_2.weight": 1.0 + r(C),
+            p + "ffn.up_proj.weight": r(FF, C),
+            p + "ffn.down_proj.weight": r(C, FF),
+        })
+    tokens = [3, 17, 42, 9, 150, 7]
+    m, got = _convert_and_logits(tmp_path, cfg, ws, tokens)
+    assert m.hp.arch == "mpt" and m.hp.alibi
+    assert m.hp.alibi_style == "mpt" and m.hp.n_head == 6
+
+    tcfg = MptConfig(vocab_size=V, d_model=C, n_heads=H, n_layers=L,
+                     max_seq_len=256, expansion_ratio=4, no_bias=True,
+                     attn_implementation="eager")
+    hf = MptForCausalLM(tcfg)
+    missing = hf.load_state_dict(
+        {k: torch.from_numpy(v.copy()) for k, v in ws.items()}, strict=False)
+    assert not missing.unexpected_keys, missing.unexpected_keys
+    hf.eval()
+    with torch.no_grad():
+        ref = hf(torch.tensor([tokens])).logits[0].numpy()
+    err = np.mean((got - ref) ** 2) / (np.mean(ref ** 2) + 1e-9)
+    assert err < 5e-3, err
+    assert np.argmax(got[-1]) == np.argmax(ref[-1])
+
+    from llama_cpp_test_tpu.runtime.engine import Context, generate
+    ctx = Context(m, n_ctx=64, n_seq_max=1, block_size=8)
+    out = list(generate(ctx, tokens, 4))
+    with torch.no_grad():
+        ref_gen = hf.generate(torch.tensor([tokens]), max_new_tokens=4,
+                              do_sample=False, eos_token_id=None,
+                              pad_token_id=0)[0].tolist()[len(tokens):]
+    assert out == ref_gen, (out, ref_gen)
