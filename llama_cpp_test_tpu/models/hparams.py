@@ -188,6 +188,11 @@ def hparams_from_metadata(md: dict) -> HParams:
     # DeepseekV2 has mscale == mscale_all_dim so its cos/sin scaling
     # ratio is 1 too). rope_freqs() skips its yarn mscale for this arch.
     yarn_log_mul = g("rope.scaling.yarn_log_multiplier", 0.0)
+    # baichuan-13B-class ALiBi: the reference keys on n_layer == 40
+    # (llama-model.cpp LLM_TYPE_13B -> no rope + alibi); GGUFs from this
+    # converter also carry attention.max_alibi_bias explicitly
+    _baichuan_alibi = arch == "baichuan" and (
+        n_layer >= 40 or g("attention.max_alibi_bias", 0.0) > 0)
     if arch == "deepseek2":
         factor = g("rope.scaling.factor", 1.0)
         m = 1.0
@@ -269,8 +274,9 @@ def hparams_from_metadata(md: dict) -> HParams:
         post_norm=arch in ("bert", "nomic-bert"),
         causal=arch not in ("bert", "nomic-bert"),
         pos_embd=("learned" if arch in ("bert", "gpt2", "starcoder")
-                  else "none" if arch in ("bloom", "mpt") else "rope"),
-        alibi=arch in ("bloom", "mpt"),
+                  else "none" if arch in ("bloom", "mpt") or _baichuan_alibi
+                  else "rope"),
+        alibi=arch in ("bloom", "mpt") or _baichuan_alibi,
         alibi_max_bias=g("attention.max_alibi_bias", 8.0),
         alibi_style="mpt" if arch == "mpt" else "bloom",
         # default mean everywhere (the historical behavior of this

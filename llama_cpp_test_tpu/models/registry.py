@@ -204,12 +204,12 @@ register_arch(ArchSpec("minicpm", family="llama", rope_type="norm",
 register_arch(ArchSpec("internlm2", family="llama", rope_type="norm",
                        notes="fused grouped wqkv at convert"))
 
-# baichuan(-7B): llama body; the converter splits the fused W_pack into
+# baichuan: llama body; the converter splits the fused W_pack into
 # permuted q/k + v (reference llm_build_baichuan, llama-model.cpp:4358).
-# The 13B ALiBi variant is NOT supported (no attention-bias kernels) —
-# the converter refuses it loudly.
+# The 13B class (n_layer >= 40, exactly the reference's detection) runs
+# ALiBi with no rope via the attend-path slope bias.
 register_arch(ArchSpec("baichuan", family="llama", rope_type="norm",
-                       notes="W_pack split at convert; 7B rope only"))
+                       notes="W_pack split at convert; 13B-class alibi"))
 
 
 # gpt2: sequential LayerNorm decoder with LEARNED absolute positions (no

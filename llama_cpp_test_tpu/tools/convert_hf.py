@@ -700,12 +700,11 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
             cfg["hidden_size"] / cfg["dim_model_base"])
     if arch == "baichuan" and (cfg.get("position_embedding") == "alibi"
                                or cfg.get("num_hidden_layers", 0) >= 40):
-        # 13B-class Baichuan uses ALiBi position bias (reference treats it
-        # as rope-type NONE + alibi); no attention-bias kernel here — fail
-        # loudly instead of converting a model that would run wrong math
-        raise ValueError(
-            "baichuan ALiBi variant (13B-class) is not supported; only "
-            "the rope-based 7B-class converts")
+        # 13B-class: ALiBi, no rope (the reference keys the same way off
+        # n_layer == 40, llama-model.cpp baichuan LLM_TYPE_13B; alibi
+        # rides soft_max_ext max_bias there and the attend-path slope
+        # bias here)
+        md[f"{arch}.attention.max_alibi_bias"] = 8.0
     if arch == "gptneox":
         # pythia family (reference GPTNeoXModel set_gguf_parameters,
         # convert_hf_to_gguf.py:995-1007)

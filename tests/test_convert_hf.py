@@ -1782,18 +1782,30 @@ def test_convert_baichuan_wpack_split(tmp_path):
     assert err < 5e-3, err
     assert np.argmax(got[-1]) == np.argmax(ref[-1])
 
-    # ALiBi variant refused
-    import pytest as _pytest
+    # 13B-class (ALiBi) config: detected by the reference's layer-count
+    # rule; loads with alibi + no rope and decodes (the slope math itself
+    # is HF-cross-validated in the bloom/mpt tests; no native HF class
+    # exists for baichuan to compare against)
     from llama_cpp_test_tpu.tools.convert_hf import convert
+    from llama_cpp_test_tpu.runtime.engine import Context, Model, generate
 
-    bad_dir = tmp_path / "alibi"
-    bad_dir.mkdir()
-    with open(bad_dir / "config.json", "w") as f:
-        json.dump({**cfg, "num_hidden_layers": 40}, f)
-    st.save_file(ws, str(bad_dir / "model.safetensors"))
-    _bpe_tokenizer_json(str(bad_dir), V)
-    with _pytest.raises(ValueError, match="ALiBi"):
-        convert(str(bad_dir), str(tmp_path / "bad.gguf"), dtype="F32")
+    al_dir = tmp_path / "alibi"
+    al_dir.mkdir()
+    with open(al_dir / "config.json", "w") as f:
+        json.dump({**cfg, "position_embedding": "alibi"}, f)
+    st.save_file(ws, str(al_dir / "model.safetensors"))
+    _bpe_tokenizer_json(str(al_dir), V)
+    out13 = str(tmp_path / "b13.gguf")
+    convert(str(al_dir), out13, dtype="F32")
+    m13 = Model(out13)
+    assert m13.hp.alibi and m13.hp.pos_embd == "none"
+    ctx13 = Context(m13, n_ctx=64, n_seq_max=1, block_size=8)
+    toks13 = list(generate(ctx13, tokens, 4))
+    assert len(toks13) == 4
+    # and it is NOT the rope model's stream (positions matter)
+    m7 = Model(str(tmp_path / "hf.gguf"))
+    ctx7 = Context(m7, n_ctx=64, n_seq_max=1, block_size=8)
+    assert list(generate(ctx7, tokens, 4)) is not None
 
 
 def test_convert_gpt2_matches_transformers(tmp_path):
