@@ -49,12 +49,48 @@ def build_parser() -> argparse.ArgumentParser:
                            examples=("main", "sampling"), extra=extras)
 
 
+def _run_mamba(args) -> int:
+    """One-shot generation for recurrent state-space models (mamba):
+    the arch has no KV cache, so it rides models/mamba.py's
+    MambaContext instead of the paged engine (interactive/session
+    features are KV-cache machinery and not available here)."""
+    from ..models.mamba import MambaContext, MambaModel, generate
+
+    t0 = time.time()
+    model = MambaModel(args.model)
+    print(f"# mamba model loaded in {time.time()-t0:.1f}s "
+          f"(n_layer={model.hp.n_layer}, d_inner={model.hp.d_inner})",
+          file=sys.stderr)
+    if model.tokenizer is None:
+        print("error: model has no tokenizer", file=sys.stderr)
+        return 1
+    prompt = args.prompt or ""
+    if getattr(args, "file", None):
+        prompt = open(args.file, encoding="utf-8").read()
+    toks = model.tokenizer.encode(prompt, add_special=True)
+    ctx = MambaContext(model)
+    vocab = model.tokenizer.vocab
+    sys.stdout.write(prompt)
+    for tok in generate(ctx, toks, args.n_predict):
+        if vocab.is_eog(tok):
+            break
+        sys.stdout.write(model.tokenizer.token_to_piece(tok))
+        sys.stdout.flush()
+    sys.stdout.write("\n")
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    from ..gguf.reader import open_gguf
     from ..runtime.engine import Context, Model
     from ..runtime.sampling import SamplerChain, SamplerParams
     from ..runtime.scheduler import GenRequest, Scheduler
+
+    if open_gguf(args.model).metadata.get(
+            "general.architecture") == "mamba":
+        return _run_mamba(args)
 
     t0 = time.time()
     mesh = None

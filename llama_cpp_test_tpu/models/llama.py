@@ -271,7 +271,11 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
         hp = hparams_from_metadata(reader.metadata)
     from .registry import get_arch
 
-    get_arch(hp.arch)  # refuse archs with no implemented forward pass
+    spec = get_arch(hp.arch)  # refuse archs with no implemented forward
+    if spec.family == "mamba":
+        raise ValueError(
+            "mamba is a recurrent state-space arch with no KV cache — "
+            "load it with models.mamba.MambaModel / MambaContext")
     t = reader.tensors
     if tp > 1:
         from ..parallel.sharding import repack_sharded, shard_qtensor_cols

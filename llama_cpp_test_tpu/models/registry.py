@@ -248,6 +248,15 @@ register_arch(ArchSpec("mpt", family="llama", rope_type="norm",
                              "non-gated gelu, bias-free"))
 
 
+# mamba: selective state-space (recurrent conv + SSM state instead of a
+# KV cache) — served by models/mamba.py MambaModel/MambaContext, NOT the
+# paged-KV engine (the reference's recurrent llama-kv-cache mode,
+# llama-kv-cache.h:146; builder llm_build_mamba). llama-family
+# load_weights refuses it with a pointer.
+register_arch(ArchSpec("mamba", family="mamba",
+                       notes="recurrent ssm; models/mamba.py surface"))
+
+
 def get_arch(name: str) -> ArchSpec:
     spec = ARCHITECTURES.get(name)
     if spec is None:

@@ -75,6 +75,29 @@ ARCH_MAP = {
     "BloomModel": "bloom",
     "MptForCausalLM": "mpt",
     "MPTForCausalLM": "mpt",
+    # selective state-space (recurrent cache, models/mamba.py)
+    "MambaForCausalLM": "mamba",
+}
+
+# mamba (reference MambaModel converter): A_log -> -exp(A_log) at
+# convert; depthwise conv taps [d_inner, 1, d_conv] -> [d_inner, d_conv]
+MAMBA_TOP_MAP = {
+    "backbone.embeddings.weight": "token_embd.weight",
+    "backbone.embedding.weight": "token_embd.weight",
+    "backbone.norm_f.weight": "output_norm.weight",
+    "lm_head.weight": "output.weight",
+}
+MAMBA_LAYER_MAP = {
+    "norm.weight": "attn_norm.weight",
+    "mixer.in_proj.weight": "ssm_in.weight",
+    "mixer.conv1d.weight": "ssm_conv1d.weight",
+    "mixer.conv1d.bias": "ssm_conv1d.bias",
+    "mixer.x_proj.weight": "ssm_x.weight",
+    "mixer.dt_proj.weight": "ssm_dt.weight",
+    "mixer.dt_proj.bias": "ssm_dt.bias",
+    "mixer.A_log": "ssm_a.weight",
+    "mixer.D": "ssm_d.weight",
+    "mixer.out_proj.weight": "ssm_out.weight",
 }
 
 # mpt (reference MPTModel converter): contiguous fused Wqkv, bias-free
@@ -382,6 +405,15 @@ def permute_qk(w: np.ndarray, n_head: int) -> np.ndarray:
 
 
 def map_name(name: str, arch: str = "llama") -> str | None:
+    if arch == "mamba":
+        if name in MAMBA_TOP_MAP:
+            return MAMBA_TOP_MAP[name]
+        if name.startswith("backbone.layers."):
+            rest = name[len("backbone.layers."):]
+            idx, _, suffix = rest.partition(".")
+            mapped = MAMBA_LAYER_MAP.get(suffix)
+            return f"blk.{idx}.{mapped}" if mapped else None
+        return None
     if arch == "mpt":
         if name.startswith("transformer."):
             name = name[len("transformer."):]
@@ -578,6 +610,16 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
                "num_hidden_layers": cfg.get("n_layer", 12),
                "max_position_embeddings": 2048,
                "intermediate_size": 4 * hs}
+    if arch == "mamba":
+        # MambaConfig keys; attention-centric header fields are unused
+        hs = cfg.get("hidden_size") or cfg.get("d_model", 768)
+        cfg = {**cfg,
+               "num_attention_heads": 1,
+               "hidden_size": hs,
+               "num_hidden_layers": (cfg.get("num_hidden_layers")
+                                     or cfg.get("n_layer", 12)),
+               "max_position_embeddings": 2 ** 20,
+               "intermediate_size": cfg.get("intermediate_size", 2 * hs)}
     if arch == "mpt":
         hs = cfg.get("d_model", 768)
         cfg = {**cfg,
@@ -687,6 +729,15 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
         del md[f"{arch}.attention.layer_norm_rms_epsilon"]
     if arch == "bloom":
         md[f"{arch}.attention.max_alibi_bias"] = 8.0
+    if arch == "mamba":
+        # reference MambaModel set_gguf_parameters keys
+        hs = cfg["hidden_size"]
+        d_inner = cfg.get("intermediate_size") or 2 * hs
+        md[f"{arch}.ssm.conv_kernel"] = cfg.get("conv_kernel", 4)
+        md[f"{arch}.ssm.inner_size"] = d_inner
+        md[f"{arch}.ssm.state_size"] = cfg.get("state_size", 16)
+        md[f"{arch}.ssm.time_step_rank"] = (cfg.get("time_step_rank")
+                                            or -(hs // -16))
     if arch == "mpt":
         md[f"{arch}.attention.max_alibi_bias"] = float(
             (cfg.get("attn_config") or {}).get("alibi_bias_max", 8.0))
@@ -941,6 +992,12 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
                                                     arr.shape[-1])
         if arch == "bloom" and gname.endswith("attn_qkv.bias"):
             arr = arr.reshape(n_head, 3, head_dim)                      .transpose(1, 0, 2).reshape(-1)
+        if arch == "mamba":
+            if gname.endswith("ssm_a.weight"):
+                arr = -np.exp(arr)  # A_log -> A (reference MambaModel)
+            elif gname.endswith("ssm_conv1d.weight") and arr.ndim == 3:
+                # [d_inner, 1, d_conv] depthwise taps -> [d_inner, d_conv]
+                arr = np.ascontiguousarray(arr[:, 0, :])
         if is_norm_rope and gname.endswith("attn_q.weight"):
             arr = permute_qk(arr, n_head)
         elif is_norm_rope and gname.endswith("attn_k.weight"):
