@@ -35,7 +35,30 @@ def install_mocks():
     from llama_cpp_test_tpu.models import llama as llama_mod
     from llama_cpp_test_tpu.runtime import kv_cache
 
-    if MODE == "full":
+    if MODE in ("full", "prefill"):
+        return
+    if MODE == "prefill_noattn":
+        def mock_attend_prefill(q, k_pool, v_pool, block_table, positions,
+                                kv_len, scale, window=0, soft_cap=0.0,
+                                alibi=None):
+            v = (jnp.sum(k_pool[0, 0, 0]) * 0 + 1e-30).astype(q.dtype)
+            return q * v
+
+        kv_cache.attend_prefill = mock_attend_prefill
+        return
+    if MODE == "prefill_noqmm":
+        def mock_qmm(x, qt, out_dtype=jnp.float32, **kw):
+            v = (jnp.sum(x).astype(jnp.float32) * 1e-30)
+            return jnp.broadcast_to(v, (*x.shape[:-1], qt.n_orig)) \
+                .astype(out_dtype)
+
+        def mock_qmm_split(x, qt, out_dtype=jnp.float32, **kw):
+            v = (jnp.sum(x).astype(jnp.float32) * 1e-30)
+            return [jnp.broadcast_to(v, (*x.shape[:-1], n)).astype(out_dtype)
+                    for (_npk, n) in qt.parts]
+
+        llama_mod.qmm = mock_qmm
+        llama_mod.qmm_split = mock_qmm_split
         return
 
     def mock_qmm(x, qt, out_dtype=jnp.float32, **kw):
@@ -87,8 +110,24 @@ def main():
     t0 = time.time()
     model = Model(bench_mod.L3_8B_CACHE)
     print(f"# load+repack {time.time()-t0:.1f}s", flush=True)
-    ctx = Context(model, n_ctx=1024, n_seq_max=2, block_size=32)
+    ctx = Context(model, n_ctx=1024, n_seq_max=4, block_size=32)
     rng = np.random.default_rng(0)
+    if MODE.startswith("prefill"):
+        # pp512 anatomy: time whole-prompt prefills on fresh sequences
+        prompt = list(rng.integers(1, 100000, 512))
+        s0 = ctx.new_seq()
+        np.asarray(ctx.prefill(s0, prompt))   # compile
+        ctx.free_seq(s0)
+        best = float("inf")
+        for _ in range(4):
+            si = ctx.new_seq()
+            t0 = time.time()
+            np.asarray(ctx.prefill(si, prompt))
+            best = min(best, time.time() - t0)
+            ctx.free_seq(si)
+        print(f"{MODE}: {best*1e3:.1f} ms / 512 tok "
+              f"({512/best:.1f} tok/s)", flush=True)
+        return
     s = ctx.new_seq()
     lg = ctx.prefill(s, list(rng.integers(1, 100000, 512)))
     tok = int(np.argmax(lg))
