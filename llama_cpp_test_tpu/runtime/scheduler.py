@@ -272,11 +272,27 @@ class Scheduler:
                 chunk_n = self.gen_prefill_chunk
             chunk = req.prompt_tokens[
                 slot.n_prompt_done: slot.n_prompt_done + chunk_n]
-            logits = self.ctx.prefill(slot.seq, chunk)
+            from . import device_sampling as ds
+
+            # TTFT fast path: the final chunk's FIRST token samples from a
+            # device top-K download instead of the [V] f32 logits transfer
+            # (~51ms at 128k vocab on a tunneled link — the dominant
+            # non-compute term of 8B pp512, tools/stepanatomy.py)
+            final = (slot.n_prompt_done + len(chunk) >=
+                     len(req.prompt_tokens))
+            use_cand = (final and self.ctx.mesh is None and
+                        self.draft_ctx is None and
+                        ds.host_candidates_eligible(req.sampling))
+            if use_cand:
+                vals, ids = self.ctx.prefill(slot.seq, chunk,
+                                             top_k=ds.HOST_CANDIDATES_K)
+                logits = None
+            else:
+                logits = self.ctx.prefill(slot.seq, chunk)
             slot.n_prompt_done += len(chunk)
             self.n_prompt_tokens += len(chunk)
             self.t_prompt += time.time() - t0
-            if slot.n_prompt_done >= len(req.prompt_tokens):
+            if final:
                 if self.draft_ctx is not None:
                     # draft model ingests the full prompt (server.cpp:3250
                     # slot.batch_spec prompt sync)
@@ -286,7 +302,22 @@ class Scheduler:
                             slot.draft_seq,
                             req.prompt_tokens[i:i + self.chunk])
                 slot.state = SlotState.GENERATING
-                self._emit(slot, logits)
+                if use_cand:
+                    tok = slot.sampler.sample_candidates(vals, ids)
+                    if tok is None:
+                        # chain rejected every candidate: re-decode the
+                        # last prompt token for full logits
+                        self.n_cand_fallback += 1
+                        pre = slot.seq.n_cached
+                        self.ctx.truncate_seq(slot.seq, pre - 1)
+                        lg = self.ctx.decode([slot.seq],
+                                             [req.prompt_tokens[-1]])[0]
+                        tok = slot.sampler.sample(lg)
+                    self.n_decode_cand += 1
+                    slot.sampler.accept(tok)
+                    self._process_token(slot, tok)
+                else:
+                    self._emit(slot, logits)
             return  # one prefill chunk per step keeps decode latency bounded
 
     def _window_for(self, gen: list[Slot]) -> int:

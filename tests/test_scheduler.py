@@ -297,3 +297,35 @@ def test_grammar_candidate_fallback_full_logits(sched_model, monkeypatch):
     tok = sched_model.tokenizer
     text = "".join(tok.token_to_piece(t) for t in r.output_tokens)
     assert text and all(c in "0123456789" for c in text), text
+
+
+def test_prefill_first_token_candidate_parity(sched_model):
+    """The final prefill chunk's first token samples from the device
+    top-K download (TTFT fast path) with token parity vs the full-logits
+    path."""
+    from llama_cpp_test_tpu.runtime.engine import Context
+    from llama_cpp_test_tpu.runtime.scheduler import GenRequest, Scheduler
+    from llama_cpp_test_tpu.runtime.sampling import SamplerParams
+
+    def run(monkey_off=False):
+        import llama_cpp_test_tpu.runtime.device_sampling as ds
+
+        orig = ds.host_candidates_eligible
+        if monkey_off:
+            ds.host_candidates_eligible = lambda p: False
+        try:
+            ctx = Context(sched_model, n_ctx=64, n_seq_max=2, block_size=8)
+            sch = Scheduler(ctx, n_slots=1, chunk_size=16)
+            r = sch.submit(GenRequest(
+                [3, 17, 42, 9], max_tokens=6,
+                sampling=SamplerParams(temp=0.7, top_k=20, seed=9),
+                ignore_eos=True))
+            sch.run()
+            return r, sch
+        finally:
+            ds.host_candidates_eligible = orig
+
+    r1, s1 = run()
+    r2, s2 = run(monkey_off=True)
+    assert r1.output_tokens == r2.output_tokens
+    assert s1.n_decode_cand >= 1      # the prefill candidate path engaged
