@@ -282,6 +282,7 @@ def main():
             ctxm.decode_greedy_loop(sm, tokm, 64)
             dt = time.time() - t0
             moe_tok_s = 64 / dt
+            del ctxm, sm
             roof_m = bw / (moe_bytes_per_token(MOE_HP) +
                            kv_bytes_per_token(MOE_HP, 100))
             extra["moe_8x_top2"] = {
@@ -321,7 +322,13 @@ def main():
                 "tok_s": round(mf_tok_s, 1),
                 "vs_roofline": round(mf_tok_s / rooff, 4),
             }
+            # free the 6.3GB of expert planes DETERMINISTICALLY before the
+            # 8B row loads its 4.7GB: lazy GC left both resident once and
+            # the 8B decode died with RESOURCE_EXHAUSTED
             del mf, ctxf
+            import gc
+
+            gc.collect()
         except Exception as e:  # pragma: no cover
             extra["moe_flagship_decode"] = {
                 "error": f"{type(e).__name__}: {e}"[:200]}
