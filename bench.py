@@ -380,10 +380,40 @@ def main():
             prompt8 = list(rng.integers(1, 100000, 512))
             ctx8.prefill(s8b, prompt8)     # compile this seq's shape
             ctx8.free_seq(s8b)
-            s8c = ctx8.new_seq()
-            t0 = time.time()
-            np.asarray(ctx8.prefill(s8c, prompt8))
-            dtp = time.time() - t0
+            # synced single-prefill latency (includes the tunnel's
+            # ~25-30ms dispatch RTT + ~11ms logits download — tools/
+            # prefpipe.py round-5: that link share is NOT device time)
+            dt_sync = float("inf")
+            for _ in range(3):
+                s8c = ctx8.new_seq()
+                t0 = time.time()
+                np.asarray(ctx8.prefill(s8c, prompt8))
+                dt_sync = min(dt_sync, time.time() - t0)
+                ctx8.free_seq(s8c)
+            # throughput (the llama-bench pp512 analogue): dispatch 4
+            # back-to-back prefills with the result sync deferred, sync
+            # once. pools thread functionally through each call, so the
+            # chain is dependency-ordered on device; per-prefill marginal
+            # time is the device+host cost without the per-call RTT.
+            import jax as _jax
+            _orig_asarray = np.asarray
+            _lazy = (lambda a, *ar, **kw: a if isinstance(a, _jax.Array)
+                     else _orig_asarray(a, *ar, **kw))
+            dtp = float("inf")
+            for _ in range(3):
+                np.asarray = _lazy
+                try:
+                    t0 = time.time()
+                    outs = []
+                    for _k in range(4):
+                        s8p = ctx8.new_seq()
+                        outs.append(ctx8.prefill(s8p, prompt8))
+                        ctx8.free_seq(s8p)
+                    for o in outs:
+                        _orig_asarray(o)
+                    dtp = min(dtp, (time.time() - t0) / 4)
+                finally:
+                    np.asarray = _orig_asarray
             hp8 = L3_8B_HP
             c8, ff8, l8, v8 = (hp8["n_embd"], hp8["n_ff"], hp8["n_layer"],
                                hp8["n_vocab"])
@@ -396,20 +426,25 @@ def main():
             extra["prefill_8b_pp512"] = {
                 "tok_s": round(512 / dtp, 1),
                 "mfu": round(flops / dtp / mxu_peak, 4),
+                "sync_ms": round(dt_sync * 1e3, 1),
             }
             # serving TTFT path: the first token samples from a device
             # top-K download (2*256 floats) instead of the [128k] f32
-            # logits transfer (~51ms on the tunneled link — measured as
-            # the dominant non-compute term, KBENCH round-5 prefill
-            # anatomy). This is the number a server user sees.
+            # logits transfer. Round-5 correction (KBENCH): on the
+            # current link this is ~neutral (sort ~7ms vs download
+            # ~11ms); it matters when the link degrades to round-3
+            # bandwidth. Kept as the synced first-token serving number.
             s8d = ctx8.new_seq()
             ctx8.prefill(s8d, prompt8, top_k=256)   # compile
             ctx8.free_seq(s8d)
-            s8e = ctx8.new_seq()
-            t0 = time.time()
-            v8, i8 = ctx8.prefill(s8e, prompt8, top_k=256)
-            np.asarray(i8)
-            dts = time.time() - t0
+            dts = float("inf")
+            for _ in range(3):
+                s8e = ctx8.new_seq()
+                t0 = time.time()
+                v8, i8 = ctx8.prefill(s8e, prompt8, top_k=256)
+                np.asarray(i8)
+                dts = min(dts, time.time() - t0)
+                ctx8.free_seq(s8e)
             extra["prefill_8b_pp512_serving"] = {
                 "tok_s": round(512 / dts, 1),
                 "mfu": round(flops / dts / mxu_peak, 4),

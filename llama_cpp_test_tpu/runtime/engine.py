@@ -839,8 +839,10 @@ class Context:
         logits [V] (or [T, V] when all_logits).
 
         top_k > 0 (single-device, no pos_offset): return (vals [top_k],
-        ids [top_k]) instead — the candidate download that skips the ~51ms
-        [128k] f32 logits transfer on the tunneled link (TTFT path)."""
+        ids [top_k]) instead — the candidate download that replaces the
+        [128k] f32 logits transfer with 2*top_k floats (TTFT path; a win
+        whenever the link is slow — on a fast link the on-device 128k
+        sort roughly offsets the saving, see KBENCH prefill anatomy)."""
         self._check_abort()
         if top_k > 0 and (self.mesh is not None or all_logits):
             raise NotImplementedError(
