@@ -2,6 +2,7 @@
 reference examples/server/server.cpp).
 
 Endpoints (mirroring server.cpp:4411-4438):
+  GET  /  /index.html                 (built-in chat webui, server/webui.py)
   GET  /health /props /metrics /v1/models /slots
   POST /completion /completions /v1/completions /infill
   POST /v1/chat/completions          (chat template + SSE streaming)
@@ -222,6 +223,13 @@ class LlamaServer:
         return tok.decode(ids) if tok is not None else ""
 
     # -- endpoints -----------------------------------------------------------
+
+    async def index(self, request):
+        """Built-in chat webui (reference examples/server/webui/, served
+        by server.cpp's static handler at GET /)."""
+        from .webui import INDEX_HTML
+
+        return web.Response(text=INDEX_HTML, content_type="text/html")
 
     async def health(self, request):
         return web.json_response({"status": "ok"})
@@ -680,7 +688,10 @@ class LlamaServer:
         every endpoint except /health requires Authorization: Bearer <key>."""
         @web.middleware
         async def mw(request, handler):
-            if request.path == "/health":
+            # the webui itself loads without a key (the key is entered in
+            # the page and sent with its API calls), matching the
+            # reference server's public static assets
+            if request.path in ("/health", "/", "/index.html"):
                 return await handler(request)
             auth = request.headers.get("Authorization", "")
             if auth != f"Bearer {self.api_key}":
@@ -696,6 +707,8 @@ class LlamaServer:
         middlewares = [self._auth_middleware()] if self.api_key else []
         app = web.Application(middlewares=middlewares)
         r = app.router
+        r.add_get("/", self.index)
+        r.add_get("/index.html", self.index)
         r.add_get("/health", self.health)
         r.add_get("/props", self.props)
         r.add_get("/metrics", self.metrics)

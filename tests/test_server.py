@@ -53,6 +53,14 @@ def test_health_props_models(client):
         r = await c.get("/v1/models")
         body = await r.json()
         assert body["data"][0]["object"] == "model"
+        # built-in webui (reference examples/server/webui/): one
+        # self-contained HTML document at / and /index.html
+        for path in ("/", "/index.html"):
+            r = await c.get(path)
+            assert r.status == 200
+            assert "text/html" in r.headers["Content-Type"]
+            text = await r.text()
+            assert "/v1/chat/completions" in text
 
     loop.run_until_complete(go())
 
@@ -293,6 +301,10 @@ def test_api_key_auth(tmp_path):
         await c.start_server()
         try:
             assert (await c.get("/health")).status == 200
+            # the webui loads without a key (key entered in-page)
+            r = await c.get("/")
+            assert r.status == 200
+            assert "text/html" in r.headers["Content-Type"]
             assert (await c.get("/props")).status == 401
             r = await c.post("/tokenize", json={"content": "hi"},
                              headers={"Authorization": "Bearer wrong"})
