@@ -5,9 +5,11 @@ llama-arch.cpp:817-827, hparams llama-arch.cpp:151-154).
 A state-space layer carries RECURRENT state (a depthwise-conv tail and a
 [d_inner, d_state] SSM state per layer) instead of a KV cache, so it does
 not ride the paged-KV engine: MambaModel/MambaContext below provide the
-load + prefill + decode surface (llama-cli-style generation; the paged
-scheduler/server integration is the recurrent-cache analogue of
-llama-kv-cache.h:146 and a future round).
+load + prefill + decode surface (llama-cli-style generation); the
+scheduler/server integration — the recurrent-cache analogue of
+llama-kv-cache.h:146 — is runtime/recurrent.py's RecurrentContext,
+which runs the SAME continuous-batching Scheduler over a device-side
+state pool.
 
 Math per layer (HF MambaMixer slow path, cross-validated in
 tests/test_mamba.py):
@@ -80,7 +82,9 @@ class MambaModel:
     and the matmuls run bf16 on the MXU inside the jitted scan."""
 
     def __init__(self, path: str):
+        self.path = path
         r = open_gguf(path)
+        self.reader = r          # server chat-template/metadata access
         md = r.metadata
         arch = md.get("general.architecture")
         if arch != "mamba":

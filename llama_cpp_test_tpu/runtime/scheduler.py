@@ -129,6 +129,11 @@ class Scheduler:
         # round-trips on a high-latency device link. Runs single-device and
         # on both mesh flavors (tp.build_window_step / pp make_window).
         self.decode_window = decode_window
+        if not getattr(ctx, "supports_windows", True):
+            # recurrent contexts (runtime/recurrent.py): batched decode is
+            # already one dispatch per step; the paged window kernels and
+            # their rollback machinery do not apply
+            self.decode_window = 1
         self._step_count = 0
         self._req_ids = itertools.count()
         self.tokenizer = ctx.model.tokenizer
@@ -233,7 +238,8 @@ class Scheduler:
             # kept by K-shifting them to their new positions
             # (Context.compact_reuse, the reference's n_cache_reuse path)
             reuse = 0
-            if slot.seq is not None and slot.cache_tokens:
+            if slot.seq is not None and slot.cache_tokens and \
+                    getattr(self.ctx, "supports_prefix_reuse", True):
                 # never reuse the whole prompt: the last token must be
                 # re-decoded to produce logits
                 max_keep = len(req.prompt_tokens) - 1
@@ -282,6 +288,7 @@ class Scheduler:
                      len(req.prompt_tokens))
             use_cand = (final and self.ctx.mesh is None and
                         self.draft_ctx is None and
+                        getattr(self.ctx, "supports_candidates", True) and
                         ds.host_candidates_eligible(req.sampling))
             if use_cand:
                 vals, ids = self.ctx.prefill(slot.seq, chunk,
@@ -414,7 +421,8 @@ class Scheduler:
             return
         from . import device_sampling as ds
 
-        if self.ctx.mesh is None and all(
+        if self.ctx.mesh is None and \
+                getattr(self.ctx, "supports_candidates", True) and all(
                 ds.host_candidates_eligible(s.req.sampling) for s in gen):
             self._decode_host_step_candidates(gen)
             return

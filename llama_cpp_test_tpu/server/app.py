@@ -133,6 +133,35 @@ class LlamaServer:
                  p_draft_min: float = 0.75, cache_reuse: int = 0,
                  kv_overrides: dict | None = None,
                  chat_template: str | None = None, followers=None):
+        from ..gguf.reader import open_gguf
+
+        arch = open_gguf(model_path).metadata.get("general.architecture")
+        self.recurrent = arch == "mamba"
+        if self.recurrent:
+            # state-space model: recurrent state pool instead of paged KV
+            # (runtime/recurrent.py — the reference's recurrent-cache mode,
+            # llama-kv-cache.h:146, behind the same server endpoints)
+            if mesh is not None or followers is not None:
+                raise ValueError("recurrent models run single-device")
+            if draft_model_path or lora:
+                raise ValueError("draft models / LoRA are not supported "
+                                 "for recurrent models")
+            from ..models.mamba import MambaModel
+            from ..runtime.recurrent import RecurrentContext
+
+            self.model = MambaModel(model_path)
+            self.chat_template = chat_template
+            self.alias = model_alias or model_path.rsplit("/", 1)[-1]
+            ctx = RecurrentContext(self.model, n_ctx=n_ctx,
+                                   n_seq_max=n_slots)
+            self.sched = Scheduler(ctx, n_slots=n_slots,
+                                   cache_reuse=cache_reuse)
+            self.engine = EngineThread(self.sched)
+            self.t_start = time.time()
+            self.slot_save_path = slot_save_path
+            self.api_key = api_key
+            self.loras = []
+            return
         self.model = Model(model_path, mesh=mesh, kv_overrides=kv_overrides)
         # --chat-template: force a builtin template name or jinja source
         self.chat_template = chat_template
@@ -281,6 +310,12 @@ class LlamaServer:
             raise web.HTTPNotFound(text='{"error": "no such slot"}',
                                    content_type="application/json")
         slot = self.sched.slots[slot_id]
+        if action in ("save", "restore") and \
+                not hasattr(self.sched.ctx, "pools"):
+            raise web.HTTPBadRequest(
+                text='{"error": "slot save/restore is not supported for '
+                     'recurrent models"}',
+                content_type="application/json")
         if action in ("save", "restore") and not self.slot_save_path:
             raise web.HTTPBadRequest(
                 text='{"error": "server started without --slot-save-path"}',
@@ -421,6 +456,11 @@ class LlamaServer:
         # None = the model's own default (bert: non-causal CLS; decoders:
         # causal mean) — Context.embed resolves from hparams
         pooling = body.get("pooling")
+        if not hasattr(self.sched.ctx, "embed"):
+            raise web.HTTPBadRequest(
+                text='{"error": "embeddings are not supported for this '
+                     'model architecture"}',
+                content_type="application/json")
         loop = asyncio.get_running_loop()
         out = []
         for i, item in enumerate(inputs):
@@ -443,6 +483,11 @@ class LlamaServer:
         body = await request.json()
         query = body.get("query", "")
         docs = body.get("documents", [])
+        if not hasattr(self.sched.ctx, "embed"):
+            raise web.HTTPBadRequest(
+                text='{"error": "rerank is not supported for this model '
+                     'architecture"}',
+                content_type="application/json")
         loop = asyncio.get_running_loop()
 
         def emb_of(text):
