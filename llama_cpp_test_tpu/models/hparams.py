@@ -64,6 +64,9 @@ class HParams:
     mrope_sections: tuple = ()
     # misc
     sliding_window: int = 0
+    # cohere2: rope ONLY on sliding-window layers; global layers carry no
+    # positional signal at all (llm_build_cohere2's is_swa rope gate)
+    nope_global: bool = False
     # RoPE freq base for sliding-window layers (gemma3: 10000 while global
     # layers use the metadata base 1e6 — reference llama-model.cpp:888
     # rope_freq_base_train_swa, selected per layer in llm_build_gemma3 :7572).
@@ -167,6 +170,8 @@ def hparams_from_metadata(md: dict) -> HParams:
         swa_pattern = 2       # alternating local/global (llm_build_gemma2)
     elif arch == "gemma3":
         swa_pattern = g("attention.sliding_window_pattern", 6)
+    elif arch == "cohere2":
+        swa_pattern = 4   # 3 sliding + 1 global (llama-model.cpp:968)
     n_layer = g("block_count", 32)
     # gemma 27B variants scale attention by 1/sqrt(n_embd/n_head), not
     # 1/sqrt(head_dim); the reference detects them by layer count
@@ -244,12 +249,14 @@ def hparams_from_metadata(md: dict) -> HParams:
         # is an arch property
         parallel_residual=bool(g("use_parallel_residual",
                                  arch in ("phi2", "falcon", "gptneox",
-                                          "command-r"))),
+                                          "command-r", "cohere2"))),
         norm_type=("ln" if arch in ("phi2", "falcon", "gptneox", "stablelm",
                                     "command-r", "starcoder2", "nemotron",
                                     "olmo",  # olmo: NON-PARAMETRIC LN
                                     "bert", "nomic-bert",
-                                    "gpt2", "starcoder", "bloom", "mpt")
+                                    "gpt2", "starcoder", "bloom", "mpt",
+                                    "dbrx",  # dbrx: bias-free LN
+                                    "cohere2")
                    else "rms"),
         act_fn=("relu2" if arch == "nemotron" else
                 # bert/mpt: HF applies the EXACT erf gelu
@@ -266,7 +273,8 @@ def hparams_from_metadata(md: dict) -> HParams:
         # (1/f_logit_scale applied, llm_build_granite); command-r stores a
         # multiplier (ggml_scale by f_logit_scale) -> invert here
         logits_scale=(1.0 / g("logit_scale", 1.0)
-                      if arch == "command-r" else g("logit_scale", 1.0)),
+                      if arch in ("command-r", "cohere2")
+                      else g("logit_scale", 1.0)),
         attn_softcap=g("attn_logit_softcapping",
                        50.0 if arch == "gemma2" else 0.0),
         final_softcap=g("final_logit_softcapping",
@@ -284,6 +292,7 @@ def hparams_from_metadata(md: dict) -> HParams:
         # (bert converter writes CLS)
         pooling={0: "none", 1: "mean", 2: "cls", 3: "last"}.get(
             int(g("pooling_type", 1)), "mean"),
+        nope_global=arch == "cohere2",
         mrope_sections=tuple(
             int(x) for x in np.asarray(
                 md.get(f"{arch}.rope.dimension_sections", []))[:3]),

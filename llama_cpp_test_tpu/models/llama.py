@@ -172,9 +172,15 @@ class LlamaWeights:
     type_embd: jax.Array | None = None     # [n_types, C] f32
     tok_norm: jax.Array | None = None
     tok_norm_b: jax.Array | None = None
+    # cohere2: global (window=0) layers get NO rope (llm_build_cohere2's
+    # is_swa gate); inv_freq_for returns None and forward_layer skips
+    nope_global: bool = False
 
-    def inv_freq_for(self, window: int) -> jax.Array:
-        """Per-layer rope table: the SWA table when the layer is sliding."""
+    def inv_freq_for(self, window: int) -> jax.Array | None:
+        """Per-layer rope table: the SWA table when the layer is sliding;
+        None when this arch leaves global layers position-free."""
+        if window == 0 and self.nope_global:
+            return None
         if window > 0 and self.rope_inv_freq_swa is not None:
             return self.rope_inv_freq_swa
         return self.rope_inv_freq
@@ -184,8 +190,9 @@ for _cls in (LayerWeights, LlamaWeights):
     jax.tree_util.register_dataclass(
         _cls,
         data_fields=[f.name for f in dataclasses.fields(_cls)
-                     if f.name not in ("rope_mscale",)],
-        meta_fields=["rope_mscale"] if _cls is LlamaWeights else [],
+                     if f.name not in ("rope_mscale", "nope_global")],
+        meta_fields=(["rope_mscale", "nope_global"]
+                     if _cls is LlamaWeights else []),
     )
 
 
@@ -483,6 +490,14 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
                     # are permutation-invariant, the weight multiply isn't)
                     arr = arr[:, _unpermute_rows(1, hp.head_dim)]
                 setattr(lw, attr, arr)
+        if hp.arch == "dbrx" and lw.ffn_norm is None and \
+                lw.attn_out_norm is not None:
+            # dbrx stores its pre-MoE norm under the bert-family
+            # attn_output_norm NAME but uses it in the ffn_norm ROLE of a
+            # pre-norm graph (llm_build_dbrx: build_norm(ffn_inp,
+            # attn_out_norm) before build_moe_ffn)
+            lw.ffn_norm, lw.attn_out_norm = lw.attn_out_norm, None
+            lw.ffn_norm_b, lw.attn_out_norm_b = lw.attn_out_norm_b, None
         return lw
 
     # embedding table keeps the row-gather layout; the (possibly tied) lm
@@ -541,6 +556,7 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
         rope_mscale=float(mscale),
         rope_inv_freq_swa=inv_freq_swa,
         rope_inv_freq_long=inv_freq_long,
+        nope_global=hp.nope_global,
         output_norm_b=(_f32(reader, "output_norm.bias")
                        if "output_norm.bias" in t else None),
         output_b=(_f32(reader, "output.bias")
@@ -888,11 +904,11 @@ def forward_layer(
                                mscale)
         k = layers.apply_mrope(k, mrope_pos, inv_freq, hp.mrope_sections,
                                mscale)
-    elif hp.pos_embd == "rope":
+    elif hp.pos_embd == "rope" and inv_freq is not None:
         q = layers.apply_rope(q, positions, inv_freq, mscale)
         k = layers.apply_rope(k, positions, inv_freq, mscale)
     # learned-position archs (gpt2): no rotation — positions entered at
-    # the embedding (embed_extras)
+    # the embedding (embed_extras); inv_freq None = cohere2 global layer
     attn_out = attend(q.astype(jnp.bfloat16),
                       k.astype(jnp.bfloat16),
                       v.astype(jnp.bfloat16))
@@ -1045,8 +1061,9 @@ def _forward_layer_parallel(x, lw, hp, positions, inv_freq, mscale, attend,
         q = layers.layer_norm(q, lw.attn_q_norm, None, hp.rms_eps)
     if lw.attn_k_norm is not None:
         k = layers.layer_norm(k, lw.attn_k_norm, None, hp.rms_eps)
-    q = layers.apply_rope(q, positions, inv_freq, mscale)
-    k = layers.apply_rope(k, positions, inv_freq, mscale)
+    if inv_freq is not None:  # None = cohere2 global (NoPE) layer
+        q = layers.apply_rope(q, positions, inv_freq, mscale)
+        k = layers.apply_rope(k, positions, inv_freq, mscale)
     attn_out = attend(q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
                       v.astype(jnp.bfloat16))
     o = linear(attn_out.reshape(b, tdim, h * d), lw.wo,

@@ -253,6 +253,18 @@ register_arch(ArchSpec("mpt", family="llama", rope_type="norm",
 # paged-KV engine (the reference's recurrent llama-kv-cache mode,
 # llama-kv-cache.h:146; builder llm_build_mamba). llama-family
 # load_weights refuses it with a pointer.
+# cohere2 (Command R7B): command-r parallel-residual body + 3:1
+# sliding/global layer pattern where GLOBAL layers carry no rope at all
+# (NoPE; llm_build_cohere2's is_swa rope gate, llama-model.cpp)
+register_arch(ArchSpec("cohere2", family="llama", rope_type="norm",
+                       notes="parallel-residual LN, swa 4:1, NoPE global"))
+
+# dbrx: 16-expert top-4 MoE; bias-free LayerNorms, fused clamped Wqkv,
+# pre-MoE norm stored under the reference's attn_output_norm name
+# (reference llm_build_dbrx, llama-model.cpp:4862; test_convert_hf)
+register_arch(ArchSpec("dbrx", family="llama", rope_type="neox",
+                       notes="fused-qkv clamp, LN, softmax moe"))
+
 register_arch(ArchSpec("mamba", family="mamba",
                        notes="recurrent ssm; models/mamba.py surface"))
 

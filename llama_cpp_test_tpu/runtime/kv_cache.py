@@ -239,7 +239,13 @@ def apply_shift(pools: KVPools, src: jax.Array, dst: jax.Array,
         # shifted K by mscale each shift — a known approximation this
         # engine's shift-exactness tests would reject for attn_factor != 1,
         # e.g. phi3-longrope.)
-        kg = layers.apply_rope(kg, delta[None], ifr, 1.0)
+        if hp is not None and hp.nope_global and \
+                _hparams.layer_window(hp, li) == 0:
+            # cohere2 global layer: K carries no positional signal, so a
+            # shift is a pure move (no re-rotation)
+            pass
+        else:
+            kg = layers.apply_rope(kg, delta[None], ifr, 1.0)
         kg = kg[0].transpose(1, 0, 2)
         if pools.quantized:
             kq, ksc = quantize_q8(kg)                    # requantize K

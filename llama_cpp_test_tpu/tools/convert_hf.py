@@ -43,6 +43,7 @@ ARCH_MAP = {
     "Olmo2ForCausalLM": "olmo2",
     "OlmoeForCausalLM": "olmoe",
     "CohereForCausalLM": "command-r",
+    "Cohere2ForCausalLM": "cohere2",
     "Starcoder2ForCausalLM": "starcoder2",
     # text side only, like the reference's Qwen2VLModel (which also drops
     # visual.*, convert_hf_to_gguf.py:2254-2274); text-only M-RoPE with
@@ -77,6 +78,9 @@ ARCH_MAP = {
     "MPTForCausalLM": "mpt",
     # selective state-space (recurrent cache, models/mamba.py)
     "MambaForCausalLM": "mamba",
+    # 16-expert MoE with fused Wqkv + clamp and bias-free LayerNorms
+    # (reference DbrxModel, convert_hf_to_gguf.py:2016)
+    "DbrxForCausalLM": "dbrx",
 }
 
 # mamba (reference MambaModel converter): A_log -> -exp(A_log) at
@@ -404,7 +408,34 @@ def permute_qk(w: np.ndarray, n_head: int) -> np.ndarray:
              .swapaxes(1, 2).reshape(w.shape))
 
 
+# dbrx (reference DbrxModel + llm_build_dbrx): attention nested inside
+# norm_attn_norm; norm_2 is the pre-MoE norm, stored under the
+# reference's "attn_output_norm" name; expert planes are single fused
+# parameters handled in convert()
+DBRX_TOP_MAP = {
+    "transformer.wte.weight": "token_embd.weight",
+    "transformer.norm_f.weight": "output_norm.weight",
+    "lm_head.weight": "output.weight",
+}
+DBRX_LAYER_MAP = {
+    "norm_attn_norm.norm_1.weight": "attn_norm.weight",
+    "norm_attn_norm.attn.Wqkv.weight": "attn_qkv.weight",
+    "norm_attn_norm.attn.out_proj.weight": "attn_output.weight",
+    "norm_attn_norm.norm_2.weight": "attn_output_norm.weight",
+    "ffn.router.layer.weight": "ffn_gate_inp.weight",
+}
+
+
 def map_name(name: str, arch: str = "llama") -> str | None:
+    if arch == "dbrx":
+        if name in DBRX_TOP_MAP:
+            return DBRX_TOP_MAP[name]
+        if name.startswith("transformer.blocks."):
+            rest = name[len("transformer.blocks."):]
+            idx, _, suffix = rest.partition(".")
+            mapped = DBRX_LAYER_MAP.get(suffix)
+            return f"blk.{idx}.{mapped}" if mapped else None
+        return None
     if arch == "mamba":
         if name in MAMBA_TOP_MAP:
             return MAMBA_TOP_MAP[name]
@@ -620,6 +651,23 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
                                      or cfg.get("n_layer", 12)),
                "max_position_embeddings": 2 ** 20,
                "intermediate_size": cfg.get("intermediate_size", 2 * hs)}
+    if arch == "dbrx":
+        # DbrxConfig nests ffn/attn hparams (reference DbrxModel
+        # set_gguf_parameters, convert_hf_to_gguf.py:2020-2042)
+        fc = cfg.get("ffn_config") or {}
+        ac = cfg.get("attn_config") or {}
+        hs = cfg.get("d_model", 1024)
+        cfg = {**cfg,
+               "num_attention_heads": cfg.get("n_heads", 16),
+               "hidden_size": hs,
+               "num_hidden_layers": cfg.get("n_layers", 12),
+               "max_position_embeddings": cfg.get("max_seq_len", 2048),
+               "intermediate_size": fc.get("ffn_hidden_size", 4 * hs),
+               "num_key_value_heads": ac.get("kv_n_heads",
+                                             cfg.get("n_heads", 16)),
+               "rope_theta": ac.get("rope_theta", 10000.0),
+               "num_local_experts": fc.get("moe_num_experts", 16),
+               "num_experts_per_tok": fc.get("moe_top_k", 4)}
     if arch == "mpt":
         hs = cfg.get("d_model", 768)
         cfg = {**cfg,
@@ -708,6 +756,21 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
         del md[f"{arch}.attention.layer_norm_rms_epsilon"]
         md[f"{arch}.rope.dimension_count"] = int(
             head_dim * cfg.get("partial_rotary_factor", 0.5))
+    if arch == "cohere2":
+        # reference Cohere2Model set_gguf_parameters: logit_scale +
+        # sliding window + rotary_pct-scaled rope dims; LayerNorm eps
+        md[f"{arch}.logit_scale"] = float(cfg.get("logit_scale", 1.0))
+        md[f"{arch}.attention.layer_norm_epsilon"] = cfg.get(
+            "layer_norm_eps", 1e-5)
+        del md[f"{arch}.attention.layer_norm_rms_epsilon"]
+        md[f"{arch}.rope.dimension_count"] = int(
+            cfg.get("rotary_pct", 1.0) * head_dim)
+    if arch == "dbrx":
+        md[f"{arch}.attention.layer_norm_epsilon"] = 1e-5
+        del md[f"{arch}.attention.layer_norm_rms_epsilon"]
+        clip = (cfg.get("attn_config") or {}).get("clip_qkv")
+        if clip is not None:
+            md[f"{arch}.attention.clamp_kqv"] = float(clip)
     if arch == "olmo":
         # non-parametric LayerNorm (no norm tensors at all) + clip_qkv
         # (reference OlmoModel set_gguf_parameters,
@@ -913,6 +976,21 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
                 heads = qk_norms.pop(key)
                 emit(f"blk.{li}.{gn}.weight",
                      np.stack([heads[h] for h in range(want)]))
+            continue
+        # dbrx fused expert planes: one [E*F, C] parameter per plane
+        # (reference DbrxModel modify_tensors view/permute); w2 rows are
+        # per-expert [F, C] used untransposed in HF, so down = [E, C, F]
+        if arch == "dbrx" and ".ffn.experts.mlp." in name:
+            li = int(name.split(".")[2])
+            which = name.rsplit(".", 1)[1]
+            ff = cfg["intermediate_size"]
+            a = np.asarray(arr, np.float32).reshape(n_expert, ff, n_embd)
+            gname = {"w1": "ffn_gate_exps", "v1": "ffn_up_exps",
+                     "w2": "ffn_down_exps"}[which]
+            if which == "w2":
+                a = a.transpose(0, 2, 1)
+            w.add_tensor(f"blk.{li}.{gname}.weight", a,
+                         ggml_type=ggml_dtype)
             continue
         # expert stacking: mixtral w1/w2/w3, qwen-moe {gate,up,down}_proj
         if ".block_sparse_moe.experts." in name or ".mlp.experts." in name:

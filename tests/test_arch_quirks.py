@@ -550,8 +550,8 @@ def test_unknown_arch_refused(tmp_path):
 
     from llama_cpp_test_tpu.runtime.engine import Model
 
-    path = str(tmp_path / "dbrx.gguf")
-    make_tiny_qwen(path, arch="dbrx")
+    path = str(tmp_path / "grok.gguf")
+    make_tiny_qwen(path, arch="grok")
     with _pytest.raises(ValueError, match="no implemented forward"):
         Model(path)
 

@@ -2071,3 +2071,105 @@ def test_convert_mpt_alibi_matches_transformers(tmp_path):
                               do_sample=False, eos_token_id=None,
                               pad_token_id=0)[0].tolist()[len(tokens):]
     assert out == ref_gen, (out, ref_gen)
+
+
+def test_convert_dbrx_matches_transformers(tmp_path):
+    """dbrx (reference DbrxModel + llm_build_dbrx): bias-free LayerNorms,
+    fused clamped Wqkv, router + fused [E*F, C] expert planes (w1=gate,
+    v1=up, w2=down used untransposed in HF), softmax top-k renorm."""
+    from transformers import DbrxConfig, DbrxForCausalLM
+
+    rng = np.random.default_rng(23)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, KV, L, E, FF = 256, 64, 4, 2, 2, 4, 96
+    d = C // H
+    cfg = {
+        "architectures": ["DbrxForCausalLM"],
+        "d_model": C, "n_heads": H, "n_layers": L, "max_seq_len": 256,
+        "vocab_size": V,
+        "ffn_config": {"ffn_hidden_size": FF, "moe_num_experts": E,
+                       "moe_top_k": 2},
+        "attn_config": {"kv_n_heads": KV, "clip_qkv": 0.12,
+                        "rope_theta": 10000.0},
+        "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "transformer.wte.weight": r(V, C),
+        "transformer.norm_f.weight": 1.0 + r(C),
+        "lm_head.weight": r(V, C),
+    }
+    for i in range(L):
+        p = f"transformer.blocks.{i}."
+        ws.update({
+            p + "norm_attn_norm.norm_1.weight": 1.0 + r(C),
+            p + "norm_attn_norm.attn.Wqkv.weight": r((H + 2 * KV) * d, C),
+            p + "norm_attn_norm.attn.out_proj.weight": r(C, C),
+            p + "norm_attn_norm.norm_2.weight": 1.0 + r(C),
+            p + "ffn.router.layer.weight": r(E, C),
+            p + "ffn.experts.mlp.w1": r(E * FF, C),
+            p + "ffn.experts.mlp.v1": r(E * FF, C),
+            p + "ffn.experts.mlp.w2": r(E * FF, C),
+        })
+    tcfg = DbrxConfig(
+        d_model=C, n_heads=H, n_layers=L, max_seq_len=256, vocab_size=V,
+        ffn_config={"ffn_hidden_size": FF, "moe_num_experts": E,
+                    "moe_top_k": 2},
+        attn_config={"kv_n_heads": KV, "clip_qkv": 0.12,
+                     "rope_theta": 10000.0},
+        attn_implementation="eager",
+    )
+    m = _convert_and_compare(tmp_path, cfg, ws, DbrxForCausalLM, tcfg)
+    assert m.hp.arch == "dbrx" and m.hp.n_expert == E
+    assert m.hp.clamp_kqv == pytest.approx(0.12)
+
+
+def test_convert_cohere2_matches_transformers(tmp_path):
+    """cohere2 / Command R7B (reference Cohere2Model + llm_build_cohere2):
+    command-r parallel-residual LayerNorm body, 3:1 sliding/global layer
+    pattern, and NO rope at all on the global layers (NoPE) — prompt
+    longer than the window exercises both the SWA mask and the NoPE
+    global layer."""
+    from transformers import Cohere2Config, Cohere2ForCausalLM
+
+    rng = np.random.default_rng(29)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, KV, L, FF, W = 256, 64, 4, 2, 4, 96, 8
+    d = C // H
+    cfg = {
+        "architectures": ["Cohere2ForCausalLM"],
+        "hidden_size": C, "intermediate_size": FF,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "num_hidden_layers": L, "max_position_embeddings": 256,
+        "layer_norm_eps": 1e-5, "rope_theta": 10000.0, "vocab_size": V,
+        "logit_scale": 0.25, "sliding_window": W,
+        "sliding_window_pattern": 4, "tie_word_embeddings": True,
+        "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "model.embed_tokens.weight": r(V, C),
+        "model.norm.weight": 1.0 + r(C),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        ws.update({
+            p + "input_layernorm.weight": 1.0 + r(C),
+            p + "self_attn.q_proj.weight": r(H * d, C),
+            p + "self_attn.k_proj.weight": r(KV * d, C),
+            p + "self_attn.v_proj.weight": r(KV * d, C),
+            p + "self_attn.o_proj.weight": r(C, H * d),
+            p + "mlp.gate_proj.weight": r(FF, C),
+            p + "mlp.up_proj.weight": r(FF, C),
+            p + "mlp.down_proj.weight": r(C, FF),
+        })
+    tcfg = Cohere2Config(
+        vocab_size=V, hidden_size=C, intermediate_size=FF,
+        num_hidden_layers=L, num_attention_heads=H, num_key_value_heads=KV,
+        sliding_window=W, sliding_window_pattern=4, layer_norm_eps=1e-5,
+        logit_scale=0.25, rope_theta=10000.0, tie_word_embeddings=True,
+        attn_implementation="eager",
+    )
+    tokens = [3, 17, 42, 9, 150, 7, 22, 100, 5, 61, 77, 130]
+    m = _convert_and_compare(tmp_path, cfg, ws, Cohere2ForCausalLM, tcfg,
+                             tokens=tokens)
+    assert m.hp.arch == "cohere2" and m.hp.nope_global
+    assert m.hp.swa_pattern == 4 and m.hp.sliding_window == W
