@@ -215,18 +215,24 @@ def _repack_2d(reader: GGUFReader, name: str,
     return repack(raw, info.ggml_type, n, k, layout=layout, tile_n=tile_n)
 
 
-def _unpermute_rows(n_head: int, head_dim: int) -> np.ndarray:
+def _unpermute_rows(n_head: int, head_dim: int,
+                    rope_dim: int | None = None) -> np.ndarray:
     """Inverse of convert_hf_to_gguf.py:1657's permute: GGUF NORM-layout
     Q/K rows -> HF half-split layout, so half-split (NEOX) rope applies.
     out_row[h*d + j]       = in_row[h*d + 2j]
     out_row[h*d + d/2 + j] = in_row[h*d + 2j + 1]
+
+    Partial rotary (chatglm: rope_dim < head_dim): only the first
+    rope_dim dims are interleaved; the pass-through tail stays identity.
     """
     d = head_dim
+    rd = rope_dim if rope_dim else d
     idx = np.empty(n_head * d, np.int64)
     for h in range(n_head):
         base = h * d
-        idx[base:base + d // 2] = base + 2 * np.arange(d // 2)
-        idx[base + d // 2:base + d] = base + 2 * np.arange(d // 2) + 1
+        idx[base:base + rd // 2] = base + 2 * np.arange(rd // 2)
+        idx[base + rd // 2:base + rd] = base + 2 * np.arange(rd // 2) + 1
+        idx[base + rd:base + d] = base + np.arange(rd, d)
     return idx
 
 
@@ -309,8 +315,8 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
 
     q_perm = k_perm = None
     if hp.rope_type == "norm":
-        q_perm = _unpermute_rows(hp.n_head, hp.head_dim)
-        k_perm = _unpermute_rows(hp.n_head_kv, hp.head_dim)
+        q_perm = _unpermute_rows(hp.n_head, hp.head_dim, hp.rope_dim)
+        k_perm = _unpermute_rows(hp.n_head_kv, hp.head_dim, hp.rope_dim)
 
     def split_qkv(i: int):
         """GGUF fused attn_qkv rows [q; k; v] -> three QTensors (phi2-style
@@ -454,6 +460,27 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
         elif p + "ffn_gate.weight" in t:
             lw.w_gate = col(p + "ffn_gate.weight")
             lw.w_up = col(p + "ffn_up.weight")
+            lw.w_down = row(p + "ffn_down.weight")
+            if tp == 1:
+                lw.w_gateup = fuse_qtensors([lw.w_gate, lw.w_up])
+                if lw.w_gateup is not None:
+                    lw.w_gate = lw.w_up = None
+        elif reader.tensors[p + "ffn_up.weight"].shape[-1] == 2 * hp.n_ff:
+            # fused swiglu [gate|up] rows in one ffn_up tensor — how the
+            # REFERENCE's converter stores phi3/chatglm (LLM_FFN_SWIGLU
+            # splits at runtime); row-slice like split_qkv since block
+            # quantization is per-row
+            info = reader.tensors[p + "ffn_up.weight"]
+            kdim, n = info.shape[0], info.shape[1]
+            raw = reader.tensor_bytes(p + "ffn_up.weight")
+            rows = raw.reshape(n, raw.size // n)
+            mk = lambda lo, hi: repack(np.ascontiguousarray(rows[lo:hi]),
+                                       info.ggml_type, hi - lo, kdim)
+            lw.w_gate = mk(0, hp.n_ff)
+            lw.w_up = mk(hp.n_ff, n)
+            if tp > 1:
+                shard_qtensor_cols(lw.w_gate, tp)
+                shard_qtensor_cols(lw.w_up, tp)
             lw.w_down = row(p + "ffn_down.weight")
             if tp == 1:
                 lw.w_gateup = fuse_qtensors([lw.w_gate, lw.w_up])

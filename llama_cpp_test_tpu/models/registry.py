@@ -253,6 +253,12 @@ register_arch(ArchSpec("mpt", family="llama", rope_type="norm",
 # paged-KV engine (the reference's recurrent llama-kv-cache mode,
 # llama-kv-cache.h:146; builder llm_build_mamba). llama-family
 # load_weights refuses it with a pointer.
+# chatglm (GLM-3/GLM-4): llama body with PARTIAL interleaved rotary
+# (rope_dim = head_dim/2, NORM type), qkv biases, fused-swiglu ffn
+# (reference llm_build_chatglm; validated vs GlmForCausalLM)
+register_arch(ArchSpec("chatglm", family="llama", rope_type="norm",
+                       notes="partial norm rope, qkv bias, swiglu"))
+
 # cohere2 (Command R7B): command-r parallel-residual body + 3:1
 # sliding/global layer pattern where GLOBAL layers carry no rope at all
 # (NoPE; llm_build_cohere2's is_swa rope gate, llama-model.cpp)

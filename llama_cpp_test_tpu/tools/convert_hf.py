@@ -44,6 +44,9 @@ ARCH_MAP = {
     "OlmoeForCausalLM": "olmoe",
     "CohereForCausalLM": "command-r",
     "Cohere2ForCausalLM": "cohere2",
+    # GLM-4 native class (reference ChatGLMModel also covers the
+    # remote-code ChatGLM* classes; convert_hf_to_gguf.py:4766)
+    "GlmForCausalLM": "chatglm",
     "Starcoder2ForCausalLM": "starcoder2",
     # text side only, like the reference's Qwen2VLModel (which also drops
     # visual.*, convert_hf_to_gguf.py:2254-2274); text-only M-RoPE with
@@ -426,7 +429,39 @@ DBRX_LAYER_MAP = {
 }
 
 
+# chatglm / GLM-4 (reference ChatGLMModel): llama-shaped names except
+# the FUSED gate_up mlp projection, split at convert into ffn_gate +
+# ffn_up (rows [gate; up]) so quantized planes stay per-tensor; q/k rows
+# keep HF's native INTERLEAVED layout (GLM's rotate_half interleaves, so
+# no permute — same convention the NORM-rope loader unpermutes)
+CHATGLM_LAYER_MAP = {
+    "input_layernorm.weight": "attn_norm.weight",
+    "self_attn.q_proj.weight": "attn_q.weight",
+    "self_attn.q_proj.bias": "attn_q.bias",
+    "self_attn.k_proj.weight": "attn_k.weight",
+    "self_attn.k_proj.bias": "attn_k.bias",
+    "self_attn.v_proj.weight": "attn_v.weight",
+    "self_attn.v_proj.bias": "attn_v.bias",
+    "self_attn.o_proj.weight": "attn_output.weight",
+    "post_attention_layernorm.weight": "ffn_norm.weight",
+    "mlp.down_proj.weight": "ffn_down.weight",
+}
+
+
 def map_name(name: str, arch: str = "llama") -> str | None:
+    if arch == "chatglm":
+        if name in ("model.embed_tokens.weight",):
+            return "token_embd.weight"
+        if name == "model.norm.weight":
+            return "output_norm.weight"
+        if name == "lm_head.weight":
+            return "output.weight"
+        if name.startswith("model.layers."):
+            rest = name[len("model.layers."):]
+            idx, _, suffix = rest.partition(".")
+            mapped = CHATGLM_LAYER_MAP.get(suffix)
+            return f"blk.{idx}.{mapped}" if mapped else None
+        return None
     if arch == "dbrx":
         if name in DBRX_TOP_MAP:
             return DBRX_TOP_MAP[name]
@@ -756,6 +791,14 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
         del md[f"{arch}.attention.layer_norm_rms_epsilon"]
         md[f"{arch}.rope.dimension_count"] = int(
             head_dim * cfg.get("partial_rotary_factor", 0.5))
+    if arch == "chatglm":
+        # reference ChatGLMModel set_gguf_parameters: PARTIAL interleaved
+        # rotary (rope_dim = head_dim * partial_rotary_factor, NORM type)
+        # and 10000 * rope_ratio frequency base
+        md[f"{arch}.rope.dimension_count"] = int(
+            head_dim * cfg.get("partial_rotary_factor", 0.5))
+        if cfg.get("rope_ratio"):
+            md[f"{arch}.rope.freq_base"] = 10000.0 * cfg["rope_ratio"]
     if arch == "cohere2":
         # reference Cohere2Model set_gguf_parameters: logit_scale +
         # sliding window + rotary_pct-scaled rope dims; LayerNorm eps
@@ -1034,6 +1077,15 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
             emit(f"blk.{idx}.attn_k.weight",
                  permute_qk(a[part:2 * part], n_kv))
             emit(f"blk.{idx}.attn_v.weight", a[2 * part:])
+            continue
+        # chatglm fused gate_up -> split gate/up rows (GLM chunks the
+        # projection in half: act(gate) * up)
+        if arch == "chatglm" and name.endswith("mlp.gate_up_proj.weight"):
+            idx = name.split(".")[2]
+            a = np.asarray(arr, np.float32)
+            half = a.shape[0] // 2
+            emit(f"blk.{idx}.ffn_gate.weight", a[:half])
+            emit(f"blk.{idx}.ffn_up.weight", a[half:])
             continue
         # phi3 fused rows split into standard tensors (Phi3Model
         # modify_tensors does the same split in the reference)

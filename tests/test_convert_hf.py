@@ -2173,3 +2173,106 @@ def test_convert_cohere2_matches_transformers(tmp_path):
                              tokens=tokens)
     assert m.hp.arch == "cohere2" and m.hp.nope_global
     assert m.hp.swa_pattern == 4 and m.hp.sliding_window == W
+
+
+def test_convert_chatglm_glm4_matches_transformers(tmp_path):
+    """chatglm via the native GlmForCausalLM class (reference ChatGLMModel
+    registers it too): PARTIAL interleaved rotary over half the head dims
+    (NORM rope + rope_dim = head_dim/2 exercises the partial-aware row
+    unpermute), qkv biases, fused gate_up split at convert."""
+    from transformers import GlmConfig, GlmForCausalLM
+
+    rng = np.random.default_rng(31)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, KV, L, FF, d = 256, 64, 4, 2, 2, 96, 16
+    cfg = {
+        "architectures": ["GlmForCausalLM"],
+        "hidden_size": C, "intermediate_size": FF,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "num_hidden_layers": L, "max_position_embeddings": 256,
+        "head_dim": d, "partial_rotary_factor": 0.5,
+        "rms_norm_eps": 1e-5, "rope_theta": 10000.0, "vocab_size": V,
+        "attention_bias": True, "tie_word_embeddings": False,
+        "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "model.embed_tokens.weight": r(V, C),
+        "model.norm.weight": 1.0 + r(C),
+        "lm_head.weight": r(V, C),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        ws.update({
+            p + "input_layernorm.weight": 1.0 + r(C),
+            p + "self_attn.q_proj.weight": r(H * d, C),
+            p + "self_attn.q_proj.bias": r(H * d),
+            p + "self_attn.k_proj.weight": r(KV * d, C),
+            p + "self_attn.k_proj.bias": r(KV * d),
+            p + "self_attn.v_proj.weight": r(KV * d, C),
+            p + "self_attn.v_proj.bias": r(KV * d),
+            p + "self_attn.o_proj.weight": r(C, H * d),
+            p + "post_attention_layernorm.weight": 1.0 + r(C),
+            p + "mlp.gate_up_proj.weight": r(2 * FF, C),
+            p + "mlp.down_proj.weight": r(C, FF),
+        })
+    tcfg = GlmConfig(
+        vocab_size=V, hidden_size=C, intermediate_size=FF,
+        num_hidden_layers=L, num_attention_heads=H, num_key_value_heads=KV,
+        head_dim=d, partial_rotary_factor=0.5, rms_norm_eps=1e-5,
+        rope_theta=10000.0, attention_bias=True, tie_word_embeddings=False,
+        pad_token_id=0, attn_implementation="eager",
+    )
+    m = _convert_and_compare(tmp_path, cfg, ws, GlmForCausalLM, tcfg)
+    assert m.hp.arch == "chatglm" and m.hp.rope_dim == d // 2
+
+
+def test_fused_swiglu_ffn_up_gguf_loads(tmp_path):
+    """Reference-converted phi3/chatglm GGUFs store gate|up FUSED in one
+    ffn_up tensor (LLM_FFN_SWIGLU splits at runtime). The loader's
+    row-slice fallback must produce identical logits to the split form."""
+    from test_engine import make_tiny_gguf
+
+    from llama_cpp_test_tpu.gguf.reader import open_gguf
+    from llama_cpp_test_tpu.gguf.writer import GGUFWriter
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    raw = str(tmp_path / "raw.gguf")
+    make_tiny_gguf(raw)
+    r = open_gguf(raw)
+    # rewrite BOTH layouts in F32 so the only difference is fused vs
+    # split (the tiny model's own planes are quantized)
+    src = str(tmp_path / "split.gguf")
+    dst = str(tmp_path / "fused.gguf")
+    for out, fuse in ((src, False), (dst, True)):
+        w = GGUFWriter(out)
+        for k, v in r.metadata.items():
+            w.add_kv(k, v)
+        done = set()
+        for name, info in r.tensors.items():
+            if fuse and (".ffn_gate.weight" in name or
+                         ".ffn_up.weight" in name):
+                blk = name.rsplit(".ffn_", 1)[0]
+                if blk in done:
+                    continue
+                done.add(blk)
+                g = r.dequantize(blk + ".ffn_gate.weight", np.float32)
+                u = r.dequantize(blk + ".ffn_up.weight", np.float32)
+                gi = r.tensors[blk + ".ffn_gate.weight"]
+                ff, c = gi.shape[1], gi.shape[0]
+                fused = np.concatenate([g.reshape(ff, c),
+                                        u.reshape(ff, c)])
+                w.add_tensor(blk + ".ffn_up.weight", fused)
+                continue
+            arr = r.dequantize(name, np.float32)
+            shape = tuple(reversed(info.shape))
+            w.add_tensor(name, arr.reshape(shape))
+        w.write()
+
+    tokens = [3, 17, 42, 9]
+    ref_m = Model(src)
+    ref = Context(ref_m, n_ctx=32, n_seq_max=1, block_size=8)
+    a = ref.prefill(ref.new_seq(), tokens, all_logits=True)
+    got_m = Model(dst)
+    got = Context(got_m, n_ctx=32, n_seq_max=1, block_size=8)
+    b = got.prefill(got.new_seq(), tokens, all_logits=True)
+    np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
