@@ -45,7 +45,8 @@ class HParams:
     n_layer_dense_lead: int = 0      # leading layers use the dense FFN
     n_expert_shared: int = 0         # always-on shared experts (ungated)
     expert_weights_scale: float = 1.0  # routed output multiplier
-    expert_gating: str = "softmax"   # 'softmax' | 'sigmoid' (deepseek v3)
+    expert_gating: str = "softmax"   # softmax | sigmoid | sparsemixer
+    router_jitter: float = 0.01      # phimoe sparsemixer threshold eps   # 'softmax' | 'sigmoid' (deepseek v3)
     # MLA attention (deepseek2; reference llm_build_deepseek2):
     # low-rank q/kv compression ranks; 0 = standard attention
     n_lora_q: int = 0
@@ -231,8 +232,10 @@ def hparams_from_metadata(md: dict) -> HParams:
         n_layer_dense_lead=g("leading_dense_block_count", 0),
         n_expert_shared=g("expert_shared_count", 0),
         expert_weights_scale=g("expert_weights_scale", 1.0),
-        expert_gating=("sigmoid" if int(g("expert_gating_func", 1)) == 2
+        expert_gating=("sparsemixer" if arch == "phimoe"
+                       else "sigmoid" if int(g("expert_gating_func", 1)) == 2
                        else "softmax"),
+        router_jitter=g("router_jitter", 0.01),
         n_lora_q=g("attention.q_lora_rank", 0),
         n_lora_kv=g("attention.kv_lora_rank", 0),
         head_dim_v=g("attention.value_length", 0),
@@ -256,7 +259,11 @@ def hparams_from_metadata(md: dict) -> HParams:
                                     "bert", "nomic-bert",
                                     "gpt2", "starcoder", "bloom", "mpt",
                                     "dbrx",  # dbrx: bias-free LN
-                                    "cohere2")
+                                    "cohere2",
+                                    # phimoe: TRUE LayerNorm w/ bias (HF
+                                    # PhiMoE; the reference's RMS+bias is
+                                    # a divergence from the model)
+                                    "phimoe")
                    else "rms"),
         act_fn=("relu2" if arch == "nemotron" else
                 # bert/mpt: HF applies the EXACT erf gelu

@@ -648,6 +648,46 @@ def moe_ffn(x: jax.Array, lw: LayerWeights, hp: HParams,
     b, tdim = x.shape[0], x.shape[1]
     xf = x.reshape(-1, x.shape[-1])
     router = linear(xf, lw.gate_inp)                      # [M, E] (E global)
+    if hp.expert_gating == "sparsemixer":
+        # phimoe inference routing (HF sparsemixer, top_k == 2): each
+        # pick's weight is the MASKED softmax at that pick — experts more
+        # than 2*jitter_eps RELATIVE below the running max are dropped
+        # from the softmax — and the two picks' weights are NOT
+        # renormalized against each other (each is ~1.0 when its max is
+        # clear). NOTE divergence: the reference routes phimoe through
+        # build_moe_ffn's renormalized top-2 softmax (llm_build_phi3,
+        # norm_w=true), which does not match the original model; this
+        # engine follows the model (cross-validated in test_convert_hf).
+        eps2 = 2.0 * hp.router_jitter
+
+        def _pick(scores):
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            f = jnp.maximum(jnp.abs(scores), m)
+            g = jnp.where((m - scores) / f > eps2, -jnp.inf, scores)
+            i = jnp.argmax(scores, axis=-1)
+            w = jnp.take_along_axis(jax.nn.softmax(g, axis=-1),
+                                    i[:, None], axis=-1)[:, 0]
+            return i, w
+
+        i1, w1 = _pick(router)
+        masked = jnp.where(
+            jax.nn.one_hot(i1, router.shape[-1], dtype=bool),
+            -jnp.inf, router)
+        i2, w2 = _pick(masked)
+        topi = jnp.stack([i1, i2], axis=-1)                  # [M, 2]
+        topv = jnp.stack([w1, w2], axis=-1)
+        if hp.expert_weights_scale != 1.0:
+            topv = topv * hp.expert_weights_scale
+        e_local = hp.n_expert // ep
+        off = jax.lax.axis_index(ep_axis) * e_local \
+            if ep_axis is not None and ep > 1 else 0
+        if _use_pallas():
+            out = _moe_grouped(xf, lw, hp, topi, topv, e_local, off)
+        else:
+            out = _moe_dense_masked(xf, lw, hp, topi, topv, e_local, off)
+        if ep_axis is not None and ep > 1:
+            out = jax.lax.psum(out, ep_axis)
+        return out.reshape(b, tdim, hp.n_embd)
     if hp.expert_gating == "sigmoid":  # deepseek-v3 gating func
         probs = jax.nn.sigmoid(router)
     else:

@@ -253,6 +253,15 @@ register_arch(ArchSpec("mpt", family="llama", rope_type="norm",
 # paged-KV engine (the reference's recurrent llama-kv-cache mode,
 # llama-kv-cache.h:146; builder llm_build_mamba). llama-family
 # load_weights refuses it with a pointer.
+# phimoe (Phi-3.5-MoE): phi3 attention (neox rope + longrope) over
+# mixtral-stacked experts, TRUE LayerNorms with bias, lm-head bias, and
+# HF's sparsemixer inference routing (per-pick masked softmax, weights
+# NOT renormalized across picks). The reference routes it through
+# llm_build_phi3 with RMS+bias norms and renormalized top-2 softmax —
+# both diverge from the original model; this engine follows the model.
+register_arch(ArchSpec("phimoe", family="llama", rope_type="neox",
+                       notes="sparsemixer moe, true LN, head bias"))
+
 # chatglm (GLM-3/GLM-4): llama body with PARTIAL interleaved rotary
 # (rope_dim = head_dim/2, NORM type), qkv biases, fused-swiglu ffn
 # (reference llm_build_chatglm; validated vs GlmForCausalLM)

@@ -34,6 +34,10 @@ ARCH_MAP = {
     "TinyLlamaForCausalLM": "llama",
     "PhiForCausalLM": "phi2",
     "Phi3ForCausalLM": "phi3",
+    # phi3 attention + mixtral experts + TRUE LayerNorms + lm-head bias
+    # (reference PhiMoeModel, convert_hf_to_gguf.py:2616)
+    "PhiMoEForCausalLM": "phimoe",
+    "PhimoeForCausalLM": "phimoe",
     "FalconForCausalLM": "falcon",
     "GemmaForCausalLM": "gemma",
     "Gemma2ForCausalLM": "gemma2",
@@ -227,6 +231,7 @@ LAYER_MAP = {
     "self_attn.k_proj.weight": "attn_k.weight",
     "self_attn.v_proj.weight": "attn_v.weight",
     "self_attn.o_proj.weight": "attn_output.weight",
+    "self_attn.o_proj.bias": "attn_output.bias",   # phimoe attention_bias
     "self_attn.q_proj.bias": "attn_q.bias",
     "self_attn.k_proj.bias": "attn_k.bias",
     "self_attn.v_proj.bias": "attn_v.bias",
@@ -376,6 +381,7 @@ TOP_MAP = {
     "model.norm.weight": "output_norm.weight",
     "model.norm.bias": "output_norm.bias",
     "lm_head.weight": "output.weight",
+    "lm_head.bias": "output.bias",       # phimoe lm_head_bias
 }
 
 
@@ -791,6 +797,15 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
         del md[f"{arch}.attention.layer_norm_rms_epsilon"]
         md[f"{arch}.rope.dimension_count"] = int(
             head_dim * cfg.get("partial_rotary_factor", 0.5))
+    if arch == "phimoe":
+        # TRUE LayerNorm eps (HF reuses the rms_norm_eps config key) +
+        # the sparsemixer threshold (our extension key; the reference
+        # has no GGUF key for it)
+        md[f"{arch}.attention.layer_norm_epsilon"] = cfg.get(
+            "rms_norm_eps", 1e-5)
+        del md[f"{arch}.attention.layer_norm_rms_epsilon"]
+        md[f"{arch}.router_jitter"] = float(
+            cfg.get("router_jitter_noise", 0.01))
     if arch == "chatglm":
         # reference ChatGLMModel set_gguf_parameters: PARTIAL interleaved
         # rotary (rope_dim = head_dim * partial_rotary_factor, NORM type)

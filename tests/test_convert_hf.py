@@ -2276,3 +2276,72 @@ def test_fused_swiglu_ffn_up_gguf_loads(tmp_path):
     got = Context(got_m, n_ctx=32, n_seq_max=1, block_size=8)
     b = got.prefill(got.new_seq(), tokens, all_logits=True)
     np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
+def test_convert_phimoe_matches_transformers(tmp_path):
+    """phimoe / Phi-3.5-MoE: phi3 attention (neox rope, qkv+head biases)
+    over mixtral-stacked experts with TRUE LayerNorms and HF's
+    sparsemixer inference routing — per-pick masked softmax, weights NOT
+    renormalized across the two picks. (The reference routes phimoe
+    through llm_build_phi3's RMS+bias norms and renormalized top-2
+    softmax; both diverge from the original model, so this test
+    validates against transformers, not the reference.)"""
+    from transformers import PhimoeConfig, PhimoeForCausalLM
+
+    rng = np.random.default_rng(37)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, KV, L, E, FFE = 256, 64, 4, 2, 2, 4, 96
+    d = C // H
+    cfg = {
+        "architectures": ["PhimoeForCausalLM"],
+        "hidden_size": C, "intermediate_size": FFE,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "num_hidden_layers": L, "max_position_embeddings": 256,
+        "rms_norm_eps": 1e-5, "rope_theta": 10000.0, "vocab_size": V,
+        "num_local_experts": E, "num_experts_per_tok": 2,
+        "router_jitter_noise": 0.01, "attention_bias": True,
+        "lm_head_bias": True, "tie_word_embeddings": False,
+        "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "model.embed_tokens.weight": r(V, C),
+        "model.norm.weight": 1.0 + r(C),
+        "model.norm.bias": r(C),
+        "lm_head.weight": r(V, C),
+        "lm_head.bias": r(V),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        ws.update({
+            p + "input_layernorm.weight": 1.0 + r(C),
+            p + "input_layernorm.bias": r(C),
+            p + "self_attn.q_proj.weight": r(H * d, C),
+            p + "self_attn.q_proj.bias": r(H * d),
+            p + "self_attn.k_proj.weight": r(KV * d, C),
+            p + "self_attn.k_proj.bias": r(KV * d),
+            p + "self_attn.v_proj.weight": r(KV * d, C),
+            p + "self_attn.v_proj.bias": r(KV * d),
+            p + "self_attn.o_proj.weight": r(C, H * d),
+            p + "self_attn.o_proj.bias": r(C),
+            p + "post_attention_layernorm.weight": 1.0 + r(C),
+            p + "post_attention_layernorm.bias": r(C),
+            p + "block_sparse_moe.gate.weight": r(E, C),
+        })
+        for e in range(E):
+            q = p + f"block_sparse_moe.experts.{e}."
+            ws.update({
+                q + "w1.weight": r(FFE, C),
+                q + "w3.weight": r(FFE, C),
+                q + "w2.weight": r(C, FFE),
+            })
+    tcfg = PhimoeConfig(
+        vocab_size=V, hidden_size=C, intermediate_size=FFE,
+        num_hidden_layers=L, num_attention_heads=H, num_key_value_heads=KV,
+        num_local_experts=E, num_experts_per_tok=2,
+        router_jitter_noise=0.01, rms_norm_eps=1e-5, rope_theta=10000.0,
+        attention_bias=True, lm_head_bias=True, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    m = _convert_and_compare(tmp_path, cfg, ws, PhimoeForCausalLM, tcfg)
+    assert m.hp.arch == "phimoe"
+    assert m.hp.expert_gating == "sparsemixer"
