@@ -68,6 +68,8 @@ class HParams:
     # cohere2: rope ONLY on sliding-window layers; global layers carry no
     # positional signal at all (llm_build_cohere2's is_swa rope gate)
     nope_global: bool = False
+    # chameleon 34B: norms apply to branch OUTPUTS, no pre-norms
+    swin_norm: bool = False
     # RoPE freq base for sliding-window layers (gemma3: 10000 while global
     # layers use the metadata base 1e6 — reference llama-model.cpp:888
     # rope_freq_base_train_swa, selected per layer in llm_build_gemma3 :7572).
@@ -300,6 +302,7 @@ def hparams_from_metadata(md: dict) -> HParams:
         pooling={0: "none", 1: "mean", 2: "cls", 3: "last"}.get(
             int(g("pooling_type", 1)), "mean"),
         nope_global=arch == "cohere2",
+        swin_norm=bool(g("swin_norm", False)),
         mrope_sections=tuple(
             int(x) for x in np.asarray(
                 md.get(f"{arch}.rope.dimension_sections", []))[:3]),

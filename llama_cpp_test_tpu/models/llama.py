@@ -138,6 +138,9 @@ class LayerWeights:
     # exp_probs_b: biases selection only, weights stay unbiased)
     exp_probs_b: jax.Array | None = None
     # bert-family POST-norms: LN applied to (input + branch) sums
+    # chameleon per-head qk LayerNorm biases ([H, d] like the weights)
+    attn_q_norm_b: jax.Array | None = None
+    attn_k_norm_b: jax.Array | None = None
     # (reference llm_build_bert attn_out_norm / layer_out_norm)
     attn_out_norm: jax.Array | None = None
     attn_out_norm_b: jax.Array | None = None
@@ -497,6 +500,8 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
                 setattr(lw, attr, bias[perm] if perm is not None else bias)
         for tname, attr in (("attn_q_norm.weight", "attn_q_norm"),
                             ("attn_k_norm.weight", "attn_k_norm"),
+                            ("attn_q_norm.bias", "attn_q_norm_b"),
+                            ("attn_k_norm.bias", "attn_k_norm_b"),
                             ("attn_post_norm.weight", "attn_post_norm"),
                             ("post_attention_norm.weight", "attn_post_norm"),
                             ("ffn_post_norm.weight", "ffn_post_norm"),
@@ -509,7 +514,8 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
             if p + tname in t:
                 arr = _f32(reader, p + tname)
                 if arr.ndim == 2 and q_perm is not None and \
-                        attr in ("attn_q_norm", "attn_k_norm"):
+                        attr in ("attn_q_norm", "attn_k_norm",
+                                 "attn_q_norm_b", "attn_k_norm_b"):
                     # Command R+ per-head LayerNorm weights [H, d] live in
                     # the checkpoint's interleaved-rope layout; q/k rows are
                     # unpermuted to half-split at load, so the elementwise
@@ -517,6 +523,13 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
                     # are permutation-invariant, the weight multiply isn't)
                     arr = arr[:, _unpermute_rows(1, hp.head_dim)]
                 setattr(lw, attr, arr)
+        if hp.swin_norm:
+            # chameleon swin variant (llm_build_chameleon hparams.swin_norm):
+            # NO pre-norms; the layer's attn/ffn norms apply to the BRANCH
+            # OUTPUT before the residual add — exactly the engine's gemma2
+            # sandwich post-norm slots, so swin is a pure load-time remap
+            lw.attn_post_norm, lw.attn_norm = lw.attn_norm, None
+            lw.ffn_post_norm, lw.ffn_norm = lw.ffn_norm, None
         if hp.arch == "dbrx" and lw.ffn_norm is None and \
                 lw.attn_out_norm is not None:
             # dbrx stores its pre-MoE norm under the bert-family
@@ -958,11 +971,15 @@ def forward_layer(
     # — reference llm_build_stablelm's build_norm LLM_NORM on [d, H, T];
     # HF StableLmLayerNormPerHead)
     if not flat_qk and lw.attn_q_norm is not None:
-        q = (layers.layer_norm(q, lw.attn_q_norm, None, hp.rms_eps)
+        # 2D [H, d]: distinct per-head LayerNorms — stablelm-2-12B (no
+        # bias) and chameleon (with bias, stats over d only)
+        q = (layers.layer_norm(q, lw.attn_q_norm, lw.attn_q_norm_b,
+                               hp.rms_eps)
              if lw.attn_q_norm.ndim == 2
              else layers.rms_norm(q, lw.attn_q_norm, hp.rms_eps))
     if not flat_qk and lw.attn_k_norm is not None:
-        k = (layers.layer_norm(k, lw.attn_k_norm, None, hp.rms_eps)
+        k = (layers.layer_norm(k, lw.attn_k_norm, lw.attn_k_norm_b,
+                               hp.rms_eps)
              if lw.attn_k_norm.ndim == 2
              else layers.rms_norm(k, lw.attn_k_norm, hp.rms_eps))
     if mrope_pos is not None and hp.mrope_sections:

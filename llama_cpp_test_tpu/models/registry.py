@@ -253,6 +253,16 @@ register_arch(ArchSpec("mpt", family="llama", rope_type="norm",
 # paged-KV engine (the reference's recurrent llama-kv-cache mode,
 # llama-kv-cache.h:146; builder llm_build_mamba). llama-family
 # load_weights refuses it with a pointer.
+# chameleon (7B/34B): llama body + per-head qk LayerNorms WITH bias
+# (stats over head_dim only, applied before rope) and the 34B's
+# swin_norm variant — no pre-norms, branch-output norms, which maps
+# exactly onto the engine's gemma2 sandwich post-norm slots at load.
+# NOTE: the reference graph hard-codes image-token logit suppression
+# (llm_build_chameleon img_token range clamp); this engine matches the
+# MODEL (no suppression) — use logit_bias to constrain text-only runs.
+register_arch(ArchSpec("chameleon", family="llama", rope_type="norm",
+                       notes="per-head qk LN + bias; swin_norm variant"))
+
 # phimoe (Phi-3.5-MoE): phi3 attention (neox rope + longrope) over
 # mixtral-stacked experts, TRUE LayerNorms with bias, lm-head bias, and
 # HF's sparsemixer inference routing (per-pick masked softmax, weights

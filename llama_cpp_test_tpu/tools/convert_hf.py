@@ -85,6 +85,9 @@ ARCH_MAP = {
     "MPTForCausalLM": "mpt",
     # selective state-space (recurrent cache, models/mamba.py)
     "MambaForCausalLM": "mamba",
+    # text side only (vqmodel skipped, reference ChameleonModel)
+    "ChameleonForConditionalGeneration": "chameleon",
+    "ChameleonForCausalLM": "chameleon",
     # 16-expert MoE with fused Wqkv + clamp and bias-free LayerNorms
     # (reference DbrxModel, convert_hf_to_gguf.py:2016)
     "DbrxForCausalLM": "dbrx",
@@ -797,6 +800,9 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
         del md[f"{arch}.attention.layer_norm_rms_epsilon"]
         md[f"{arch}.rope.dimension_count"] = int(
             head_dim * cfg.get("partial_rotary_factor", 0.5))
+    if arch == "chameleon":
+        # reference ChameleonModel set_gguf_parameters
+        md[f"{arch}.swin_norm"] = bool(cfg.get("swin_norm", False))
     if arch == "phimoe":
         # TRUE LayerNorm eps (HF reuses the rms_norm_eps config key) +
         # the sparsemixer threshold (our extension key; the reference
@@ -994,7 +1000,8 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
     for tname, tarr in rope_factor_tensors:
         w.add_tensor(tname, tarr, ggml_type=GGMLType.F32)
 
-    is_norm_rope = arch in ("llama", "granite", "olmo", "minicpm")
+    is_norm_rope = arch in ("llama", "granite", "olmo", "minicpm",
+                            "chameleon")
     experts: dict[tuple[int, str], dict[int, np.ndarray]] = {}
     n_expert = n_expert_cfg or 0
     seen_output = False
@@ -1023,6 +1030,23 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
                 continue
             if name.startswith("model.language_model."):
                 name = "model." + name[len("model.language_model."):]
+        if arch == "chameleon" and name.startswith("model.vqmodel"):
+            continue  # image tokenizer not converted (reference skip)
+        if arch == "chameleon" and (
+                ".self_attn.q_norm." in name or ".self_attn.k_norm." in name):
+            # per-head qk LayerNorm [H, d] (+bias). Rows were permuted
+            # half-split -> interleaved like q/k, so the norm's d-axis
+            # gets the SAME within-head map (reference ChameleonModel
+            # _reverse_hf_permute); the loader's NORM-rope unpermute
+            # restores HF order at load
+            li = name.split(".")[2]
+            a = np.asarray(arr, np.float32)      # [H, d] or [KV, d]
+            h, dd = a.shape
+            a = a.reshape(h, 2, dd // 2).transpose(0, 2, 1).reshape(h, dd)
+            which = "attn_q_norm" if ".q_norm." in name else "attn_k_norm"
+            kind = "bias" if name.endswith(".bias") else "weight"
+            emit(f"blk.{li}.{which}.{kind}", a)
+            continue
         if ".q_layernorm.norms." in name or ".k_layernorm.norms." in name:
             parts = name.split(".")
             li, which, hi = int(parts[2]), parts[4], int(parts[6])

@@ -2345,3 +2345,78 @@ def test_convert_phimoe_matches_transformers(tmp_path):
     m = _convert_and_compare(tmp_path, cfg, ws, PhimoeForCausalLM, tcfg)
     assert m.hp.arch == "phimoe"
     assert m.hp.expert_gating == "sparsemixer"
+
+
+def _chameleon_ws(rng, swin):
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, KV, L, FF, d = 256, 64, 4, 2, 2, 96, 16
+    ws = {
+        "model.embed_tokens.weight": r(V, C),
+        "model.norm.weight": 1.0 + r(C),
+        "lm_head.weight": r(V, C),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        ws.update({
+            p + "input_layernorm.weight": 1.0 + r(C),
+            p + "self_attn.q_proj.weight": r(H * d, C),
+            p + "self_attn.k_proj.weight": r(KV * d, C),
+            p + "self_attn.v_proj.weight": r(KV * d, C),
+            p + "self_attn.o_proj.weight": r(C, H * d),
+            p + "self_attn.q_norm.weight": 1.0 + r(H, d),
+            p + "self_attn.q_norm.bias": r(H, d),
+            p + "self_attn.k_norm.weight": 1.0 + r(KV, d),
+            p + "self_attn.k_norm.bias": r(KV, d),
+            p + "post_attention_layernorm.weight": 1.0 + r(C),
+            p + "mlp.gate_proj.weight": r(FF, C),
+            p + "mlp.up_proj.weight": r(FF, C),
+            p + "mlp.down_proj.weight": r(C, FF),
+        })
+    cfg = {
+        "architectures": ["ChameleonForConditionalGeneration"],
+        "hidden_size": C, "intermediate_size": FF,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "num_hidden_layers": L, "max_position_embeddings": 256,
+        "rms_norm_eps": 1e-5, "rope_theta": 10000.0, "vocab_size": V,
+        "swin_norm": swin, "tie_word_embeddings": False,
+        "bos_token_id": 1, "eos_token_id": 2,
+    }
+    return cfg, ws
+
+
+def _chameleon_cfg(swin):
+    from transformers import ChameleonConfig
+
+    V, C, H, KV, L, FF = 256, 64, 4, 2, 2, 96
+    return ChameleonConfig(
+        vocab_size=V, hidden_size=C, intermediate_size=FF,
+        num_hidden_layers=L, num_attention_heads=H, num_key_value_heads=KV,
+        rms_norm_eps=1e-5, rope_theta=10000.0, swin_norm=swin,
+        tie_word_embeddings=False, attn_implementation="eager",
+        vocabulary_map={"<image>": 255},
+    )
+
+
+def test_convert_chameleon_matches_transformers(tmp_path):
+    """chameleon: llama body + per-head qk LayerNorms WITH bias (stats
+    over head_dim only, before rope) — the norm weights ride the same
+    within-head interleave permutation as the q/k rows."""
+    from transformers import ChameleonForConditionalGeneration
+
+    cfg, ws = _chameleon_ws(np.random.default_rng(41), swin=False)
+    m = _convert_and_compare(tmp_path, cfg, ws,
+                             ChameleonForConditionalGeneration,
+                             _chameleon_cfg(False))
+    assert m.hp.arch == "chameleon" and not m.hp.swin_norm
+
+
+def test_convert_chameleon_swin_norm_matches_transformers(tmp_path):
+    """chameleon 34B swin_norm: NO pre-norms, attn/ffn norms on the
+    branch outputs — loads into the gemma2 sandwich post-norm slots."""
+    from transformers import ChameleonForConditionalGeneration
+
+    cfg, ws = _chameleon_ws(np.random.default_rng(43), swin=True)
+    m = _convert_and_compare(tmp_path, cfg, ws,
+                             ChameleonForConditionalGeneration,
+                             _chameleon_cfg(True))
+    assert m.hp.arch == "chameleon" and m.hp.swin_norm
