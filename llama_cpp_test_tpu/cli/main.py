@@ -80,6 +80,38 @@ def _run_mamba(args) -> int:
     return 0
 
 
+def _run_t5(args) -> int:
+    """Encoder-decoder generation (t5): llama_encode on the prompt, then
+    the decoder loop seeded with decoder_start_token (the reference
+    main.cpp T5 flow)."""
+    from ..models.t5 import T5Context, T5Model, generate
+
+    t0 = time.time()
+    model = T5Model(args.model)
+    print(f"# t5 model loaded in {time.time()-t0:.1f}s "
+          f"(n_layer={model.hp.n_layer}, d_kv={model.hp.d_kv})",
+          file=sys.stderr)
+    if model.tokenizer is None:
+        print("error: model has no tokenizer", file=sys.stderr)
+        return 1
+    if model.dec is None:
+        print("error: t5encoder GGUFs are embedding-only — use "
+              "llama-embedding", file=sys.stderr)
+        return 1
+    prompt = args.prompt or ""
+    if getattr(args, "file", None):
+        prompt = open(args.file, encoding="utf-8").read()
+    toks = model.tokenizer.encode(prompt, add_special=True)
+    ctx = T5Context(model, n_ctx=max(64, args.n_predict + 8))
+    vocab = model.tokenizer.vocab
+    eos = vocab.eos_id if vocab.eos_id is not None else 1
+    for tok in generate(ctx, toks, args.n_predict, eos_id=eos):
+        sys.stdout.write(model.tokenizer.token_to_piece(tok))
+        sys.stdout.flush()
+    sys.stdout.write("\n")
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -88,9 +120,11 @@ def main(argv=None) -> int:
     from ..runtime.sampling import SamplerChain, SamplerParams
     from ..runtime.scheduler import GenRequest, Scheduler
 
-    if open_gguf(args.model).metadata.get(
-            "general.architecture") == "mamba":
+    _arch = open_gguf(args.model).metadata.get("general.architecture")
+    if _arch == "mamba":
         return _run_mamba(args)
+    if _arch in ("t5", "t5encoder"):
+        return _run_t5(args)
 
     t0 = time.time()
     mesh = None

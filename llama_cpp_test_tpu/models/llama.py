@@ -292,6 +292,10 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
         raise ValueError(
             "mamba is a recurrent state-space arch with no KV cache — "
             "load it with models.mamba.MambaModel / MambaContext")
+    if spec.family == "t5":
+        raise ValueError(
+            "t5 is an encoder-decoder arch — load it with "
+            "models.t5.T5Model / T5Context (llama_encode + decode flow)")
     t = reader.tensors
     if tp > 1:
         from ..parallel.sharding import repack_sharded, shard_qtensor_cols

@@ -290,6 +290,15 @@ register_arch(ArchSpec("cohere2", family="llama", rope_type="norm",
 register_arch(ArchSpec("dbrx", family="llama", rope_type="neox",
                        notes="fused-qkv clamp, LN, softmax moe"))
 
+# t5 family (encoder-decoder): llm_build_t5_enc/_dec — relative bucket
+# position bias, NO attention scale, cross-attention over llama_encode
+# output; d_kv decoupled from d_model. models/t5.py provides
+# T5Model/T5Context (the engine's paged KV is decoder-only by design).
+register_arch(ArchSpec("t5", family="t5",
+                       notes="enc-dec, rel buckets, cross-attn"))
+register_arch(ArchSpec("t5encoder", family="t5",
+                       notes="encoder-only t5 (embeddings)"))
+
 register_arch(ArchSpec("mamba", family="mamba",
                        notes="recurrent ssm; models/mamba.py surface"))
 

@@ -85,6 +85,11 @@ ARCH_MAP = {
     "MPTForCausalLM": "mpt",
     # selective state-space (recurrent cache, models/mamba.py)
     "MambaForCausalLM": "mamba",
+    # encoder-decoder family (reference T5Model / T5EncoderModel)
+    "T5ForConditionalGeneration": "t5",
+    "MT5ForConditionalGeneration": "t5",
+    "T5WithLMHeadModel": "t5",
+    "T5EncoderModel": "t5encoder",
     # text side only (vqmodel skipped, reference ChameleonModel)
     "ChameleonForConditionalGeneration": "chameleon",
     "ChameleonForCausalLM": "chameleon",
@@ -651,6 +656,113 @@ def _vocab_metadata(path: str, cfg: dict) -> dict:
     return md
 
 
+
+
+# T5 layer-suffix -> GGUF name (reference llama-arch.cpp T5 table:
+# enc.blk.* / dec.blk.*; attention output is attn_o, not attn_output)
+_T5_SELF = {
+    "SelfAttention.q.weight": "attn_q.weight",
+    "SelfAttention.k.weight": "attn_k.weight",
+    "SelfAttention.v.weight": "attn_v.weight",
+    "SelfAttention.o.weight": "attn_o.weight",
+    "SelfAttention.relative_attention_bias.weight": "attn_rel_b.weight",
+    "layer_norm.weight": "attn_norm.weight",
+}
+_T5_CROSS = {
+    "EncDecAttention.q.weight": "cross_attn_q.weight",
+    "EncDecAttention.k.weight": "cross_attn_k.weight",
+    "EncDecAttention.v.weight": "cross_attn_v.weight",
+    "EncDecAttention.o.weight": "cross_attn_o.weight",
+    "layer_norm.weight": "cross_attn_norm.weight",
+}
+_T5_FFN = {
+    "DenseReluDense.wi.weight": "ffn_up.weight",
+    "DenseReluDense.wi_0.weight": "ffn_gate.weight",
+    "DenseReluDense.wi_1.weight": "ffn_up.weight",
+    "DenseReluDense.wo.weight": "ffn_down.weight",
+    "layer_norm.weight": "ffn_norm.weight",
+}
+
+
+def _convert_t5(path: str, out_path: str, cfg: dict, arch: str,
+                dtype: str) -> None:
+    """t5 / t5encoder GGUF (reference T5Model & T5EncoderModel,
+    convert_hf_to_gguf.py:4405/4544: shared embeddings deduped to
+    token_embd, enc./dec. block prefixes, d_kv key/value lengths,
+    relative bucket count, decoder_start_token_id)."""
+    ggml_dtype = {"F16": GGMLType.F16, "BF16": GGMLType.BF16,
+                  "F32": GGMLType.F32, "Q8_0": GGMLType.Q8_0}[dtype]
+    w = GGUFWriter(out_path, arch=arch)
+    md = {
+        "general.architecture": arch,
+        "general.name": cfg.get("_name_or_path", os.path.basename(path)),
+        f"{arch}.context_length": cfg.get("n_positions", 512),
+        f"{arch}.embedding_length": cfg["d_model"],
+        f"{arch}.block_count": cfg["num_layers"],
+        f"{arch}.feed_forward_length": cfg["d_ff"],
+        f"{arch}.attention.head_count": cfg["num_heads"],
+        f"{arch}.attention.key_length": cfg["d_kv"],
+        f"{arch}.attention.value_length": cfg["d_kv"],
+        f"{arch}.attention.layer_norm_rms_epsilon": cfg.get(
+            "layer_norm_epsilon", 1e-6),
+        f"{arch}.attention.relative_buckets_count": cfg.get(
+            "relative_attention_num_buckets", 32),
+        f"{arch}.decoder_start_token_id": cfg.get(
+            "decoder_start_token_id", 0),
+    }
+    md.update(_vocab_metadata(path, cfg))
+    for key, val in md.items():
+        w.add_kv(key, val)
+
+    def emit(gname, arr):
+        a = np.asarray(arr, np.float32)
+        tgt = ggml_dtype if a.ndim >= 2 else GGMLType.F32
+        if "norm" in gname or "rel_b" in gname:
+            tgt = GGMLType.F32
+        if tgt not in (GGMLType.F32, GGMLType.F16, GGMLType.BF16) and \
+                a.shape[-1] % 32:
+            tgt = GGMLType.F16
+        w.add_tensor(gname, a, ggml_type=tgt)
+
+    seen_embd = False
+    tied = bool(cfg.get("tie_word_embeddings", True))
+    for name, arr in iter_hf_tensors(path):
+        if name in ("shared.weight", "encoder.embed_tokens.weight",
+                    "decoder.embed_tokens.weight"):
+            # stored under any (or several) of these names; first wins
+            if not seen_embd:
+                emit("token_embd.weight", arr)
+                seen_embd = True
+            continue
+        if name == "lm_head.weight" and not tied:
+            emit("output.weight", arr)
+            continue
+        if name == "encoder.final_layer_norm.weight":
+            emit("enc.output_norm.weight", arr)
+            continue
+        if name == "decoder.final_layer_norm.weight":
+            emit("dec.output_norm.weight", arr)
+            continue
+        for side, prefix in (("encoder", "enc"), ("decoder", "dec")):
+            lead = f"{side}.block."
+            if not name.startswith(lead):
+                continue
+            rest = name[len(lead):]
+            idx, _, sub = rest.partition(".")
+            # sub = "layer.<j>.<suffix>"; j=0 self-attn; encoder j=1 ffn;
+            # decoder j=1 cross-attn, j=2 ffn
+            _, _, tail = sub.partition(".")
+            j, _, suffix = tail.partition(".")
+            table = _T5_SELF if j == "0" else (
+                _T5_FFN if (side == "encoder" or j == "2")
+                else _T5_CROSS)
+            mapped = table.get(suffix)
+            if mapped:
+                emit(f"{prefix}.blk.{idx}.{mapped}", arr)
+            break
+    w.write()
+
+
 def convert(path: str, out_path: str, dtype: str = "F16") -> None:
     with open(os.path.join(path, "config.json"), encoding="utf-8") as f:
         cfg = json.load(f)
@@ -659,6 +771,8 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
     if arch is None:
         raise ValueError(f"unsupported architecture {archs[0]}; "
                          f"known: {sorted(ARCH_MAP)}")
+    if arch in ("t5", "t5encoder"):
+        return _convert_t5(path, out_path, cfg, arch, dtype)
     if arch == "qwen2vl" and isinstance(cfg.get("text_config"), dict):
         # VL configs nest the language-model hparams (transformers >= 4.52)
         cfg = {**cfg, **cfg["text_config"]}
