@@ -230,7 +230,8 @@ def hparams_from_metadata(md: dict) -> HParams:
         n_ff_exp=g("expert_feed_forward_length", 0),
         norm_topk=(bool(g("expert_weights_norm", False))
                    if arch == "deepseek2"
-                   else arch not in ("qwen2moe", "olmoe")),
+                   # deepseek v1 + qwen2moe/olmoe: raw softmax top-k
+                   else arch not in ("qwen2moe", "olmoe", "deepseek")),
         n_layer_dense_lead=g("leading_dense_block_count", 0),
         n_expert_shared=g("expert_shared_count", 0),
         expert_weights_scale=g("expert_weights_scale", 1.0),

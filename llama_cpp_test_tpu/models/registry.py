@@ -290,6 +290,13 @@ register_arch(ArchSpec("cohere2", family="llama", rope_type="norm",
 register_arch(ArchSpec("dbrx", family="llama", rope_type="neox",
                        notes="fused-qkv clamp, LN, softmax moe"))
 
+# deepseek v1: llama attention (NORM rope) + deepseek-MoE — softmax
+# top-k WITHOUT renormalization, always-on UNGATED shared experts,
+# leading dense layers (llm_build_deepseek; validated against an
+# independent torch reference since the HF class is remote-code)
+register_arch(ArchSpec("deepseek", family="llama", rope_type="norm",
+                       notes="moe no-renorm + ungated shexp"))
+
 # t5 family (encoder-decoder): llm_build_t5_enc/_dec — relative bucket
 # position bias, NO attention scale, cross-attention over llama_encode
 # output; d_kv decoupled from d_model. models/t5.py provides

@@ -62,6 +62,11 @@ ARCH_MAP = {
     "OlmoForCausalLM": "olmo",
     # MLA + MoE family (reference DeepseekV2Model covers V2/V2.5/V3/R1,
     # convert_hf_to_gguf.py:4304)
+    # deepseek v1 (16B/67B-lite MoE): llama attention + softmax top-k
+    # WITHOUT renorm + always-on ungated shared experts + dense lead
+    # (reference llm_build_deepseek; the HF class is remote-code, so the
+    # test validates against an independent torch reference)
+    "DeepseekForCausalLM": "deepseek",
     "DeepseekV2ForCausalLM": "deepseek2",
     "DeepseekV3ForCausalLM": "deepseek2",
     # embedding-class encoders (reference BertModel, convert_hf_to_gguf.py)
@@ -1040,6 +1045,14 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
             "sliding_window_pattern", 6)
         md[f"{arch}.rope.local_freq_base"] = cfg.get(
             "rope_local_base_freq", 10000.0)
+    if arch == "deepseek":
+        md[f"{arch}.leading_dense_block_count"] = cfg.get(
+            "first_k_dense_replace", 0)
+        if cfg.get("n_routed_experts"):
+            md[f"{arch}.expert_shared_count"] = cfg.get(
+                "n_shared_experts", 0)
+            md[f"{arch}.expert_weights_scale"] = float(
+                cfg.get("routed_scaling_factor", 1.0))
     if arch == "deepseek2":
         # MLA + deepseek-MoE keys (reference DeepseekV2Model
         # set_gguf_parameters, convert_hf_to_gguf.py:4310-4341)
@@ -1115,7 +1128,7 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
         w.add_tensor(tname, tarr, ggml_type=GGMLType.F32)
 
     is_norm_rope = arch in ("llama", "granite", "olmo", "minicpm",
-                            "chameleon")
+                            "chameleon", "deepseek")
     experts: dict[tuple[int, str], dict[int, np.ndarray]] = {}
     n_expert = n_expert_cfg or 0
     seen_output = False

@@ -2420,3 +2420,145 @@ def test_convert_chameleon_swin_norm_matches_transformers(tmp_path):
                              ChameleonForConditionalGeneration,
                              _chameleon_cfg(True))
     assert m.hp.arch == "chameleon" and m.hp.swin_norm
+
+
+def test_convert_deepseek_v1_matches_torch_reference(tmp_path):
+    """deepseek v1 (llm_build_deepseek): llama attention + deepseek-MoE
+    with softmax top-k WITHOUT renorm, always-on UNGATED shared experts,
+    and a leading dense layer. The HF class is remote-code, so this
+    validates against an independent torch implementation of the
+    published v1 architecture."""
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(59)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, KV, L, E, FF, FFE = 256, 64, 4, 2, 3, 4, 96, 48
+    d = C // H
+    cfg = {
+        "architectures": ["DeepseekForCausalLM"],
+        "hidden_size": C, "intermediate_size": FF,
+        "moe_intermediate_size": FFE,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "num_hidden_layers": L, "max_position_embeddings": 256,
+        "rms_norm_eps": 1e-5, "rope_theta": 10000.0, "vocab_size": V,
+        "n_routed_experts": E, "num_experts_per_tok": 2,
+        "n_shared_experts": 1, "first_k_dense_replace": 1,
+        "tie_word_embeddings": False,
+        "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "model.embed_tokens.weight": r(V, C),
+        "model.norm.weight": 1.0 + r(C),
+        "lm_head.weight": r(V, C),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        ws.update({
+            p + "input_layernorm.weight": 1.0 + r(C),
+            p + "self_attn.q_proj.weight": r(H * d, C),
+            p + "self_attn.k_proj.weight": r(KV * d, C),
+            p + "self_attn.v_proj.weight": r(KV * d, C),
+            p + "self_attn.o_proj.weight": r(C, H * d),
+            p + "post_attention_layernorm.weight": 1.0 + r(C),
+        })
+        if i < 1:   # dense lead
+            ws.update({p + "mlp.gate_proj.weight": r(FF, C),
+                       p + "mlp.up_proj.weight": r(FF, C),
+                       p + "mlp.down_proj.weight": r(C, FF)})
+            continue
+        ws[p + "mlp.gate.weight"] = r(E, C)
+        ws.update({p + "mlp.shared_experts.gate_proj.weight": r(FFE, C),
+                   p + "mlp.shared_experts.up_proj.weight": r(FFE, C),
+                   p + "mlp.shared_experts.down_proj.weight": r(C, FFE)})
+        for e in range(E):
+            q = p + f"mlp.experts.{e}."
+            ws.update({q + "gate_proj.weight": r(FFE, C),
+                       q + "up_proj.weight": r(FFE, C),
+                       q + "down_proj.weight": r(C, FFE)})
+
+    def rms(x, w):
+        return x * torch.rsqrt((x ** 2).mean(-1, keepdim=True) + 1e-5) \
+            * torch.from_numpy(w)
+
+    def lin(x, w):
+        return x @ torch.from_numpy(w).T
+
+    def ref_forward(tokens):
+        T = len(tokens)
+        x = torch.from_numpy(ws["model.embed_tokens.weight"])[
+            torch.tensor(tokens)]
+        pos = torch.arange(T, dtype=torch.float32)
+        inv = 1.0 / (10000.0 ** (torch.arange(0, d, 2).float() / d))
+        theta = pos[:, None] * inv[None, :]
+        cos = torch.cat([theta.cos(), theta.cos()], -1)   # [T, d]
+        sin = torch.cat([theta.sin(), theta.sin()], -1)
+
+        def rope(q):  # [T, h, d] half-split convention
+            q1, q2 = q[..., :d // 2], q[..., d // 2:]
+            rot = torch.cat([-q2, q1], -1)
+            return q * cos[:, None, :] + rot * sin[:, None, :]
+
+        mask = torch.full((T, T), float("-inf")).triu(1)
+        for i in range(L):
+            p = f"model.layers.{i}."
+            cur = rms(x, ws[p + "input_layernorm.weight"])
+            q = rope(lin(cur, ws[p + "self_attn.q_proj.weight"])
+                     .view(T, H, d))
+            k = rope(lin(cur, ws[p + "self_attn.k_proj.weight"])
+                     .view(T, KV, d))
+            v = lin(cur, ws[p + "self_attn.v_proj.weight"]).view(T, KV, d)
+            k = k.repeat_interleave(H // KV, dim=1)
+            v = v.repeat_interleave(H // KV, dim=1)
+            att = torch.einsum("qhd,khd->hqk", q, k) / d ** 0.5
+            att = (att + mask).softmax(-1)
+            o = torch.einsum("hqk,khd->qhd", att, v).reshape(T, H * d)
+            x = x + lin(o, ws[p + "self_attn.o_proj.weight"])
+            cur = rms(x, ws[p + "post_attention_layernorm.weight"])
+            if i < 1:
+                ffn = lin(F.silu(lin(cur, ws[p + "mlp.gate_proj.weight"]))
+                          * lin(cur, ws[p + "mlp.up_proj.weight"]),
+                          ws[p + "mlp.down_proj.weight"])
+            else:
+                probs = lin(cur, ws[p + "mlp.gate.weight"]).softmax(-1)
+                topv, topi = probs.topk(2, dim=-1)   # NO renorm, scale 1
+                ffn = torch.zeros_like(cur)
+                for t in range(T):
+                    for j in range(2):
+                        e = int(topi[t, j])
+                        qq = f"{p}mlp.experts.{e}."
+                        h = F.silu(
+                            lin(cur[t], ws[qq + "gate_proj.weight"])) \
+                            * lin(cur[t], ws[qq + "up_proj.weight"])
+                        ffn[t] += topv[t, j] * lin(
+                            h, ws[qq + "down_proj.weight"])
+                sp = p + "mlp.shared_experts."
+                ffn = ffn + lin(
+                    F.silu(lin(cur, ws[sp + "gate_proj.weight"]))
+                    * lin(cur, ws[sp + "up_proj.weight"]),
+                    ws[sp + "down_proj.weight"])
+            x = x + ffn
+        x = rms(x, ws["model.norm.weight"])
+        return lin(x, ws["lm_head.weight"]).numpy()
+
+    hf_dir = tmp_path / "hf"
+    hf_dir.mkdir()
+    with open(hf_dir / "config.json", "w") as f:
+        json.dump(cfg, f)
+    st.save_file(ws, str(hf_dir / "model.safetensors"))
+    _bpe_tokenizer_json(str(hf_dir), V)
+    from llama_cpp_test_tpu.tools.convert_hf import convert
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    out = str(tmp_path / "m.gguf")
+    convert(str(hf_dir), out, dtype="F32")
+    m = Model(out)
+    assert m.hp.arch == "deepseek" and not m.hp.norm_topk
+    assert m.hp.n_layer_dense_lead == 1 and m.hp.n_expert_shared == 1
+    tokens = [3, 17, 42, 9, 150, 7]
+    with torch.no_grad():
+        ref = ref_forward(tokens)
+    ctx = Context(m, n_ctx=64, n_seq_max=1, block_size=8)
+    got = ctx.prefill(ctx.new_seq(), tokens, all_logits=True)
+    err = np.mean((got - ref) ** 2) / (np.mean(ref ** 2) + 1e-9)
+    assert err < 5e-3, err
+    assert np.argmax(got[-1]) == np.argmax(ref[-1])
