@@ -183,7 +183,7 @@ def hparams_from_metadata(md: dict) -> HParams:
     if (arch == "gemma2" and n_layer == 46) or \
             (arch == "gemma3" and n_layer == 62):
         attn_scale = 1.0 / _math.sqrt(n_embd / max(n_head, 1))
-    if arch == "granite":
+    if arch in ("granite", "granitemoe"):
         attn_scale = g("attention.scale", attn_scale)
     # phi2 stores a plain layer_norm_epsilon (LayerNorm arch); reuse rms_eps
     eps = g("attention.layer_norm_rms_epsilon",

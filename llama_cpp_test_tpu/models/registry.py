@@ -290,6 +290,13 @@ register_arch(ArchSpec("cohere2", family="llama", rope_type="norm",
 register_arch(ArchSpec("dbrx", family="llama", rope_type="neox",
                        notes="fused-qkv clamp, LN, softmax moe"))
 
+# granitemoe (IBM PowerMoE/granite-3 MoE): granite's mup multipliers
+# (embedding/residual/attention/logits scales) + mixtral-routed experts
+# whose HF planes are jetmoe-style fused (input_linear gate;up) — split
+# at convert (rides llm_build_llama like granite)
+register_arch(ArchSpec("granitemoe", family="llama", rope_type="norm",
+                       notes="granite scales + moe"))
+
 # deepseek v1: llama attention (NORM rope) + deepseek-MoE — softmax
 # top-k WITHOUT renormalization, always-on UNGATED shared experts,
 # leading dense layers (llm_build_deepseek; validated against an

@@ -43,6 +43,9 @@ ARCH_MAP = {
     "Gemma2ForCausalLM": "gemma2",
     "Gemma3ForCausalLM": "gemma3",
     "GraniteForCausalLM": "granite",
+    # granite multipliers + jetmoe-style FUSED expert planes split at
+    # convert (reference GraniteMoeModel, convert_hf_to_gguf.py:5065)
+    "GraniteMoeForCausalLM": "granitemoe",
     "StableLmForCausalLM": "stablelm",
     "Olmo2ForCausalLM": "olmo2",
     "OlmoeForCausalLM": "olmoe",
@@ -1034,7 +1037,7 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
         md[f"{arch}.attention.layer_norm_epsilon"] = cfg.get(
             "layer_norm_eps", 1e-5)
         del md[f"{arch}.attention.layer_norm_rms_epsilon"]
-    if arch == "granite":
+    if arch in ("granite", "granitemoe"):
         # mup-style multipliers (GraniteConfig -> llama.cpp granite keys)
         md[f"{arch}.attention.scale"] = cfg.get("attention_multiplier", 1.0)
         md[f"{arch}.embedding_scale"] = cfg.get("embedding_multiplier", 1.0)
@@ -1127,8 +1130,8 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
     for tname, tarr in rope_factor_tensors:
         w.add_tensor(tname, tarr, ggml_type=GGMLType.F32)
 
-    is_norm_rope = arch in ("llama", "granite", "olmo", "minicpm",
-                            "chameleon", "deepseek")
+    is_norm_rope = arch in ("llama", "granite", "granitemoe", "olmo",
+                            "minicpm", "chameleon", "deepseek")
     experts: dict[tuple[int, str], dict[int, np.ndarray]] = {}
     n_expert = n_expert_cfg or 0
     seen_output = False
@@ -1185,6 +1188,29 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
                 heads = qk_norms.pop(key)
                 emit(f"blk.{li}.{gn}.weight",
                      np.stack([heads[h] for h in range(want)]))
+            continue
+        # granitemoe jetmoe-style experts: input_linear [E, 2F, C] holds
+        # gate;up stacked on the row axis, output_linear [E, C, F] is the
+        # down plane directly (reference GraniteMoeModel.modify_tensors)
+        if arch == "granitemoe" and name.endswith(
+                "block_sparse_moe.input_linear.weight"):
+            li = name.split(".")[2]
+            a = np.asarray(arr, np.float32)
+            ffd = a.shape[1] // 2
+            emit(f"blk.{li}.ffn_gate_exps.weight", a[:, :ffd, :])
+            emit(f"blk.{li}.ffn_up_exps.weight", a[:, ffd:, :])
+            continue
+        if arch == "granitemoe" and name.endswith(
+                "block_sparse_moe.output_linear.weight"):
+            li = name.split(".")[2]
+            emit(f"blk.{li}.ffn_down_exps.weight",
+                 np.asarray(arr, np.float32))
+            continue
+        if arch == "granitemoe" and name.endswith(
+                "block_sparse_moe.router.layer.weight"):
+            li = name.split(".")[2]
+            emit(f"blk.{li}.ffn_gate_inp.weight",
+                 np.asarray(arr, np.float32))
             continue
         # dbrx fused expert planes: one [E*F, C] parameter per plane
         # (reference DbrxModel modify_tensors view/permute); w2 rows are

@@ -2562,3 +2562,60 @@ def test_convert_deepseek_v1_matches_torch_reference(tmp_path):
     err = np.mean((got - ref) ** 2) / (np.mean(ref ** 2) + 1e-9)
     assert err < 5e-3, err
     assert np.argmax(got[-1]) == np.argmax(ref[-1])
+
+
+def test_convert_granitemoe_matches_transformers(tmp_path):
+    """granitemoe (IBM granite-3 MoE / PowerMoE): granite's mup
+    multipliers + mixtral-routed experts stored jetmoe-style — ONE fused
+    input_linear [E, 2F, C] (gate;up) split at convert, output_linear
+    [E, C, F] as the down plane (reference GraniteMoeModel)."""
+    from transformers import GraniteMoeConfig, GraniteMoeForCausalLM
+
+    rng = np.random.default_rng(61)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, KV, L, E, FFE = 256, 64, 4, 2, 2, 4, 48
+    d = C // H
+    cfg = {
+        "architectures": ["GraniteMoeForCausalLM"],
+        "hidden_size": C, "intermediate_size": FFE,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "num_hidden_layers": L, "max_position_embeddings": 256,
+        "rms_norm_eps": 1e-5, "rope_theta": 10000.0, "vocab_size": V,
+        "num_local_experts": E, "num_experts_per_tok": 2,
+        "embedding_multiplier": 2.0, "residual_multiplier": 0.5,
+        "attention_multiplier": 0.1, "logits_scaling": 4.0,
+        "tie_word_embeddings": False,
+        "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "model.embed_tokens.weight": r(V, C),
+        "model.norm.weight": 1.0 + r(C),
+        "lm_head.weight": r(V, C),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        ws.update({
+            p + "input_layernorm.weight": 1.0 + r(C),
+            p + "self_attn.q_proj.weight": r(H * d, C),
+            p + "self_attn.k_proj.weight": r(KV * d, C),
+            p + "self_attn.v_proj.weight": r(KV * d, C),
+            p + "self_attn.o_proj.weight": r(C, H * d),
+            p + "post_attention_layernorm.weight": 1.0 + r(C),
+            p + "block_sparse_moe.router.layer.weight": r(E, C),
+            p + "block_sparse_moe.input_linear.weight": r(E, 2 * FFE, C),
+            p + "block_sparse_moe.output_linear.weight": r(E, C, FFE),
+        })
+    tcfg = GraniteMoeConfig(
+        vocab_size=V, hidden_size=C, intermediate_size=FFE,
+        num_hidden_layers=L, num_attention_heads=H, num_key_value_heads=KV,
+        num_local_experts=E, num_experts_per_tok=2,
+        embedding_multiplier=2.0, residual_multiplier=0.5,
+        attention_multiplier=0.1, logits_scaling=4.0,
+        rms_norm_eps=1e-5, rope_theta=10000.0, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    m = _convert_and_compare(tmp_path, cfg, ws, GraniteMoeForCausalLM,
+                             tcfg)
+    assert m.hp.arch == "granitemoe" and m.hp.n_expert == E
+    assert m.hp.embd_scale == pytest.approx(2.0)
+    assert m.hp.attn_scale == pytest.approx(0.1)
