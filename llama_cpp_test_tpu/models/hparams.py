@@ -70,6 +70,8 @@ class HParams:
     nope_global: bool = False
     # chameleon 34B: norms apply to branch OUTPUTS, no pre-norms
     swin_norm: bool = False
+    # jina-bert-v2: SYMMETRIC bidirectional ALiBi (-slope * |i-j|)
+    alibi_sym: bool = False
     # RoPE freq base for sliding-window layers (gemma3: 10000 while global
     # layers use the metadata base 1e6 — reference llama-model.cpp:888
     # rope_freq_base_train_swa, selected per layer in llm_build_gemma3 :7572).
@@ -259,7 +261,7 @@ def hparams_from_metadata(md: dict) -> HParams:
         norm_type=("ln" if arch in ("phi2", "falcon", "gptneox", "stablelm",
                                     "command-r", "starcoder2", "nemotron",
                                     "olmo",  # olmo: NON-PARAMETRIC LN
-                                    "bert", "nomic-bert",
+                                    "bert", "nomic-bert", "jina-bert-v2",
                                     "gpt2", "starcoder", "bloom", "mpt",
                                     "dbrx",  # dbrx: bias-free LN
                                     "cohere2",
@@ -269,8 +271,9 @@ def hparams_from_metadata(md: dict) -> HParams:
                                     "phimoe")
                    else "rms"),
         act_fn=("relu2" if arch == "nemotron" else
-                # bert/mpt: HF applies the EXACT erf gelu
-                "gelu_erf" if arch in ("bert", "mpt") else
+                # bert/mpt/jina: HF applies the EXACT erf gelu
+                "gelu_erf" if arch in ("bert", "mpt",
+                                       "jina-bert-v2") else
                 "gelu" if (gemma_like or arch in ("phi2", "falcon",
                                                   "gptneox", "starcoder2",
                                                   "gpt2", "starcoder",
@@ -289,12 +292,14 @@ def hparams_from_metadata(md: dict) -> HParams:
                        50.0 if arch == "gemma2" else 0.0),
         final_softcap=g("final_logit_softcapping",
                         30.0 if arch == "gemma2" else 0.0),
-        post_norm=arch in ("bert", "nomic-bert"),
-        causal=arch not in ("bert", "nomic-bert"),
+        post_norm=arch in ("bert", "nomic-bert", "jina-bert-v2"),
+        causal=arch not in ("bert", "nomic-bert", "jina-bert-v2"),
         pos_embd=("learned" if arch in ("bert", "gpt2", "starcoder")
-                  else "none" if arch in ("bloom", "mpt") or _baichuan_alibi
+                  else "none" if arch in ("bloom", "mpt", "jina-bert-v2")
+                  or _baichuan_alibi
                   else "rope"),
-        alibi=arch in ("bloom", "mpt") or _baichuan_alibi,
+        alibi=arch in ("bloom", "mpt", "jina-bert-v2") or _baichuan_alibi,
+        alibi_sym=arch == "jina-bert-v2",
         alibi_max_bias=g("attention.max_alibi_bias", 8.0),
         alibi_style="mpt" if arch == "mpt" else "bloom",
         # default mean everywhere (the historical behavior of this

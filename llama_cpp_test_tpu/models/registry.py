@@ -290,6 +290,19 @@ register_arch(ArchSpec("cohere2", family="llama", rope_type="norm",
 register_arch(ArchSpec("dbrx", family="llama", rope_type="neox",
                        notes="fused-qkv clamp, LN, softmax moe"))
 
+# jina-bert-v2 (jina-embeddings-v2): bert post-norm body with
+# SYMMETRIC bidirectional ALiBi (-slope*|i-j|, max_bias 8; no position
+# embeddings) and a GELU-gated FFN (llm_build_bert's JINA_BERT_V2
+# branches; validated against an independent torch reference — the HF
+# class is remote-code)
+register_arch(ArchSpec("jina-bert-v2", family="llama",
+                       notes="post-norm, symmetric alibi, geglu"))
+
+# xverse: llm_build_xverse is llm_build_llama minus biases/moe/rope
+# factors — a strict llama-family member (HF tensor names are llama's,
+# so parity follows the llama tests; converter relabels the arch)
+register_arch(ArchSpec("xverse", family="llama", rope_type="norm"))
+
 # granitemoe (IBM PowerMoE/granite-3 MoE): granite's mup multipliers
 # (embedding/residual/attention/logits scales) + mixtral-routed experts
 # whose HF planes are jetmoe-style fused (input_linear gate;up) — split

@@ -188,13 +188,18 @@ def alibi_slopes(n_head: int, max_bias: float = 8.0,
 
 def attention(q: jax.Array, k: jax.Array, v: jax.Array, mask: jax.Array,
               scale: float | None = None, softcap: float = 0.0,
-              alibi: jax.Array | None = None) -> jax.Array:
+              alibi: jax.Array | None = None,
+              alibi_sym_pos: jax.Array | None = None) -> jax.Array:
     """Masked multi-head attention with GQA broadcast.
 
     q: [B, T, H, D]; k/v: [B, S, KV, D]; mask: [B, T, S] bool (True = attend).
     alibi: optional [H] slopes — adds slope_h * kv_index to the logits
     (row-constant shift-equivalent to slope * (kv_pos - q_pos), HF Bloom
     semantics). Returns [B, T, H, D].
+    alibi_sym_pos: true query positions [B, T] — switches ALiBi to the
+    SYMMETRIC bidirectional form -slope_h * |q_pos - kv_pos| used by
+    jina-bert-v2 (non-causal encoders; the causal row-constant trick
+    does not apply there).
     """
     b, t, h, d = q.shape
     s = k.shape[1]
@@ -210,8 +215,14 @@ def attention(q: jax.Array, k: jax.Array, v: jax.Array, mask: jax.Array,
         logits = jnp.tanh(logits / softcap) * softcap
     if alibi is not None:
         sl = alibi.astype(jnp.float32).reshape(kv, rep)
-        logits = logits + (sl[:, :, None, None] *
-                           jnp.arange(s, dtype=jnp.float32))[None]
+        if alibi_sym_pos is not None:
+            dist = -jnp.abs(alibi_sym_pos[:, :, None].astype(jnp.float32)
+                            - jnp.arange(s, dtype=jnp.float32))  # [B,T,S]
+            logits = logits + sl[None, :, :, None, None] \
+                * dist[:, None, None, :, :]
+        else:
+            logits = logits + (sl[:, :, None, None] *
+                               jnp.arange(s, dtype=jnp.float32))[None]
     neg = jnp.finfo(jnp.float32).min
     logits = jnp.where(mask[:, None, None, :, :], logits, neg)
     p = jax.nn.softmax(logits, axis=-1)

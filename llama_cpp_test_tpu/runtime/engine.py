@@ -106,6 +106,8 @@ def _forward(w: LlamaWeights, pools: KVPools, tokens, positions, block_table,
                 al_full, jax.lax.axis_index(tp_axis) * hl, hl)
         else:
             alibi = al_full
+    # jina-bert-v2: symmetric bidirectional ALiBi needs true q positions
+    al_sym = positions if (hp.alibi and hp.alibi_sym) else None
     new_k, new_v = list(pools.k), list(pools.v)
     new_ks = list(pools.k_scale) if quant else None
     new_vs = list(pools.v_scale) if quant else None
@@ -135,7 +137,8 @@ def _forward(w: LlamaWeights, pools: KVPools, tokens, positions, block_table,
                                             (q.shape[0], 1))
                 return kv_cache.attend_gathered(
                     q, k, v, qpos, kv_len, scale,
-                    hparams_mod.layer_window(hp, _li), cap, alibi=alibi)
+                    hparams_mod.layer_window(hp, _li), cap, alibi=alibi,
+                    alibi_sym_pos=al_sym)
             new_k[_li] = kv_cache.write_kv(new_k[_li], k_cur, slots)
             new_v[_li] = kv_cache.write_kv(new_v[_li], v_cur, slots)
             if decode:
@@ -149,7 +152,8 @@ def _forward(w: LlamaWeights, pools: KVPools, tokens, positions, block_table,
                 (kv_len - 1)[:, None], positions.shape)
             return kv_cache.attend_prefill(
                 q, new_k[_li], new_v[_li], block_table, mask_pos, kv_len,
-                scale, hparams_mod.layer_window(hp, _li), cap, alibi=alibi)
+                scale, hparams_mod.layer_window(hp, _li), cap, alibi=alibi,
+                alibi_sym_pos=al_sym)
 
         x = llama_mod.forward_layer(
             x, lw, hp, rope_pos,

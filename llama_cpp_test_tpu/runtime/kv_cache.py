@@ -272,7 +272,8 @@ def apply_shift(pools: KVPools, src: jax.Array, dst: jax.Array,
 def attend_gathered(q: jax.Array, k: jax.Array, v: jax.Array,
                     positions: jax.Array, kv_len: jax.Array, scale: float,
                     window: int = 0, soft_cap: float = 0.0,
-                    alibi: jax.Array | None = None) -> jax.Array:
+                    alibi: jax.Array | None = None,
+                    alibi_sym_pos: jax.Array | None = None) -> jax.Array:
     """Masked attention over already-gathered KV [B, S, KV, D]."""
     s = k.shape[1]
     sidx = jnp.arange(s)[None, None, :]                  # [1, 1, S]
@@ -281,26 +282,29 @@ def attend_gathered(q: jax.Array, k: jax.Array, v: jax.Array,
     if window > 0:
         mask = mask & (sidx > positions[:, :, None] - window)
     return layers.attention(q, k, v, mask, scale, softcap=soft_cap,
-                            alibi=alibi)
+                            alibi=alibi, alibi_sym_pos=alibi_sym_pos)
 
 
 def attend_prefill_xla(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
                        block_table: jax.Array, positions: jax.Array,
                        kv_len: jax.Array, scale: float,
                        window: int = 0, soft_cap: float = 0.0,
-                       alibi: jax.Array | None = None) -> jax.Array:
+                       alibi: jax.Array | None = None,
+                       alibi_sym_pos: jax.Array | None = None) -> jax.Array:
     """Reference prefill attention: full-cache gather + masked softmax."""
     k = gather_kv(k_pool, block_table)  # [B, S, KV, D]
     v = gather_kv(v_pool, block_table)
     return attend_gathered(q, k, v, positions, kv_len, scale, window,
-                           soft_cap, alibi=alibi)
+                           soft_cap, alibi=alibi,
+                           alibi_sym_pos=alibi_sym_pos)
 
 
 def attend_prefill(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
                    block_table: jax.Array, positions: jax.Array,
                    kv_len: jax.Array, scale: float,
                    window: int = 0, soft_cap: float = 0.0,
-                   alibi: jax.Array | None = None) -> jax.Array:
+                   alibi: jax.Array | None = None,
+                   alibi_sym_pos: jax.Array | None = None) -> jax.Array:
     """Attention for a prefill chunk whose KV (incl. any cached prefix) is
     already written to the pools.
 
@@ -317,7 +321,7 @@ def attend_prefill(q: jax.Array, k_pool: jax.Array, v_pool: jax.Array,
         # position-bias input (still jitted/fused, just not paged-flash)
         return attend_prefill_xla(q, k_pool, v_pool, block_table, positions,
                                   kv_len, scale, window, soft_cap,
-                                  alibi=alibi)
+                                  alibi=alibi, alibi_sym_pos=alibi_sym_pos)
     from ..ops.flash_prefill import flash_prefill
 
     return flash_prefill(

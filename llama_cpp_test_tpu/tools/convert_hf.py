@@ -76,10 +76,17 @@ ARCH_MAP = {
     "BertModel": "bert",
     "BertForMaskedLM": "bert",
     "BertForSequenceClassification": "bert",
+    # bert body + symmetric ALiBi + geglu (reference JinaBertV2Model,
+    # convert_hf_to_gguf.py:3938; remote-code HF class)
+    "JinaBertModel": "jina-bert-v2",
+    "JinaBertForMaskedLM": "jina-bert-v2",
     # llama-bodied archs with convert-time tensor surgery
     "MiniCPMForCausalLM": "minicpm",
     "InternLM2ForCausalLM": "internlm2",
     "BaichuanForCausalLM": "baichuan",
+    # llama graph minus biases/moe/rope-factors (llm_build_xverse is a
+    # strict subset of llm_build_llama; HF names are llama's)
+    "XverseForCausalLM": "xverse",
     "BaiChuanForCausalLM": "baichuan",
     # learned-position LayerNorm decoder (Conv1D weights transposed)
     "GPT2LMHeadModel": "gpt2",
@@ -239,6 +246,15 @@ BERT_LAYER_MAP = {
     "output.dense.bias": "ffn_down.bias",
     "output.LayerNorm.weight": "layer_output_norm.weight",
     "output.LayerNorm.bias": "layer_output_norm.bias",
+}
+
+# jina-bert-v2 extras over the bert names (reference tensor_mapping
+# jina rows: mlp.wo / mlp.layernorm; gated_layers split in convert())
+JINA_EXTRA_MAP = {
+    "mlp.wo.weight": "ffn_down.weight",
+    "mlp.wo.bias": "ffn_down.bias",
+    "mlp.layernorm.weight": "layer_output_norm.weight",
+    "mlp.layernorm.bias": "layer_output_norm.bias",
 }
 
 # HF suffix -> GGUF suffix (per-layer), mirroring gguf-py tensor_mapping
@@ -540,7 +556,7 @@ def map_name(name: str, arch: str = "llama") -> str | None:
             mapped = INTERNLM2_LAYER_MAP.get(suffix)
             return f"blk.{idx}.{mapped}" if mapped else None
         return None
-    if arch == "bert":
+    if arch in ("bert", "jina-bert-v2"):
         if name.startswith("bert."):  # BertForMaskedLM prefix
             name = name[len("bert."):]
         if name in BERT_TOP_MAP:
@@ -549,6 +565,8 @@ def map_name(name: str, arch: str = "llama") -> str | None:
             rest = name[len("encoder.layer."):]
             idx, _, suffix = rest.partition(".")
             mapped = BERT_LAYER_MAP.get(suffix)
+            if mapped is None and arch == "jina-bert-v2":
+                mapped = JINA_EXTRA_MAP.get(suffix)
             return f"blk.{idx}.{mapped}" if mapped else None
         return None
     top = {"phi2": PHI2_TOP_MAP, "falcon": FALCON_TOP_MAP,
@@ -965,6 +983,14 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
         del md[f"{arch}.attention.layer_norm_rms_epsilon"]
         if cfg.get("clip_qkv") is not None:
             md[f"{arch}.attention.clamp_kqv"] = float(cfg["clip_qkv"])
+    if arch == "jina-bert-v2":
+        # symmetric-ALiBi encoder: LayerNorm eps + MEAN pooling (jina
+        # sentence embeddings); max_alibi_bias 8.0 is implied by the
+        # arch (reference llama-model.cpp JINA_BERT_V2 hparams)
+        md[f"{arch}.attention.layer_norm_epsilon"] = cfg.get(
+            "layer_norm_eps", 1e-12)
+        del md[f"{arch}.attention.layer_norm_rms_epsilon"]
+        md[f"{arch}.pooling_type"] = 1  # mean
     if arch == "bert":
         # post-norm encoder (reference BertModel set_gguf_parameters):
         # LayerNorm eps + CLS pooling; non-causal is implied by the arch
@@ -1131,7 +1157,7 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
         w.add_tensor(tname, tarr, ggml_type=GGMLType.F32)
 
     is_norm_rope = arch in ("llama", "granite", "granitemoe", "olmo",
-                            "minicpm", "chameleon", "deepseek")
+                            "minicpm", "chameleon", "deepseek", "xverse")
     experts: dict[tuple[int, str], dict[int, np.ndarray]] = {}
     n_expert = n_expert_cfg or 0
     seen_output = False
@@ -1188,6 +1214,21 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
                 heads = qk_norms.pop(key)
                 emit(f"blk.{li}.{gn}.weight",
                      np.stack([heads[h] for h in range(want)]))
+            continue
+        # jina-bert-v2 fused gated FFN: gated_layers [2F, C] rows are
+        # [gate; up]; the up_gated_layer variant stores [up; gate]
+        # (reference JinaBertV2Model.get_tensors)
+        if arch == "jina-bert-v2" and (
+                name.endswith("mlp.gated_layers.weight") or
+                name.endswith("mlp.up_gated_layer.weight")):
+            li = name.split(".")[2]
+            a = np.asarray(arr, np.float32)
+            half = a.shape[0] // 2
+            first, second = ("ffn_gate", "ffn_up") \
+                if name.endswith("gated_layers.weight") \
+                else ("ffn_up", "ffn_gate")
+            emit(f"blk.{li}.{first}.weight", a[:half])
+            emit(f"blk.{li}.{second}.weight", a[half:])
             continue
         # granitemoe jetmoe-style experts: input_linear [E, 2F, C] holds
         # gate;up stacked on the row axis, output_linear [E, C, F] is the

@@ -2619,3 +2619,167 @@ def test_convert_granitemoe_matches_transformers(tmp_path):
     assert m.hp.arch == "granitemoe" and m.hp.n_expert == E
     assert m.hp.embd_scale == pytest.approx(2.0)
     assert m.hp.attn_scale == pytest.approx(0.1)
+
+
+def test_convert_xverse_matches_transformers(tmp_path):
+    """xverse: llm_build_xverse is a strict subset of llm_build_llama
+    (no biases/moe), with llama HF tensor names — validated by running
+    llama-structured weights through the xverse arch label."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    rng = np.random.default_rng(67)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, KV, L, FF = 256, 64, 4, 2, 2, 96
+    d = C // H
+    cfg = {
+        "architectures": ["XverseForCausalLM"],
+        "hidden_size": C, "intermediate_size": FF,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "num_hidden_layers": L, "max_position_embeddings": 256,
+        "rms_norm_eps": 1e-5, "rope_theta": 10000.0, "vocab_size": V,
+        "tie_word_embeddings": False, "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "model.embed_tokens.weight": r(V, C),
+        "model.norm.weight": 1.0 + r(C),
+        "lm_head.weight": r(V, C),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        ws.update({
+            p + "input_layernorm.weight": 1.0 + r(C),
+            p + "self_attn.q_proj.weight": r(H * d, C),
+            p + "self_attn.k_proj.weight": r(KV * d, C),
+            p + "self_attn.v_proj.weight": r(KV * d, C),
+            p + "self_attn.o_proj.weight": r(C, H * d),
+            p + "post_attention_layernorm.weight": 1.0 + r(C),
+            p + "mlp.gate_proj.weight": r(FF, C),
+            p + "mlp.up_proj.weight": r(FF, C),
+            p + "mlp.down_proj.weight": r(C, FF),
+        })
+    tcfg = LlamaConfig(
+        vocab_size=V, hidden_size=C, intermediate_size=FF,
+        num_hidden_layers=L, num_attention_heads=H, num_key_value_heads=KV,
+        rms_norm_eps=1e-5, rope_theta=10000.0, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    m = _convert_and_compare(tmp_path, cfg, ws, LlamaForCausalLM, tcfg)
+    assert m.hp.arch == "xverse"
+
+
+def test_convert_jina_bert_v2_matches_torch_reference(tmp_path):
+    """jina-bert-v2 (llm_build_bert JINA_BERT_V2 branches): bert post-norm
+    body with SYMMETRIC bidirectional ALiBi (-slope*|i-j|, max_bias 8, no
+    position embeddings) and an erf-GELU-gated FFN whose HF plane is one
+    fused gated_layers [2F, C] ([gate; up]). The HF class is remote-code,
+    so this validates against an independent torch implementation."""
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(71)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, L, FF = 128, 64, 4, 2, 96
+    d = C // H
+    cfg = {
+        "architectures": ["JinaBertModel"],
+        "hidden_size": C, "intermediate_size": FF,
+        "num_attention_heads": H, "num_hidden_layers": L,
+        "max_position_embeddings": 64, "vocab_size": V,
+        "layer_norm_eps": 1e-12, "type_vocab_size": 2, "pad_token_id": 0,
+    }
+    ws = {
+        "embeddings.word_embeddings.weight": r(V, C),
+        "embeddings.token_type_embeddings.weight": r(2, C),
+        "embeddings.LayerNorm.weight": 1.0 + r(C),
+        "embeddings.LayerNorm.bias": r(C),
+    }
+    for i in range(L):
+        p = f"encoder.layer.{i}."
+        ws.update({
+            p + "attention.self.query.weight": r(C, C),
+            p + "attention.self.query.bias": r(C),
+            p + "attention.self.key.weight": r(C, C),
+            p + "attention.self.key.bias": r(C),
+            p + "attention.self.value.weight": r(C, C),
+            p + "attention.self.value.bias": r(C),
+            p + "attention.output.dense.weight": r(C, C),
+            p + "attention.output.dense.bias": r(C),
+            p + "attention.output.LayerNorm.weight": 1.0 + r(C),
+            p + "attention.output.LayerNorm.bias": r(C),
+            p + "mlp.gated_layers.weight": r(2 * FF, C),
+            p + "mlp.wo.weight": r(C, FF),
+            p + "mlp.wo.bias": r(C),
+            p + "mlp.layernorm.weight": 1.0 + r(C),
+            p + "mlp.layernorm.bias": r(C),
+        })
+
+    def ln(x, p):
+        return F.layer_norm(x, (C,), torch.from_numpy(ws[p + ".weight"]),
+                            torch.from_numpy(ws[p + ".bias"]), 1e-12)
+
+    def lin(x, w, b=None):
+        y = x @ torch.from_numpy(ws[w]).T
+        return y + torch.from_numpy(ws[b]) if b else y
+
+    def ref_forward(tokens):
+        T = len(tokens)
+        x = torch.from_numpy(ws["embeddings.word_embeddings.weight"])[
+            torch.tensor(tokens)]
+        x = x + torch.from_numpy(
+            ws["embeddings.token_type_embeddings.weight"])[0]
+        x = ln(x, "embeddings.LayerNorm")
+        slopes = torch.tensor([2 ** (-(8.0 / H) * (i + 1))
+                               for i in range(H)])
+        idx = torch.arange(T, dtype=torch.float32)
+        dist = -(idx[:, None] - idx[None, :]).abs()       # [T, T]
+        bias = slopes[:, None, None] * dist[None]         # [H, T, T]
+        for i in range(L):
+            p = f"encoder.layer.{i}."
+            q = lin(x, p + "attention.self.query.weight",
+                    p + "attention.self.query.bias").view(T, H, d)
+            k = lin(x, p + "attention.self.key.weight",
+                    p + "attention.self.key.bias").view(T, H, d)
+            v = lin(x, p + "attention.self.value.weight",
+                    p + "attention.self.value.bias").view(T, H, d)
+            att = torch.einsum("qhd,khd->hqk", q, k) / d ** 0.5 + bias
+            att = att.softmax(-1)
+            o = torch.einsum("hqk,khd->qhd", att, v).reshape(T, C)
+            o = lin(o, p + "attention.output.dense.weight",
+                    p + "attention.output.dense.bias")
+            x = ln(x + o, p + "attention.output.LayerNorm")
+            gu = lin(x, p + "mlp.gated_layers.weight")
+            g, u = gu[:, :FF], gu[:, FF:]
+            ffn = lin(F.gelu(g) * u, p + "mlp.wo.weight", p + "mlp.wo.bias")
+            x = ln(x + ffn, p + "mlp.layernorm")
+        return x.numpy()
+
+    hf_dir = tmp_path / "hf"
+    hf_dir.mkdir()
+    with open(hf_dir / "config.json", "w") as f:
+        json.dump(cfg, f)
+    st.save_file(ws, str(hf_dir / "model.safetensors"))
+    vocab = {f"[T{i}]": i for i in range(V)}
+    vocab["[UNK]"] = 0
+    with open(hf_dir / "tokenizer.json", "w") as f:
+        json.dump({"model": {"type": "WordPiece", "vocab": vocab},
+                   "added_tokens": []}, f)
+    from llama_cpp_test_tpu.tools.convert_hf import convert
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    out = str(tmp_path / "m.gguf")
+    convert(str(hf_dir), out, dtype="F32")
+    m = Model(out)
+    assert m.hp.arch == "jina-bert-v2"
+    assert m.hp.alibi and m.hp.alibi_sym and not m.hp.causal
+    assert m.hp.post_norm and m.hp.pooling == "mean"
+    tokens = [7, 42, 9, 55, 3, 101]
+    with torch.no_grad():
+        hid = ref_forward(tokens)
+
+    def norm(v):
+        return v / np.linalg.norm(v)
+
+    ctx = Context(m, n_ctx=64, n_seq_max=1, block_size=8)
+    mean = ctx.embed(tokens, pooling="mean", causal=False)
+    ref_mean = norm(hid.mean(axis=0))
+    assert np.abs(mean - ref_mean).max() < 2e-2
+    assert float(np.dot(mean, ref_mean)) > 0.999
