@@ -290,6 +290,17 @@ register_arch(ArchSpec("cohere2", family="llama", rope_type="norm",
 register_arch(ArchSpec("dbrx", family="llama", rope_type="neox",
                        notes="fused-qkv clamp, LN, softmax moe"))
 
+# qwen v1 (Qwen-7B/14B): MHA with a fused biased c_attn, neox rope,
+# swiglu with the w2(gate)/w1(up) naming — math-identical to llama with
+# qkv biases, validated by llama-equivalence (llm_build_qwen)
+register_arch(ArchSpec("qwen", family="llama", rope_type="neox",
+                       notes="fused biased qkv, MHA"))
+
+# exaone (EXAONE-3.5): llm_build_exaone is the llama graph with neox
+# rope and transformer.h.* checkpoint naming — validated by
+# llama-equivalence (the HF class is remote-code)
+register_arch(ArchSpec("exaone", family="llama", rope_type="neox"))
+
 # jina-bert-v2 (jina-embeddings-v2): bert post-norm body with
 # SYMMETRIC bidirectional ALiBi (-slope*|i-j|, max_bias 8; no position
 # embeddings) and a GELU-gated FFN (llm_build_bert's JINA_BERT_V2

@@ -28,6 +28,12 @@ ARCH_MAP = {
     "MistralForCausalLM": "llama",
     "MixtralForCausalLM": "llama",
     "Qwen2ForCausalLM": "qwen2",
+    # qwen v1: MHA with fused biased c_attn, w2=gate/w1=up swiglu
+    # (reference QwenModel, convert_hf_to_gguf.py:2194)
+    "QWenLMHeadModel": "qwen",
+    # exaone 3.5: llama graph with transformer.h.* naming (reference
+    # ExaoneModel, convert_hf_to_gguf.py:4963)
+    "ExaoneForCausalLM": "exaone",
     "Qwen3ForCausalLM": "qwen3",
     "Qwen2MoeForCausalLM": "qwen2moe",
     "Qwen3MoeForCausalLM": "qwen3moe",
@@ -246,6 +252,42 @@ BERT_LAYER_MAP = {
     "output.dense.bias": "ffn_down.bias",
     "output.LayerNorm.weight": "layer_output_norm.weight",
     "output.LayerNorm.bias": "layer_output_norm.bias",
+}
+
+# qwen v1 (reference tensor_mapping qwen rows): gpt2-style prefixes,
+# fused biased c_attn, and the w2(gate)/w1(up) swiglu naming
+QWEN1_TOP_MAP = {
+    "transformer.wte.weight": "token_embd.weight",
+    "transformer.ln_f.weight": "output_norm.weight",
+    "lm_head.weight": "output.weight",
+}
+QWEN1_LAYER_MAP = {
+    "ln_1.weight": "attn_norm.weight",
+    "attn.c_attn.weight": "attn_qkv.weight",
+    "attn.c_attn.bias": "attn_qkv.bias",
+    "attn.c_proj.weight": "attn_output.weight",
+    "ln_2.weight": "ffn_norm.weight",
+    "mlp.w2.weight": "ffn_gate.weight",   # silu(w2(x)) * w1(x)
+    "mlp.w1.weight": "ffn_up.weight",
+    "mlp.c_proj.weight": "ffn_down.weight",
+}
+
+# exaone 3.5 (reference tensor_mapping exaone rows)
+EXAONE_TOP_MAP = {
+    "transformer.wte.weight": "token_embd.weight",
+    "transformer.ln_f.weight": "output_norm.weight",
+    "lm_head.weight": "output.weight",
+}
+EXAONE_LAYER_MAP = {
+    "ln_1.weight": "attn_norm.weight",
+    "attn.attention.q_proj.weight": "attn_q.weight",
+    "attn.attention.k_proj.weight": "attn_k.weight",
+    "attn.attention.v_proj.weight": "attn_v.weight",
+    "attn.attention.out_proj.weight": "attn_output.weight",
+    "ln_2.weight": "ffn_norm.weight",
+    "mlp.c_fc_0.weight": "ffn_gate.weight",
+    "mlp.c_fc_1.weight": "ffn_up.weight",
+    "mlp.c_proj.weight": "ffn_down.weight",
 }
 
 # jina-bert-v2 extras over the bert names (reference tensor_mapping
@@ -556,6 +598,17 @@ def map_name(name: str, arch: str = "llama") -> str | None:
             mapped = INTERNLM2_LAYER_MAP.get(suffix)
             return f"blk.{idx}.{mapped}" if mapped else None
         return None
+    if arch in ("qwen", "exaone"):
+        top = QWEN1_TOP_MAP if arch == "qwen" else EXAONE_TOP_MAP
+        lay = QWEN1_LAYER_MAP if arch == "qwen" else EXAONE_LAYER_MAP
+        if name in top:
+            return top[name]
+        if name.startswith("transformer.h."):
+            rest = name[len("transformer.h."):]
+            idx, _, suffix = rest.partition(".")
+            mapped = lay.get(suffix)
+            return f"blk.{idx}.{mapped}" if mapped else None
+        return None
     if arch in ("bert", "jina-bert-v2"):
         if name.startswith("bert."):  # BertForMaskedLM prefix
             name = name[len("bert."):]
@@ -852,6 +905,18 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
                "rope_theta": ac.get("rope_theta", 10000.0),
                "num_local_experts": fc.get("moe_num_experts", 16),
                "num_experts_per_tok": fc.get("moe_top_k", 4)}
+    if arch == "qwen":
+        # QWenConfig: rotary_emb_base + layer_norm_epsilon keys; MHA
+        cfg = {**cfg,
+               "num_key_value_heads": cfg.get("num_attention_heads", 32),
+               "rope_theta": cfg.get("rotary_emb_base", 10000.0),
+               "rms_norm_eps": cfg.get("layer_norm_epsilon", 1e-6)}
+    if arch == "exaone":
+        cfg = {**cfg,
+               "num_hidden_layers": (cfg.get("num_hidden_layers")
+                                     or cfg.get("num_layers", 32)),
+               "rms_norm_eps": cfg.get("layer_norm_epsilon",
+                                       cfg.get("rms_norm_eps", 1e-5))}
     if arch == "mpt":
         hs = cfg.get("d_model", 768)
         cfg = {**cfg,

@@ -123,7 +123,13 @@ def _bpe_tokenizer_json(d, n_vocab):
 
 
 def _convert_and_compare(tmp_path, cfg, ws, hf_cls, tcfg, tol=5e-3,
-                         tokens=None, n_ctx=64):
+                         tokens=None, n_ctx=64, hf_weights=None):
+    """hf_weights: separate weight dict for the transformers side (same
+    values under that library's names) — used for llama-EQUIVALENCE
+    validation of remote-code archs whose graph is llama's (qwen v1,
+    exaone). hf_cls None defaults to LlamaForCausalLM."""
+    if hf_cls is None:
+        from transformers import LlamaForCausalLM as hf_cls  # noqa: N813
     hf_dir = tmp_path / "hf"
     hf_dir.mkdir(exist_ok=True)
     with open(hf_dir / "config.json", "w") as f:
@@ -137,8 +143,10 @@ def _convert_and_compare(tmp_path, cfg, ws, hf_cls, tcfg, tol=5e-3,
     convert(str(hf_dir), out, dtype="F32")
 
     hf = hf_cls(tcfg)
+    hws = hf_weights if hf_weights is not None else ws
     missing = hf.load_state_dict(
-        {k: torch.from_numpy(v.copy()) for k, v in ws.items()}, strict=False)
+        {k: torch.from_numpy(v.copy()) for k, v in hws.items()},
+        strict=False)
     assert not missing.unexpected_keys, missing.unexpected_keys
     hf.eval()
     if tokens is None:
@@ -2783,3 +2791,136 @@ def test_convert_jina_bert_v2_matches_torch_reference(tmp_path):
     ref_mean = norm(hid.mean(axis=0))
     assert np.abs(mean - ref_mean).max() < 2e-2
     assert float(np.dot(mean, ref_mean)) > 0.999
+
+
+def test_convert_qwen1_matches_llama_equivalent(tmp_path):
+    """qwen v1 (llm_build_qwen): MHA with fused biased c_attn, neox
+    rope, w2(gate)/w1(up) swiglu — math-identical to HF llama with qkv
+    biases, so equivalence against LlamaForCausalLM with the same
+    weights under llama names is exact validation."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    rng = np.random.default_rng(73)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, L, FF = 256, 64, 4, 2, 96
+    d = C // H
+    qws = {
+        "transformer.wte.weight": r(V, C),
+        "transformer.ln_f.weight": 1.0 + r(C),
+        "lm_head.weight": r(V, C),
+    }
+    lws = {
+        "model.embed_tokens.weight": qws["transformer.wte.weight"],
+        "model.norm.weight": qws["transformer.ln_f.weight"],
+        "lm_head.weight": qws["lm_head.weight"],
+    }
+    for i in range(L):
+        qp, lp = f"transformer.h.{i}.", f"model.layers.{i}."
+        wq, wk, wv = r(C, C), r(C, C), r(C, C)
+        bq, bk, bv = r(C), r(C), r(C)
+        qws.update({
+            qp + "ln_1.weight": 1.0 + r(C),
+            qp + "attn.c_attn.weight": np.concatenate([wq, wk, wv]),
+            qp + "attn.c_attn.bias": np.concatenate([bq, bk, bv]),
+            qp + "attn.c_proj.weight": r(C, C),
+            qp + "ln_2.weight": 1.0 + r(C),
+            qp + "mlp.w2.weight": r(FF, C),     # gate
+            qp + "mlp.w1.weight": r(FF, C),     # up
+            qp + "mlp.c_proj.weight": r(C, FF),
+        })
+        lws.update({
+            lp + "input_layernorm.weight": qws[qp + "ln_1.weight"],
+            lp + "self_attn.q_proj.weight": wq,
+            lp + "self_attn.q_proj.bias": bq,
+            lp + "self_attn.k_proj.weight": wk,
+            lp + "self_attn.k_proj.bias": bk,
+            lp + "self_attn.v_proj.weight": wv,
+            lp + "self_attn.v_proj.bias": bv,
+            lp + "self_attn.o_proj.weight": qws[qp + "attn.c_proj.weight"],
+            lp + "self_attn.o_proj.bias": np.zeros(C, np.float32),
+            lp + "post_attention_layernorm.weight": qws[qp + "ln_2.weight"],
+            lp + "mlp.gate_proj.weight": qws[qp + "mlp.w2.weight"],
+            lp + "mlp.up_proj.weight": qws[qp + "mlp.w1.weight"],
+            lp + "mlp.down_proj.weight": qws[qp + "mlp.c_proj.weight"],
+        })
+    cfg = {
+        "architectures": ["QWenLMHeadModel"],
+        "hidden_size": C, "intermediate_size": FF,
+        "num_attention_heads": H, "num_hidden_layers": L,
+        "max_position_embeddings": 256, "vocab_size": V,
+        "layer_norm_epsilon": 1e-6, "rotary_emb_base": 10000.0,
+        "tie_word_embeddings": False, "bos_token_id": 1, "eos_token_id": 2,
+    }
+    tcfg = LlamaConfig(
+        vocab_size=V, hidden_size=C, intermediate_size=FF,
+        num_hidden_layers=L, num_attention_heads=H, num_key_value_heads=H,
+        rms_norm_eps=1e-6, rope_theta=10000.0, attention_bias=True,
+        tie_word_embeddings=False, attn_implementation="eager",
+    )
+    m = _convert_and_compare(tmp_path, cfg, qws, None, tcfg,
+                             hf_weights=lws)
+    assert m.hp.arch == "qwen" and m.hp.n_head_kv == H
+
+
+def test_convert_exaone_matches_llama_equivalent(tmp_path):
+    """exaone 3.5 (llm_build_exaone): the llama graph under
+    transformer.h.* naming — llama-equivalence is exact validation."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    rng = np.random.default_rng(79)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, KV, L, FF = 256, 64, 4, 2, 2, 96
+    d = C // H
+    ews, lws = {
+        "transformer.wte.weight": r(V, C),
+        "transformer.ln_f.weight": 1.0 + r(C),
+        "lm_head.weight": r(V, C),
+    }, {}
+    lws = {
+        "model.embed_tokens.weight": ews["transformer.wte.weight"],
+        "model.norm.weight": ews["transformer.ln_f.weight"],
+        "lm_head.weight": ews["lm_head.weight"],
+    }
+    for i in range(L):
+        ep, lp = f"transformer.h.{i}.", f"model.layers.{i}."
+        pieces = {
+            "ln_1.weight": 1.0 + r(C),
+            "attn.attention.q_proj.weight": r(H * d, C),
+            "attn.attention.k_proj.weight": r(KV * d, C),
+            "attn.attention.v_proj.weight": r(KV * d, C),
+            "attn.attention.out_proj.weight": r(C, H * d),
+            "ln_2.weight": 1.0 + r(C),
+            "mlp.c_fc_0.weight": r(FF, C),
+            "mlp.c_fc_1.weight": r(FF, C),
+            "mlp.c_proj.weight": r(C, FF),
+        }
+        ews.update({ep + k: v for k, v in pieces.items()})
+        lmap = {
+            "ln_1.weight": "input_layernorm.weight",
+            "attn.attention.q_proj.weight": "self_attn.q_proj.weight",
+            "attn.attention.k_proj.weight": "self_attn.k_proj.weight",
+            "attn.attention.v_proj.weight": "self_attn.v_proj.weight",
+            "attn.attention.out_proj.weight": "self_attn.o_proj.weight",
+            "ln_2.weight": "post_attention_layernorm.weight",
+            "mlp.c_fc_0.weight": "mlp.gate_proj.weight",
+            "mlp.c_fc_1.weight": "mlp.up_proj.weight",
+            "mlp.c_proj.weight": "mlp.down_proj.weight",
+        }
+        lws.update({lp + lmap[k]: v for k, v in pieces.items()})
+    cfg = {
+        "architectures": ["ExaoneForCausalLM"],
+        "hidden_size": C, "intermediate_size": FF,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "num_layers": L, "max_position_embeddings": 256, "vocab_size": V,
+        "layer_norm_epsilon": 1e-5, "rope_theta": 10000.0,
+        "tie_word_embeddings": False, "bos_token_id": 1, "eos_token_id": 2,
+    }
+    tcfg = LlamaConfig(
+        vocab_size=V, hidden_size=C, intermediate_size=FF,
+        num_hidden_layers=L, num_attention_heads=H, num_key_value_heads=KV,
+        rms_norm_eps=1e-5, rope_theta=10000.0, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    m = _convert_and_compare(tmp_path, cfg, ews, None, tcfg,
+                             hf_weights=lws)
+    assert m.hp.arch == "exaone" and m.hp.rope_type == "neox"
