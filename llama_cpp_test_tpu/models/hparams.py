@@ -163,6 +163,15 @@ def hparams_from_metadata(md: dict) -> HParams:
                    "bitnet", "qwen", "qwen2", "qwen2vl", "qwen2moe", "qwen3",
                    "qwen3moe",
                    "olmo2", "olmoe",
+                   # orion: HF rope is llama half-split and the GGUF rows
+                   # are UNPERMUTED (OrionModel has no modify_tensors), so
+                   # the half-split (neox) read matches both the model and
+                   # reference-converted GGUF bytes. NOTE: the reference
+                   # RUNTIME ropes these rows NORM-interleaved
+                   # (llama-model.cpp rope-type switch), which does not
+                   # match the original model; this engine follows the
+                   # model and the GGUF byte layout.
+                   "orion",
                    "phi2", "phi3", "phimoe", "gemma", "gemma2", "gemma3",
                    "starcoder2", "openelm", "gptneox", "codeshell", "nemotron",
                    "exaone", "minicpm3"}
@@ -187,6 +196,9 @@ def hparams_from_metadata(md: dict) -> HParams:
         attn_scale = 1.0 / _math.sqrt(n_embd / max(n_head, 1))
     if arch in ("granite", "granitemoe"):
         attn_scale = g("attention.scale", attn_scale)
+    if arch == "jais":
+        # mup scaled-dot attention: 1/d_head, not 1/sqrt (llm_build_jais)
+        attn_scale = 1.0 / head_dim
     # phi2 stores a plain layer_norm_epsilon (LayerNorm arch); reuse rms_eps
     eps = g("attention.layer_norm_rms_epsilon",
             g("attention.layer_norm_epsilon", 1e-5))
@@ -264,7 +276,7 @@ def hparams_from_metadata(md: dict) -> HParams:
                                     "bert", "nomic-bert", "jina-bert-v2",
                                     "gpt2", "starcoder", "bloom", "mpt",
                                     "dbrx",  # dbrx: bias-free LN
-                                    "cohere2",
+                                    "cohere2", "orion", "jais",
                                     # phimoe: TRUE LayerNorm w/ bias (HF
                                     # PhiMoE; the reference's RMS+bias is
                                     # a divergence from the model)
@@ -295,10 +307,12 @@ def hparams_from_metadata(md: dict) -> HParams:
         post_norm=arch in ("bert", "nomic-bert", "jina-bert-v2"),
         causal=arch not in ("bert", "nomic-bert", "jina-bert-v2"),
         pos_embd=("learned" if arch in ("bert", "gpt2", "starcoder")
-                  else "none" if arch in ("bloom", "mpt", "jina-bert-v2")
+                  else "none" if arch in ("bloom", "mpt", "jina-bert-v2",
+                                          "jais")
                   or _baichuan_alibi
                   else "rope"),
-        alibi=arch in ("bloom", "mpt", "jina-bert-v2") or _baichuan_alibi,
+        alibi=arch in ("bloom", "mpt", "jina-bert-v2", "jais")
+        or _baichuan_alibi,
         alibi_sym=arch == "jina-bert-v2",
         alibi_max_bias=g("attention.max_alibi_bias", 8.0),
         alibi_style="mpt" if arch == "mpt" else "bloom",

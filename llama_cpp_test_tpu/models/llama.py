@@ -105,6 +105,7 @@ class LayerWeights:
     attn_norm_2_b: jax.Array | None = None
     bo: jax.Array | None = None
     b_up: jax.Array | None = None
+    b_gate: jax.Array | None = None    # jais biased-swiglu gate bias
     b_down: jax.Array | None = None
     # optional per-head Q/K RMS norms (gemma3/qwen3-style, [head_dim])
     attn_q_norm: jax.Array | None = None
@@ -404,6 +405,7 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
                 lw.attn_norm_2_b = _f32(reader, p + "attn_norm_2.bias")
         for bname, attr in (("attn_output.bias", "bo"),
                             ("ffn_up.bias", "b_up"),
+                            ("ffn_gate.bias", "b_gate"),
                             ("ffn_down.bias", "b_down")):
             if p + bname in t:
                 setattr(lw, attr, _f32(reader, p + bname))
@@ -1032,6 +1034,10 @@ def _forward_layer_ffn(x, lw, hp, tp_axis, ep_axis, ep, lora):
         ffn = ffn_nongated(cur, lw, hp, lora)
     else:
         g, u = gateup_proj(cur, lw)
+        if lw.b_gate is not None:     # jais biased swiglu
+            g = g + lw.b_gate
+        if lw.b_up is not None:
+            u = u + lw.b_up
         ffn = linear_lora(layers.swiglu(g, u, hp.act_fn), lw.w_down,
                           lora.get("w_down"))
     if tp_axis is not None:

@@ -290,6 +290,21 @@ register_arch(ArchSpec("cohere2", family="llama", rope_type="norm",
 register_arch(ArchSpec("dbrx", family="llama", rope_type="neox",
                        notes="fused-qkv clamp, LN, softmax moe"))
 
+# jais (core42 13B/30B): gpt2 LayerNorm body + ALiBi + BIASED swiglu
+# with mup scaled-dot attention (1/d_head) and mup embedding/output
+# scales baked in at convert. The c_fc2=gate/c_fc=up assignment follows
+# the reference's tensor mapping for GGUF parity. Validated against an
+# independent torch reference (remote-code HF class).
+register_arch(ArchSpec("jais", family="llama",
+                       notes="alibi, biased swiglu, mup scales"))
+
+# orion (Orion-14B): llama body with TRUE LayerNorm+bias norms (the
+# config key claims rms), gated silu FFN, no projection biases;
+# validated against an independent torch reference. See hparams.py for
+# the rope-convention note vs the reference runtime.
+register_arch(ArchSpec("orion", family="llama", rope_type="neox",
+                       notes="LN+bias norms"))
+
 # qwen v1 (Qwen-7B/14B): MHA with a fused biased c_attn, neox rope,
 # swiglu with the w2(gate)/w1(up) naming — math-identical to llama with
 # qkv biases, validated by llama-equivalence (llm_build_qwen)

@@ -90,6 +90,12 @@ ARCH_MAP = {
     "MiniCPMForCausalLM": "minicpm",
     "InternLM2ForCausalLM": "internlm2",
     "BaichuanForCausalLM": "baichuan",
+    # gpt2 body + ALiBi + biased swiglu + mup scales baked at convert
+    # (reference JaisModel, convert_hf_to_gguf.py:4683)
+    "JAISLMHeadModel": "jais",
+    # llama body with TRUE LayerNorm+bias norms (the config key says rms
+    # but modeling_orion uses nn.LayerNorm — reference OrionModel note)
+    "OrionForCausalLM": "orion",
     # llama graph minus biases/moe/rope-factors (llm_build_xverse is a
     # strict subset of llm_build_llama; HF names are llama's)
     "XverseForCausalLM": "xverse",
@@ -252,6 +258,27 @@ BERT_LAYER_MAP = {
     "output.dense.bias": "ffn_down.bias",
     "output.LayerNorm.weight": "layer_output_norm.weight",
     "output.LayerNorm.bias": "layer_output_norm.bias",
+}
+
+# jais (reference JaisModel + tensor_mapping jais rows): gpt2-style
+# Conv1D tensors (transposed at convert); c_fc2 is the GATE (silu side),
+# c_fc the up projection — the reference's mapping choice, followed here
+# for GGUF parity
+JAIS_LAYER_MAP = {
+    "ln_1.weight": "attn_norm.weight",
+    "ln_1.bias": "attn_norm.bias",
+    "attn.c_attn.weight": "attn_qkv.weight",
+    "attn.c_attn.bias": "attn_qkv.bias",
+    "attn.c_proj.weight": "attn_output.weight",
+    "attn.c_proj.bias": "attn_output.bias",
+    "ln_2.weight": "ffn_norm.weight",
+    "ln_2.bias": "ffn_norm.bias",
+    "mlp.c_fc.weight": "ffn_up.weight",
+    "mlp.c_fc.bias": "ffn_up.bias",
+    "mlp.c_fc2.weight": "ffn_gate.weight",
+    "mlp.c_fc2.bias": "ffn_gate.bias",
+    "mlp.c_proj.weight": "ffn_down.weight",
+    "mlp.c_proj.bias": "ffn_down.bias",
 }
 
 # qwen v1 (reference tensor_mapping qwen rows): gpt2-style prefixes,
@@ -598,6 +625,17 @@ def map_name(name: str, arch: str = "llama") -> str | None:
             mapped = INTERNLM2_LAYER_MAP.get(suffix)
             return f"blk.{idx}.{mapped}" if mapped else None
         return None
+    if arch == "jais":
+        if name == "transformer.ln_f.weight":
+            return "output_norm.weight"
+        if name == "transformer.ln_f.bias":
+            return "output_norm.bias"
+        if name.startswith("transformer.h."):
+            rest = name[len("transformer.h."):]
+            idx, _, suffix = rest.partition(".")
+            mapped = JAIS_LAYER_MAP.get(suffix)
+            return f"blk.{idx}.{mapped}" if mapped else None
+        return None
     if arch in ("qwen", "exaone"):
         top = QWEN1_TOP_MAP if arch == "qwen" else EXAONE_TOP_MAP
         lay = QWEN1_LAYER_MAP if arch == "qwen" else EXAONE_LAYER_MAP
@@ -917,6 +955,16 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
                                      or cfg.get("num_layers", 32)),
                "rms_norm_eps": cfg.get("layer_norm_epsilon",
                                        cfg.get("rms_norm_eps", 1e-5))}
+    if arch == "jais":
+        # gpt2-style config keys (reference JaisModel set_gguf_parameters)
+        cfg = {**cfg,
+               "num_attention_heads": cfg.get("n_head", 12),
+               "num_key_value_heads": cfg.get("n_head", 12),
+               "hidden_size": cfg.get("n_embd", 768),
+               "num_hidden_layers": cfg.get("n_layer", 12),
+               "max_position_embeddings": cfg.get("n_positions", 2048),
+               "intermediate_size": (cfg.get("n_inner") or
+                                     4 * cfg.get("n_embd", 768))}
     if arch == "mpt":
         hs = cfg.get("d_model", 768)
         cfg = {**cfg,
@@ -1005,6 +1053,16 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
         del md[f"{arch}.attention.layer_norm_rms_epsilon"]
         md[f"{arch}.rope.dimension_count"] = int(
             head_dim * cfg.get("partial_rotary_factor", 0.5))
+    if arch == "jais":
+        md[f"{arch}.attention.layer_norm_epsilon"] = cfg.get(
+            "layer_norm_epsilon", 1e-5)
+        del md[f"{arch}.attention.layer_norm_rms_epsilon"]
+    if arch == "orion":
+        # the config key is rms_norm_eps but the norm is TRUE LayerNorm
+        # (reference OrionModel set_gguf_parameters note)
+        md[f"{arch}.attention.layer_norm_epsilon"] = cfg.get(
+            "rms_norm_eps", 1e-5)
+        del md[f"{arch}.attention.layer_norm_rms_epsilon"]
     if arch == "chameleon":
         # reference ChameleonModel set_gguf_parameters
         md[f"{arch}.swin_norm"] = bool(cfg.get("swin_norm", False))
@@ -1280,6 +1338,36 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
                 emit(f"blk.{li}.{gn}.weight",
                      np.stack([heads[h] for h in range(want)]))
             continue
+        # jais: Conv1D transposes, mup scales baked into embd/head, and
+        # max_alibi_bias recovered from the precomputed slopes tensor
+        # (reference JaisModel modify_tensors/prepare_tensors)
+        if arch == "jais":
+            if name.endswith(".attn.bias"):
+                continue          # causal-mask buffer, not a weight
+            if name.endswith("relative_pe.slopes"):
+                import math as _m
+                nh2 = 2 ** int(_m.floor(_m.log2(
+                    cfg["num_attention_heads"])))
+                w.add_kv(f"{arch}.attention.max_alibi_bias",
+                         -round(_m.log2(float(np.asarray(arr)[0])) * nh2))
+                continue
+            if name.endswith((".attn.c_attn.weight", ".attn.c_proj.weight",
+                              ".mlp.c_fc.weight", ".mlp.c_fc2.weight",
+                              ".mlp.c_proj.weight")):
+                arr = np.asarray(arr, np.float32).T
+            if name == "transformer.wte.weight":
+                emb_scale = float(cfg.get("mup_embeddings_scale")
+                                  or cfg.get("embeddings_scale") or 1.0)
+                if cfg.get("mup_output_alpha") is not None:
+                    width = float(cfg["mup_output_alpha"]) * \
+                        float(cfg.get("mup_width_scale", 1.0))
+                else:
+                    width = float(cfg.get("width_scale", 1.0))
+                a = np.asarray(arr, np.float32)
+                emit("token_embd.weight", a * emb_scale)
+                # tied head with its own mup width scale
+                emit("output.weight", a * width)
+                continue
         # jina-bert-v2 fused gated FFN: gated_layers [2F, C] rows are
         # [gate; up]; the up_gated_layer variant stores [up; gate]
         # (reference JinaBertV2Model.get_tensors)

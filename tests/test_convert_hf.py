@@ -2924,3 +2924,220 @@ def test_convert_exaone_matches_llama_equivalent(tmp_path):
     m = _convert_and_compare(tmp_path, cfg, ews, None, tcfg,
                              hf_weights=lws)
     assert m.hp.arch == "exaone" and m.hp.rope_type == "neox"
+
+
+def test_convert_orion_matches_torch_reference(tmp_path):
+    """orion (Orion-14B, llm_build_orion): llama body whose norms are
+    TRUE LayerNorm WITH bias (the config key claims rms_norm_eps), gated
+    silu FFN, no projection biases. Validated against an independent
+    torch implementation (remote-code HF class); rope follows the
+    model's half-split convention — see hparams.py for the divergence
+    note vs the reference runtime's interleaved read."""
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(83)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, KV, L, FF = 256, 64, 4, 2, 2, 96
+    d = C // H
+    cfg = {
+        "architectures": ["OrionForCausalLM"],
+        "hidden_size": C, "intermediate_size": FF,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "num_hidden_layers": L, "max_position_embeddings": 256,
+        "rms_norm_eps": 1e-5, "rope_theta": 10000.0, "vocab_size": V,
+        "tie_word_embeddings": False, "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "model.embed_tokens.weight": r(V, C),
+        "model.norm.weight": 1.0 + r(C),
+        "model.norm.bias": r(C),
+        "lm_head.weight": r(V, C),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        ws.update({
+            p + "input_layernorm.weight": 1.0 + r(C),
+            p + "input_layernorm.bias": r(C),
+            p + "self_attn.q_proj.weight": r(H * d, C),
+            p + "self_attn.k_proj.weight": r(KV * d, C),
+            p + "self_attn.v_proj.weight": r(KV * d, C),
+            p + "self_attn.o_proj.weight": r(C, H * d),
+            p + "post_attention_layernorm.weight": 1.0 + r(C),
+            p + "post_attention_layernorm.bias": r(C),
+            p + "mlp.gate_proj.weight": r(FF, C),
+            p + "mlp.up_proj.weight": r(FF, C),
+            p + "mlp.down_proj.weight": r(C, FF),
+        })
+
+    def ln(x, p):
+        return F.layer_norm(x, (C,), torch.from_numpy(ws[p + ".weight"]),
+                            torch.from_numpy(ws[p + ".bias"]), 1e-5)
+
+    def lin(x, w):
+        return x @ torch.from_numpy(ws[w]).T
+
+    def ref_forward(tokens):
+        T = len(tokens)
+        x = torch.from_numpy(ws["model.embed_tokens.weight"])[
+            torch.tensor(tokens)]
+        pos = torch.arange(T, dtype=torch.float32)
+        inv = 1.0 / (10000.0 ** (torch.arange(0, d, 2).float() / d))
+        theta = pos[:, None] * inv[None, :]
+        cos = torch.cat([theta.cos(), theta.cos()], -1)
+        sin = torch.cat([theta.sin(), theta.sin()], -1)
+
+        def rope(q):
+            q1, q2 = q[..., :d // 2], q[..., d // 2:]
+            rot = torch.cat([-q2, q1], -1)
+            return q * cos[:, None, :] + rot * sin[:, None, :]
+
+        mask = torch.full((T, T), float("-inf")).triu(1)
+        for i in range(L):
+            p = f"model.layers.{i}."
+            cur = ln(x, p + "input_layernorm")
+            q = rope(lin(cur, p + "self_attn.q_proj.weight").view(T, H, d))
+            k = rope(lin(cur, p + "self_attn.k_proj.weight").view(T, KV, d))
+            v = lin(cur, p + "self_attn.v_proj.weight").view(T, KV, d)
+            k = k.repeat_interleave(H // KV, dim=1)
+            v = v.repeat_interleave(H // KV, dim=1)
+            att = torch.einsum("qhd,khd->hqk", q, k) / d ** 0.5
+            att = (att + mask).softmax(-1)
+            o = torch.einsum("hqk,khd->qhd", att, v).reshape(T, H * d)
+            x = x + lin(o, p + "self_attn.o_proj.weight")
+            cur = ln(x, p + "post_attention_layernorm")
+            ffn = lin(F.silu(lin(cur, p + "mlp.gate_proj.weight"))
+                      * lin(cur, p + "mlp.up_proj.weight"),
+                      p + "mlp.down_proj.weight")
+            x = x + ffn
+        x = ln(x, "model.norm")
+        return lin(x, "lm_head.weight").numpy()
+
+    hf_dir = tmp_path / "hf"
+    hf_dir.mkdir()
+    with open(hf_dir / "config.json", "w") as f:
+        json.dump(cfg, f)
+    st.save_file(ws, str(hf_dir / "model.safetensors"))
+    _bpe_tokenizer_json(str(hf_dir), V)
+    from llama_cpp_test_tpu.tools.convert_hf import convert
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    out = str(tmp_path / "m.gguf")
+    convert(str(hf_dir), out, dtype="F32")
+    m = Model(out)
+    assert m.hp.arch == "orion" and m.hp.norm_type == "ln"
+    tokens = [3, 17, 42, 9, 150, 7]
+    with torch.no_grad():
+        ref = ref_forward(tokens)
+    ctx = Context(m, n_ctx=64, n_seq_max=1, block_size=8)
+    got = ctx.prefill(ctx.new_seq(), tokens, all_logits=True)
+    err = np.mean((got - ref) ** 2) / (np.mean(ref ** 2) + 1e-9)
+    assert err < 5e-3, err
+    assert np.argmax(got[-1]) == np.argmax(ref[-1])
+
+
+def test_convert_jais_matches_torch_reference(tmp_path):
+    """jais (llm_build_jais): gpt2 LayerNorm body with fused biased
+    Conv1D qkv, ALiBi (max bias recovered from the checkpoint's slopes
+    tensor), BIASED swiglu (c_fc2 gate / c_fc up), 1/d_head attention
+    scale, and mup embedding/output scales baked at convert."""
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(89)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, L, FF = 256, 64, 4, 2, 96
+    d = C // H
+    EMB_S, ALPHA, WIDTH_S = 2.0, 1.5, 0.5
+    cfg = {
+        "architectures": ["JAISLMHeadModel"],
+        "n_embd": C, "n_inner": FF, "n_head": H, "n_layer": L,
+        "n_positions": 256, "vocab_size": V,
+        "layer_norm_epsilon": 1e-5, "position_embedding_type": "alibi",
+        "mup_embeddings_scale": EMB_S, "mup_output_alpha": ALPHA,
+        "mup_width_scale": WIDTH_S,
+        "bos_token_id": 1, "eos_token_id": 2,
+    }
+    slopes = np.array([2 ** (-(8.0 / H) * (i + 1)) for i in range(H)],
+                      np.float32)
+    ws = {
+        "transformer.wte.weight": r(V, C),
+        "transformer.ln_f.weight": 1.0 + r(C),
+        "transformer.ln_f.bias": r(C),
+        "transformer.relative_pe.slopes": slopes,
+    }
+    for i in range(L):
+        p = f"transformer.h.{i}."
+        ws.update({
+            p + "ln_1.weight": 1.0 + r(C), p + "ln_1.bias": r(C),
+            # Conv1D layout [in, out]
+            p + "attn.c_attn.weight": r(C, 3 * C),
+            p + "attn.c_attn.bias": r(3 * C),
+            p + "attn.c_proj.weight": r(C, C),
+            p + "attn.c_proj.bias": r(C),
+            p + "ln_2.weight": 1.0 + r(C), p + "ln_2.bias": r(C),
+            p + "mlp.c_fc.weight": r(C, FF),     # up
+            p + "mlp.c_fc.bias": r(FF),
+            p + "mlp.c_fc2.weight": r(C, FF),    # gate (silu side)
+            p + "mlp.c_fc2.bias": r(FF),
+            p + "mlp.c_proj.weight": r(FF, C),
+            p + "mlp.c_proj.bias": r(C),
+        })
+
+    def ln(x, p):
+        return F.layer_norm(x, (C,), torch.from_numpy(ws[p + ".weight"]),
+                            torch.from_numpy(ws[p + ".bias"]), 1e-5)
+
+    def conv(x, w, b):   # Conv1D: x @ W + b, W stored [in, out]
+        return x @ torch.from_numpy(ws[w]) + torch.from_numpy(ws[b])
+
+    def ref_forward(tokens):
+        T = len(tokens)
+        x = torch.from_numpy(ws["transformer.wte.weight"])[
+            torch.tensor(tokens)] * EMB_S
+        idx = torch.arange(T, dtype=torch.float32)
+        dist = -(idx[:, None] - idx[None, :])       # -(i - j) for j <= i
+        bias = torch.from_numpy(slopes)[:, None, None] * dist[None]
+        mask = torch.full((T, T), float("-inf")).triu(1)
+        for i in range(L):
+            p = f"transformer.h.{i}."
+            cur = ln(x, p + "ln_1")
+            qkv = conv(cur, p + "attn.c_attn.weight", p + "attn.c_attn.bias")
+            q = qkv[:, :C].view(T, H, d)
+            k = qkv[:, C:2 * C].view(T, H, d)
+            v = qkv[:, 2 * C:].view(T, H, d)
+            att = torch.einsum("qhd,khd->hqk", q, k) / d   # 1/d_head mup
+            att = (att + bias + mask).softmax(-1)
+            o = torch.einsum("hqk,khd->qhd", att, v).reshape(T, C)
+            x = x + conv(o, p + "attn.c_proj.weight", p + "attn.c_proj.bias")
+            cur = ln(x, p + "ln_2")
+            g = conv(cur, p + "mlp.c_fc2.weight", p + "mlp.c_fc2.bias")
+            u = conv(cur, p + "mlp.c_fc.weight", p + "mlp.c_fc.bias")
+            x = x + conv(F.silu(g) * u, p + "mlp.c_proj.weight",
+                         p + "mlp.c_proj.bias")
+        x = ln(x, "transformer.ln_f")
+        head = torch.from_numpy(ws["transformer.wte.weight"]) \
+            * (ALPHA * WIDTH_S)
+        return (x @ head.T).numpy()
+
+    hf_dir = tmp_path / "hf"
+    hf_dir.mkdir()
+    with open(hf_dir / "config.json", "w") as f:
+        json.dump(cfg, f)
+    st.save_file(ws, str(hf_dir / "model.safetensors"))
+    _bpe_tokenizer_json(str(hf_dir), V)
+    from llama_cpp_test_tpu.tools.convert_hf import convert
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    out = str(tmp_path / "m.gguf")
+    convert(str(hf_dir), out, dtype="F32")
+    m = Model(out)
+    assert m.hp.arch == "jais" and m.hp.alibi
+    assert m.hp.alibi_max_bias == pytest.approx(8.0)
+    assert m.hp.attn_scale == pytest.approx(1.0 / d)
+    tokens = [3, 17, 42, 9, 150, 7]
+    with torch.no_grad():
+        ref = ref_forward(tokens)
+    ctx = Context(m, n_ctx=64, n_seq_max=1, block_size=8)
+    got = ctx.prefill(ctx.new_seq(), tokens, all_logits=True)
+    err = np.mean((got - ref) ** 2) / (np.mean(ref ** 2) + 1e-9)
+    assert err < 5e-3, err
+    assert np.argmax(got[-1]) == np.argmax(ref[-1])
