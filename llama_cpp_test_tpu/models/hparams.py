@@ -274,7 +274,8 @@ def hparams_from_metadata(md: dict) -> HParams:
                                     "command-r", "starcoder2", "nemotron",
                                     "olmo",  # olmo: NON-PARAMETRIC LN
                                     "bert", "nomic-bert", "jina-bert-v2",
-                                    "gpt2", "starcoder", "bloom", "mpt",
+                                    "gpt2", "starcoder", "codeshell",
+                                    "bloom", "mpt",
                                     "dbrx",  # dbrx: bias-free LN
                                     "cohere2", "orion", "jais",
                                     # phimoe: TRUE LayerNorm w/ bias (HF
@@ -289,7 +290,7 @@ def hparams_from_metadata(md: dict) -> HParams:
                 "gelu" if (gemma_like or arch in ("phi2", "falcon",
                                                   "gptneox", "starcoder2",
                                                   "gpt2", "starcoder",
-                                                  "bloom"))
+                                                  "codeshell", "bloom"))
                 else "silu"),
         embd_scale=(_math.sqrt(n_embd) if gemma_like
                     else g("embedding_scale", 1.0)),
@@ -308,10 +309,10 @@ def hparams_from_metadata(md: dict) -> HParams:
         causal=arch not in ("bert", "nomic-bert", "jina-bert-v2"),
         pos_embd=("learned" if arch in ("bert", "gpt2", "starcoder")
                   else "none" if arch in ("bloom", "mpt", "jina-bert-v2",
-                                          "jais")
+                                          "jais", "refact")
                   or _baichuan_alibi
                   else "rope"),
-        alibi=arch in ("bloom", "mpt", "jina-bert-v2", "jais")
+        alibi=arch in ("bloom", "mpt", "jina-bert-v2", "jais", "refact")
         or _baichuan_alibi,
         alibi_sym=arch == "jina-bert-v2",
         alibi_max_bias=g("attention.max_alibi_bias", 8.0),

@@ -290,6 +290,19 @@ register_arch(ArchSpec("cohere2", family="llama", rope_type="norm",
 register_arch(ArchSpec("dbrx", family="llama", rope_type="neox",
                        notes="fused-qkv clamp, LN, softmax moe"))
 
+# codeshell: starcoder body (LayerNorm+bias, fused biased qkv, gelu
+# SEQ ffn) with NEOX rope instead of learned positions and
+# num_query_groups GQA (llm_build_codeshell; torch-ref validated)
+register_arch(ArchSpec("codeshell", family="llama", rope_type="neox",
+                       notes="starcoder body + rope"))
+
+# refact (Refact-1.6B): rms/swiglu llama-style body with MQA (one kv
+# head from a fused attn.kv plane) and ALiBi positions (max_bias 8
+# implied by the arch; llm_build_refact has no rope call). Validated
+# against an independent torch reference (remote-code HF class).
+register_arch(ArchSpec("refact", family="llama",
+                       notes="MQA, alibi, fused kv/gate_up"))
+
 # jais (core42 13B/30B): gpt2 LayerNorm body + ALiBi + BIASED swiglu
 # with mup scaled-dot attention (1/d_head) and mup embedding/output
 # scales baked in at convert. The c_fc2=gate/c_fc=up assignment follows

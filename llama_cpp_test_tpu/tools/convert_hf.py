@@ -90,6 +90,9 @@ ARCH_MAP = {
     "MiniCPMForCausalLM": "minicpm",
     "InternLM2ForCausalLM": "internlm2",
     "BaichuanForCausalLM": "baichuan",
+    # MQA + ALiBi + rms/swiglu body with fused kv and gate_up planes
+    # (reference RefactModel, convert_hf_to_gguf.py:1443)
+    "GPTRefactForCausalLM": "refact",
     # gpt2 body + ALiBi + biased swiglu + mup scales baked at convert
     # (reference JaisModel, convert_hf_to_gguf.py:4683)
     "JAISLMHeadModel": "jais",
@@ -105,6 +108,9 @@ ARCH_MAP = {
     "GPT2Model": "gpt2",
     # starcoder1/santacoder: gpt2 body with MQA and nn.Linear projections
     "GPTBigCodeForCausalLM": "starcoder",
+    # starcoder body + NEOX rope instead of learned positions
+    # (reference CodeShellModel, convert_hf_to_gguf.py:2712)
+    "CodeShellForCausalLM": "codeshell",
     # ALiBi decoders (no positional embedding)
     "BloomForCausalLM": "bloom",
     "BloomModel": "bloom",
@@ -198,6 +204,7 @@ GPT2_TOP_MAP = {
     "transformer.wpe.weight": "position_embd.weight",
     "transformer.ln_f.weight": "output_norm.weight",
     "transformer.ln_f.bias": "output_norm.bias",
+    "lm_head.weight": "output.weight",   # untied variants (codeshell)
 }
 GPT2_LAYER_MAP = {
     "ln_1.weight": "attn_norm.weight",
@@ -258,6 +265,17 @@ BERT_LAYER_MAP = {
     "output.dense.bias": "ffn_down.bias",
     "output.LayerNorm.weight": "layer_output_norm.weight",
     "output.LayerNorm.bias": "layer_output_norm.bias",
+}
+
+# refact (reference RefactModel + tensor_mapping refact rows)
+REFACT_LAYER_MAP = {
+    "ln_1.weight": "attn_norm.weight",
+    "attn.q.weight": "attn_q.weight",
+    "attn.c_proj.weight": "attn_output.weight",
+    "ln_2.weight": "ffn_norm.weight",
+    "mlp.linear_1.weight": "ffn_gate.weight",
+    "mlp.linear_3.weight": "ffn_up.weight",
+    "mlp.c_proj.weight": "ffn_down.weight",
 }
 
 # jais (reference JaisModel + tensor_mapping jais rows): gpt2-style
@@ -609,7 +627,7 @@ def map_name(name: str, arch: str = "llama") -> str | None:
             mapped = BLOOM_LAYER_MAP.get(suffix)
             return f"blk.{idx}.{mapped}" if mapped else None
         return None
-    if arch in ("gpt2", "starcoder"):  # same transformer.h.* names
+    if arch in ("gpt2", "starcoder", "codeshell"):  # transformer.h.* names
         if name.startswith("transformer.h."):
             rest = name[len("transformer.h."):]
             idx, _, suffix = rest.partition(".")
@@ -623,6 +641,19 @@ def map_name(name: str, arch: str = "llama") -> str | None:
             rest = name[len("model.layers."):]
             idx, _, suffix = rest.partition(".")
             mapped = INTERNLM2_LAYER_MAP.get(suffix)
+            return f"blk.{idx}.{mapped}" if mapped else None
+        return None
+    if arch == "refact":
+        if name == "transformer.wte.weight":
+            return "token_embd.weight"
+        if name == "ln_f.weight":
+            return "output_norm.weight"
+        if name == "lm_head.weight":
+            return "output.weight"
+        if name.startswith("transformer.h."):
+            rest = name[len("transformer.h."):]
+            idx, _, suffix = rest.partition(".")
+            mapped = REFACT_LAYER_MAP.get(suffix)
             return f"blk.{idx}.{mapped}" if mapped else None
         return None
     if arch == "jais":
@@ -893,6 +924,17 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
     if arch == "qwen2vl" and isinstance(cfg.get("text_config"), dict):
         # VL configs nest the language-model hparams (transformers >= 4.52)
         cfg = {**cfg, **cfg["text_config"]}
+    if arch == "codeshell":
+        # CodeShellConfig: gpt2-style keys + num_query_groups GQA
+        cfg = {**cfg,
+               "num_attention_heads": cfg.get("n_head", 12),
+               "num_key_value_heads": cfg.get("num_query_groups", 1),
+               "hidden_size": cfg.get("n_embd", 768),
+               "num_hidden_layers": cfg.get("n_layer", 12),
+               "max_position_embeddings": cfg.get("n_positions", 8192),
+               "intermediate_size": (cfg.get("n_inner") or
+                                     4 * cfg.get("n_embd", 768)),
+               "rope_theta": 10000.0}
     if arch in ("gpt2", "starcoder"):
         # GPT2Config/GPTBigCodeConfig use their own key names; starcoder
         # is multi-query (1 kv head) unless the flag is off
@@ -955,6 +997,19 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
                                      or cfg.get("num_layers", 32)),
                "rms_norm_eps": cfg.get("layer_norm_epsilon",
                                        cfg.get("rms_norm_eps", 1e-5))}
+    if arch == "refact":
+        # RefactModel: MQA (kv=1), llama-style 2/3-rounded ffn width
+        hs = cfg.get("n_embd", 768)
+        inner = 4 * hs
+        ffd = 256 * ((int(2 * inner / 3) + 255) // 256)
+        cfg = {**cfg,
+               "num_attention_heads": cfg.get("n_head", 12),
+               "num_key_value_heads": 1,
+               "hidden_size": hs,
+               "num_hidden_layers": cfg.get("n_layer", 12),
+               "max_position_embeddings": cfg.get("n_positions", 2048),
+               "intermediate_size": ffd,
+               "rms_norm_eps": cfg.get("layer_norm_epsilon", 1e-5)}
     if arch == "jais":
         # gpt2-style config keys (reference JaisModel set_gguf_parameters)
         cfg = {**cfg,
@@ -1054,6 +1109,10 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
         md[f"{arch}.rope.dimension_count"] = int(
             head_dim * cfg.get("partial_rotary_factor", 0.5))
     if arch == "jais":
+        md[f"{arch}.attention.layer_norm_epsilon"] = cfg.get(
+            "layer_norm_epsilon", 1e-5)
+        del md[f"{arch}.attention.layer_norm_rms_epsilon"]
+    if arch == "codeshell":
         md[f"{arch}.attention.layer_norm_epsilon"] = cfg.get(
             "layer_norm_epsilon", 1e-5)
         del md[f"{arch}.attention.layer_norm_rms_epsilon"]
@@ -1337,6 +1396,22 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
                 heads = qk_norms.pop(key)
                 emit(f"blk.{li}.{gn}.weight",
                      np.stack([heads[h] for h in range(want)]))
+            continue
+        # refact fused planes: attn.kv rows [k; v] (single kv head) and
+        # mlp.gate_up_proj rows [gate; up] at the 2/3-rounded width
+        if arch == "refact" and name.endswith(".attn.kv.weight"):
+            li = name.split(".")[2]
+            a = np.asarray(arr, np.float32)
+            hd = cfg["hidden_size"] // cfg["num_attention_heads"]
+            emit(f"blk.{li}.attn_k.weight", a[:hd])
+            emit(f"blk.{li}.attn_v.weight", a[hd:])
+            continue
+        if arch == "refact" and name.endswith(".mlp.gate_up_proj.weight"):
+            li = name.split(".")[2]
+            a = np.asarray(arr, np.float32)
+            ffd = cfg["intermediate_size"]
+            emit(f"blk.{li}.ffn_gate.weight", a[:ffd])
+            emit(f"blk.{li}.ffn_up.weight", a[ffd:])
             continue
         # jais: Conv1D transposes, mup scales baked into embd/head, and
         # max_alibi_bias recovered from the precomputed slopes tensor

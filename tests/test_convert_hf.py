@@ -3141,3 +3141,201 @@ def test_convert_jais_matches_torch_reference(tmp_path):
     err = np.mean((got - ref) ** 2) / (np.mean(ref ** 2) + 1e-9)
     assert err < 5e-3, err
     assert np.argmax(got[-1]) == np.argmax(ref[-1])
+
+
+def test_convert_refact_matches_torch_reference(tmp_path):
+    """refact (llm_build_refact): rms/swiglu body with MQA (fused
+    attn.kv plane split to one k + one v head), ALiBi positions (no
+    rope), fused gate_up at the llama-style 2/3-rounded ffn width."""
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(97)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, L = 256, 64, 4, 2
+    d = C // H
+    FFD = 256 * ((int(2 * (4 * C) / 3) + 255) // 256)
+    cfg = {
+        "architectures": ["GPTRefactForCausalLM"],
+        "n_embd": C, "n_head": H, "n_layer": L, "n_positions": 256,
+        "vocab_size": V, "layer_norm_epsilon": 1e-5,
+        "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "transformer.wte.weight": r(V, C),
+        "ln_f.weight": 1.0 + r(C),
+        "lm_head.weight": r(V, C),
+    }
+    for i in range(L):
+        p = f"transformer.h.{i}."
+        ws.update({
+            p + "ln_1.weight": 1.0 + r(C),
+            p + "attn.q.weight": r(H * d, C),
+            p + "attn.kv.weight": r(2 * d, C),     # [k; v], 1 kv head
+            p + "attn.c_proj.weight": r(C, H * d),
+            p + "ln_2.weight": 1.0 + r(C),
+            p + "mlp.gate_up_proj.weight": r(2 * FFD, C),
+            p + "mlp.c_proj.weight": r(C, FFD),
+        })
+
+    def rms(x, w):
+        return x * torch.rsqrt((x ** 2).mean(-1, keepdim=True) + 1e-5) \
+            * torch.from_numpy(w)
+
+    def lin(x, w):
+        return x @ torch.from_numpy(ws[w]).T
+
+    def ref_forward(tokens):
+        T = len(tokens)
+        x = torch.from_numpy(ws["transformer.wte.weight"])[
+            torch.tensor(tokens)]
+        slopes = torch.tensor([2 ** (-(8.0 / H) * (i + 1))
+                               for i in range(H)])
+        idx = torch.arange(T, dtype=torch.float32)
+        bias = slopes[:, None, None] * (-(idx[:, None] - idx[None, :]))
+        mask = torch.full((T, T), float("-inf")).triu(1)
+        for i in range(L):
+            p = f"transformer.h.{i}."
+            cur = rms(x, ws[p + "ln_1.weight"])
+            q = lin(cur, p + "attn.q.weight").view(T, H, d)
+            kv = lin(cur, p + "attn.kv.weight")
+            k = kv[:, :d].view(T, 1, d).expand(T, H, d)
+            v = kv[:, d:].view(T, 1, d).expand(T, H, d)
+            att = torch.einsum("qhd,khd->hqk", q, k) / d ** 0.5
+            att = (att + bias + mask).softmax(-1)
+            o = torch.einsum("hqk,khd->qhd", att, v).reshape(T, H * d)
+            x = x + lin(o, p + "attn.c_proj.weight")
+            cur = rms(x, ws[p + "ln_2.weight"])
+            gu = lin(cur, p + "mlp.gate_up_proj.weight")
+            g, u = gu[:, :FFD], gu[:, FFD:]
+            x = x + lin(F.silu(g) * u, p + "mlp.c_proj.weight")
+        x = rms(x, ws["ln_f.weight"])
+        return lin(x, "lm_head.weight").numpy()
+
+    hf_dir = tmp_path / "hf"
+    hf_dir.mkdir()
+    with open(hf_dir / "config.json", "w") as f:
+        json.dump(cfg, f)
+    st.save_file(ws, str(hf_dir / "model.safetensors"))
+    _bpe_tokenizer_json(str(hf_dir), V)
+    from llama_cpp_test_tpu.tools.convert_hf import convert
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    out = str(tmp_path / "m.gguf")
+    convert(str(hf_dir), out, dtype="F32")
+    m = Model(out)
+    assert m.hp.arch == "refact" and m.hp.alibi and m.hp.n_head_kv == 1
+    assert m.hp.n_ff == FFD
+    tokens = [3, 17, 42, 9, 150, 7]
+    with torch.no_grad():
+        ref = ref_forward(tokens)
+    ctx = Context(m, n_ctx=64, n_seq_max=1, block_size=8)
+    got = ctx.prefill(ctx.new_seq(), tokens, all_logits=True)
+    err = np.mean((got - ref) ** 2) / (np.mean(ref ** 2) + 1e-9)
+    assert err < 5e-3, err
+    assert np.argmax(got[-1]) == np.argmax(ref[-1])
+
+
+def test_convert_codeshell_matches_torch_reference(tmp_path):
+    """codeshell (llm_build_codeshell): starcoder body (LayerNorm+bias,
+    fused biased qkv, tanh-gelu SEQ ffn with biases) with NEOX rope
+    instead of learned positions and num_query_groups GQA."""
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(101)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, KV, L, FF = 256, 64, 4, 2, 2, 96
+    d = C // H
+    cfg = {
+        "architectures": ["CodeShellForCausalLM"],
+        "n_embd": C, "n_head": H, "num_query_groups": KV, "n_layer": L,
+        "n_positions": 256, "n_inner": FF, "vocab_size": V,
+        "layer_norm_epsilon": 1e-5,
+        "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "transformer.wte.weight": r(V, C),
+        "transformer.ln_f.weight": 1.0 + r(C),
+        "transformer.ln_f.bias": r(C),
+        "lm_head.weight": r(V, C),
+    }
+    for i in range(L):
+        p = f"transformer.h.{i}."
+        ws.update({
+            p + "ln_1.weight": 1.0 + r(C), p + "ln_1.bias": r(C),
+            p + "attn.c_attn.weight": r((H + 2 * KV) * d, C),
+            p + "attn.c_attn.bias": r((H + 2 * KV) * d),
+            p + "attn.c_proj.weight": r(C, C),
+            p + "attn.c_proj.bias": r(C),
+            p + "ln_2.weight": 1.0 + r(C), p + "ln_2.bias": r(C),
+            p + "mlp.c_fc.weight": r(FF, C),
+            p + "mlp.c_fc.bias": r(FF),
+            p + "mlp.c_proj.weight": r(C, FF),
+            p + "mlp.c_proj.bias": r(C),
+        })
+
+    def ln(x, p):
+        return F.layer_norm(x, (C,), torch.from_numpy(ws[p + ".weight"]),
+                            torch.from_numpy(ws[p + ".bias"]), 1e-5)
+
+    def lin(x, w, b=None):
+        y = x @ torch.from_numpy(ws[w]).T
+        return y + torch.from_numpy(ws[b]) if b else y
+
+    def ref_forward(tokens):
+        T = len(tokens)
+        x = torch.from_numpy(ws["transformer.wte.weight"])[
+            torch.tensor(tokens)]
+        pos = torch.arange(T, dtype=torch.float32)
+        inv = 1.0 / (10000.0 ** (torch.arange(0, d, 2).float() / d))
+        theta = pos[:, None] * inv[None, :]
+        cos = torch.cat([theta.cos(), theta.cos()], -1)
+        sin = torch.cat([theta.sin(), theta.sin()], -1)
+
+        def rope(q):
+            q1, q2 = q[..., :d // 2], q[..., d // 2:]
+            rot = torch.cat([-q2, q1], -1)
+            return q * cos[:, None, :] + rot * sin[:, None, :]
+
+        mask = torch.full((T, T), float("-inf")).triu(1)
+        for i in range(L):
+            p = f"transformer.h.{i}."
+            cur = ln(x, p + "ln_1")
+            qkv = lin(cur, p + "attn.c_attn.weight", p + "attn.c_attn.bias")
+            q = rope(qkv[:, :H * d].view(T, H, d))
+            k = rope(qkv[:, H * d:(H + KV) * d].view(T, KV, d))
+            v = qkv[:, (H + KV) * d:].view(T, KV, d)
+            k = k.repeat_interleave(H // KV, dim=1)
+            v = v.repeat_interleave(H // KV, dim=1)
+            att = torch.einsum("qhd,khd->hqk", q, k) / d ** 0.5
+            att = (att + mask).softmax(-1)
+            o = torch.einsum("hqk,khd->qhd", att, v).reshape(T, C)
+            x = x + lin(o, p + "attn.c_proj.weight", p + "attn.c_proj.bias")
+            cur = ln(x, p + "ln_2")
+            h = F.gelu(lin(cur, p + "mlp.c_fc.weight", p + "mlp.c_fc.bias"),
+                       approximate="tanh")
+            x = x + lin(h, p + "mlp.c_proj.weight", p + "mlp.c_proj.bias")
+        x = ln(x, "transformer.ln_f")
+        return lin(x, "lm_head.weight").numpy()
+
+    hf_dir = tmp_path / "hf"
+    hf_dir.mkdir()
+    with open(hf_dir / "config.json", "w") as f:
+        json.dump(cfg, f)
+    st.save_file(ws, str(hf_dir / "model.safetensors"))
+    _bpe_tokenizer_json(str(hf_dir), V)
+    from llama_cpp_test_tpu.tools.convert_hf import convert
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    out = str(tmp_path / "m.gguf")
+    convert(str(hf_dir), out, dtype="F32")
+    m = Model(out)
+    assert m.hp.arch == "codeshell" and m.hp.n_head_kv == KV
+    assert m.hp.pos_embd == "rope" and m.hp.rope_type == "neox"
+    tokens = [3, 17, 42, 9, 150, 7]
+    with torch.no_grad():
+        ref = ref_forward(tokens)
+    ctx = Context(m, n_ctx=64, n_seq_max=1, block_size=8)
+    got = ctx.prefill(ctx.new_seq(), tokens, all_logits=True)
+    err = np.mean((got - ref) ** 2) / (np.mean(ref ** 2) + 1e-9)
+    assert err < 5e-3, err
+    assert np.argmax(got[-1]) == np.argmax(ref[-1])
