@@ -255,7 +255,11 @@ def hparams_from_metadata(md: dict) -> HParams:
         router_jitter=g("router_jitter", 0.01),
         n_lora_q=g("attention.q_lora_rank", 0),
         n_lora_kv=g("attention.kv_lora_rank", 0),
-        head_dim_v=g("attention.value_length", 0),
+        head_dim_v=g("attention.value_length",
+                     # minicpm3 reference GGUFs omit value_length and
+                     # rely on n_embd/n_head == v_head_dim
+                     n_embd // max(n_head, 1) if arch == "minicpm3"
+                     else 0),
         rope_yarn_log_mul=yarn_log_mul,
         sliding_window=g("attention.sliding_window", 0),
         swa_pattern=max(1, swa_pattern),

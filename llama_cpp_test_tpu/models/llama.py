@@ -417,18 +417,20 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
             lw.bk = bias[n_q:n_q + n_kv]
             lw.bv = bias[n_q + n_kv:n_q + 2 * n_kv]
         if mla:
-            # deepseek2 MLA tensors (reference llm_load_tensors DEEPSEEK2,
-            # llama-model.cpp; tensor names llama-arch.cpp:1022-1028)
+            # deepseek2/minicpm3 MLA tensors (reference llm_load_tensors
+            # DEEPSEEK2/MINICPM3; tensor names llama-arch.cpp:1022-1028).
+            # The pe-row interleave->half-split permutation applies only
+            # to NORM-rope MLA (deepseek2); minicpm3 pe rows are already
+            # half-split (NEOX rope type).
+            mqp = _mla_q_perm() if hp.rope_type == "norm" else None
+            mkp = _mla_kva_perm() if hp.rope_type == "norm" else None
             if p + "attn_q_a.weight" in t:
                 lw.wq_a = _repack_2d(reader, p + "attn_q_a.weight")
                 lw.attn_q_a_norm = _f32(reader, p + "attn_q_a_norm.weight")
-                lw.wq_b = _repack_2d(reader, p + "attn_q_b.weight",
-                                     _mla_q_perm())
+                lw.wq_b = _repack_2d(reader, p + "attn_q_b.weight", mqp)
             else:  # lite: plain full-rank q
-                lw.wq = _repack_2d(reader, p + "attn_q.weight",
-                                   _mla_q_perm())
-            lw.wkv_a = _repack_2d(reader, p + "attn_kv_a_mqa.weight",
-                                  _mla_kva_perm())
+                lw.wq = _repack_2d(reader, p + "attn_q.weight", mqp)
+            lw.wkv_a = _repack_2d(reader, p + "attn_kv_a_mqa.weight", mkp)
             lw.attn_kv_a_norm = _f32(reader, p + "attn_kv_a_norm.weight")
             lw.wkv_b = _repack_2d(reader, p + "attn_kv_b.weight")
         if tp == 1 and not mla:

@@ -290,6 +290,14 @@ register_arch(ArchSpec("cohere2", family="llama", rope_type="norm",
 register_arch(ArchSpec("dbrx", family="llama", rope_type="neox",
                        notes="fused-qkv clamp, LN, softmax moe"))
 
+# minicpm3 (MiniCPM3-4B): deepseek2-style MLA attention (q-lora +
+# kv-lora, pe-only rope — NEOX type, so no load permutation) combined
+# with minicpm's mup scales (embd x scale_emb, residual x
+# scale_depth/sqrt(L), logits x hidden/dim_model_base). Validated
+# against an independent torch MLA reference (remote-code HF class).
+register_arch(ArchSpec("minicpm3", family="llama", rope_type="neox",
+                       notes="MLA + minicpm scales"))
+
 # codeshell: starcoder body (LayerNorm+bias, fused biased qkv, gelu
 # SEQ ffn) with NEOX rope instead of learned positions and
 # num_query_groups GQA (llm_build_codeshell; torch-ref validated)

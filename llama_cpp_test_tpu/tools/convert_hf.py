@@ -88,6 +88,9 @@ ARCH_MAP = {
     "JinaBertForMaskedLM": "jina-bert-v2",
     # llama-bodied archs with convert-time tensor surgery
     "MiniCPMForCausalLM": "minicpm",
+    # minicpm scales + deepseek2-style MLA attention, NEOX pe rope
+    # (reference MiniCPM3Model, convert_hf_to_gguf.py:2140)
+    "MiniCPM3ForCausalLM": "minicpm3",
     "InternLM2ForCausalLM": "internlm2",
     "BaichuanForCausalLM": "baichuan",
     # MQA + ALiBi + rms/swiglu body with fused kv and gate_up planes
@@ -1198,7 +1201,21 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
     if arch == "mpt":
         md[f"{arch}.attention.max_alibi_bias"] = float(
             (cfg.get("attn_config") or {}).get("alibi_bias_max", 8.0))
-    if arch == "minicpm":
+    if arch == "minicpm3":
+        # MLA dims (reference MiniCPM3Model set_gguf_parameters) —
+        # value_length is OUR addition (the reference omits it and relies
+        # on the n_embd/n_head default equaling v_head_dim)
+        qk_rope = cfg["qk_rope_head_dim"]
+        qk_nope = cfg["qk_nope_head_dim"]
+        md[f"{arch}.attention.key_length"] = qk_nope + qk_rope
+        md[f"{arch}.attention.value_length"] = cfg.get(
+            "v_head_dim", cfg["hidden_size"] // n_head)
+        md[f"{arch}.rope.dimension_count"] = qk_rope
+        md[f"{arch}.attention.head_count_kv"] = n_head
+        if cfg.get("q_lora_rank"):
+            md[f"{arch}.attention.q_lora_rank"] = cfg["q_lora_rank"]
+        md[f"{arch}.attention.kv_lora_rank"] = cfg["kv_lora_rank"]
+    if arch in ("minicpm", "minicpm3"):
         # mup-style scalar multipliers (reference MiniCPMModel
         # set_gguf_parameters, convert_hf_to_gguf.py)
         md[f"{arch}.embedding_scale"] = float(cfg["scale_emb"])

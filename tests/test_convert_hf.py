@@ -3339,3 +3339,129 @@ def test_convert_codeshell_matches_torch_reference(tmp_path):
     err = np.mean((got - ref) ** 2) / (np.mean(ref ** 2) + 1e-9)
     assert err < 5e-3, err
     assert np.argmax(got[-1]) == np.argmax(ref[-1])
+
+
+def test_convert_minicpm3_matches_torch_reference(tmp_path):
+    """minicpm3 (llm_build_minicpm3): deepseek2-style MLA (q-lora +
+    kv-lora, pe-only NEOX rope — no load permutation, unlike deepseek2's
+    NORM convention) combined with minicpm's mup scales. Validated
+    against an independent torch MLA implementation (remote-code HF
+    class)."""
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(103)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, L, FF = 256, 64, 4, 2, 96
+    DN, DR, DV, QR, KVR = 16, 8, 16, 32, 24
+    DK = DN + DR
+    cfg = {
+        "architectures": ["MiniCPM3ForCausalLM"],
+        "hidden_size": C, "intermediate_size": FF,
+        "num_attention_heads": H, "num_key_value_heads": H,
+        "num_hidden_layers": L, "max_position_embeddings": 256,
+        "rms_norm_eps": 1e-5, "rope_theta": 10000.0, "vocab_size": V,
+        "qk_nope_head_dim": DN, "qk_rope_head_dim": DR, "v_head_dim": DV,
+        "q_lora_rank": QR, "kv_lora_rank": KVR,
+        "scale_emb": 2.0, "scale_depth": 1.4, "dim_model_base": 32,
+        "tie_word_embeddings": False, "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "model.embed_tokens.weight": r(V, C),
+        "model.norm.weight": 1.0 + r(C),
+        "lm_head.weight": r(V, C),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        ws.update({
+            p + "input_layernorm.weight": 1.0 + r(C),
+            p + "self_attn.q_a_proj.weight": r(QR, C),
+            p + "self_attn.q_a_layernorm.weight": 1.0 + r(QR),
+            p + "self_attn.q_b_proj.weight": r(H * DK, QR),
+            p + "self_attn.kv_a_proj_with_mqa.weight": r(KVR + DR, C),
+            p + "self_attn.kv_a_layernorm.weight": 1.0 + r(KVR),
+            p + "self_attn.kv_b_proj.weight": r(H * (DN + DV), KVR),
+            p + "self_attn.o_proj.weight": r(C, H * DV),
+            p + "post_attention_layernorm.weight": 1.0 + r(C),
+            p + "mlp.gate_proj.weight": r(FF, C),
+            p + "mlp.up_proj.weight": r(FF, C),
+            p + "mlp.down_proj.weight": r(C, FF),
+        })
+
+    def rms(x, w, eps=1e-5):
+        return x * torch.rsqrt((x ** 2).mean(-1, keepdim=True) + eps) \
+            * torch.from_numpy(w)
+
+    def lin(x, w):
+        return x @ torch.from_numpy(ws[w]).T
+
+    SCALE_RES = 1.4 / L ** 0.5
+
+    def ref_forward(tokens):
+        T = len(tokens)
+        x = torch.from_numpy(ws["model.embed_tokens.weight"])[
+            torch.tensor(tokens)] * 2.0                   # scale_emb
+        pos = torch.arange(T, dtype=torch.float32)
+        inv = 1.0 / (10000.0 ** (torch.arange(0, DR, 2).float() / DR))
+        theta = pos[:, None] * inv[None, :]
+        cos = torch.cat([theta.cos(), theta.cos()], -1)   # [T, DR]
+        sin = torch.cat([theta.sin(), theta.sin()], -1)
+
+        def rope(q):  # [T, ..., DR] half-split
+            q1, q2 = q[..., :DR // 2], q[..., DR // 2:]
+            rot = torch.cat([-q2, q1], -1)
+            shape = (T,) + (1,) * (q.dim() - 2) + (DR,)
+            return q * cos.view(shape) + rot * sin.view(shape)
+
+        mask = torch.full((T, T), float("-inf")).triu(1)
+        for i in range(L):
+            p = f"model.layers.{i}."
+            cur = rms(x, ws[p + "input_layernorm.weight"])
+            q = lin(rms(lin(cur, p + "self_attn.q_a_proj.weight"),
+                        ws[p + "self_attn.q_a_layernorm.weight"]),
+                    p + "self_attn.q_b_proj.weight").view(T, H, DK)
+            q_nope, q_pe = q[..., :DN], rope(q[..., DN:])
+            ckv_pe = lin(cur, p + "self_attn.kv_a_proj_with_mqa.weight")
+            ckv = rms(ckv_pe[:, :KVR],
+                      ws[p + "self_attn.kv_a_layernorm.weight"])
+            k_pe = rope(ckv_pe[:, KVR:])                  # [T, DR] shared
+            kv = lin(ckv, p + "self_attn.kv_b_proj.weight") \
+                .view(T, H, DN + DV)
+            k = torch.cat([kv[..., :DN],
+                           k_pe[:, None, :].expand(T, H, DR)], -1)
+            qf = torch.cat([q_nope, q_pe], -1)
+            att = torch.einsum("qhd,khd->hqk", qf, k) / DK ** 0.5
+            att = (att + mask).softmax(-1)
+            o = torch.einsum("hqk,khd->qhd", att, kv[..., DN:]) \
+                .reshape(T, H * DV)
+            x = x + lin(o, p + "self_attn.o_proj.weight") * SCALE_RES
+            cur = rms(x, ws[p + "post_attention_layernorm.weight"])
+            ffn = lin(F.silu(lin(cur, p + "mlp.gate_proj.weight"))
+                      * lin(cur, p + "mlp.up_proj.weight"),
+                      p + "mlp.down_proj.weight")
+            x = x + ffn * SCALE_RES
+        x = rms(x, ws["model.norm.weight"])
+        return (lin(x, "lm_head.weight") / (C / 32)).numpy()
+
+    hf_dir = tmp_path / "hf"
+    hf_dir.mkdir()
+    with open(hf_dir / "config.json", "w") as f:
+        json.dump(cfg, f)
+    st.save_file(ws, str(hf_dir / "model.safetensors"))
+    _bpe_tokenizer_json(str(hf_dir), V)
+    from llama_cpp_test_tpu.tools.convert_hf import convert
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    out = str(tmp_path / "m.gguf")
+    convert(str(hf_dir), out, dtype="F32")
+    m = Model(out)
+    assert m.hp.arch == "minicpm3" and m.hp.n_lora_q == QR
+    assert m.hp.head_dim == DK and m.hp.v_dim == DV
+    assert m.hp.rope_type == "neox"
+    tokens = [3, 17, 42, 9, 150, 7]
+    with torch.no_grad():
+        ref = ref_forward(tokens)
+    ctx = Context(m, n_ctx=64, n_seq_max=1, block_size=8)
+    got = ctx.prefill(ctx.new_seq(), tokens, all_logits=True)
+    err = np.mean((got - ref) ** 2) / (np.mean(ref ** 2) + 1e-9)
+    assert err < 5e-3, err
+    assert np.argmax(got[-1]) == np.argmax(ref[-1])
