@@ -294,7 +294,8 @@ def hparams_from_metadata(md: dict) -> HParams:
                 "gelu" if (gemma_like or arch in ("phi2", "falcon",
                                                   "gptneox", "starcoder2",
                                                   "gpt2", "starcoder",
-                                                  "codeshell", "bloom"))
+                                                  "codeshell", "bloom",
+                                                  "grok"))
                 else "silu"),
         embd_scale=(_math.sqrt(n_embd) if gemma_like
                     else g("embedding_scale", 1.0)),
@@ -306,7 +307,11 @@ def hparams_from_metadata(md: dict) -> HParams:
                       if arch in ("command-r", "cohere2")
                       else g("logit_scale", 1.0)),
         attn_softcap=g("attn_logit_softcapping",
-                       50.0 if arch == "gemma2" else 0.0),
+                       50.0 if arch == "gemma2" else
+                       # grok-1: 30*tanh(logits/30) in the original model
+                       # (the reference graph OMITS it — this engine
+                       # follows the model)
+                       30.0 if arch == "grok" else 0.0),
         final_softcap=g("final_logit_softcapping",
                         30.0 if arch == "gemma2" else 0.0),
         post_norm=arch in ("bert", "nomic-bert", "jina-bert-v2"),

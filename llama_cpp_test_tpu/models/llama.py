@@ -538,6 +538,15 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
             # sandwich post-norm slots, so swin is a pure load-time remap
             lw.attn_post_norm, lw.attn_norm = lw.attn_norm, None
             lw.ffn_post_norm, lw.ffn_norm = lw.ffn_norm, None
+        if hp.arch == "grok":
+            # grok rms_norm_1/rms_norm_3 are POST-branch norms applied
+            # before the residual adds (llm_build_grok) — exactly the
+            # gemma2 sandwich slots; the bert-style post-SUM fields they
+            # load into under the reference names are remapped here
+            if lw.attn_out_norm is not None:
+                lw.attn_post_norm, lw.attn_out_norm = lw.attn_out_norm, None
+            if lw.layer_out_norm is not None:
+                lw.ffn_post_norm, lw.layer_out_norm = lw.layer_out_norm, None
         if hp.arch == "dbrx" and lw.ffn_norm is None and \
                 lw.attn_out_norm is not None:
             # dbrx stores its pre-MoE norm under the bert-family

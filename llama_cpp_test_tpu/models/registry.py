@@ -290,6 +290,15 @@ register_arch(ArchSpec("cohere2", family="llama", rope_type="norm",
 register_arch(ArchSpec("dbrx", family="llama", rope_type="neox",
                        notes="fused-qkv clamp, LN, softmax moe"))
 
+# grok (Grok-1 314B): neox rope, post-attn/ffn rms norms (gemma2
+# sandwich slots via load remap), 8-expert top-2 renormalized GELU MoE,
+# hardcoded embd x78.38 and logits x1/sqrt(3) multipliers, tied
+# in_out_embed head, and the model's 30*tanh(x/30) attention softcap
+# (which the reference graph omits — this engine follows the model).
+# Validated against an independent torch reference.
+register_arch(ArchSpec("grok", family="llama", rope_type="neox",
+                       notes="gelu moe, post norms, softcap"))
+
 # minicpm3 (MiniCPM3-4B): deepseek2-style MLA attention (q-lora +
 # kv-lora, pe-only rope — NEOX type, so no load permutation) combined
 # with minicpm's mup scales (embd x scale_emb, residual x

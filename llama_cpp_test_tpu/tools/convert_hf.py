@@ -132,6 +132,10 @@ ARCH_MAP = {
     # 16-expert MoE with fused Wqkv + clamp and bias-free LayerNorms
     # (reference DbrxModel, convert_hf_to_gguf.py:2016)
     "DbrxForCausalLM": "dbrx",
+    # Grok-1 (reference GrokModel): 8-expert gelu MoE, post-attn/ffn rms
+    # norms, hardcoded embd/logit multipliers, tied in_out_embed head
+    "GrokForCausalLM": "grok",
+    "Grok1ForCausalLM": "grok",
 }
 
 # mamba (reference MambaModel converter): A_log -> -exp(A_log) at
@@ -268,6 +272,26 @@ BERT_LAYER_MAP = {
     "output.dense.bias": "ffn_down.bias",
     "output.LayerNorm.weight": "layer_output_norm.weight",
     "output.LayerNorm.bias": "layer_output_norm.bias",
+}
+
+# grok (reference GrokModel + tensor_mapping Grok rows): rms_norm_1/3
+# are POST-branch norms (the engine's gemma2 sandwich slots, remapped
+# at load); per-expert moe planes linear(gate)/linear_v(up)/
+# linear_1(down) are stacked in convert()
+GROK_TOP_MAP = {
+    "transformer.in_out_embed.weight": "token_embd.weight",
+    "transformer.rms_norm.weight": "output_norm.weight",
+}
+GROK_LAYER_MAP = {
+    "rms_norm.weight": "attn_norm.weight",
+    "multi_head_attention.query.weight": "attn_q.weight",
+    "multi_head_attention.key.weight": "attn_k.weight",
+    "multi_head_attention.value.weight": "attn_v.weight",
+    "multi_head_attention.linear.weight": "attn_output.weight",
+    "rms_norm_1.weight": "attn_output_norm.weight",
+    "rms_norm_2.weight": "ffn_norm.weight",
+    "router.weight": "ffn_gate_inp.weight",
+    "rms_norm_3.weight": "layer_output_norm.weight",
 }
 
 # refact (reference RefactModel + tensor_mapping refact rows)
@@ -644,6 +668,15 @@ def map_name(name: str, arch: str = "llama") -> str | None:
             rest = name[len("model.layers."):]
             idx, _, suffix = rest.partition(".")
             mapped = INTERNLM2_LAYER_MAP.get(suffix)
+            return f"blk.{idx}.{mapped}" if mapped else None
+        return None
+    if arch == "grok":
+        if name in GROK_TOP_MAP:
+            return GROK_TOP_MAP[name]
+        if name.startswith("transformer.decoder_layer."):
+            rest = name[len("transformer.decoder_layer."):]
+            idx, _, suffix = rest.partition(".")
+            mapped = GROK_LAYER_MAP.get(suffix)
             return f"blk.{idx}.{mapped}" if mapped else None
         return None
     if arch == "refact":
@@ -1111,6 +1144,12 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
         del md[f"{arch}.attention.layer_norm_rms_epsilon"]
         md[f"{arch}.rope.dimension_count"] = int(
             head_dim * cfg.get("partial_rotary_factor", 0.5))
+    if arch == "grok":
+        # the reference graph hardcodes both multipliers
+        # (llm_build_grok); stored as metadata here so hparams carry them
+        md[f"{arch}.embedding_scale"] = 78.38367176906169
+        # logits are MULTIPLIED by 1/sqrt(3); logits_scale is a divisor
+        md[f"{arch}.logit_scale"] = 3.0 ** 0.5
     if arch == "jais":
         md[f"{arch}.attention.layer_norm_epsilon"] = cfg.get(
             "layer_norm_epsilon", 1e-5)
@@ -1474,6 +1513,21 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
                 else ("ffn_up", "ffn_gate")
             emit(f"blk.{li}.{first}.weight", a[:half])
             emit(f"blk.{li}.{second}.weight", a[half:])
+            continue
+        # grok per-expert planes: linear=gate, linear_v=up, linear_1=down
+        if arch == "grok" and ".moe." in name:
+            parts = name.split(".")
+            li, ei, wn = int(parts[2]), int(parts[4]), parts[5]
+            key = (li, {"linear": "ffn_gate_exps",
+                        "linear_v": "ffn_up_exps",
+                        "linear_1": "ffn_down_exps"}[wn])
+            experts.setdefault(key, {})[ei] = np.asarray(arr, np.float32)
+            if len(experts[key]) == n_expert:
+                stacked = np.stack([experts[key][e]
+                                    for e in range(n_expert)])
+                w.add_tensor(f"blk.{key[0]}.{key[1]}.weight", stacked,
+                             ggml_type=ggml_dtype)
+                del experts[key]
             continue
         # granitemoe jetmoe-style experts: input_linear [E, 2F, C] holds
         # gate;up stacked on the row axis, output_linear [E, C, F] is the

@@ -3465,3 +3465,133 @@ def test_convert_minicpm3_matches_torch_reference(tmp_path):
     err = np.mean((got - ref) ** 2) / (np.mean(ref ** 2) + 1e-9)
     assert err < 5e-3, err
     assert np.argmax(got[-1]) == np.argmax(ref[-1])
+
+
+def test_convert_grok_matches_torch_reference(tmp_path):
+    """grok (Grok-1): neox rope, post-attn/ffn rms norms applied BEFORE
+    the residual adds, 8-expert top-2 renormalized tanh-GELU MoE,
+    hardcoded embd x78.38 and logits x1/sqrt(3) multipliers, tied
+    in_out_embed head, and the model's 30*tanh(x/30) attention softcap
+    (the C++ reference omits the softcap — this engine follows the
+    model, so the test validates against an independent torch
+    reference with the softcap in place)."""
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(107)
+    r = lambda *s: (rng.standard_normal(s) * 0.02).astype(np.float32)
+    V, C, H, KV, L, E, FFE = 256, 64, 4, 2, 2, 4, 48
+    d = C // H
+    EMB_S, LOGIT_M = 78.38367176906169, 3.0 ** -0.5
+    cfg = {
+        "architectures": ["GrokForCausalLM"],
+        "hidden_size": C, "intermediate_size": FFE,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "num_hidden_layers": L, "max_position_embeddings": 256,
+        "rms_norm_eps": 1e-5, "rope_theta": 10000.0, "vocab_size": V,
+        "num_local_experts": E, "num_experts_per_tok": 2,
+        "tie_word_embeddings": True, "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "transformer.in_out_embed.weight": r(V, C),
+        "transformer.rms_norm.weight": 1.0 + r(C),
+    }
+    for i in range(L):
+        p = f"transformer.decoder_layer.{i}."
+        ws.update({
+            p + "rms_norm.weight": 1.0 + r(C),
+            p + "multi_head_attention.query.weight": r(H * d, C),
+            p + "multi_head_attention.key.weight": r(KV * d, C),
+            p + "multi_head_attention.value.weight": r(KV * d, C),
+            p + "multi_head_attention.linear.weight": r(C, H * d),
+            p + "rms_norm_1.weight": 1.0 + r(C),
+            p + "rms_norm_2.weight": 1.0 + r(C),
+            p + "router.weight": r(E, C),
+            p + "rms_norm_3.weight": 1.0 + r(C),
+        })
+        for e in range(E):
+            q = p + f"moe.{e}."
+            ws.update({q + "linear.weight": r(FFE, C),      # gate
+                       q + "linear_v.weight": r(FFE, C),    # up
+                       q + "linear_1.weight": r(C, FFE)})   # down
+
+    def rms(x, w):
+        return x * torch.rsqrt((x ** 2).mean(-1, keepdim=True) + 1e-5) \
+            * torch.from_numpy(w)
+
+    def lin(x, w):
+        return x @ torch.from_numpy(ws[w]).T
+
+    def ref_forward(tokens):
+        T = len(tokens)
+        x = torch.from_numpy(ws["transformer.in_out_embed.weight"])[
+            torch.tensor(tokens)] * EMB_S
+        pos = torch.arange(T, dtype=torch.float32)
+        inv = 1.0 / (10000.0 ** (torch.arange(0, d, 2).float() / d))
+        theta = pos[:, None] * inv[None, :]
+        cos = torch.cat([theta.cos(), theta.cos()], -1)
+        sin = torch.cat([theta.sin(), theta.sin()], -1)
+
+        def rope(q):
+            q1, q2 = q[..., :d // 2], q[..., d // 2:]
+            rot = torch.cat([-q2, q1], -1)
+            return q * cos[:, None, :] + rot * sin[:, None, :]
+
+        mask = torch.full((T, T), float("-inf")).triu(1)
+        for i in range(L):
+            p = f"transformer.decoder_layer.{i}."
+            cur = rms(x, ws[p + "rms_norm.weight"])
+            q = rope(lin(cur, p + "multi_head_attention.query.weight")
+                     .view(T, H, d))
+            k = rope(lin(cur, p + "multi_head_attention.key.weight")
+                     .view(T, KV, d))
+            v = lin(cur, p + "multi_head_attention.value.weight") \
+                .view(T, KV, d)
+            k = k.repeat_interleave(H // KV, dim=1)
+            v = v.repeat_interleave(H // KV, dim=1)
+            att = torch.einsum("qhd,khd->hqk", q, k) / d ** 0.5
+            att = 30.0 * torch.tanh(att / 30.0)       # grok softcap
+            att = (att + mask).softmax(-1)
+            o = torch.einsum("hqk,khd->qhd", att, v).reshape(T, H * d)
+            o = lin(o, p + "multi_head_attention.linear.weight")
+            x = x + rms(o, ws[p + "rms_norm_1.weight"])
+            cur = rms(x, ws[p + "rms_norm_2.weight"])
+            probs = lin(cur, p + "router.weight").softmax(-1)
+            topv, topi = probs.topk(2, dim=-1)
+            topv = topv / topv.sum(-1, keepdim=True)  # renorm
+            ffn = torch.zeros_like(cur)
+            for t in range(T):
+                for j in range(2):
+                    e = int(topi[t, j])
+                    qq = f"{p}moe.{e}."
+                    h = F.gelu(lin(cur[t], qq + "linear.weight"),
+                               approximate="tanh") \
+                        * lin(cur[t], qq + "linear_v.weight")
+                    ffn[t] += topv[t, j] * lin(h, qq + "linear_1.weight")
+            x = x + rms(ffn, ws[p + "rms_norm_3.weight"])
+        x = rms(x, ws["transformer.rms_norm.weight"])
+        head = torch.from_numpy(ws["transformer.in_out_embed.weight"])
+        return ((x @ head.T) * LOGIT_M).numpy()
+
+    hf_dir = tmp_path / "hf"
+    hf_dir.mkdir()
+    with open(hf_dir / "config.json", "w") as f:
+        json.dump(cfg, f)
+    st.save_file(ws, str(hf_dir / "model.safetensors"))
+    _bpe_tokenizer_json(str(hf_dir), V)
+    from llama_cpp_test_tpu.tools.convert_hf import convert
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    out = str(tmp_path / "m.gguf")
+    convert(str(hf_dir), out, dtype="F32")
+    m = Model(out)
+    assert m.hp.arch == "grok" and m.hp.n_expert == E
+    assert m.hp.attn_softcap == pytest.approx(30.0)
+    assert m.hp.embd_scale == pytest.approx(EMB_S)
+    tokens = [3, 17, 42, 9, 150, 7]
+    with torch.no_grad():
+        ref = ref_forward(tokens)
+    ctx = Context(m, n_ctx=64, n_seq_max=1, block_size=8)
+    got = ctx.prefill(ctx.new_seq(), tokens, all_logits=True)
+    err = np.mean((got - ref) ** 2) / (np.mean(ref ** 2) + 1e-9)
+    assert err < 5e-3, err
+    assert np.argmax(got[-1]) == np.argmax(ref[-1])
