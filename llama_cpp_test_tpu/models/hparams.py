@@ -46,7 +46,7 @@ class HParams:
     n_expert_shared: int = 0         # always-on shared experts (ungated)
     expert_weights_scale: float = 1.0  # routed output multiplier
     expert_gating: str = "softmax"   # softmax | sigmoid | sparsemixer
-    router_jitter: float = 0.01      # phimoe sparsemixer threshold eps   # 'softmax' | 'sigmoid' (deepseek v3)
+    router_jitter: float = 0.01      # phimoe sparsemixer threshold eps
     # MLA attention (deepseek2; reference llm_build_deepseek2):
     # low-rank q/kv compression ranks; 0 = standard attention
     n_lora_q: int = 0

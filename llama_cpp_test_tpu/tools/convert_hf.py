@@ -1650,10 +1650,12 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
             # HF bloom fuses qkv per-head-interleaved [H, 3, d, C] ->
             # contiguous [q; k; v] rows (reference BloomModel
             # modify_tensors reshape)
-            arr = arr.reshape(n_head, 3, head_dim, arr.shape[-1])                      .transpose(1, 0, 2, 3).reshape(3 * n_head * head_dim,
-                                                    arr.shape[-1])
+            arr = arr.reshape(
+                n_head, 3, head_dim, arr.shape[-1]).transpose(
+                1, 0, 2, 3).reshape(3 * n_head * head_dim, arr.shape[-1])
         if arch == "bloom" and gname.endswith("attn_qkv.bias"):
-            arr = arr.reshape(n_head, 3, head_dim)                      .transpose(1, 0, 2).reshape(-1)
+            arr = arr.reshape(n_head, 3, head_dim).transpose(
+                1, 0, 2).reshape(-1)
         if arch == "mamba":
             if gname.endswith("ssm_a.weight"):
                 arr = -np.exp(arr)  # A_log -> A (reference MambaModel)

@@ -550,8 +550,10 @@ def test_unknown_arch_refused(tmp_path):
 
     from llama_cpp_test_tpu.runtime.engine import Model
 
-    path = str(tmp_path / "grok.gguf")
-    make_tiny_qwen(path, arch="grok")
+    # plamo: in the reference's arch enum but deliberately unimplemented
+    # here (its upstream converter hardcodes bogus kv-head counts)
+    path = str(tmp_path / "plamo.gguf")
+    make_tiny_qwen(path, arch="plamo")
     with _pytest.raises(ValueError, match="no implemented forward"):
         Model(path)
 
