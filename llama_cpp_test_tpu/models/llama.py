@@ -100,6 +100,9 @@ class LayerWeights:
     attn_norm_b: jax.Array | None = None
     # stablelm-style sequential LayerNorm bias on the FFN pre-norm
     ffn_norm_b: jax.Array | None = None
+    # arctic: the MoE branch's own norm (llm_build_arctic FFN_NORM_EXPS);
+    # its presence switches the layer to parallel dense+moe residuals
+    ffn_norm_exps: jax.Array | None = None
     # falcon-40B: separate LayerNorm feeding the parallel FFN branch
     attn_norm_2: jax.Array | None = None
     attn_norm_2_b: jax.Array | None = None
@@ -399,6 +402,8 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
             lw.attn_norm_b = _f32(reader, p + "attn_norm.bias")
         if p + "ffn_norm.bias" in t:
             lw.ffn_norm_b = _f32(reader, p + "ffn_norm.bias")
+        if p + "ffn_norm_exps.weight" in t:  # arctic moe norm
+            lw.ffn_norm_exps = _f32(reader, p + "ffn_norm_exps.weight")
         if p + "attn_norm_2.weight" in t:  # falcon-40B parallel-FFN norm
             lw.attn_norm_2 = _f32(reader, p + "attn_norm_2.weight")
             if p + "attn_norm_2.bias" in t:
@@ -468,6 +473,15 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
                 lw.down_shexp = _repack_2d(reader, p + "ffn_down_shexp.weight")
             if p + "exp_probs_b.bias" in t:  # deepseek-v3 selection bias
                 lw.exp_probs_b = _f32(reader, p + "exp_probs_b.bias")
+            if p + "ffn_gate.weight" in t:
+                # arctic: the dense residual MLP coexists with the MoE
+                lw.w_gate = col(p + "ffn_gate.weight")
+                lw.w_up = col(p + "ffn_up.weight")
+                lw.w_down = row(p + "ffn_down.weight")
+                if tp == 1:
+                    lw.w_gateup = fuse_qtensors([lw.w_gate, lw.w_up])
+                    if lw.w_gateup is not None:
+                        lw.w_gate = lw.w_up = None
         elif p + "ffn_gate.weight" in t:
             lw.w_gate = col(p + "ffn_gate.weight")
             lw.w_up = col(p + "ffn_up.weight")
@@ -928,6 +942,7 @@ def forward_layer(
     mrope_pos: jax.Array | None = None,  # [B, T, 3] qwen2vl image streams
 ) -> jax.Array:
     b, tdim, c = x.shape
+    x_in = x                     # layer input (arctic's MoE branch source)
     # local head counts under tensor parallelism (weights column-sharded)
     h, kvh, d = hp.n_head // tp, hp.n_head_kv // tp, hp.head_dim
 
@@ -1025,6 +1040,24 @@ def forward_layer(
     if hp.residual_scale != 1.0:  # granite mup multiplier
         o = o * hp.residual_scale
     x = x + o.astype(x.dtype)
+
+    if lw.ffn_norm_exps is not None:
+        # arctic (llm_build_arctic): the dense "residual MLP" rides the
+        # post-attention sum while the MoE branch reads the LAYER INPUT
+        # through its own norm; both add into the output
+        dense_in = layers.rms_norm(x, lw.ffn_norm, hp.rms_eps)
+        g, u = gateup_proj(dense_in, lw)
+        dense = linear_lora(layers.swiglu(g, u, hp.act_fn), lw.w_down,
+                            lora.get("w_down"))
+        if tp_axis is not None:
+            dense = jax.lax.psum(dense, tp_axis)
+        ffn_out = x + dense.astype(x.dtype)
+        moe_in = layers.rms_norm(x_in, lw.ffn_norm_exps, hp.rms_eps)
+        moe_out = moe_ffn(moe_in, lw, hp, ep_axis=ep_axis, ep=ep)
+        x = ffn_out + moe_out.astype(x.dtype)
+        if lw.cvec is not None:
+            x = x + lw.cvec.astype(x.dtype)
+        return x
 
     return _forward_layer_ffn(x, lw, hp, tp_axis, ep_axis, ep, lora)
 

@@ -290,6 +290,13 @@ register_arch(ArchSpec("cohere2", family="llama", rope_type="norm",
 register_arch(ArchSpec("dbrx", family="llama", rope_type="neox",
                        notes="fused-qkv clamp, LN, softmax moe"))
 
+# arctic (Snowflake Arctic 480B): every layer runs a dense "residual
+# MLP" on the post-attention sum IN PARALLEL with a 128-expert MoE over
+# the LAYER INPUT through its own norm (llm_build_arctic FFN_NORM_EXPS)
+# — both branches add into the output. Torch-ref validated.
+register_arch(ArchSpec("arctic", family="llama", rope_type="norm",
+                       notes="parallel dense+moe residuals"))
+
 # grok (Grok-1 314B): neox rope, post-attn/ffn rms norms (gemma2
 # sandwich slots via load remap), 8-expert top-2 renormalized GELU MoE,
 # hardcoded embd x78.38 and logits x1/sqrt(3) multipliers, tied

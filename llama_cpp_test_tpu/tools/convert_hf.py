@@ -105,6 +105,9 @@ ARCH_MAP = {
     # llama graph minus biases/moe/rope-factors (llm_build_xverse is a
     # strict subset of llm_build_llama; HF names are llama's)
     "XverseForCausalLM": "xverse",
+    # parallel dense "residual MLP" + moe-over-layer-input (reference
+    # ArcticModel; arch-specific norm mapping in tensor_mapping)
+    "ArcticForCausalLM": "arctic",
     "BaiChuanForCausalLM": "baichuan",
     # learned-position LayerNorm decoder (Conv1D weights transposed)
     "GPT2LMHeadModel": "gpt2",
@@ -1395,7 +1398,8 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
         w.add_tensor(tname, tarr, ggml_type=GGMLType.F32)
 
     is_norm_rope = arch in ("llama", "granite", "granitemoe", "olmo",
-                            "minicpm", "chameleon", "deepseek", "xverse")
+                            "minicpm", "chameleon", "deepseek", "xverse",
+                            "arctic")
     experts: dict[tuple[int, str], dict[int, np.ndarray]] = {}
     n_expert = n_expert_cfg or 0
     seen_output = False
@@ -1513,6 +1517,23 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
                 else ("ffn_up", "ffn_gate")
             emit(f"blk.{li}.{first}.weight", a[:half])
             emit(f"blk.{li}.{second}.weight", a[half:])
+            continue
+        # arctic: arch-specific norm targets + the dense residual MLP
+        # (reference tensor_mapping ARCTIC block overrides:
+        # residual_layernorm -> ffn_norm, post_attention_layernorm ->
+        # ffn_norm_exps — NOT the usual ffn_norm)
+        if arch == "arctic" and ".residual_layernorm.weight" in name:
+            emit(f"blk.{name.split('.')[2]}.ffn_norm.weight", arr)
+            continue
+        if arch == "arctic" and ".post_attention_layernorm.weight" in name:
+            emit(f"blk.{name.split('.')[2]}.ffn_norm_exps.weight", arr)
+            continue
+        if arch == "arctic" and ".residual_mlp." in name:
+            li = name.split(".")[2]
+            wn = name.split(".")[4]
+            gname = {"w1": "ffn_gate", "w3": "ffn_up",
+                     "w2": "ffn_down"}[wn]
+            emit(f"blk.{li}.{gname}.weight", arr)
             continue
         # grok per-expert planes: linear=gate, linear_v=up, linear_1=down
         if arch == "grok" and ".moe." in name:

@@ -3595,3 +3595,132 @@ def test_convert_grok_matches_torch_reference(tmp_path):
     err = np.mean((got - ref) ** 2) / (np.mean(ref ** 2) + 1e-9)
     assert err < 5e-3, err
     assert np.argmax(got[-1]) == np.argmax(ref[-1])
+
+
+def test_convert_arctic_matches_torch_reference(tmp_path):
+    """arctic (llm_build_arctic): each layer runs a dense residual MLP
+    on the post-attention sum IN PARALLEL with a top-2 renormalized MoE
+    over the LAYER INPUT through its own norm (ffn_norm_exps); both add
+    into the layer output."""
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(109)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, KV, L, E, FF, FFE = 256, 64, 4, 2, 2, 4, 96, 48
+    d = C // H
+    cfg = {
+        "architectures": ["ArcticForCausalLM"],
+        "hidden_size": C, "intermediate_size": FFE,
+        "num_attention_heads": H, "num_key_value_heads": KV,
+        "num_hidden_layers": L, "max_position_embeddings": 256,
+        "rms_norm_eps": 1e-5, "rope_theta": 10000.0, "vocab_size": V,
+        "num_local_experts": E, "num_experts_per_tok": 2,
+        "tie_word_embeddings": False, "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "model.embed_tokens.weight": r(V, C),
+        "model.norm.weight": 1.0 + r(C),
+        "lm_head.weight": r(V, C),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        ws.update({
+            p + "input_layernorm.weight": 1.0 + r(C),
+            p + "self_attn.q_proj.weight": r(H * d, C),
+            p + "self_attn.k_proj.weight": r(KV * d, C),
+            p + "self_attn.v_proj.weight": r(KV * d, C),
+            p + "self_attn.o_proj.weight": r(C, H * d),
+            p + "residual_layernorm.weight": 1.0 + r(C),
+            p + "residual_mlp.w1.weight": r(FF, C),      # gate
+            p + "residual_mlp.w3.weight": r(FF, C),      # up
+            p + "residual_mlp.w2.weight": r(C, FF),      # down
+            p + "post_attention_layernorm.weight": 1.0 + r(C),  # moe norm
+            p + "block_sparse_moe.gate.weight": r(E, C),
+        })
+        for e in range(E):
+            q = p + f"block_sparse_moe.experts.{e}."
+            ws.update({q + "w1.weight": r(FFE, C),
+                       q + "w3.weight": r(FFE, C),
+                       q + "w2.weight": r(C, FFE)})
+
+    def rms(x, w):
+        return x * torch.rsqrt((x ** 2).mean(-1, keepdim=True) + 1e-5) \
+            * torch.from_numpy(w)
+
+    def lin(x, w):
+        return x @ torch.from_numpy(ws[w]).T
+
+    def ref_forward(tokens):
+        T = len(tokens)
+        x = torch.from_numpy(ws["model.embed_tokens.weight"])[
+            torch.tensor(tokens)]
+        pos = torch.arange(T, dtype=torch.float32)
+        inv = 1.0 / (10000.0 ** (torch.arange(0, d, 2).float() / d))
+        theta = pos[:, None] * inv[None, :]
+        cos = torch.cat([theta.cos(), theta.cos()], -1)
+        sin = torch.cat([theta.sin(), theta.sin()], -1)
+
+        def rope(q):
+            q1, q2 = q[..., :d // 2], q[..., d // 2:]
+            rot = torch.cat([-q2, q1], -1)
+            return q * cos[:, None, :] + rot * sin[:, None, :]
+
+        mask = torch.full((T, T), float("-inf")).triu(1)
+        for i in range(L):
+            p = f"model.layers.{i}."
+            x_in = x
+            cur = rms(x, ws[p + "input_layernorm.weight"])
+            q = rope(lin(cur, p + "self_attn.q_proj.weight").view(T, H, d))
+            k = rope(lin(cur, p + "self_attn.k_proj.weight").view(T, KV, d))
+            v = lin(cur, p + "self_attn.v_proj.weight").view(T, KV, d)
+            k = k.repeat_interleave(H // KV, dim=1)
+            v = v.repeat_interleave(H // KV, dim=1)
+            att = torch.einsum("qhd,khd->hqk", q, k) / d ** 0.5
+            att = (att + mask).softmax(-1)
+            o = torch.einsum("hqk,khd->qhd", att, v).reshape(T, H * d)
+            x = x + lin(o, p + "self_attn.o_proj.weight")
+            # dense residual MLP on the post-attention sum
+            cur = rms(x, ws[p + "residual_layernorm.weight"])
+            dense = lin(F.silu(lin(cur, p + "residual_mlp.w1.weight"))
+                        * lin(cur, p + "residual_mlp.w3.weight"),
+                        p + "residual_mlp.w2.weight")
+            ffn_out = x + dense
+            # parallel MoE over the LAYER INPUT
+            cur = rms(x_in, ws[p + "post_attention_layernorm.weight"])
+            probs = lin(cur, p + "block_sparse_moe.gate.weight").softmax(-1)
+            topv, topi = probs.topk(2, dim=-1)
+            topv = topv / topv.sum(-1, keepdim=True)
+            moe = torch.zeros_like(cur)
+            for t in range(T):
+                for j in range(2):
+                    e = int(topi[t, j])
+                    qq = f"{p}block_sparse_moe.experts.{e}."
+                    h = F.silu(lin(cur[t], qq + "w1.weight")) \
+                        * lin(cur[t], qq + "w3.weight")
+                    moe[t] += topv[t, j] * lin(h, qq + "w2.weight")
+            x = ffn_out + moe
+        x = rms(x, ws["model.norm.weight"])
+        return lin(x, "lm_head.weight").numpy()
+
+    hf_dir = tmp_path / "hf"
+    hf_dir.mkdir()
+    with open(hf_dir / "config.json", "w") as f:
+        json.dump(cfg, f)
+    st.save_file(ws, str(hf_dir / "model.safetensors"))
+    _bpe_tokenizer_json(str(hf_dir), V)
+    from llama_cpp_test_tpu.tools.convert_hf import convert
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    out = str(tmp_path / "m.gguf")
+    convert(str(hf_dir), out, dtype="F32")
+    m = Model(out)
+    assert m.hp.arch == "arctic" and m.hp.n_expert == E
+    assert m.weights.layers[0].ffn_norm_exps is not None
+    tokens = [3, 17, 42, 9, 150, 7]
+    with torch.no_grad():
+        ref = ref_forward(tokens)
+    ctx = Context(m, n_ctx=64, n_seq_max=1, block_size=8)
+    got = ctx.prefill(ctx.new_seq(), tokens, all_logits=True)
+    err = np.mean((got - ref) ** 2) / (np.mean(ref ** 2) + 1e-9)
+    assert err < 5e-3, err
+    assert np.argmax(got[-1]) == np.argmax(ref[-1])
