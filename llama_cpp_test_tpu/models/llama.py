@@ -103,6 +103,10 @@ class LayerWeights:
     # arctic: the MoE branch's own norm (llm_build_arctic FFN_NORM_EXPS);
     # its presence switches the layer to parallel dense+moe residuals
     ffn_norm_exps: jax.Array | None = None
+    # bitnet sub-norms: rms on the attention output BEFORE wo, and on
+    # the swiglu product BEFORE ffn_down (llm_build_bitnet)
+    attn_sub_norm: jax.Array | None = None
+    ffn_sub_norm: jax.Array | None = None
     # falcon-40B: separate LayerNorm feeding the parallel FFN branch
     attn_norm_2: jax.Array | None = None
     attn_norm_2_b: jax.Array | None = None
@@ -404,6 +408,10 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
             lw.ffn_norm_b = _f32(reader, p + "ffn_norm.bias")
         if p + "ffn_norm_exps.weight" in t:  # arctic moe norm
             lw.ffn_norm_exps = _f32(reader, p + "ffn_norm_exps.weight")
+        if p + "attn_sub_norm.weight" in t:  # bitnet
+            lw.attn_sub_norm = _f32(reader, p + "attn_sub_norm.weight")
+        if p + "ffn_sub_norm.weight" in t:
+            lw.ffn_sub_norm = _f32(reader, p + "ffn_sub_norm.weight")
         if p + "attn_norm_2.weight" in t:  # falcon-40B parallel-FFN norm
             lw.attn_norm_2 = _f32(reader, p + "attn_norm_2.weight")
             if p + "attn_norm_2.bias" in t:
@@ -1029,6 +1037,8 @@ def forward_layer(
                       k.astype(jnp.bfloat16),
                       v.astype(jnp.bfloat16))
     attn_out = attn_out.reshape(b, tdim, h * d)
+    if lw.attn_sub_norm is not None:   # bitnet: rms BEFORE the o-proj
+        attn_out = layers.rms_norm(attn_out, lw.attn_sub_norm, hp.rms_eps)
     o = linear_lora(attn_out, lw.wo, lora.get("wo"), out_dtype=jnp.float32)
     if tp_axis is not None:
         # row-parallel wo: every device holds a partial sum over its heads
@@ -1082,8 +1092,10 @@ def _forward_layer_ffn(x, lw, hp, tp_axis, ep_axis, ep, lora):
             g = g + lw.b_gate
         if lw.b_up is not None:
             u = u + lw.b_up
-        ffn = linear_lora(layers.swiglu(g, u, hp.act_fn), lw.w_down,
-                          lora.get("w_down"))
+        act = layers.swiglu(g, u, hp.act_fn)
+        if lw.ffn_sub_norm is not None:   # bitnet: rms BEFORE ffn_down
+            act = layers.rms_norm(act, lw.ffn_sub_norm, hp.rms_eps)
+        ffn = linear_lora(act, lw.w_down, lora.get("w_down"))
     if tp_axis is not None:
         ffn = jax.lax.psum(ffn, tp_axis)  # row-parallel ffn_down partials
     if lw.b_down is not None:

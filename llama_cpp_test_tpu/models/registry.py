@@ -290,6 +290,14 @@ register_arch(ArchSpec("cohere2", family="llama", rope_type="norm",
 register_arch(ArchSpec("dbrx", family="llama", rope_type="neox",
                        notes="fused-qkv clamp, LN, softmax moe"))
 
+# bitnet (BitNet b1.58): llama body whose projection weights are
+# TERNARY ({-1,0,1} x per-tensor abs-mean scale, quantized at convert
+# exactly like the reference; TQ1_0/TQ2_0 GGUFs also load through the
+# quant codecs) with rms sub-norms applied to the attention output
+# BEFORE wo and to the swiglu product BEFORE ffn_down. Tied head.
+register_arch(ArchSpec("bitnet", family="llama", rope_type="neox",
+                       notes="ternary weights, sub-norms"))
+
 # arctic (Snowflake Arctic 480B): every layer runs a dense "residual
 # MLP" on the post-attention sum IN PARALLEL with a 128-expert MoE over
 # the LAYER INPUT through its own norm (llm_build_arctic FFN_NORM_EXPS)

@@ -108,6 +108,9 @@ ARCH_MAP = {
     # parallel dense "residual MLP" + moe-over-layer-input (reference
     # ArcticModel; arch-specific norm mapping in tensor_mapping)
     "ArcticForCausalLM": "arctic",
+    # ternary b1.58 weights quantized at convert + pre-projection
+    # sub-norms (reference BitnetModel, convert_hf_to_gguf.py:1922)
+    "BitnetForCausalLM": "bitnet",
     "BaiChuanForCausalLM": "baichuan",
     # learned-position LayerNorm decoder (Conv1D weights transposed)
     "GPT2LMHeadModel": "gpt2",
@@ -395,6 +398,9 @@ LAYER_MAP = {
     # qwen3 per-head q/k norms
     "self_attn.q_norm.weight": "attn_q_norm.weight",
     "self_attn.k_norm.weight": "attn_k_norm.weight",
+    # bitnet pre-projection sub-norms
+    "self_attn.inner_attn_ln.weight": "attn_sub_norm.weight",
+    "mlp.ffn_layernorm.weight": "ffn_sub_norm.weight",
     # qwen2moe router + shared expert (Qwen2MoeSparseMoeBlock)
     "mlp.gate.weight": "ffn_gate_inp.weight",
     "mlp.shared_expert.gate_proj.weight": "ffn_gate_shexp.weight",
@@ -1518,6 +1524,16 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
             emit(f"blk.{li}.{first}.weight", a[:half])
             emit(f"blk.{li}.{second}.weight", a[half:])
             continue
+        # bitnet: ternary-quantize the projection planes at convert
+        # (reference BitnetModel.weight_quant: scale = mean|w|, round to
+        # {-1,0,1} * scale)
+        if arch == "bitnet" and name.endswith((
+                "q_proj.weight", "k_proj.weight", "v_proj.weight",
+                "o_proj.weight", "gate_proj.weight", "up_proj.weight",
+                "down_proj.weight")):
+            a = np.asarray(arr, np.float32)
+            scale = max(float(np.abs(a).mean()), 1e-5)
+            arr = np.clip(np.round(a / scale), -1, 1) * scale
         # arctic: arch-specific norm targets + the dense residual MLP
         # (reference tensor_mapping ARCTIC block overrides:
         # residual_layernorm -> ffn_norm, post_attention_layernorm ->
