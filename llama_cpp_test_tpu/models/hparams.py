@@ -123,6 +123,15 @@ class HParams:
     # input/output norm flavor: 'rms' (llama) or 'ln' (LayerNorm with bias)
     norm_type: str = "rms"
     # gated FFN (SwiGLU/GeGLU) vs plain up->act->down (phi2)
+    # per-layer geometry (openelm/deci): GGUF head_count / head_count_kv /
+    # feed_forward_length written as PER-LAYER ARRAYS (reference
+    # llama-hparams.h n_head_arr/n_head_kv_arr/n_ff_arr via get_key_or_arr).
+    # () = uniform (the scalar fields above apply to every layer). deci
+    # encodes attention-free layers as n_head 0 and "linear attention"
+    # layers as n_head > 0 with n_head_kv 0 (llm_build_deci).
+    n_head_layers: tuple = ()
+    n_head_kv_layers: tuple = ()
+    n_ff_layers: tuple = ()
 
     @property
     def n_embd_head(self) -> int:
@@ -136,6 +145,22 @@ class HParams:
     @property
     def n_gqa(self) -> int:
         return self.n_head // max(self.n_head_kv, 1)
+
+    @property
+    def uniform_layers(self) -> bool:
+        """True when every layer shares the scalar head/ffn geometry."""
+        return not (self.n_head_layers or self.n_head_kv_layers
+                    or self.n_ff_layers)
+
+    def n_head_of(self, li: int) -> int:
+        return self.n_head_layers[li] if self.n_head_layers else self.n_head
+
+    def n_head_kv_of(self, li: int) -> int:
+        return (self.n_head_kv_layers[li] if self.n_head_kv_layers
+                else self.n_head_kv)
+
+    def n_ff_of(self, li: int) -> int:
+        return self.n_ff_layers[li] if self.n_ff_layers else self.n_ff
 
 
 def hparams_from_metadata(md: dict) -> HParams:
@@ -152,7 +177,23 @@ def hparams_from_metadata(md: dict) -> HParams:
         return v
 
     n_embd = g("embedding_length", 4096)
-    n_head = g("attention.head_count", 32)
+
+    def arr(suffix) -> tuple:
+        """Per-layer int array value of a key, or () when scalar/absent
+        (reference llama-model-loader get_key_or_arr: head_count /
+        head_count_kv / feed_forward_length may be arrays for openelm and
+        deci)."""
+        v = md.get(f"{arch}.{suffix}")
+        if v is None or isinstance(v, (int, float, np.integer, np.floating)):
+            return ()
+        a = np.asarray(v)
+        return tuple(int(x) for x in a.reshape(-1)) if a.ndim else ()
+
+    n_head_layers = arr("attention.head_count")
+    n_head_kv_layers = arr("attention.head_count_kv")
+    n_ff_layers = arr("feed_forward_length")
+    n_head = max(n_head_layers) if n_head_layers \
+        else g("attention.head_count", 32)
     head_dim = g("attention.key_length", n_embd // max(n_head, 1))
     n_vocab = g("vocab_size", 0)
     if not n_vocab:
@@ -229,8 +270,13 @@ def hparams_from_metadata(md: dict) -> HParams:
         n_embd=n_embd,
         n_layer=n_layer,
         n_head=n_head,
-        n_head_kv=g("attention.head_count_kv", n_head),
-        n_ff=g("feed_forward_length", 11008),
+        n_head_kv=(max(n_head_kv_layers) if n_head_kv_layers
+                   else g("attention.head_count_kv", n_head)),
+        n_ff=(max(n_ff_layers) if n_ff_layers
+              else g("feed_forward_length", 11008)),
+        n_head_layers=n_head_layers,
+        n_head_kv_layers=n_head_kv_layers,
+        n_ff_layers=n_ff_layers,
         head_dim=head_dim,
         rms_eps=eps,
         rope_dim=g("rope.dimension_count", head_dim),
@@ -273,7 +319,11 @@ def hparams_from_metadata(md: dict) -> HParams:
         # is an arch property
         parallel_residual=bool(g("use_parallel_residual",
                                  arch in ("phi2", "falcon", "gptneox",
-                                          "command-r", "cohere2"))),
+                                          "command-r", "cohere2",
+                                          # plamo: ONE rms norm feeds both
+                                          # branches, x + attn + swiglu-ffn
+                                          # (llm_build_plamo)
+                                          "plamo"))),
         norm_type=("ln" if arch in ("phi2", "falcon", "gptneox", "stablelm",
                                     "command-r", "starcoder2", "nemotron",
                                     "olmo",  # olmo: NON-PARAMETRIC LN

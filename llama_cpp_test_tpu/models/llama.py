@@ -311,6 +311,11 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
             raise ValueError(
                 f"tp={tp} must divide n_head={hp.n_head} and "
                 f"n_head_kv={hp.n_head_kv}")
+        if not hp.uniform_layers:
+            raise NotImplementedError(
+                f"{hp.arch} has per-layer head/ffn geometry "
+                "(openelm/deci) — tensor-parallel sharding of ragged "
+                "layer planes is not implemented; run single-device")
 
     def col(name: str, perm=None, tile_n: int = 256) -> QTensor:
         """Column-parallel (shard output rows)."""
@@ -329,22 +334,32 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
         return qt
 
     q_perm = k_perm = None
-    if hp.rope_type == "norm":
+    if hp.rope_type == "norm" and hp.uniform_layers:
         q_perm = _unpermute_rows(hp.n_head, hp.head_dim, hp.rope_dim)
         k_perm = _unpermute_rows(hp.n_head_kv, hp.head_dim, hp.rope_dim)
+
+    def layer_perms(i: int):
+        """NORM-rope row perms at layer i's head counts (deci: per-layer
+        kv heads; uniform archs reuse the precomputed pair)."""
+        if hp.uniform_layers or hp.rope_type != "norm":
+            return q_perm, k_perm
+        return (_unpermute_rows(hp.n_head_of(i), hp.head_dim, hp.rope_dim),
+                _unpermute_rows(hp.n_head_kv_of(i), hp.head_dim,
+                                hp.rope_dim))
 
     def split_qkv(i: int):
         """GGUF fused attn_qkv rows [q; k; v] -> three QTensors (phi2-style
         checkpoints; reference llm_load_tensors wqkv-optional path). Block
-        quantization is per-row, so the split is a packed byte-row slice."""
+        quantization is per-row, so the split is a packed byte-row slice.
+        openelm sizes the split at the LAYER's head counts."""
         p = f"blk.{i}."
         info = reader.tensors[p + "attn_qkv.weight"]
         k, n = info.shape[0], info.shape[1]
         raw = reader.tensor_bytes(p + "attn_qkv.weight")
         row_bytes = raw.size // n
         rows = raw.reshape(n, row_bytes)
-        n_q = hp.n_head * hp.head_dim
-        n_kv = hp.n_head_kv * hp.head_dim
+        n_q = hp.n_head_of(i) * hp.head_dim
+        n_kv = hp.n_head_kv_of(i) * hp.head_dim
         mk = lambda lo, hi: repack(np.ascontiguousarray(rows[lo:hi]),
                                    info.ggml_type, hi - lo, k)
         return mk(0, n_q), mk(n_q, n_q + n_kv), mk(n_q + n_kv, n_q + 2 * n_kv)
@@ -378,15 +393,19 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
                 "deepseek2 MLA attention is single-device / pipeline only; "
                 "tensor-parallel MLA plane sharding is not implemented")
         fused_src = (not mla) and p + "attn_qkv.weight" in t
-        if mla:
+        attn_free = hp.n_head_of(i) == 0          # deci: block is just FFN
+        linear_attn = (not hp.uniform_layers and not attn_free
+                       and hp.n_head_kv_of(i) == 0)  # deci: wo-only attn
+        if mla or attn_free or linear_attn:
             wq = wk = wv = None
         elif fused_src:
             wq, wk, wv = split_qkv(i)
         else:
-            wq = col(p + "attn_q.weight", q_perm)
-            wk = col(p + "attn_k.weight", k_perm)
+            qp, kp = layer_perms(i)
+            wq = col(p + "attn_q.weight", qp)
+            wk = col(p + "attn_k.weight", kp)
             wv = col(p + "attn_v.weight")
-        if p + "attn_norm.weight" not in t and \
+        if p + "attn_norm.weight" not in t and not attn_free and \
                 hp.arch not in ("olmo2", "olmo") and not hp.post_norm:
             # only post-norm-only (olmo2) and non-parametric-norm (olmo)
             # archs may omit norm tensors; anything else missing them is a
@@ -398,7 +417,7 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
             attn_norm=(_f32(reader, p + "attn_norm.weight")
                        if p + "attn_norm.weight" in t else None),
             wq=wq, wk=wk, wv=wv,
-            wo=row(p + "attn_output.weight"),
+            wo=(None if attn_free else row(p + "attn_output.weight")),
             ffn_norm=(_f32(reader, p + "ffn_norm.weight")
                       if p + "ffn_norm.weight" in t else None),
         )
@@ -446,7 +465,8 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
             lw.wkv_a = _repack_2d(reader, p + "attn_kv_a_mqa.weight", mkp)
             lw.attn_kv_a_norm = _f32(reader, p + "attn_kv_a_norm.weight")
             lw.wkv_b = _repack_2d(reader, p + "attn_kv_b.weight")
-        if tp == 1 and not mla:
+        if tp == 1 and not mla and lw.wq is not None:
+            # (deci attn-free/linear layers carry no q/k/v planes)
             lw.wqkv = fuse_qtensors([lw.wq, lw.wk, lw.wv])
             if lw.wqkv is not None:
                 lw.wq = lw.wk = lw.wv = None  # fused plane replaces them
@@ -948,11 +968,15 @@ def forward_layer(
     ep_axis: str | None = None,  # expert-parallel axis (MoE layers)
     ep: int = 1,
     mrope_pos: jax.Array | None = None,  # [B, T, 3] qwen2vl image streams
+    li: int = 0,                 # layer index (per-layer geometry archs)
 ) -> jax.Array:
     b, tdim, c = x.shape
     x_in = x                     # layer input (arctic's MoE branch source)
-    # local head counts under tensor parallelism (weights column-sharded)
-    h, kvh, d = hp.n_head // tp, hp.n_head_kv // tp, hp.head_dim
+    # local head counts under tensor parallelism (weights column-sharded);
+    # openelm/deci vary them per layer (hp.n_head_of — GGUF array keys)
+    h = hp.n_head_of(li) // tp
+    kvh = hp.n_head_kv_of(li) // tp
+    d = hp.head_dim
 
     if hp.post_norm:
         return _forward_layer_postnorm(x, lw, hp, positions, inv_freq,
@@ -960,6 +984,21 @@ def forward_layer(
     if hp.parallel_residual:
         return _forward_layer_parallel(x, lw, hp, positions, inv_freq,
                                        mscale, attend, tp_axis, tp)
+    if hp.n_head_of(li) == 0:
+        # deci attention-free layer (Llama-3_1-Nemotron-51B): the whole
+        # block is the FFN — no norm, no attention, ffn_inp = layer input
+        # (llm_build_deci n_head == 0)
+        return _forward_layer_ffn(x, lw, hp, tp_axis, ep_axis, ep,
+                                  lw.lora or {})
+    if hp.n_head_kv_of(li) == 0 and not hp.uniform_layers:
+        # deci "linear attention" layer: attention replaced by a single
+        # n_embd x n_embd projection of the normed input
+        # (llm_build_deci n_head > 0 && n_head_kv == 0)
+        cur = layers.rms_norm(x, lw.attn_norm, hp.rms_eps)
+        o = linear(cur, lw.wo, out_dtype=jnp.float32)
+        x = x + o.astype(x.dtype)
+        return _forward_layer_ffn(x, lw, hp, tp_axis, ep_axis, ep,
+                                  lw.lora or {})
 
     lora = lw.lora or {}
     if hp.norm_type == "ln":
@@ -1178,20 +1217,22 @@ def _forward_layer_parallel(x, lw, hp, positions, inv_freq, mscale, attend,
     too). Partial rotary handled inside apply_rope (rope_dim < head_dim)."""
     b, tdim, c = x.shape
     h, kvh, d = hp.n_head // tp, hp.n_head_kv // tp, hp.head_dim
-    cur = layers.layer_norm(x, lw.attn_norm, lw.attn_norm_b, hp.rms_eps)
+    # phi2/falcon/gptneox/command-r are LayerNorm archs; plamo runs the
+    # same parallel-residual shape with rms norms (llm_build_plamo)
+    norm = (layers.layer_norm if hp.norm_type == "ln"
+            else lambda y, w, b_, eps: layers.rms_norm(y, w, eps))
+    cur = norm(x, lw.attn_norm, lw.attn_norm_b, hp.rms_eps)
     # falcon-40B routes the FFN branch through its own LayerNorm; phi2 and
     # falcon-7B feed both branches from the same one (llm_build_falcon:
     # "use the attn norm, not the result")
     if lw.attn_norm_2 is not None:
-        ffn_in = layers.layer_norm(x, lw.attn_norm_2, lw.attn_norm_2_b,
-                                   hp.rms_eps)
+        ffn_in = norm(x, lw.attn_norm_2, lw.attn_norm_2_b, hp.rms_eps)
     elif lw.ffn_norm is not None:
         # gptneox parallel residual: x + attn(ln1(x)) + ffn(ln2(x)) with a
         # DEDICATED ffn_norm on the layer input (reference
         # llm_build_gptneox:8844-8867); phi2/falcon/stablelm-parallel GGUFs
         # carry no ffn_norm and fall through to the shared attn norm
-        ffn_in = layers.layer_norm(x, lw.ffn_norm, lw.ffn_norm_b,
-                                   hp.rms_eps)
+        ffn_in = norm(x, lw.ffn_norm, lw.ffn_norm_b, hp.rms_eps)
     else:
         ffn_in = cur
     q, k, v = qkv_proj(cur, lw, h * d, kvh * d)

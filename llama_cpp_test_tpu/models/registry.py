@@ -400,6 +400,33 @@ register_arch(ArchSpec("t5encoder", family="t5",
 register_arch(ArchSpec("mamba", family="mamba",
                        notes="recurrent ssm; models/mamba.py surface"))
 
+# openelm (Apple OpenELM 270M-3B): PER-LAYER geometry — num_query_heads /
+# num_kv_heads / ffn dims vary by layer (GGUF head_count arrays, reference
+# llama-hparams.h n_head_arr; llm_build_openelm) — fused qkv split at the
+# layer's head counts, SHARED per-head q/k rms norms ([head_dim] weights)
+# applied before rope, neox rope, tied head.
+register_arch(ArchSpec("openelm", family="llama", rope_type="neox",
+                       notes="per-layer heads/ffn, qk-norm"))
+
+# deci (DeciLM-7B / Llama-3_1-Nemotron-51B): llama body with NAS
+# per-layer geometry — per-layer kv head counts (DeciLM-7B), plus
+# Nemotron's ATTENTION-FREE layers (n_head 0: the block is just the FFN)
+# and LINEAR-ATTENTION layers (n_head_kv 0: attention replaced by a
+# single n_embd x n_embd projection of the normed input) — llm_build_deci.
+register_arch(ArchSpec("deci", family="llama", rope_type="norm",
+                       notes="per-layer kv heads, attn-free/linear layers"))
+
+# plamo (PLaMo-13B): parallel residual with ONE rms norm feeding both
+# branches — x + attn(n(x)) + swiglu_ffn(n(x)) (llm_build_plamo) — and
+# INTERLEAVED GQA in the HF checkpoint (q head i reads kv head i % n_kv;
+# rows regrouped kv-major at convert like the reference's shuffle, but
+# derived from the layer shapes instead of hardcoding 5120). The upstream
+# converter hardcodes n_head_kv=5 because the HF config's
+# num_key_value_heads is wrong; this converter derives it from the k_proj
+# plane width.
+register_arch(ArchSpec("plamo", family="llama", rope_type="norm",
+                       notes="parallel residual, interleaved GQA"))
+
 
 def get_arch(name: str) -> ArchSpec:
     spec = ARCHITECTURES.get(name)

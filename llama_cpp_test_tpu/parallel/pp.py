@@ -273,6 +273,12 @@ def build_mp_steps(hp: HParams, mesh: Mesh, w_template: LlamaWeights,
     wspec = mp_weight_pspecs(w_template)
     from ..models.hparams import attn_scale_of, layer_window
     scale = attn_scale_of(hp)
+    if not hp.uniform_layers:
+        # stacked layer planes require identical shapes on every layer
+        raise NotImplementedError(
+            f"{hp.arch} has per-layer head/ffn geometry (openelm/deci) — "
+            "the stacked-plane pipeline mesh cannot shard ragged layers; "
+            "run single-device")
     n_local_layers = hp.n_layer // S
     if hp.swa_pattern > 1 and n_local_layers % hp.swa_pattern:
         # per-layer windows must repeat identically on every stage (the

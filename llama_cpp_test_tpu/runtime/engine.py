@@ -159,7 +159,7 @@ def _forward(w: LlamaWeights, pools: KVPools, tokens, positions, block_table,
             x, lw, hp, rope_pos,
             w.inv_freq_for(hparams_mod.layer_window(hp, li)),
             w.rope_mscale, attend, tp_axis=tp_axis, tp=tp,
-            mrope_pos=mrope_pos)
+            mrope_pos=mrope_pos, li=li)
     if quant:
         return x, KVPools(new_k, new_v, new_ks, new_vs)
     return x, KVPools(new_k, new_v)

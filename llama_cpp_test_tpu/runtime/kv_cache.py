@@ -62,23 +62,28 @@ class KVPools:
 
 def new_kv_pools(hp: HParams, num_blocks: int, block_size: int = 32,
                  dtype=jnp.bfloat16, kv_type: str = "bf16") -> KVPools:
-    shape = (hp.n_head_kv, num_blocks, block_size, hp.head_dim)
+    # per-layer kv head counts (openelm/deci); deci's attention-free and
+    # linear-attention layers get a minimal 1-head pool that is never
+    # written (their layer forward skips attend entirely)
+    shapes = [(max(hp.n_head_kv_of(li), 1), num_blocks, block_size,
+               hp.head_dim) for li in range(hp.n_layer)]
     if kv_type == "q8_0":
-        k = [jnp.zeros(shape, jnp.int8) for _ in range(hp.n_layer)]
-        v = [jnp.zeros(shape, jnp.int8) for _ in range(hp.n_layer)]
-        ks = [jnp.zeros(shape[:3], jnp.float32) for _ in range(hp.n_layer)]
-        vs = [jnp.zeros(shape[:3], jnp.float32) for _ in range(hp.n_layer)]
+        k = [jnp.zeros(s, jnp.int8) for s in shapes]
+        v = [jnp.zeros(s, jnp.int8) for s in shapes]
+        ks = [jnp.zeros(s[:3], jnp.float32) for s in shapes]
+        vs = [jnp.zeros(s[:3], jnp.float32) for s in shapes]
         return KVPools(k, v, ks, vs)
     if kv_type not in ("bf16", "f16"):
         raise ValueError(f"kv_type {kv_type!r} (supported: bf16, f16, q8_0)")
     dt = jnp.float16 if kv_type == "f16" else dtype
-    k = [jnp.zeros(shape, dt) for _ in range(hp.n_layer)]
-    v = [jnp.zeros(shape, dt) for _ in range(hp.n_layer)]
+    k = [jnp.zeros(s, dt) for s in shapes]
+    v = [jnp.zeros(s, dt) for s in shapes]
     return KVPools(k, v)
 
 
 def kv_bytes_per_token(hp: HParams, dtype_bytes: int = 2) -> int:
-    return 2 * hp.n_layer * hp.n_head_kv * hp.head_dim * dtype_bytes
+    return 2 * sum(max(hp.n_head_kv_of(li), 1)
+                   for li in range(hp.n_layer)) * hp.head_dim * dtype_bytes
 
 
 def quantize_q8(x: jax.Array) -> tuple[jax.Array, jax.Array]:

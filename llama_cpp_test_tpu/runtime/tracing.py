@@ -49,7 +49,8 @@ def _trace_step(w, pools, tokens, positions, block_table, slots, kv_len,
                 scale, _w)
 
         x = llama_mod.forward_layer(
-            x, lw, hp, positions, w.inv_freq_for(wind), w.rope_mscale, attend)
+            x, lw, hp, positions, w.inv_freq_for(wind), w.rope_mscale,
+            attend, li=li)
         traces.append(x)
     logits = llama_mod.lm_head(w, hp, x)
     traces.append(logits)

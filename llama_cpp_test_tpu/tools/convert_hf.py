@@ -142,7 +142,63 @@ ARCH_MAP = {
     # norms, hardcoded embd/logit multipliers, tied in_out_embed head
     "GrokForCausalLM": "grok",
     "Grok1ForCausalLM": "grok",
+    # Apple OpenELM: PER-LAYER head counts + ffn widths (GGUF arrays),
+    # fused qkv + shared per-head q/k norms, tied head (reference
+    # OpenELMModel, convert_hf_to_gguf.py:3986)
+    "OpenELMForCausalLM": "openelm",
+    # DeciLM NAS llamas: per-layer kv heads (7B) / attention-free +
+    # linear-attention layers (Nemotron-51B block_configs) — reference
+    # DeciModel, convert_hf_to_gguf.py:1751
+    "DeciLMForCausalLM": "deci",
+    # PLaMo-13B: parallel residual + INTERLEAVED GQA regrouped kv-major
+    # at convert (reference PlamoModel's shuffles, generalized from the
+    # layer shapes; its hardcoded n_head_kv=5 is derived from the k_proj
+    # plane width instead — the HF config's num_key_value_heads is wrong)
+    "PlamoForCausalLM": "plamo",
 }
+
+# openelm HF names (reference gguf-py tensor_mapping openelm rows);
+# ffn.proj_1 (fused gate;up at the layer's ffn width) split in convert()
+OPENELM_TOP_MAP = {
+    "transformer.token_embeddings.weight": "token_embd.weight",
+    "transformer.norm.weight": "output_norm.weight",
+}
+OPENELM_LAYER_MAP = {
+    "attn_norm.weight": "attn_norm.weight",
+    "attn.qkv_proj.weight": "attn_qkv.weight",
+    "attn.q_norm.weight": "attn_q_norm.weight",
+    "attn.k_norm.weight": "attn_k_norm.weight",
+    "attn.out_proj.weight": "attn_output.weight",
+    "ffn_norm.weight": "ffn_norm.weight",
+    "ffn.proj_2.weight": "ffn_down.weight",
+}
+
+
+def _make_divisible(v, divisor: int) -> int:
+    """OpenELM ffn width rounding (reference OpenELMModel._make_divisible,
+    convert_hf_to_gguf.py:3989-3996)."""
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+def _peek_shapes(path: str) -> dict[str, tuple]:
+    """Tensor name -> shape without loading data (safetensors headers;
+    .bin fallback loads the shards)."""
+    shapes: dict[str, tuple] = {}
+    st_files = sorted(f for f in os.listdir(path)
+                      if f.endswith(".safetensors"))
+    if st_files:
+        from safetensors import safe_open
+        for f in st_files:
+            with safe_open(os.path.join(path, f), framework="np") as sf:
+                for n in sf.keys():
+                    shapes[n] = tuple(sf.get_slice(n).get_shape())
+        return shapes
+    for n, a in iter_hf_tensors(path):
+        shapes[n] = tuple(a.shape)
+    return shapes
 
 # mamba (reference MambaModel converter): A_log -> -exp(A_log) at
 # convert; depthwise conv taps [d_inner, 1, d_conv] -> [d_inner, d_conv]
@@ -394,6 +450,13 @@ LAYER_MAP = {
     "input_layernorm.bias": "attn_norm.bias",
     "post_attention_layernorm.weight": "ffn_norm.weight",
     "post_attention_layernorm.bias": "ffn_norm.bias",
+    # deci Nemotron linear-attention layers: attention replaced by one
+    # n_embd x n_embd projection stored under the wo slot (reference
+    # tensor_mapping ATTN_OUT "self_attn.linear_attn" row)
+    "self_attn.linear_attn.weight": "attn_output.weight",
+    # plamo layer norm (model.layers.layers.{i}.norm, renamed in the
+    # convert loop to ride this map)
+    "norm.weight": "attn_norm.weight",
     "block_sparse_moe.gate.weight": "ffn_gate_inp.weight",
     # qwen3 per-head q/k norms
     "self_attn.q_norm.weight": "attn_q_norm.weight",
@@ -721,6 +784,15 @@ def map_name(name: str, arch: str = "llama") -> str | None:
             rest = name[len("transformer.h."):]
             idx, _, suffix = rest.partition(".")
             mapped = lay.get(suffix)
+            return f"blk.{idx}.{mapped}" if mapped else None
+        return None
+    if arch == "openelm":
+        if name in OPENELM_TOP_MAP:
+            return OPENELM_TOP_MAP[name]
+        if name.startswith("transformer.layers."):
+            rest = name[len("transformer.layers."):]
+            idx, _, suffix = rest.partition(".")
+            mapped = OPENELM_LAYER_MAP.get(suffix)
             return f"blk.{idx}.{mapped}" if mapped else None
         return None
     if arch in ("bert", "jina-bert-v2"):
@@ -1074,6 +1146,63 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
                "max_position_embeddings": cfg.get("max_seq_len", 2048),
                "intermediate_size": int(
                    cfg.get("expansion_ratio", 4) * hs)}
+    per_layer: dict[str, list[int]] = {}  # openelm/deci GGUF array keys
+    if arch == "openelm":
+        # OpenELMConfig keys (reference OpenELMModel set_gguf_parameters)
+        nq = [int(x) for x in cfg["num_query_heads"]]
+        nkv = [int(x) for x in cfg["num_kv_heads"]]
+        ffd = [_make_divisible(m * cfg["model_dim"], cfg["ffn_dim_divisor"])
+               for m in cfg["ffn_multipliers"]]
+        per_layer = {"head_count": nq, "head_count_kv": nkv,
+                     "feed_forward_length": ffd}
+        cfg = {**cfg,
+               "num_attention_heads": max(nq),
+               "num_key_value_heads": max(nkv),
+               "hidden_size": cfg["model_dim"],
+               "num_hidden_layers": cfg["num_transformer_layers"],
+               "max_position_embeddings": cfg["max_context_length"],
+               "intermediate_size": max(ffd),
+               "head_dim": cfg["head_dim"],
+               "rope_theta": cfg.get("rope_freq_constant", 10000.0),
+               "rms_norm_eps": 1e-6}
+    if arch == "deci":
+        if "block_configs" in cfg:   # Llama-3_1-Nemotron-51B
+            nh, nkv, ffd = [], [], []
+            for bc in cfg["block_configs"]:
+                grp = bc["attention"]["n_heads_in_group"]
+                if grp is None:
+                    # linear attention (replace_with_linear) keeps n_head,
+                    # attention-free zeroes it; both have no kv heads
+                    nh.append(cfg["num_attention_heads"]
+                              if bc["attention"].get("replace_with_linear")
+                              else 0)
+                    nkv.append(0)
+                else:
+                    nh.append(cfg["num_attention_heads"])
+                    nkv.append(cfg["num_attention_heads"] // grp)
+                # _ffn_mult_to_intermediate_size (reference DeciModel)
+                size = int(2 * bc["ffn"]["ffn_mult"] * cfg["hidden_size"]
+                           / 3)
+                ffd.append(size + (-size) % 256)
+            per_layer = {"head_count": nh, "head_count_kv": nkv,
+                         "feed_forward_length": ffd}
+            cfg = {**cfg, "intermediate_size": max(ffd),
+                   "num_key_value_heads": max(nkv)}
+        elif "num_key_value_heads_per_layer" in cfg:   # DeciLM-7B
+            nkv = [int(x) for x in cfg["num_key_value_heads_per_layer"]]
+            per_layer = {"head_count_kv": nkv}
+            cfg = {**cfg, "num_key_value_heads": max(nkv)}
+    plamo_kv = 0
+    if arch == "plamo":
+        # derive the TRUE kv head count from the k_proj plane width (the
+        # config's num_key_value_heads is wrong — see PlamoModel note)
+        shapes = _peek_shapes(path)
+        hd = cfg["hidden_size"] // cfg["num_attention_heads"]
+        plamo_kv = shapes[
+            "model.layers.layers.0.self_attn.k_proj.weight"][0] // hd
+        cfg = {**cfg, "num_key_value_heads": plamo_kv,
+               "max_position_embeddings": cfg.get(
+                   "max_position_embeddings", 4096)}
     n_head = cfg["num_attention_heads"]
     if arch == "falcon":
         # old (7B) arch: multi-query unless new_decoder_architecture
@@ -1106,6 +1235,18 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
         f"{arch}.attention.layer_norm_rms_epsilon": cfg.get("rms_norm_eps", 1e-5),
         f"{arch}.vocab_size": cfg["vocab_size"],
     }
+    if per_layer:
+        # per-layer geometry as GGUF ARRAY values (reference
+        # gguf_writer.add_head_count(list) for openelm/deci; the loader's
+        # hparams_from_metadata reads them into n_*_layers tuples)
+        if "head_count" in per_layer:
+            md[f"{arch}.attention.head_count"] = per_layer["head_count"]
+        if "head_count_kv" in per_layer:
+            md[f"{arch}.attention.head_count_kv"] = \
+                per_layer["head_count_kv"]
+        if "feed_forward_length" in per_layer:
+            md[f"{arch}.feed_forward_length"] = \
+                per_layer["feed_forward_length"]
     if arch == "phi3":
         # Phi-4-mini class sets partial_rotary_factor (reference
         # Phi3MiniModel: rope_dims = rot_pct * n_embd // n_head)
@@ -1675,12 +1816,54 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
                 emit(f"blk.{idx}.ffn_gate.weight", a[:half])
                 emit(f"blk.{idx}.ffn_up.weight", a[half:])
                 continue
+        # openelm fused ffn.proj_1 rows [gate; up] at the LAYER's width
+        # (reference OpenELMModel.modify_tensors split)
+        if arch == "openelm" and name.endswith(".ffn.proj_1.weight"):
+            li = int(name.split(".")[2])
+            ff = per_layer["feed_forward_length"][li]
+            a = np.asarray(arr, np.float32)
+            emit(f"blk.{li}.ffn_gate.weight", a[:ff])
+            emit(f"blk.{li}.ffn_up.weight", a[ff:])
+            continue
+        # plamo: q/o regrouped from the HF interleaved GQA order (q head i
+        # reads kv head i % n_kv) to the kv-major llama layout, + the
+        # NORM-rope row permute (generalizes the reference PlamoModel
+        # shuffle_attn_{q,output}_weight 5120-hardcoded reshapes)
+        if arch == "plamo" and name.startswith("model.layers.layers."):
+            if name.endswith("rotary_emb.inv_freq"):
+                continue
+            sub = name[len("model.layers.layers."):]
+            li, _, suffix = sub.partition(".")
+            ns = n_head // plamo_kv
+            if suffix == "self_attn.q_proj.weight":
+                a = np.asarray(arr, np.float32)
+                a = a.reshape(ns, plamo_kv, head_dim, -1) \
+                     .transpose(1, 0, 2, 3) \
+                     .reshape(n_head * head_dim, a.shape[-1])
+                emit(f"blk.{li}.attn_q.weight", permute_qk(a, n_head))
+                continue
+            if suffix == "self_attn.k_proj.weight":
+                emit(f"blk.{li}.attn_k.weight",
+                     permute_qk(np.asarray(arr, np.float32), plamo_kv))
+                continue
+            if suffix == "self_attn.o_proj.weight":
+                a = np.asarray(arr, np.float32)
+                a = a.reshape(a.shape[0], ns, plamo_kv, head_dim) \
+                     .transpose(0, 2, 1, 3).reshape(a.shape[0], -1)
+                emit(f"blk.{li}.attn_output.weight", a)
+                continue
+            name = "model.layers." + sub   # v/norm/ffn: generic map
         gname = map_name(name, arch)
         if gname is None:
             continue
         arr = np.asarray(arr)
         if arr.dtype != np.float32:
             arr = arr.astype(np.float32)
+        if arch == "deci" and gname.endswith(("attn_q.weight",
+                                              "attn_k.weight")):
+            # NORM-rope permute at the LAYER's head count (per-layer kv
+            # heads — reference DeciModel.modify_tensors per-bid permute)
+            arr = permute_qk(arr, arr.shape[0] // head_dim)
         if arch == "gpt2" and gname.endswith(GPT2_TRANSPOSE):
             arr = np.ascontiguousarray(arr.T)  # Conv1D [in,out] -> [out,in]
         if arch == "bloom" and gname.endswith("attn_qkv.weight"):

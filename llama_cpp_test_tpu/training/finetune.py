@@ -87,11 +87,13 @@ def _train_forward(w: LlamaWeights, hp: HParams, params: dict, scale: float,
         return layers.attention(q, k_cur, v_cur, mask, att_scale,
                                 softcap=hp.attn_softcap)
 
-    def run_layer(x, lw2):
+    def run_layer(x, lw2, li):
         return llama_mod.forward_layer(x, lw2, hp, positions,
-                                       w.rope_inv_freq, w.rope_mscale, attend)
+                                       w.rope_inv_freq, w.rope_mscale,
+                                       attend, li=li)
 
-    step = jax.checkpoint(run_layer) if remat else run_layer
+    step = jax.checkpoint(run_layer, static_argnums=(2,)) if remat \
+        else run_layer
     for li, lw in enumerate(w.layers):
         lora = {}
         for f in TARGETS:
@@ -100,7 +102,7 @@ def _train_forward(w: LlamaWeights, hp: HParams, params: dict, scale: float,
                 lora[f] = (p["a"].astype(jnp.bfloat16),
                            p["b"].astype(jnp.bfloat16), scale)
         lw2 = dataclasses.replace(lw, lora=lora)
-        x = step(x, lw2)
+        x = step(x, lw2, li)
     return llama_mod.lm_head(w, hp, x)
 
 
@@ -296,12 +298,13 @@ def _full_forward(w: LlamaWeights, hp: HParams, params: dict,
         return layers.attention(q, k_cur, v_cur, mask, att_scale,
                                 softcap=hp.attn_softcap)
 
-    def run_layer(x, lw2):
+    def run_layer(x, lw2, li):
         return llama_mod.forward_layer(x, lw2, hp, positions,
                                        w.rope_inv_freq, w.rope_mscale,
-                                       attend)
+                                       attend, li=li)
 
-    step = jax.checkpoint(run_layer) if remat else run_layer
+    step = jax.checkpoint(run_layer, static_argnums=(2,)) if remat \
+        else run_layer
     for li, lw in enumerate(w.layers):
         repl = {}
         for f in TARGETS:
@@ -317,7 +320,7 @@ def _full_forward(w: LlamaWeights, hp: HParams, params: dict,
             p = params.get(f"blk.{li}.{f}")
             if p is not None:
                 repl[f] = p
-        x = step(x, dataclasses.replace(lw, **repl))
+        x = step(x, dataclasses.replace(lw, **repl), li)
     x = layers.rms_norm(x, params["output_norm"], hp.rms_eps)
     logits = jax.lax.dot_general(
         x.astype(jnp.bfloat16), params["output"].astype(jnp.bfloat16),

@@ -550,10 +550,10 @@ def test_unknown_arch_refused(tmp_path):
 
     from llama_cpp_test_tpu.runtime.engine import Model
 
-    # plamo: in the reference's arch enum but deliberately unimplemented
-    # here (its upstream converter hardcodes bogus kv-head counts)
-    path = str(tmp_path / "plamo.gguf")
-    make_tiny_qwen(path, arch="plamo")
+    # gptj: in the reference's arch enum but builder-less even there
+    # (llama-model.cpp has no llm_build_gptj) — never implemented here
+    path = str(tmp_path / "gptj.gguf")
+    make_tiny_qwen(path, arch="gptj")
     with _pytest.raises(ValueError, match="no implemented forward"):
         Model(path)
 

@@ -3724,3 +3724,376 @@ def test_convert_arctic_matches_torch_reference(tmp_path):
     err = np.mean((got - ref) ** 2) / (np.mean(ref ** 2) + 1e-9)
     assert err < 5e-3, err
     assert np.argmax(got[-1]) == np.argmax(ref[-1])
+
+
+def test_convert_openelm_matches_torch_reference(tmp_path):
+    """openelm (llm_build_openelm): PER-LAYER head counts and ffn widths
+    (GGUF head_count/head_count_kv/feed_forward_length arrays — reference
+    llama-hparams.h n_head_arr), fused qkv split at the layer's counts,
+    SHARED per-head q/k rms norms applied before NEOX rope, tied head."""
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(171)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, L, d = 256, 64, 3, 16
+    NQ, NKV = [2, 3, 4], [1, 1, 2]
+    MULT, DIV = [0.5, 1.0, 1.5], 32
+    from llama_cpp_test_tpu.tools.convert_hf import _make_divisible
+    FFD = [_make_divisible(m * C, DIV) for m in MULT]
+    cfg = {
+        "architectures": ["OpenELMForCausalLM"],
+        "model_dim": C, "num_transformer_layers": L, "head_dim": d,
+        "num_query_heads": NQ, "num_kv_heads": NKV,
+        "ffn_multipliers": MULT, "ffn_dim_divisor": DIV,
+        "max_context_length": 256, "rope_freq_constant": 10000,
+        "vocab_size": V, "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "transformer.token_embeddings.weight": r(V, C),
+        "transformer.norm.weight": 1.0 + r(C),
+    }
+    for i in range(L):
+        p = f"transformer.layers.{i}."
+        nq, nkv, ff = NQ[i], NKV[i], FFD[i]
+        ws.update({
+            p + "attn_norm.weight": 1.0 + r(C),
+            p + "attn.qkv_proj.weight": r((nq + 2 * nkv) * d, C),
+            p + "attn.q_norm.weight": 1.0 + r(d),
+            p + "attn.k_norm.weight": 1.0 + r(d),
+            p + "attn.out_proj.weight": r(C, nq * d),
+            p + "ffn_norm.weight": 1.0 + r(C),
+            p + "ffn.proj_1.weight": r(2 * ff, C),
+            p + "ffn.proj_2.weight": r(C, ff),
+        })
+
+    def rms(x, w, eps=1e-6):
+        return x * torch.rsqrt((x ** 2).mean(-1, keepdim=True) + eps) \
+            * torch.from_numpy(w)
+
+    def lin(x, w):
+        return x @ torch.from_numpy(ws[w]).T
+
+    def rope(x, pos):
+        # NEOX half-split (HF rotate_half)
+        half = d // 2
+        inv = 1.0 / (10000.0 ** (torch.arange(half).float() / half))
+        th = pos[:, None].float() * inv[None]
+        cos, sin = th.cos()[:, None], th.sin()[:, None]
+        x1, x2 = x[..., :half], x[..., half:]
+        return torch.cat([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1)
+
+    def ref_forward(tokens):
+        T = len(tokens)
+        pos = torch.arange(T)
+        x = torch.from_numpy(
+            ws["transformer.token_embeddings.weight"])[torch.tensor(tokens)]
+        mask = torch.full((T, T), float("-inf")).triu(1)
+        for i in range(L):
+            p = f"transformer.layers.{i}."
+            nq, nkv = NQ[i], NKV[i]
+            cur = rms(x, ws[p + "attn_norm.weight"])
+            qkv = lin(cur, p + "attn.qkv_proj.weight") \
+                .view(T, nq + 2 * nkv, d)
+            q, k, v = qkv[:, :nq], qkv[:, nq:nq + nkv], qkv[:, nq + nkv:]
+            q = rms(q, ws[p + "attn.q_norm.weight"])
+            k = rms(k, ws[p + "attn.k_norm.weight"])
+            q, k = rope(q, pos), rope(k, pos)
+            g = nq // nkv
+            k = k.repeat_interleave(g, dim=1)
+            v = v.repeat_interleave(g, dim=1)
+            att = torch.einsum("qhd,khd->hqk", q, k) / d ** 0.5
+            att = (att + mask).softmax(-1)
+            o = torch.einsum("hqk,khd->qhd", att, v).reshape(T, nq * d)
+            x = x + lin(o, p + "attn.out_proj.weight")
+            cur = rms(x, ws[p + "ffn_norm.weight"])
+            gu = lin(cur, p + "ffn.proj_1.weight")
+            gg, u = gu[:, :FFD[i]], gu[:, FFD[i]:]
+            x = x + lin(F.silu(gg) * u, p + "ffn.proj_2.weight")
+        x = rms(x, ws["transformer.norm.weight"])
+        return (x @ torch.from_numpy(
+            ws["transformer.token_embeddings.weight"]).T).numpy()
+
+    hf_dir = tmp_path / "hf"
+    hf_dir.mkdir()
+    with open(hf_dir / "config.json", "w") as f:
+        json.dump(cfg, f)
+    st.save_file(ws, str(hf_dir / "model.safetensors"))
+    _bpe_tokenizer_json(str(hf_dir), V)
+    from llama_cpp_test_tpu.tools.convert_hf import convert
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    out = str(tmp_path / "m.gguf")
+    convert(str(hf_dir), out, dtype="F32")
+    m = Model(out)
+    assert m.hp.arch == "openelm"
+    assert m.hp.n_head_layers == tuple(NQ)
+    assert m.hp.n_head_kv_layers == tuple(NKV)
+    assert m.hp.n_ff_layers == tuple(FFD)
+    tokens = [3, 17, 42, 9, 150, 7]
+    with torch.no_grad():
+        ref = ref_forward(tokens)
+    ctx = Context(m, n_ctx=64, n_seq_max=1, block_size=8)
+    seq = ctx.new_seq()
+    got = ctx.prefill(seq, tokens, all_logits=True)
+    err = np.mean((got - ref) ** 2) / (np.mean(ref ** 2) + 1e-9)
+    assert err < 5e-3, err
+    assert np.argmax(got[-1]) == np.argmax(ref[-1])
+    # greedy decode parity: exercises the per-layer-kv paged decode path
+    cur = list(tokens) + [int(np.argmax(ref[-1]))]
+    for _ in range(3):
+        logits = ctx.decode([seq], [cur[-1]])[0]
+        with torch.no_grad():
+            want = np.argmax(ref_forward(cur)[-1])
+        assert np.argmax(logits) == want
+        cur.append(int(want))
+
+
+def test_convert_deci_matches_torch_reference(tmp_path):
+    """deci (llm_build_deci, Nemotron-51B block_configs): per-layer kv
+    head counts, an ATTENTION-FREE layer (n_head 0: block is just the
+    FFN) and a LINEAR-ATTENTION layer (n_head_kv 0: one n_embd x n_embd
+    projection of the normed input), NORM rope, per-layer ffn widths."""
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(173)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, d = 256, 64, 4, 16
+    BLOCKS = [
+        {"attention": {"n_heads_in_group": 2, "replace_with_linear": False},
+         "ffn": {"ffn_mult": 1.0}},
+        {"attention": {"n_heads_in_group": None,
+                       "replace_with_linear": False},          # attn-free
+         "ffn": {"ffn_mult": 1.0}},
+        {"attention": {"n_heads_in_group": None,
+                       "replace_with_linear": True},           # linear
+         "ffn": {"ffn_mult": 1.0}},
+        {"attention": {"n_heads_in_group": 4, "replace_with_linear": False},
+         "ffn": {"ffn_mult": 1.0}},
+    ]
+    L = len(BLOCKS)
+    FF = 256  # int(2*1.0*64/3)=42 -> _find_multiple(.., 256)
+    cfg = {
+        "architectures": ["DeciLMForCausalLM"],
+        "hidden_size": C, "num_attention_heads": H,
+        "num_hidden_layers": L, "block_configs": BLOCKS,
+        "max_position_embeddings": 256, "rms_norm_eps": 1e-5,
+        "rope_theta": 10000.0, "vocab_size": V,
+        "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "model.embed_tokens.weight": r(V, C),
+        "model.norm.weight": 1.0 + r(C),
+        "lm_head.weight": r(V, C),
+    }
+    for i, bc in enumerate(BLOCKS):
+        p = f"model.layers.{i}."
+        grp = bc["attention"]["n_heads_in_group"]
+        if grp is not None:
+            nkv = H // grp
+            ws.update({
+                p + "input_layernorm.weight": 1.0 + r(C),
+                p + "self_attn.q_proj.weight": r(H * d, C),
+                p + "self_attn.k_proj.weight": r(nkv * d, C),
+                p + "self_attn.v_proj.weight": r(nkv * d, C),
+                p + "self_attn.o_proj.weight": r(C, H * d),
+            })
+        elif bc["attention"]["replace_with_linear"]:
+            ws.update({
+                p + "input_layernorm.weight": 1.0 + r(C),
+                p + "self_attn.linear_attn.weight": r(C, C),
+            })
+        ws.update({
+            p + "post_attention_layernorm.weight": 1.0 + r(C),
+            p + "mlp.gate_proj.weight": r(FF, C),
+            p + "mlp.up_proj.weight": r(FF, C),
+            p + "mlp.down_proj.weight": r(C, FF),
+        })
+
+    def rms(x, w, eps=1e-5):
+        return x * torch.rsqrt((x ** 2).mean(-1, keepdim=True) + eps) \
+            * torch.from_numpy(w)
+
+    def lin(x, w):
+        return x @ torch.from_numpy(ws[w]).T
+
+    def rope(x, pos):
+        half = d // 2
+        inv = 1.0 / (10000.0 ** (torch.arange(half).float() / half))
+        th = pos[:, None].float() * inv[None]
+        cos, sin = th.cos()[:, None], th.sin()[:, None]
+        x1, x2 = x[..., :half], x[..., half:]
+        return torch.cat([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1)
+
+    def ref_forward(tokens):
+        T = len(tokens)
+        pos = torch.arange(T)
+        x = torch.from_numpy(
+            ws["model.embed_tokens.weight"])[torch.tensor(tokens)]
+        mask = torch.full((T, T), float("-inf")).triu(1)
+        for i, bc in enumerate(BLOCKS):
+            p = f"model.layers.{i}."
+            grp = bc["attention"]["n_heads_in_group"]
+            if grp is not None:
+                nkv = H // grp
+                cur = rms(x, ws[p + "input_layernorm.weight"])
+                q = lin(cur, p + "self_attn.q_proj.weight").view(T, H, d)
+                k = lin(cur, p + "self_attn.k_proj.weight").view(T, nkv, d)
+                v = lin(cur, p + "self_attn.v_proj.weight").view(T, nkv, d)
+                q, k = rope(q, pos), rope(k, pos)
+                k = k.repeat_interleave(grp, dim=1)
+                v = v.repeat_interleave(grp, dim=1)
+                att = torch.einsum("qhd,khd->hqk", q, k) / d ** 0.5
+                att = (att + mask).softmax(-1)
+                o = torch.einsum("hqk,khd->qhd", att, v).reshape(T, H * d)
+                x = x + lin(o, p + "self_attn.o_proj.weight")
+            elif bc["attention"]["replace_with_linear"]:
+                cur = rms(x, ws[p + "input_layernorm.weight"])
+                x = x + lin(cur, p + "self_attn.linear_attn.weight")
+            # attention-free: x unchanged (ffn_inp = layer input)
+            cur = rms(x, ws[p + "post_attention_layernorm.weight"])
+            g = lin(cur, p + "mlp.gate_proj.weight")
+            u = lin(cur, p + "mlp.up_proj.weight")
+            x = x + lin(F.silu(g) * u, p + "mlp.down_proj.weight")
+        x = rms(x, ws["model.norm.weight"])
+        return lin(x, "lm_head.weight").numpy()
+
+    hf_dir = tmp_path / "hf"
+    hf_dir.mkdir()
+    with open(hf_dir / "config.json", "w") as f:
+        json.dump(cfg, f)
+    st.save_file(ws, str(hf_dir / "model.safetensors"))
+    _bpe_tokenizer_json(str(hf_dir), V)
+    from llama_cpp_test_tpu.tools.convert_hf import convert
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    out = str(tmp_path / "m.gguf")
+    convert(str(hf_dir), out, dtype="F32")
+    m = Model(out)
+    assert m.hp.arch == "deci"
+    assert m.hp.n_head_layers == (4, 0, 4, 4)
+    assert m.hp.n_head_kv_layers == (2, 0, 0, 1)
+    tokens = [3, 17, 42, 9, 150, 7]
+    with torch.no_grad():
+        ref = ref_forward(tokens)
+    ctx = Context(m, n_ctx=64, n_seq_max=1, block_size=8)
+    seq = ctx.new_seq()
+    got = ctx.prefill(seq, tokens, all_logits=True)
+    err = np.mean((got - ref) ** 2) / (np.mean(ref ** 2) + 1e-9)
+    assert err < 5e-3, err
+    assert np.argmax(got[-1]) == np.argmax(ref[-1])
+    # greedy decode through the attn-free/linear/per-kv layer mix
+    cur = list(tokens) + [int(np.argmax(ref[-1]))]
+    for _ in range(3):
+        logits = ctx.decode([seq], [cur[-1]])[0]
+        with torch.no_grad():
+            want = np.argmax(ref_forward(cur)[-1])
+        assert np.argmax(logits) == want
+        cur.append(int(want))
+
+
+def test_convert_plamo_matches_torch_reference(tmp_path):
+    """plamo (llm_build_plamo): parallel residual — ONE rms norm feeds
+    both attention and the swiglu FFN, x + attn + ffn — with INTERLEAVED
+    GQA (HF q head i reads kv head i % n_kv; regrouped kv-major at
+    convert, generalizing the reference PlamoModel shuffles). The config's
+    num_key_value_heads is deliberately wrong here, as on the real
+    checkpoint — the converter derives it from the k_proj plane width."""
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(179)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    V, C, H, KV, L, FF = 256, 64, 8, 2, 2, 96
+    d = C // H
+    NS = H // KV
+    cfg = {
+        "architectures": ["PlamoForCausalLM"],
+        "hidden_size": C, "num_attention_heads": H,
+        "num_key_value_heads": H,   # wrong, like the real config
+        "num_hidden_layers": L, "intermediate_size": FF,
+        "max_position_embeddings": 256, "rms_norm_eps": 1e-5,
+        "vocab_size": V, "bos_token_id": 1, "eos_token_id": 2,
+    }
+    ws = {
+        "model.embed_tokens.weight": r(V, C),
+        "model.norm.weight": 1.0 + r(C),
+        "lm_head.weight": r(V, C),
+    }
+    for i in range(L):
+        p = f"model.layers.layers.{i}."
+        ws.update({
+            p + "norm.weight": 1.0 + r(C),
+            p + "self_attn.q_proj.weight": r(H * d, C),
+            p + "self_attn.k_proj.weight": r(KV * d, C),
+            p + "self_attn.v_proj.weight": r(KV * d, C),
+            p + "self_attn.o_proj.weight": r(C, H * d),
+            p + "mlp.gate_proj.weight": r(FF, C),
+            p + "mlp.up_proj.weight": r(FF, C),
+            p + "mlp.down_proj.weight": r(C, FF),
+        })
+
+    def rms(x, w, eps=1e-5):
+        return x * torch.rsqrt((x ** 2).mean(-1, keepdim=True) + eps) \
+            * torch.from_numpy(w)
+
+    def lin(x, w):
+        return x @ torch.from_numpy(ws[w]).T
+
+    def rope(x, pos):
+        dd = x.shape[-1]
+        half = dd // 2
+        inv = 1.0 / (10000.0 ** (torch.arange(half).float() / half))
+        th = pos[:, None].float() * inv[None]
+        cos, sin = th.cos()[:, None], th.sin()[:, None]
+        x1, x2 = x[..., :half], x[..., half:]
+        return torch.cat([x1 * cos - x2 * sin, x2 * cos + x1 * sin], -1)
+
+    def ref_forward(tokens):
+        T = len(tokens)
+        pos = torch.arange(T)
+        x = torch.from_numpy(
+            ws["model.embed_tokens.weight"])[torch.tensor(tokens)]
+        mask = torch.full((T, T), float("-inf")).triu(1)
+        for i in range(L):
+            p = f"model.layers.layers.{i}."
+            n = rms(x, ws[p + "norm.weight"])
+            q = lin(n, p + "self_attn.q_proj.weight").view(T, H, d)
+            k = lin(n, p + "self_attn.k_proj.weight").view(T, KV, d)
+            v = lin(n, p + "self_attn.v_proj.weight").view(T, KV, d)
+            q, k = rope(q, pos), rope(k, pos)
+            # HF interleaved GQA: q head i reads kv head i % KV
+            k = k.repeat(1, NS, 1).view(T, H, d)
+            v = v.repeat(1, NS, 1).view(T, H, d)
+            att = torch.einsum("qhd,khd->hqk", q, k) / d ** 0.5
+            att = (att + mask).softmax(-1)
+            o = torch.einsum("hqk,khd->qhd", att, v).reshape(T, H * d)
+            attn_out = lin(o, p + "self_attn.o_proj.weight")
+            g = lin(n, p + "mlp.gate_proj.weight")
+            u = lin(n, p + "mlp.up_proj.weight")
+            ffn = lin(F.silu(g) * u, p + "mlp.down_proj.weight")
+            x = x + attn_out + ffn
+        x = rms(x, ws["model.norm.weight"])
+        return lin(x, "lm_head.weight").numpy()
+
+    hf_dir = tmp_path / "hf"
+    hf_dir.mkdir()
+    with open(hf_dir / "config.json", "w") as f:
+        json.dump(cfg, f)
+    st.save_file(ws, str(hf_dir / "model.safetensors"))
+    _bpe_tokenizer_json(str(hf_dir), V)
+    from llama_cpp_test_tpu.tools.convert_hf import convert
+    from llama_cpp_test_tpu.runtime.engine import Context, Model
+
+    out = str(tmp_path / "m.gguf")
+    convert(str(hf_dir), out, dtype="F32")
+    m = Model(out)
+    assert m.hp.arch == "plamo"
+    assert m.hp.n_head_kv == KV     # derived from k_proj, not the config
+    assert m.hp.parallel_residual
+    tokens = [3, 17, 42, 9, 150, 7]
+    with torch.no_grad():
+        ref = ref_forward(tokens)
+    ctx = Context(m, n_ctx=64, n_seq_max=1, block_size=8)
+    got = ctx.prefill(ctx.new_seq(), tokens, all_logits=True)
+    err = np.mean((got - ref) ** 2) / (np.mean(ref ** 2) + 1e-9)
+    assert err < 5e-3, err
+    assert np.argmax(got[-1]) == np.argmax(ref[-1])
