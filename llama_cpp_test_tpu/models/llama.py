@@ -300,6 +300,10 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
         raise ValueError(
             "mamba is a recurrent state-space arch with no KV cache — "
             "load it with models.mamba.MambaModel / MambaContext")
+    if spec.family == "rwkv6":
+        raise ValueError(
+            "rwkv6 is a recurrent arch with no KV cache — load it with "
+            "models.rwkv6.Rwkv6Model / Rwkv6Context")
     if spec.family == "t5":
         raise ValueError(
             "t5 is an encoder-decoder arch — load it with "

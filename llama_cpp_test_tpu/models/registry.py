@@ -400,6 +400,12 @@ register_arch(ArchSpec("t5encoder", family="t5",
 register_arch(ArchSpec("mamba", family="mamba",
                        notes="recurrent ssm; models/mamba.py surface"))
 
+# rwkv6 ("finch" linear-attention RNN): recurrent token-shift + per-head
+# wkv matrix states instead of a KV cache (llm_build_rwkv6,
+# llama-model.cpp:10340-10647; wkv kernel ggml_compute_forward_rwkv_wkv6)
+register_arch(ArchSpec("rwkv6", family="rwkv6",
+                       notes="recurrent wkv; models/rwkv6.py surface"))
+
 # openelm (Apple OpenELM 270M-3B): PER-LAYER geometry — num_query_heads /
 # num_kv_heads / ffn dims vary by layer (GGUF head_count arrays, reference
 # llama-hparams.h n_head_arr; llm_build_openelm) — fused qkv split at the

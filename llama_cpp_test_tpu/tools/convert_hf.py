@@ -15,6 +15,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import re
 import sys
 from typing import Iterator
 
@@ -155,7 +156,150 @@ ARCH_MAP = {
     # layer shapes; its hardcoded n_head_kv=5 is derived from the k_proj
     # plane width instead — the HF config's num_key_value_heads is wrong)
     "PlamoForCausalLM": "plamo",
+    # RWKV6 "finch" linear-attention RNN (reference Rwkv6Model,
+    # convert_hf_to_gguf.py:3445): recurrent token-shift + wkv states,
+    # models/rwkv6.py surface
+    "Rwkv6ForCausalLM": "rwkv6",
 }
+
+# rwkv6 HF names (reference gguf-py tensor_mapping rwkv6 rows). The five
+# time_maa_{w,k,v,r,g} lerps stack into time_mix_lerp_fused in convert()
+RWKV6_TOP_MAP = {
+    "rwkv.embeddings.weight": "token_embd.weight",
+    "rwkv.blocks.0.pre_ln.weight": "token_embd_norm.weight",
+    "rwkv.blocks.0.pre_ln.bias": "token_embd_norm.bias",
+    "rwkv.ln_out.weight": "output_norm.weight",
+    "rwkv.ln_out.bias": "output_norm.bias",
+    "head.weight": "output.weight",
+}
+RWKV6_LAYER_MAP = {
+    "ln1.weight": "attn_norm.weight",
+    "ln1.bias": "attn_norm.bias",
+    "ln2.weight": "attn_norm_2.weight",
+    "ln2.bias": "attn_norm_2.bias",
+    "attention.time_maa_x": "time_mix_lerp_x.weight",
+    "attention.time_maa_w1": "time_mix_w1.weight",
+    "attention.time_maa_w2": "time_mix_w2.weight",
+    "attention.time_faaaa": "time_mix_first.weight",
+    "attention.time_decay": "time_mix_decay.weight",
+    "attention.time_decay_w1": "time_mix_decay_w1.weight",
+    "attention.time_decay_w2": "time_mix_decay_w2.weight",
+    "attention.key.weight": "time_mix_key.weight",
+    "attention.value.weight": "time_mix_value.weight",
+    "attention.receptance.weight": "time_mix_receptance.weight",
+    "attention.gate.weight": "time_mix_gate.weight",
+    "attention.ln_x.weight": "time_mix_ln.weight",
+    "attention.ln_x.bias": "time_mix_ln.bias",
+    "attention.output.weight": "time_mix_output.weight",
+    "feed_forward.time_maa_k": "channel_mix_lerp_k.weight",
+    "feed_forward.time_maa_r": "channel_mix_lerp_r.weight",
+    "feed_forward.key.weight": "channel_mix_key.weight",
+    "feed_forward.receptance.weight": "channel_mix_receptance.weight",
+    "feed_forward.value.weight": "channel_mix_value.weight",
+}
+
+
+def _convert_rwkv6(path: str, out_path: str, cfg: dict,
+                   dtype: str) -> None:
+    """RWKV6 converter (reference Rwkv6Model): math-layout transposes for
+    the low-rank lerp/decay planes, the five time_maa lerps fused into
+    one [5, C] stack, and the fp16 rescale trick baked in —
+    time_mix_output / channel_mix_value divided by 2^(il//rescale_every)
+    (the runtime halves activations every rescale_every layers; the
+    composition equals the unscaled model since LayerNorm is
+    scale-invariant)."""
+    C = cfg["hidden_size"]
+    L = cfg["num_hidden_layers"]
+    rescale = int(cfg.get("rescale_every", 6) or 0)
+    ggml_dtype = {"F16": GGMLType.F16, "BF16": GGMLType.BF16,
+                  "F32": GGMLType.F32, "Q8_0": GGMLType.Q8_0}[dtype]
+    arch = "rwkv6"
+    w = GGUFWriter(out_path, arch=arch)
+    md = {
+        "general.architecture": arch,
+        "general.name": cfg.get("_name_or_path", os.path.basename(path)),
+        f"{arch}.context_length": 1048576,   # not context limited
+        f"{arch}.embedding_length": C,
+        f"{arch}.block_count": L,
+        f"{arch}.attention.layer_norm_epsilon": cfg.get(
+            "layer_norm_epsilon", 1e-5),
+        f"{arch}.rescale_every_n_layers": rescale,
+        f"{arch}.wkv.head_size": cfg.get("head_size", 64),
+        f"{arch}.feed_forward_length": (
+            cfg.get("intermediate_size")
+            or int((C * 3.5) // 32 * 32)),
+        f"{arch}.vocab_size": cfg["vocab_size"],
+        f"{arch}.attention.head_count": 0,
+    }
+    world = os.path.join(path, "rwkv_vocab_v20230424.txt")
+    if os.path.exists(world):
+        # reference _set_vocab_rwkv_world: byte-repr token texts, <s> at
+        # id 0, [PADn] to vocab_size; rides the trie tokenizer
+        tokens = ["<s>"]
+        types = [3]   # CONTROL
+        with open(world, encoding="utf-8") as f:
+            for line in f:
+                parts = line.split(" ")
+                import ast
+                tok = ast.literal_eval(" ".join(parts[1:-1]))
+                tok = tok.encode("utf-8") if isinstance(tok, str) else tok
+                tokens.append(repr(tok)[2:-1])
+                types.append(1)
+        for i in range(len(tokens), cfg["vocab_size"]):
+            tokens.append(f"[PAD{i}]")
+            types.append(5)
+        md.update({"tokenizer.ggml.model": "rwkv",
+                   "tokenizer.ggml.tokens": tokens,
+                   "tokenizer.ggml.token_type": np.asarray(types,
+                                                           np.int32)})
+    else:
+        md.update(_vocab_metadata(path, cfg))
+    for key, val in md.items():
+        w.add_kv(key, val)
+
+    lerps: dict[int, dict[str, np.ndarray]] = {}
+    for name, arr in iter_hf_tensors(path):
+        a = np.asarray(arr, np.float32)
+        if name in RWKV6_TOP_MAP:
+            gname = RWKV6_TOP_MAP[name]
+        elif name.startswith("rwkv.blocks."):
+            rest = name[len("rwkv.blocks."):]
+            li_s, _, suffix = rest.partition(".")
+            li = int(li_s)
+            m = re.match(r"attention\.time_maa_([wkvrg])$", suffix)
+            if m:
+                lerps.setdefault(li, {})[m.group(1)] = a.reshape(-1)
+                if len(lerps[li]) == 5:
+                    d = lerps.pop(li)
+                    w.add_tensor(
+                        f"blk.{li}.time_mix_lerp_fused.weight",
+                        np.stack([d[s] for s in "wkvrg"]),
+                        ggml_type=GGMLType.F32)
+                continue
+            mapped = RWKV6_LAYER_MAP.get(suffix)
+            if mapped is None:
+                continue
+            gname = f"blk.{li}.{mapped}"
+            if mapped in ("time_mix_w1.weight",
+                          "time_mix_decay_w1.weight",
+                          "time_mix_decay_w2.weight"):
+                a = np.ascontiguousarray(a.T)
+            elif mapped == "time_mix_w2.weight":
+                a = np.ascontiguousarray(a.transpose(0, 2, 1))
+            elif mapped in ("time_mix_decay.weight",
+                            "time_mix_lerp_x.weight",
+                            "channel_mix_lerp_k.weight",
+                            "channel_mix_lerp_r.weight"):
+                a = a.reshape(-1)
+            if rescale > 0 and mapped in ("time_mix_output.weight",
+                                          "channel_mix_value.weight"):
+                a = a / (2 ** (li // rescale))
+        else:
+            continue
+        tgt = ggml_dtype if a.ndim == 2 and "norm" not in gname \
+            and "lerp" not in gname else GGMLType.F32
+        w.add_tensor(gname, a, ggml_type=tgt)
+    w.write()
 
 # openelm HF names (reference gguf-py tensor_mapping openelm rows);
 # ffn.proj_1 (fused gate;up at the layer's ffn width) split in convert()
@@ -1038,6 +1182,8 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
                          f"known: {sorted(ARCH_MAP)}")
     if arch in ("t5", "t5encoder"):
         return _convert_t5(path, out_path, cfg, arch, dtype)
+    if arch == "rwkv6":
+        return _convert_rwkv6(path, out_path, cfg, dtype)
     if arch == "qwen2vl" and isinstance(cfg.get("text_config"), dict):
         # VL configs nest the language-model hparams (transformers >= 4.52)
         cfg = {**cfg, **cfg["text_config"]}
