@@ -109,6 +109,34 @@ def _run_rwkv6(args) -> int:
     return 0
 
 
+def _run_rwkv7(args) -> int:
+    """One-shot generation for rwkv7/arwkv7 (recurrent wkv7 states)."""
+    from ..models.rwkv7 import Rwkv7Context, Rwkv7Model, generate
+
+    t0 = time.time()
+    model = Rwkv7Model(args.model)
+    print(f"# {model.hp.arch} model loaded in {time.time()-t0:.1f}s "
+          f"(n_layer={model.hp.n_layer}, head_size={model.hp.head_size})",
+          file=sys.stderr)
+    if model.tokenizer is None:
+        print("error: model has no tokenizer", file=sys.stderr)
+        return 1
+    prompt = args.prompt or ""
+    if getattr(args, "file", None):
+        prompt = open(args.file, encoding="utf-8").read()
+    toks = model.tokenizer.encode(prompt, add_special=True)
+    ctx = Rwkv7Context(model)
+    vocab = model.tokenizer.vocab
+    sys.stdout.write(prompt)
+    for tok in generate(ctx, toks, args.n_predict):
+        if vocab.is_eog(tok):
+            break
+        sys.stdout.write(model.tokenizer.token_to_piece(tok))
+        sys.stdout.flush()
+    sys.stdout.write("\n")
+    return 0
+
+
 def _run_t5(args) -> int:
     """Encoder-decoder generation (t5): llama_encode on the prompt, then
     the decoder loop seeded with decoder_start_token (the reference
@@ -154,6 +182,8 @@ def main(argv=None) -> int:
         return _run_mamba(args)
     if _arch == "rwkv6":
         return _run_rwkv6(args)
+    if _arch in ("rwkv7", "arwkv7"):
+        return _run_rwkv7(args)
     if _arch in ("t5", "t5encoder"):
         return _run_t5(args)
 

@@ -304,6 +304,10 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
         raise ValueError(
             "rwkv6 is a recurrent arch with no KV cache — load it with "
             "models.rwkv6.Rwkv6Model / Rwkv6Context")
+    if spec.family == "rwkv7":
+        raise ValueError(
+            "rwkv7/arwkv7 are recurrent archs with no KV cache — load "
+            "them with models.rwkv7.Rwkv7Model / Rwkv7Context")
     if spec.family == "t5":
         raise ValueError(
             "t5 is an encoder-decoder arch — load it with "

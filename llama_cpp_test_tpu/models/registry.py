@@ -406,6 +406,14 @@ register_arch(ArchSpec("mamba", family="mamba",
 register_arch(ArchSpec("rwkv6", family="rwkv6",
                        notes="recurrent wkv; models/rwkv6.py surface"))
 
+# rwkv7 "goose" (llm_build_rwkv7): DeltaNet-style rank-1 state
+# transitions with in-context learning rates; arwkv7 is the
+# qwen-distilled hybrid (rms body + swiglu FFN, llm_build_arwkv7)
+register_arch(ArchSpec("rwkv7", family="rwkv7",
+                       notes="recurrent wkv7; models/rwkv7.py surface"))
+register_arch(ArchSpec("arwkv7", family="rwkv7",
+                       notes="rwkv7 time mix in a qwen body"))
+
 # openelm (Apple OpenELM 270M-3B): PER-LAYER geometry — num_query_heads /
 # num_kv_heads / ffn dims vary by layer (GGUF head_count arrays, reference
 # llama-hparams.h n_head_arr; llm_build_openelm) — fused qkv split at the

@@ -160,6 +160,12 @@ ARCH_MAP = {
     # convert_hf_to_gguf.py:3445): recurrent token-shift + wkv states,
     # models/rwkv6.py surface
     "Rwkv6ForCausalLM": "rwkv6",
+    # RWKV7 "goose" + the qwen-distilled ARWKV7 hybrid (reference
+    # Rwkv7Model / ARwkv7Model, convert_hf_to_gguf.py:3571,3690):
+    # DeltaNet-style rank-1 state transitions, models/rwkv7.py surface
+    "Rwkv7ForCausalLM": "rwkv7",
+    "RWKV7ForCausalLM": "rwkv7",
+    "RwkvHybridForCausalLM": "arwkv7",
 }
 
 # rwkv6 HF names (reference gguf-py tensor_mapping rwkv6 rows). The five
@@ -197,6 +203,191 @@ RWKV6_LAYER_MAP = {
     "feed_forward.receptance.weight": "channel_mix_receptance.weight",
     "feed_forward.value.weight": "channel_mix_value.weight",
 }
+
+
+# rwkv7/arwkv7 layer-suffix map AFTER the reference's name-normalization
+# replaces (blocks->layers, self_attn/attn->attention, ffn->feed_forward,
+# time_mixer.->"", feed_forward_norm->ln2, g_norm->ln_x)
+RWKV7_LAYER_MAP = {
+    "ln1.weight": "attn_norm.weight",
+    "ln1.bias": "attn_norm.bias",
+    "ln2.weight": "attn_norm_2.weight",
+    "ln2.bias": "attn_norm_2.bias",
+    "input_layernorm.weight": "attn_norm.weight",       # arwkv7
+    "post_attention_layernorm.weight": "ffn_norm.weight",
+    "attention.w0": "time_mix_w0.weight",
+    "attention.w1": "time_mix_w1.weight",
+    "attention.w2": "time_mix_w2.weight",
+    "attention.a0": "time_mix_a0.weight",
+    "attention.a1": "time_mix_a1.weight",
+    "attention.a2": "time_mix_a2.weight",
+    "attention.v0": "time_mix_v0.weight",
+    "attention.v1": "time_mix_v1.weight",
+    "attention.v2": "time_mix_v2.weight",
+    "attention.g1": "time_mix_g1.weight",
+    "attention.g2": "time_mix_g2.weight",
+    "attention.k_k": "time_mix_k_k.weight",
+    "attention.k_a": "time_mix_k_a.weight",
+    "attention.r_k": "time_mix_r_k.weight",
+    "attention.key.weight": "time_mix_key.weight",
+    "attention.k_proj.weight": "time_mix_key.weight",
+    "attention.value.weight": "time_mix_value.weight",
+    "attention.v_proj.weight": "time_mix_value.weight",
+    "attention.receptance.weight": "time_mix_receptance.weight",
+    "attention.r_proj.weight": "time_mix_receptance.weight",
+    "attention.output.weight": "time_mix_output.weight",
+    "attention.o_proj.weight": "time_mix_output.weight",
+    "attention.ln_x.weight": "time_mix_ln.weight",
+    "attention.ln_x.bias": "time_mix_ln.bias",
+    "feed_forward.x_k": "channel_mix_lerp_k.weight",
+    "feed_forward.key.weight": "channel_mix_key.weight",
+    "feed_forward.value.weight": "channel_mix_value.weight",
+    "mlp.gate_proj.weight": "ffn_gate.weight",          # arwkv7
+    "mlp.up_proj.weight": "ffn_up.weight",
+    "mlp.down_proj.weight": "ffn_down.weight",
+}
+RWKV7_TOP_MAP = {
+    "model.embeddings.weight": "token_embd.weight",
+    "model.embed_tokens.weight": "token_embd.weight",   # arwkv7
+    "model.pre_ln.weight": "token_embd_norm.weight",
+    "model.pre_ln.bias": "token_embd_norm.bias",
+    "model.ln_out.weight": "output_norm.weight",
+    "model.ln_out.bias": "output_norm.bias",
+    "model.norm.weight": "output_norm.weight",          # arwkv7
+    "head.weight": "output.weight",
+    "lm_head.weight": "output.weight",
+}
+
+
+def _convert_rwkv7(path: str, out_path: str, cfg: dict, arch: str,
+                   dtype: str) -> None:
+    """RWKV7 / ARWKV7 converter (reference Rwkv7Model/ARwkv7Model):
+    normalizes the HF/fla name variants, transposes the low-rank
+    w/a/v/g planes to math layout (skipped for fla's _lora.lora format,
+    which is already transposed), fuses the x_r..x_g lerps, and drops
+    layer 0's dummy v0/v1/v2 (v_first IS layer 0's value)."""
+    C = cfg["hidden_size"]
+    L = cfg["num_hidden_layers"]
+    head_size = cfg.get("head_size", cfg.get("head_dim", 64))
+    has_gate = bool(cfg.get("wkv_has_gate", True))
+    lerp_list = "rwkva" + ("g" if has_gate else "")
+    ggml_dtype = {"F16": GGMLType.F16, "BF16": GGMLType.BF16,
+                  "F32": GGMLType.F32, "Q8_0": GGMLType.Q8_0}[dtype]
+    w = GGUFWriter(out_path, arch=arch)
+    eps_key = (f"{arch}.attention.layer_norm_rms_epsilon"
+               if arch == "arwkv7"
+               else f"{arch}.attention.layer_norm_epsilon")
+    md = {
+        "general.architecture": arch,
+        "general.name": cfg.get("_name_or_path", os.path.basename(path)),
+        f"{arch}.context_length": 1048576,
+        f"{arch}.embedding_length": C,
+        f"{arch}.block_count": L,
+        eps_key: cfg.get("layer_norm_epsilon",
+                         cfg.get("norm_eps",
+                                 cfg.get("rms_norm_eps", 1e-5))),
+        f"{arch}.wkv.head_size": head_size,
+        f"{arch}.feed_forward_length": (cfg.get("intermediate_size")
+                                        or C * 4),
+        f"{arch}.vocab_size": cfg["vocab_size"],
+        f"{arch}.attention.head_count": 0,
+    }
+    if arch == "arwkv7":
+        md[f"{arch}.token_shift_count"] = 1
+    world = os.path.join(path, "rwkv_vocab_v20230424.txt")
+    if os.path.exists(world):
+        import ast
+        tokens, types = ["<s>"], [3]
+        with open(world, encoding="utf-8") as f:
+            for line in f:
+                parts = line.split(" ")
+                tok = ast.literal_eval(" ".join(parts[1:-1]))
+                tok = tok.encode("utf-8") if isinstance(tok, str) else tok
+                tokens.append(repr(tok)[2:-1])
+                types.append(1)
+        for i in range(len(tokens), cfg["vocab_size"]):
+            tokens.append(f"[PAD{i}]")
+            types.append(5)
+        md.update({"tokenizer.ggml.model": "rwkv",
+                   "tokenizer.ggml.tokens": tokens,
+                   "tokenizer.ggml.token_type": np.asarray(types,
+                                                           np.int32)})
+    else:
+        md.update(_vocab_metadata(path, cfg))
+    # lora ranks recorded for reference parity (the loader derives them
+    # from the tensor shapes); filled in after the tensor pass
+    lerps: dict[int, dict[str, np.ndarray]] = {}
+    ranks: dict[str, int] = {}
+    tensors: list[tuple[str, np.ndarray]] = []
+    for name, arr in iter_hf_tensors(path):
+        fla_lora = "_lora.lora" in name
+        name = name.replace("blocks", "layers") \
+                   .replace("ffn", "feed_forward") \
+                   .replace("self_attn", "attention") \
+                   .replace("attn", "attention") \
+                   .replace("time_mixer.", "") \
+                   .replace("_lora.lora.0.weight", "1.weight") \
+                   .replace("_lora.lora.2.weight", "2.weight") \
+                   .replace("_lora.lora.2.bias", "0.weight") \
+                   .replace("feed_forward_norm", "ln2") \
+                   .replace("g_norm", "ln_x")
+        a = np.asarray(arr, np.float32)
+        if name in RWKV7_TOP_MAP:
+            tensors.append((RWKV7_TOP_MAP[name], a))
+            continue
+        if name.startswith("model.layers."):
+            rest = name[len("model.layers."):]
+            li_s, _, suffix = rest.partition(".")
+            li = int(li_s)
+            if suffix in ("pre_norm.weight", "pre_norm.bias"):
+                tensors.append((
+                    "token_embd_norm." + suffix.split(".")[-1], a))
+                continue
+            m = re.match(r"attention\.x_([rwkvag])$", suffix)
+            if m:
+                lerps.setdefault(li, {})[m.group(1)] = a.reshape(-1)
+                if len(lerps[li]) == len(lerp_list):
+                    d = lerps.pop(li)
+                    tensors.append((
+                        f"blk.{li}.time_mix_lerp_fused.weight",
+                        np.stack([d[s] for s in lerp_list])))
+                continue
+            if suffix == "attention.x_x":      # pre-fused variant
+                tensors.append((f"blk.{li}.time_mix_lerp_fused.weight",
+                                a.reshape(len(lerp_list), C)))
+                continue
+            mapped = RWKV7_LAYER_MAP.get(suffix)
+            if mapped is None:
+                continue
+            if li == 0 and mapped.startswith(("time_mix_v0",
+                                              "time_mix_v1",
+                                              "time_mix_v2")):
+                continue    # dummy first-layer value-residual planes
+            if mapped.endswith(("_w0.weight", "_a0.weight",
+                                "_v0.weight", "_k_k.weight",
+                                "_k_a.weight", "_r_k.weight")):
+                a = a.reshape(-1)
+            elif mapped[-9:-7] in ("w1", "a1", "v1", "g1", "w2",
+                                   "a2", "v2", "g2") and not fla_lora:
+                a = np.ascontiguousarray(a.T)
+            if mapped.endswith(("w1.weight", "a1.weight", "v1.weight",
+                                "g1.weight")):
+                ranks[mapped[-9:-7]] = a.shape[0]
+            tensors.append((f"blk.{li}.{mapped}", a))
+            continue
+    md[f"{arch}.attention.decay_lora_rank"] = ranks.get("w1", 64)
+    md[f"{arch}.attention.iclr_lora_rank"] = ranks.get("a1", 64)
+    md[f"{arch}.attention.value_residual_mix_lora_rank"] = \
+        ranks.get("v1", 32)
+    md[f"{arch}.attention.gate_lora_rank"] = \
+        ranks.get("g1", 128 if has_gate else 0)
+    for key, val in md.items():
+        w.add_kv(key, val)
+    for gname, a in tensors:
+        tgt = ggml_dtype if a.ndim == 2 and "norm" not in gname \
+            and "lerp" not in gname else GGMLType.F32
+        w.add_tensor(gname, a, ggml_type=tgt)
+    w.write()
 
 
 def _convert_rwkv6(path: str, out_path: str, cfg: dict,
@@ -1184,6 +1375,8 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
         return _convert_t5(path, out_path, cfg, arch, dtype)
     if arch == "rwkv6":
         return _convert_rwkv6(path, out_path, cfg, dtype)
+    if arch in ("rwkv7", "arwkv7"):
+        return _convert_rwkv7(path, out_path, cfg, arch, dtype)
     if arch == "qwen2vl" and isinstance(cfg.get("text_config"), dict):
         # VL configs nest the language-model hparams (transformers >= 4.52)
         cfg = {**cfg, **cfg["text_config"]}
