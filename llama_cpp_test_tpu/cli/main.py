@@ -180,7 +180,7 @@ def main(argv=None) -> int:
     _arch = open_gguf(args.model).metadata.get("general.architecture")
     if _arch == "mamba":
         return _run_mamba(args)
-    if _arch == "rwkv6":
+    if _arch in ("rwkv6", "rwkv6qwen2"):
         return _run_rwkv6(args)
     if _arch in ("rwkv7", "arwkv7"):
         return _run_rwkv7(args)

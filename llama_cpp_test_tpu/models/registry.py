@@ -405,6 +405,10 @@ register_arch(ArchSpec("mamba", family="mamba",
 # llama-model.cpp:10340-10647; wkv kernel ggml_compute_forward_rwkv_wkv6)
 register_arch(ArchSpec("rwkv6", family="rwkv6",
                        notes="recurrent wkv; models/rwkv6.py surface"))
+# QRWKV6 (llm_build_rwkv6qwen2): qwen2.5 distilled onto rwkv6 linear
+# attention — rms/swiglu body, gated-linear-attn time mix, GQA kv heads
+register_arch(ArchSpec("rwkv6qwen2", family="rwkv6",
+                       notes="rwkv6 time mix in a qwen body"))
 
 # rwkv7 "goose" (llm_build_rwkv7): DeltaNet-style rank-1 state
 # transitions with in-context learning rates; arwkv7 is the

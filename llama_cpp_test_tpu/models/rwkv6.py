@@ -55,7 +55,7 @@ from ..tokenizer import load_tokenizer
 
 @dataclasses.dataclass(frozen=True)
 class Rwkv6HParams:
-    arch: str
+    arch: str                # rwkv6 | rwkv6qwen2
     n_vocab: int
     n_embd: int
     n_layer: int
@@ -63,18 +63,27 @@ class Rwkv6HParams:
     n_ff: int
     ln_eps: float
     rescale_every: int       # 0 = no activation rescaling
+    n_head_kv: int = 0       # rwkv6qwen2 GQA kv heads (0 = n_head)
 
     @property
     def n_head(self) -> int:
         return self.n_embd // self.head_size
 
+    @property
+    def qrwkv(self) -> bool:
+        """rwkv6qwen2 (QRWKV): rms/swiglu qwen body, gated-linear-attn
+        time mix — no time_mix_first, sigmoid gate, k scaled by (1-w),
+        no per-head group norm, ONE token shift (llm_build_rwkv6qwen2 +
+        ggml_gated_linear_attn)."""
+        return self.arch == "rwkv6qwen2"
+
 
 @dataclasses.dataclass
 class Rwkv6Layer:
-    ln1_w: np.ndarray            # attn_norm (LayerNorm w/b)
-    ln1_b: np.ndarray
-    ln2_w: np.ndarray            # attn_norm_2 = ffn norm
-    ln2_b: np.ndarray
+    ln1_w: np.ndarray            # attn_norm (LayerNorm w/b; rms for qrwkv)
+    ln1_b: np.ndarray | None
+    ln2_w: np.ndarray | None     # attn_norm_2 (rwkv6) / ffn_norm (qrwkv)
+    ln2_b: np.ndarray | None
     lerp_x: np.ndarray           # [C]
     lerp_fused: np.ndarray       # [5, C] (w, k, v, r, g order)
     w1: np.ndarray               # [5*extra, C]
@@ -82,19 +91,25 @@ class Rwkv6Layer:
     decay: np.ndarray            # [C] bias
     decay_w1: np.ndarray         # [extra_d, C]
     decay_w2: np.ndarray         # [C, extra_d]
-    first: np.ndarray            # time_mix_first (time_faaaa) [H, D]
-    key_w: np.ndarray            # [C, C]
+    first: np.ndarray | None     # time_mix_first [H, D]; None for qrwkv
+    key_w: np.ndarray            # [C or KV*D, C]
     value_w: np.ndarray
     recept_w: np.ndarray
     gate_w: np.ndarray
-    ln_x_w: np.ndarray           # per-head groupnorm affine [C]
-    ln_x_b: np.ndarray
-    out_w: np.ndarray            # [C, C]
-    cm_lerp_k: np.ndarray        # [C]
-    cm_lerp_r: np.ndarray
-    cm_key_w: np.ndarray         # [FF, C]
-    cm_recept_w: np.ndarray      # [C, C]
-    cm_value_w: np.ndarray       # [C, FF]
+    key_b: np.ndarray | None = None       # qrwkv qwen-style biases
+    value_b: np.ndarray | None = None
+    recept_b: np.ndarray | None = None
+    ln_x_w: np.ndarray | None = None      # per-head groupnorm affine [C]
+    ln_x_b: np.ndarray | None = None
+    out_w: np.ndarray = None              # [C, C]
+    cm_lerp_k: np.ndarray | None = None   # [C]
+    cm_lerp_r: np.ndarray | None = None
+    cm_key_w: np.ndarray | None = None    # [FF, C]
+    cm_recept_w: np.ndarray | None = None # [C, C]
+    cm_value_w: np.ndarray | None = None  # [C, FF]
+    ffn_gate: np.ndarray | None = None    # qrwkv swiglu ffn
+    ffn_up: np.ndarray | None = None
+    ffn_down: np.ndarray | None = None
 
 
 @dataclasses.dataclass
@@ -119,21 +134,24 @@ class Rwkv6Model:
         self.reader = r
         md = r.metadata
         arch = md.get("general.architecture")
-        if arch != "rwkv6":
-            raise ValueError(f"not a rwkv6 GGUF (arch {arch!r})")
+        if arch not in ("rwkv6", "rwkv6qwen2"):
+            raise ValueError(f"not a rwkv6/rwkv6qwen2 GGUF (arch {arch!r})")
         toks = md.get("tokenizer.ggml.tokens")
         n_vocab = int(md.get(f"{arch}.vocab_size",
                              len(toks) if toks is not None else 0))
+        eps_key = (f"{arch}.attention.layer_norm_rms_epsilon"
+                   if arch == "rwkv6qwen2"
+                   else f"{arch}.attention.layer_norm_epsilon")
         self.hp = Rwkv6HParams(
-            arch="rwkv6",
+            arch=arch,
             n_vocab=n_vocab,
             n_embd=int(md[f"{arch}.embedding_length"]),
             n_layer=int(md[f"{arch}.block_count"]),
             head_size=int(md[f"{arch}.wkv.head_size"]),
             n_ff=int(md.get(f"{arch}.feed_forward_length", 0)),
-            ln_eps=float(md.get(f"{arch}.attention.layer_norm_epsilon",
-                                1e-5)),
+            ln_eps=float(md.get(eps_key, 1e-5)),
             rescale_every=int(md.get(f"{arch}.rescale_every_n_layers", 0)),
+            n_head_kv=int(md.get(f"{arch}.attention.head_count_kv", 0)),
         )
         C, D = self.hp.n_embd, self.hp.head_size
         H = self.hp.n_head
@@ -155,11 +173,17 @@ class Rwkv6Model:
                     t(p + f"time_mix_lerp_{s}.weight").reshape(C)
                     for s in ("w", "k", "v", "r", "g")])
             extra = t(p + "time_mix_w1.weight").shape[0] // 5
+
+            def opt(name):
+                return t(name) if name in r.tensors else None
+
             lys.append(Rwkv6Layer(
                 ln1_w=t(p + "attn_norm.weight"),
-                ln1_b=t(p + "attn_norm.bias"),
-                ln2_w=t(p + "attn_norm_2.weight"),
-                ln2_b=t(p + "attn_norm_2.bias"),
+                ln1_b=opt(p + "attn_norm.bias"),
+                ln2_w=(t(p + "attn_norm_2.weight")
+                       if p + "attn_norm_2.weight" in r.tensors
+                       else opt(p + "ffn_norm.weight")),
+                ln2_b=opt(p + "attn_norm_2.bias"),
                 lerp_x=t(p + "time_mix_lerp_x.weight").reshape(C),
                 lerp_fused=fused,
                 w1=t(p + "time_mix_w1.weight"),
@@ -167,27 +191,44 @@ class Rwkv6Model:
                 decay=t(p + "time_mix_decay.weight").reshape(C),
                 decay_w1=t(p + "time_mix_decay_w1.weight"),
                 decay_w2=t(p + "time_mix_decay_w2.weight"),
-                first=t(p + "time_mix_first.weight").reshape(H, D),
+                first=(t(p + "time_mix_first.weight").reshape(H, D)
+                       if p + "time_mix_first.weight" in r.tensors
+                       else None),
                 key_w=t(p + "time_mix_key.weight"),
                 value_w=t(p + "time_mix_value.weight"),
                 recept_w=t(p + "time_mix_receptance.weight"),
                 gate_w=t(p + "time_mix_gate.weight"),
-                ln_x_w=t(p + "time_mix_ln.weight"),
-                ln_x_b=t(p + "time_mix_ln.bias"),
+                key_b=opt(p + "time_mix_key.bias"),
+                value_b=opt(p + "time_mix_value.bias"),
+                recept_b=opt(p + "time_mix_receptance.bias"),
+                ln_x_w=opt(p + "time_mix_ln.weight"),
+                ln_x_b=opt(p + "time_mix_ln.bias"),
                 out_w=t(p + "time_mix_output.weight"),
-                cm_lerp_k=t(p + "channel_mix_lerp_k.weight").reshape(C),
-                cm_lerp_r=t(p + "channel_mix_lerp_r.weight").reshape(C),
-                cm_key_w=t(p + "channel_mix_key.weight"),
-                cm_recept_w=t(p + "channel_mix_receptance.weight"),
-                cm_value_w=t(p + "channel_mix_value.weight"),
+                cm_lerp_k=(t(p + "channel_mix_lerp_k.weight").reshape(C)
+                           if p + "channel_mix_lerp_k.weight" in r.tensors
+                           else None),
+                cm_lerp_r=(t(p + "channel_mix_lerp_r.weight").reshape(C)
+                           if p + "channel_mix_lerp_r.weight" in r.tensors
+                           else None),
+                cm_key_w=opt(p + "channel_mix_key.weight"),
+                cm_recept_w=opt(p + "channel_mix_receptance.weight"),
+                cm_value_w=opt(p + "channel_mix_value.weight"),
+                ffn_gate=opt(p + "ffn_gate.weight"),
+                ffn_up=opt(p + "ffn_up.weight"),
+                ffn_down=opt(p + "ffn_down.weight"),
             ))
         embd = t("token_embd.weight")
         self.weights = Rwkv6Weights(
             tok_embd=embd,
-            tok_norm_w=t("token_embd_norm.weight"),
-            tok_norm_b=t("token_embd_norm.bias"),
+            tok_norm_w=(t("token_embd_norm.weight")
+                        if "token_embd_norm.weight" in r.tensors
+                        else None),
+            tok_norm_b=(t("token_embd_norm.bias")
+                        if "token_embd_norm.bias" in r.tensors
+                        else None),
             output_norm_w=t("output_norm.weight"),
-            output_norm_b=t("output_norm.bias"),
+            output_norm_b=(t("output_norm.bias")
+                           if "output_norm.bias" in r.tensors else None),
             output=(t("output.weight") if "output.weight" in r.tensors
                     else embd),
             layers=lys,
@@ -204,58 +245,94 @@ def _ln(x, w, b, eps):
     return (x - mu) * jax.lax.rsqrt(var + eps) * w + b
 
 
-def _layer_ws(ly: Rwkv6Layer) -> tuple:
-    return (ly.ln1_w, ly.ln1_b, ly.ln2_w, ly.ln2_b, ly.lerp_x,
-            ly.lerp_fused, ly.w1, ly.w2, ly.decay, ly.decay_w1,
-            ly.decay_w2, ly.first, ly.key_w, ly.value_w, ly.recept_w,
-            ly.gate_w, ly.ln_x_w, ly.ln_x_b, ly.out_w, ly.cm_lerp_k,
-            ly.cm_lerp_r, ly.cm_key_w, ly.cm_recept_w, ly.cm_value_w)
+# Rwkv6Layer rides through jit as a pytree (None fields flatten to
+# empty subtrees, so the per-arch None pattern is static structure)
+jax.tree_util.register_dataclass(
+    Rwkv6Layer,
+    data_fields=[f.name for f in dataclasses.fields(Rwkv6Layer)],
+    meta_fields=[])
 
 
-def _layer_step(ws, shift_a, shift_f, S, x, *, hp: Rwkv6HParams,
-                rescale: bool):
-    """One token through one rwkv6 layer. x [C]; shift_a/shift_f [C];
-    S [H, D, D] (i = key channel, j = value channel). Returns
-    (x', shift_a', shift_f', S')."""
-    (ln1_w, ln1_b, ln2_w, ln2_b, lerp_x, lerp_fused, w1, w2, decay,
-     decay_w1, decay_w2, first, key_w, value_w, recept_w, gate_w,
-     ln_x_w, ln_x_b, out_w, cm_lerp_k, cm_lerp_r, cm_key_w,
-     cm_recept_w, cm_value_w) = ws
+def _norm1(x, ly, hp):
+    if hp.qrwkv:   # rms, no bias
+        return x * jax.lax.rsqrt(
+            jnp.mean(x * x, axis=-1, keepdims=True) + hp.ln_eps) * ly.ln1_w
+    return _ln(x, ly.ln1_w, ly.ln1_b, hp.ln_eps)
+
+
+def _layer_step(ly: Rwkv6Layer, shift_a, shift_f, S, x, *,
+                hp: Rwkv6HParams, rescale: bool):
+    """One token through one rwkv6/rwkv6qwen2 layer. x [C];
+    shift_a/shift_f [C]; S [H, D, D]. Returns (x', shift_a', shift_f',
+    S'). rwkv6: S indexed (key, value), wkv6 update. qrwkv: S indexed
+    the same, gated-linear-attn update (no first bonus, decayed state
+    read, scale head_size^-0.5)."""
     H, D = hp.n_head, hp.head_size
+    KV = hp.n_head_kv or H
     eps = hp.ln_eps
 
     # ---- time mix -------------------------------------------------------
-    xa = _ln(x, ln1_w, ln1_b, eps)
+    xa = _norm1(x, ly, hp)
     sx = shift_a - xa
-    xxx = xa + sx * lerp_x
-    tmp = jnp.tanh(w1 @ xxx).reshape(5, -1)          # [5, extra]
-    five = jnp.einsum("sce,se->sc", w2, tmp)         # [5, C]
-    xi = xa[None, :] + sx[None, :] * (five + lerp_fused)   # [5, C]
+    xxx = xa + sx * ly.lerp_x
+    tmp = jnp.tanh(ly.w1 @ xxx).reshape(5, -1)          # [5, extra]
+    five = jnp.einsum("sce,se->sc", ly.w2, tmp)         # [5, C]
+    xi = xa[None, :] + sx[None, :] * (five + ly.lerp_fused)   # [5, C]
     xw, xk, xv, xr, xg = xi[0], xi[1], xi[2], xi[3], xi[4]
-    r = (recept_w @ xr).reshape(H, D)
-    k = (key_w @ xk).reshape(H, D)
-    v = (value_w @ xv).reshape(H, D)
-    g = jax.nn.silu(gate_w @ xg)
-    w = decay_w2 @ jnp.tanh(decay_w1 @ xw) + decay
+    r = ly.recept_w @ xr
+    k = ly.key_w @ xk
+    v = ly.value_w @ xv
+    if ly.recept_b is not None:
+        r = r + ly.recept_b
+    if ly.key_b is not None:
+        k = k + ly.key_b
+    if ly.value_b is not None:
+        v = v + ly.value_b
+    r = r.reshape(H, D)
+    if KV != H:   # qrwkv GQA: repeat kv heads (build_rwkv6_time_mix)
+        k = jnp.repeat(k.reshape(KV, D), H // KV, axis=0)
+        v = jnp.repeat(v.reshape(KV, D), H // KV, axis=0)
+    else:
+        k = k.reshape(H, D)
+        v = v.reshape(H, D)
+    g = ly.gate_w @ xg
+    g = jax.nn.sigmoid(g) if hp.qrwkv else jax.nn.silu(g)
+    w = ly.decay_w2 @ jnp.tanh(ly.decay_w1 @ xw) + ly.decay
     w = jnp.exp(-jnp.exp(w)).reshape(H, D)
-    # wkv6: out_j = sum_i r_i (first_i k_i v_j + S_ij);
-    #       S_ij <- S_ij w_i + k_i v_j  (ggml_rwkv_wkv6 scalar loop)
-    kv = k[:, :, None] * v[:, None, :]               # [H, D, D]
-    out = jnp.einsum("hi,hij->hj", r, first[:, :, None] * kv + S)
-    S = S * w[:, :, None] + kv
-    # per-head groupnorm (ggml_norm eps 64e-5 on the [D]-head view)
-    out = _ln(out, 1.0, 0.0, 64e-5).reshape(H * D)
-    out = out * ln_x_w + ln_x_b
-    x = x + out_w @ (out * g)
+    if hp.qrwkv:
+        # gated linear attention (ggml_gated_linear_attn scalar loop):
+        # k scaled by (1-w); S <- diag(w) S + k v^T read AFTER update;
+        # out = scale * r^T S
+        k = k - k * w
+        S = S * w[:, :, None] + k[:, :, None] * v[:, None, :]
+        out = jnp.einsum("hi,hij->hj", r, S) * (D ** -0.5)
+        out = out.reshape(H * D)
+    else:
+        # wkv6: out_j = sum_i r_i (first_i k_i v_j + S_ij);
+        #       S_ij <- S_ij w_i + k_i v_j  (ggml_rwkv_wkv6 scalar loop)
+        kv = k[:, :, None] * v[:, None, :]               # [H, D, D]
+        out = jnp.einsum("hi,hij->hj", r,
+                         ly.first[:, :, None] * kv + S)
+        S = S * w[:, :, None] + kv
+        # per-head groupnorm (ggml_norm eps 64e-5 on the [D]-head view)
+        out = _ln(out, 1.0, 0.0, 64e-5).reshape(H * D)
+        out = out * ly.ln_x_w + ly.ln_x_b
+    x = x + ly.out_w @ (out * g)
 
-    # ---- channel mix ----------------------------------------------------
-    xf = _ln(x, ln2_w, ln2_b, eps)
+    # ---- ffn ------------------------------------------------------------
+    if hp.qrwkv:
+        # qwen swiglu FFN on an rms norm; no ffn token shift
+        cur = x * jax.lax.rsqrt(
+            jnp.mean(x * x, axis=-1, keepdims=True) + eps) * ly.ln2_w
+        act = jax.nn.silu(ly.ffn_gate @ cur) * (ly.ffn_up @ cur)
+        return x + ly.ffn_down @ act, xa, shift_f, S
+    xf = _ln(x, ly.ln2_w, ly.ln2_b, eps)
     sx2 = shift_f - xf
-    xk2 = xf + sx2 * cm_lerp_k
-    xr2 = xf + sx2 * cm_lerp_r
-    rr = jax.nn.sigmoid(cm_recept_w @ xr2)
-    kk = jnp.square(jax.nn.relu(cm_key_w @ xk2))
-    x = x + rr * (cm_value_w @ kk)
+    xk2 = xf + sx2 * ly.cm_lerp_k
+    xr2 = xf + sx2 * ly.cm_lerp_r
+    rr = jax.nn.sigmoid(ly.cm_recept_w @ xr2)
+    kk = jnp.square(jax.nn.relu(ly.cm_key_w @ xk2))
+    x = x + rr * (ly.cm_value_w @ kk)
     if rescale:
         x = x * 0.5
     return x, xa, xf, S
@@ -265,22 +342,28 @@ def _layer_step(ws, shift_a, shift_f, S, x, *, hp: Rwkv6HParams,
 def _forward_tokens(weights_t, states, tokens, *, hp: Rwkv6HParams):
     """tokens [T] -> (logits [T, V], states'). states = (shift_a [L, C],
     shift_f [L, C], wkv [L, H, D, D]). One lax.scan over T."""
-    tok_embd, tnw, tnb, onw, onb, out_w, layer_ws = weights_t
+    tok_embd, tnw, tnb, onw, onb, out_w, layers = weights_t
     sa0, sf0, S0 = states
 
     def step(carry, tok):
         sa, sf, S = carry
-        x = _ln(tok_embd[tok], tnw, tnb, hp.ln_eps)
+        x = tok_embd[tok]
+        if tnw is not None:
+            x = _ln(x, tnw, tnb, hp.ln_eps)
         new_a, new_f, new_s = [], [], []
-        for li, ws in enumerate(layer_ws):
-            resc = hp.rescale_every > 0 and \
+        for li, ly in enumerate(layers):
+            resc = not hp.qrwkv and hp.rescale_every > 0 and \
                 (li + 1) % hp.rescale_every == 0
-            x, a1, f1, S1 = _layer_step(ws, sa[li], sf[li], S[li], x,
+            x, a1, f1, S1 = _layer_step(ly, sa[li], sf[li], S[li], x,
                                         hp=hp, rescale=resc)
             new_a.append(a1)
             new_f.append(f1)
             new_s.append(S1)
-        xn = _ln(x, onw, onb, hp.ln_eps)
+        if hp.qrwkv:
+            xn = x * jax.lax.rsqrt(
+                jnp.mean(x * x, axis=-1, keepdims=True) + hp.ln_eps) * onw
+        else:
+            xn = _ln(x, onw, onb, hp.ln_eps)
         logits = out_w @ xn
         return (jnp.stack(new_a), jnp.stack(new_f),
                 jnp.stack(new_s)), logits
@@ -295,16 +378,18 @@ class Rwkv6Context:
 
     def __init__(self, model: Rwkv6Model):
         self.model = model
+        w = model.weights
         self._wt = (
-            jnp.asarray(model.weights.tok_embd, jnp.float32),
-            jnp.asarray(model.weights.tok_norm_w, jnp.float32),
-            jnp.asarray(model.weights.tok_norm_b, jnp.float32),
-            jnp.asarray(model.weights.output_norm_w, jnp.float32),
-            jnp.asarray(model.weights.output_norm_b, jnp.float32),
-            jnp.asarray(model.weights.output, jnp.float32),
-            tuple(tuple(jnp.asarray(a, jnp.float32)
-                        for a in _layer_ws(ly))
-                  for ly in model.weights.layers),
+            jnp.asarray(w.tok_embd, jnp.float32),
+            (jnp.asarray(w.tok_norm_w, jnp.float32)
+             if w.tok_norm_w is not None else None),
+            (jnp.asarray(w.tok_norm_b, jnp.float32)
+             if w.tok_norm_b is not None else None),
+            jnp.asarray(w.output_norm_w, jnp.float32),
+            (jnp.asarray(w.output_norm_b, jnp.float32)
+             if w.output_norm_b is not None else None),
+            jnp.asarray(w.output, jnp.float32),
+            tuple(w.layers),   # Rwkv6Layer is a registered pytree
         )
         self.reset()
 

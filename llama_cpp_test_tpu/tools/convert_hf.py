@@ -160,6 +160,9 @@ ARCH_MAP = {
     # convert_hf_to_gguf.py:3445): recurrent token-shift + wkv states,
     # models/rwkv6.py surface
     "Rwkv6ForCausalLM": "rwkv6",
+    # QRWKV6 (qwen2.5 converted to rwkv6 linear attention — reference
+    # RWKV6Qwen2Model): rms/swiglu qwen body, gated-linear-attn time mix
+    "RWKV6Qwen2ForCausalLM": "rwkv6qwen2",
     # RWKV7 "goose" + the qwen-distilled ARWKV7 hybrid (reference
     # Rwkv7Model / ARwkv7Model, convert_hf_to_gguf.py:3571,3690):
     # DeltaNet-style rank-1 state transitions, models/rwkv7.py surface
@@ -390,38 +393,49 @@ def _convert_rwkv7(path: str, out_path: str, cfg: dict, arch: str,
     w.write()
 
 
-def _convert_rwkv6(path: str, out_path: str, cfg: dict,
+def _convert_rwkv6(path: str, out_path: str, cfg: dict, arch: str,
                    dtype: str) -> None:
-    """RWKV6 converter (reference Rwkv6Model): math-layout transposes for
-    the low-rank lerp/decay planes, the five time_maa lerps fused into
-    one [5, C] stack, and the fp16 rescale trick baked in —
-    time_mix_output / channel_mix_value divided by 2^(il//rescale_every)
-    (the runtime halves activations every rescale_every layers; the
-    composition equals the unscaled model since LayerNorm is
-    scale-invariant)."""
+    """RWKV6 / RWKV6Qwen2 converter (reference Rwkv6Model /
+    RWKV6Qwen2Model): math-layout transposes for the low-rank lerp/decay
+    planes, the five time_maa lerps fused into one [5, C] stack, and the
+    fp16 rescale trick baked in — time_mix_output / channel_mix_value
+    divided by 2^(il//rescale_every) (the runtime halves activations
+    every rescale_every layers; the composition equals the unscaled
+    model since LayerNorm is scale-invariant). The qwen2 variant maps
+    q/k/v/o/gate projections (with biases) onto the time-mix slots, the
+    qwen mlp + norms, GQA head_count_kv, and permutes the low-rank lerp
+    planes' 5-axis from the checkpoint's rkvwg order to wkvrg."""
     C = cfg["hidden_size"]
     L = cfg["num_hidden_layers"]
-    rescale = int(cfg.get("rescale_every", 6) or 0)
+    qrwkv = arch == "rwkv6qwen2"
+    rescale = 0 if qrwkv else int(cfg.get("rescale_every", 6) or 0)
+    head_size = (C // cfg["num_attention_heads"] if qrwkv
+                 else cfg.get("head_size", 64))
     ggml_dtype = {"F16": GGMLType.F16, "BF16": GGMLType.BF16,
                   "F32": GGMLType.F32, "Q8_0": GGMLType.Q8_0}[dtype]
-    arch = "rwkv6"
     w = GGUFWriter(out_path, arch=arch)
+    eps_key = (f"{arch}.attention.layer_norm_rms_epsilon" if qrwkv
+               else f"{arch}.attention.layer_norm_epsilon")
     md = {
         "general.architecture": arch,
         "general.name": cfg.get("_name_or_path", os.path.basename(path)),
         f"{arch}.context_length": 1048576,   # not context limited
         f"{arch}.embedding_length": C,
         f"{arch}.block_count": L,
-        f"{arch}.attention.layer_norm_epsilon": cfg.get(
-            "layer_norm_epsilon", 1e-5),
+        eps_key: cfg.get("rms_norm_eps" if qrwkv else "layer_norm_epsilon",
+                         1e-5),
         f"{arch}.rescale_every_n_layers": rescale,
-        f"{arch}.wkv.head_size": cfg.get("head_size", 64),
+        f"{arch}.wkv.head_size": head_size,
         f"{arch}.feed_forward_length": (
             cfg.get("intermediate_size")
             or int((C * 3.5) // 32 * 32)),
         f"{arch}.vocab_size": cfg["vocab_size"],
         f"{arch}.attention.head_count": 0,
     }
+    if qrwkv:
+        md[f"{arch}.token_shift_count"] = 1
+        md[f"{arch}.attention.head_count_kv"] = \
+            cfg["num_key_value_heads"]
     world = os.path.join(path, "rwkv_vocab_v20230424.txt")
     if os.path.exists(world):
         # reference _set_vocab_rwkv_world: byte-repr token texts, <s> at
@@ -449,8 +463,45 @@ def _convert_rwkv6(path: str, out_path: str, cfg: dict,
         w.add_kv(key, val)
 
     lerps: dict[int, dict[str, np.ndarray]] = {}
+    qmap = {   # qwen-projection -> time-mix slots (tensor_mapping rows)
+        "self_attn.q_proj.weight": "time_mix_receptance.weight",
+        "self_attn.q_proj.bias": "time_mix_receptance.bias",
+        "self_attn.k_proj.weight": "time_mix_key.weight",
+        "self_attn.k_proj.bias": "time_mix_key.bias",
+        "self_attn.v_proj.weight": "time_mix_value.weight",
+        "self_attn.v_proj.bias": "time_mix_value.bias",
+        "self_attn.o_proj.weight": "time_mix_output.weight",
+        "self_attn.gate.weight": "time_mix_gate.weight",
+        "input_layernorm.weight": "attn_norm.weight",
+        "post_attention_layernorm.weight": "ffn_norm.weight",
+        "mlp.gate_proj.weight": "ffn_gate.weight",
+        "mlp.up_proj.weight": "ffn_up.weight",
+        "mlp.down_proj.weight": "ffn_down.weight",
+    }
+    qtop = {"model.embed_tokens.weight": "token_embd.weight",
+            "model.norm.weight": "output_norm.weight",
+            "lm_head.weight": "output.weight"}
     for name, arr in iter_hf_tensors(path):
         a = np.asarray(arr, np.float32)
+        if qrwkv:
+            if name in qtop:
+                w.add_tensor(qtop[name], a,
+                             ggml_type=ggml_dtype if a.ndim == 2
+                             else GGMLType.F32)
+                continue
+            if name.startswith("model.layers."):
+                rest = name[len("model.layers."):]
+                li_s, _, suffix = rest.partition(".")
+                if suffix in qmap:
+                    gname = f"blk.{li_s}.{qmap[suffix]}"
+                    tgt = ggml_dtype if a.ndim == 2 and \
+                        "norm" not in gname else GGMLType.F32
+                    w.add_tensor(gname, a, ggml_type=tgt)
+                    continue
+                # time_maa_* / time_decay* ride the rwkv6 branch below
+                name = f"rwkv.blocks.{li_s}.attention." + \
+                    suffix.partition(".")[2] \
+                    if suffix.startswith("self_attn.") else name
         if name in RWKV6_TOP_MAP:
             gname = RWKV6_TOP_MAP[name]
         elif name.startswith("rwkv.blocks."):
@@ -477,6 +528,14 @@ def _convert_rwkv6(path: str, out_path: str, cfg: dict,
                 a = np.ascontiguousarray(a.T)
             elif mapped == "time_mix_w2.weight":
                 a = np.ascontiguousarray(a.transpose(0, 2, 1))
+            if qrwkv and mapped in ("time_mix_w1.weight",
+                                    "time_mix_w2.weight"):
+                # checkpoint lerp order rkvwg -> wkvrg (reference
+                # RWKV6Qwen2Model.modify_tensors permute)
+                v = a.reshape(5, -1, *a.shape[1:]) if a.ndim == 2 \
+                    else a
+                a = np.ascontiguousarray(
+                    v[[3, 1, 2, 0, 4]]).reshape(a.shape)
             elif mapped in ("time_mix_decay.weight",
                             "time_mix_lerp_x.weight",
                             "channel_mix_lerp_k.weight",
@@ -1373,8 +1432,8 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
                          f"known: {sorted(ARCH_MAP)}")
     if arch in ("t5", "t5encoder"):
         return _convert_t5(path, out_path, cfg, arch, dtype)
-    if arch == "rwkv6":
-        return _convert_rwkv6(path, out_path, cfg, dtype)
+    if arch in ("rwkv6", "rwkv6qwen2"):
+        return _convert_rwkv6(path, out_path, cfg, arch, dtype)
     if arch in ("rwkv7", "arwkv7"):
         return _convert_rwkv7(path, out_path, cfg, arch, dtype)
     if arch == "qwen2vl" and isinstance(cfg.get("text_config"), dict):

@@ -243,3 +243,136 @@ def test_rwkv6_cli_main_generates(tmp_path, capsys):
     assert rc == 0
     captured = capsys.readouterr()
     assert "<t3><t17>" in captured.out
+
+
+def test_rwkv6qwen2_prefill_matches_torch_reference(tmp_path):
+    """rwkv6qwen2 (QRWKV, llm_build_rwkv6qwen2 + ggml_gated_linear_attn):
+    qwen rms/swiglu body, q/k/v/o/gate projections with qwen biases on
+    the time-mix slots, GQA kv-head repeat, sigmoid gate, k*(1-w), no
+    first bonus / group norm, and the checkpoint's rkvwg low-rank lerp
+    order permuted to wkvrg at convert."""
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(241)
+    r = lambda *s: (rng.standard_normal(s) * 0.08).astype(np.float32)
+    KVH = 2                         # GQA kv heads (H=4)
+    E2q = 16                        # decay extra dim
+    ws = {
+        "model.embed_tokens.weight": r(V, C),
+        "model.norm.weight": 1.0 + r(C),
+        "lm_head.weight": r(V, C),
+    }
+    for i in range(L):
+        p = f"model.layers.{i}."
+        ws.update({
+            p + "input_layernorm.weight": 1.0 + r(C),
+            p + "post_attention_layernorm.weight": 1.0 + r(C),
+            p + "self_attn.time_maa_x": r(1, 1, C),
+            p + "self_attn.time_maa_w": r(1, 1, C),
+            p + "self_attn.time_maa_k": r(1, 1, C),
+            p + "self_attn.time_maa_v": r(1, 1, C),
+            p + "self_attn.time_maa_r": r(1, 1, C),
+            p + "self_attn.time_maa_g": r(1, 1, C),
+            # low-rank token-dependent lerps in the checkpoint's rkvwg
+            # 5-axis order
+            p + "self_attn.time_maa_w1": r(C, 5 * E),
+            p + "self_attn.time_maa_w2": r(5, E, C),
+            p + "self_attn.time_decay": r(1, 1, C) - 4.0,
+            p + "self_attn.time_decay_w1": r(C, E2q),
+            p + "self_attn.time_decay_w2": r(E2q, C),
+            p + "self_attn.q_proj.weight": r(C, C),
+            p + "self_attn.q_proj.bias": r(C),
+            p + "self_attn.k_proj.weight": r(KVH * D, C),
+            p + "self_attn.k_proj.bias": r(KVH * D),
+            p + "self_attn.v_proj.weight": r(KVH * D, C),
+            p + "self_attn.v_proj.bias": r(KVH * D),
+            p + "self_attn.gate.weight": r(C, C),
+            p + "self_attn.o_proj.weight": r(C, C),
+            p + "mlp.gate_proj.weight": r(FF, C),
+            p + "mlp.up_proj.weight": r(FF, C),
+            p + "mlp.down_proj.weight": r(C, FF),
+        })
+    cfg = {
+        "architectures": ["RWKV6Qwen2ForCausalLM"],
+        "hidden_size": C, "num_hidden_layers": L,
+        "num_attention_heads": H, "num_key_value_heads": KVH,
+        "intermediate_size": FF, "vocab_size": V, "rms_norm_eps": 1e-5,
+        "bos_token_id": 0, "eos_token_id": 0,
+    }
+    d = _write_hf(tmp_path, ws, 0)
+    # overwrite config with the qwen2-variant one
+    with open(d + "/config.json", "w") as f:
+        json.dump(cfg, f)
+
+    tw = {k: torch.from_numpy(v).double() for k, v in ws.items()}
+
+    def rms(x, w):
+        return x * torch.rsqrt((x ** 2).mean(-1, keepdim=True) + 1e-5) * w
+
+    def ref_forward(tokens):
+        T = len(tokens)
+        x = tw["model.embed_tokens.weight"][torch.tensor(tokens)]
+        for i in range(L):
+            p = f"model.layers.{i}."
+            xa = rms(x, tw[p + "input_layernorm.weight"])
+            x_prev = torch.cat([torch.zeros(1, C, dtype=torch.float64),
+                                xa[:-1]], 0)
+            sx = x_prev - xa
+            xxx = xa + sx * tw[p + "self_attn.time_maa_x"].view(C)
+            tmp = torch.tanh(xxx @ tw[p + "self_attn.time_maa_w1"]) \
+                .view(T, 5, E).transpose(0, 1)           # rkvwg order
+            five = torch.bmm(tmp, tw[p + "self_attn.time_maa_w2"])
+            maa = torch.stack([tw[p + f"self_attn.time_maa_{s}"].view(C)
+                               for s in "rkvwg"])
+            xi = xa[None] + sx[None] * (five + maa[:, None, :])
+            xr, xk, xv, xw_, xg = xi.unbind(0)
+            rr = xr @ tw[p + "self_attn.q_proj.weight"].T \
+                + tw[p + "self_attn.q_proj.bias"]
+            k = xk @ tw[p + "self_attn.k_proj.weight"].T \
+                + tw[p + "self_attn.k_proj.bias"]
+            v = xv @ tw[p + "self_attn.v_proj.weight"].T \
+                + tw[p + "self_attn.v_proj.bias"]
+            g = torch.sigmoid(xg @ tw[p + "self_attn.gate.weight"].T)
+            w = torch.tanh(xw_ @ tw[p + "self_attn.time_decay_w1"]) \
+                @ tw[p + "self_attn.time_decay_w2"] \
+                + tw[p + "self_attn.time_decay"].view(C)
+            w = torch.exp(-torch.exp(w)).view(T, H, D)
+            rh = rr.view(T, H, D)
+            kh = k.view(T, KVH, D).repeat_interleave(H // KVH, dim=1)
+            vh = v.view(T, KVH, D).repeat_interleave(H // KVH, dim=1)
+            kh = kh - kh * w                     # k * (1 - w)
+            S = torch.zeros(H, D, D, dtype=torch.float64)
+            outs = []
+            for t in range(T):
+                # gated linear attention scalar loop: S [H, Dk, Dv];
+                # state read AFTER the decayed update, scale D^-0.5
+                S = S * w[t][:, :, None] \
+                    + kh[t][:, :, None] * vh[t][:, None, :]
+                outs.append(torch.einsum(
+                    "hi,hij->hj", rh[t], S) * D ** -0.5)
+            out = torch.stack(outs).reshape(T, C) * g
+            x = x + out @ tw[p + "self_attn.o_proj.weight"].T
+            cur = rms(x, tw[p + "post_attention_layernorm.weight"])
+            act = F.silu(cur @ tw[p + "mlp.gate_proj.weight"].T) \
+                * (cur @ tw[p + "mlp.up_proj.weight"].T)
+            x = x + act @ tw[p + "mlp.down_proj.weight"].T
+        x = rms(x, tw["model.norm.weight"])
+        return (x @ tw["lm_head.weight"].T).numpy()
+
+    from llama_cpp_test_tpu.models.rwkv6 import Rwkv6Context, Rwkv6Model
+    from llama_cpp_test_tpu.tools.convert_hf import convert
+
+    out = str(tmp_path / "m.gguf")
+    convert(d, out, dtype="F32")
+    m = Rwkv6Model(out)
+    assert m.hp.qrwkv and m.hp.n_head_kv == KVH
+    assert m.weights.layers[0].first is None
+    assert m.weights.layers[0].ffn_gate is not None
+    tokens = [3, 17, 42, 9, 150, 7]
+    with torch.no_grad():
+        ref = ref_forward(tokens)
+    ctx = Rwkv6Context(m)
+    got = ctx.prefill(tokens, all_logits=True)
+    err = np.mean((got - ref) ** 2) / (np.mean(ref ** 2) + 1e-9)
+    assert err < 5e-3, err
+    assert np.argmax(got[-1]) == np.argmax(ref[-1])
