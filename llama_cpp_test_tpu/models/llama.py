@@ -308,6 +308,10 @@ def load_weights(reader: GGUFReader, hp: HParams | None = None,
         raise ValueError(
             "rwkv7/arwkv7 are recurrent archs with no KV cache — load "
             "them with models.rwkv7.Rwkv7Model / Rwkv7Context")
+    if spec.family == "wavtokenizer":
+        raise ValueError(
+            "wavtokenizer-dec is an audio-codec decoder — load it with "
+            "models.wavtokenizer.load_wavtokenizer (llama-tts CLI)")
     if spec.family == "t5":
         raise ValueError(
             "t5 is an encoder-decoder arch — load it with "

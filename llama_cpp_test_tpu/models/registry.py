@@ -410,6 +410,12 @@ register_arch(ArchSpec("rwkv6", family="rwkv6",
 register_arch(ArchSpec("rwkv6qwen2", family="rwkv6",
                        notes="rwkv6 time mix in a qwen body"))
 
+# wavtokenizer decoder (llm_build_wavtokenizer_dec): audio-codec
+# residual-conv/attention decoder — no token KV cache; rides its own
+# models/wavtokenizer.py loader + the llama-tts CLI
+register_arch(ArchSpec("wavtokenizer-dec", family="wavtokenizer",
+                       notes="audio decoder; models/wavtokenizer.py"))
+
 # rwkv7 "goose" (llm_build_rwkv7): DeltaNet-style rank-1 state
 # transitions with in-context learning rates; arwkv7 is the
 # qwen-distilled hybrid (rms body + swiglu FFN, llm_build_arwkv7)

@@ -168,9 +168,6 @@ def _qmm_t_kernel(x_ref, qs_ref, scale_ref, min_ref, lut_ref, member_ref,
     x = x_ref[...]
     tk, tnp = qs_ref.shape
     tg = tk // group
-    qs32 = None
-    if kind != "int8":
-        qs32 = qs_ref[...].astype(jnp.int32)
     xsum = None
     if member_ref is not None:
         # per-group activation sums for the affine fold (bsums trick of
@@ -178,6 +175,62 @@ def _qmm_t_kernel(x_ref, qs_ref, scale_ref, min_ref, lut_ref, member_ref,
         xsum = jax.lax.dot_general(x, member_ref[...],
                                    (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)
+    pipe_s = 0
+    if variant == "pipe" and kind not in ("u4lut", "u2lut"):
+        for s in (4, 2):   # sub-chunk count: scale slices stay 8-aligned
+            if tk % (s * group) == 0 and (tg // s) % 8 == 0:
+                pipe_s = s
+                break
+    if pipe_s:
+        # software-pipelined emission: split the K tile into 4 sub-chunks
+        # and emit the NEXT chunk's VPU dequant before the CURRENT
+        # chunk's MXU dot. The chains are independent, so Mosaic's
+        # scheduler can overlap the vector dequant with the matrix dots
+        # instead of serializing them (the measured 52%-of-peak prefill
+        # ceiling of the serialized kernel, KBENCH.md round-5 prefill)
+        S = pipe_s
+        ch = tk // S
+        cg = tg // S
+
+        def dq(c, h):
+            qc = qs_ref[c * ch:(c + 1) * ch, :]
+            q = qc.astype(jnp.int32) if kind == "int8" \
+                else _unpack(qc.astype(jnp.int32), kind, h)
+            s = scale_ref[h, c * cg:(c + 1) * cg, :]          # bf16
+            s_exp = jnp.broadcast_to(
+                s[:, None, :], (cg, group, tnp)).reshape(ch, tnp)
+            return q.astype(jnp.bfloat16) * s_exp
+
+        units = [(c, h) for c in range(S) for h in range(pack)]
+        w = dq(*units[0])
+        accs = [None] * pack
+        for i, (c, h) in enumerate(units):
+            w_next = dq(*units[i + 1]) if i + 1 < len(units) else None
+            part = jax.lax.dot_general(
+                x[:, c * ch:(c + 1) * ch], w,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            accs[h] = part if accs[h] is None else accs[h] + part
+            w = w_next
+        for h in range(pack):
+            if min_ref is not None:
+                accs[h] = accs[h] - jax.lax.dot_general(
+                    xsum, min_ref[h].astype(jnp.float32),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+        update = jnp.stack(accs, axis=1)
+
+        @pl.when(kk == 0)
+        def _():
+            o_ref[...] = update
+
+        @pl.when(kk != 0)
+        def _():
+            o_ref[...] = o_ref[...] + update
+        return
+    qs32 = None
+    if kind != "int8":
+        qs32 = qs_ref[...].astype(jnp.int32)
     accs = []
     for h in range(pack):
         q = qs_ref[...].astype(jnp.int32) if kind == "int8" \
@@ -218,6 +271,93 @@ def _qmm_t_kernel(x_ref, qs_ref, scale_ref, min_ref, lut_ref, member_ref,
     @pl.when(kk != 0)
     def _():
         o_ref[...] = o_ref[...] + update
+
+
+def _qmm_t_cache_kernel(x_ref, qs_ref, scale_ref, min_ref, lut_ref,
+                        member_ref, o_ref, w_scr, *, kind: str,
+                        group: int, pack: int, n_lut: int):
+    """Weight-strip-cached prefill kernel: grid (n, m) with m INNERMOST
+    and the FULL K axis inside the block, so each packed weight strip is
+    dequantized ONCE (at mm == 0, in sub-chunks to bound the int32
+    intermediate) into a VMEM scratch and reused by every row tile. At
+    M = 512 with 128-row tiles this divides the VPU dequant work by 4,
+    attacking the VPU/MXU serialization that caps the serialized kernel
+    at ~52% of MXU peak (KBENCH.md round-5 prefill). No K grid dimension
+    means the f32 output block is written exactly once per (n, m) step —
+    the first cut of this kernel (grid (n, k, m)) measured SLOWER than
+    the baseline (18.0 vs 13.8 ms on the 8B pp512 chain) because the
+    revisited output block round-tripped through HBM every K step.
+
+    w_scr: [pack, K, tnp] bf16 scratch, persistent across grid steps."""
+    mm = pl.program_id(1)
+    kdim, tnp = qs_ref.shape
+    tg_c = 512 // group   # dequant sub-chunk: 512 K rows at a time
+
+    @pl.when(mm == 0)
+    def _():
+        for c in range(kdim // 512):
+            qc32 = None
+            rows = slice(c * 512, (c + 1) * 512)
+            if kind != "int8":
+                qc32 = qs_ref[rows, :].astype(jnp.int32)
+            for h in range(pack):
+                q = qs_ref[rows, :].astype(jnp.int32) if kind == "int8" \
+                    else _unpack(qc32, kind, h)
+                s = scale_ref[h, c * tg_c:(c + 1) * tg_c, :]
+                if kind in ("u4lut", "u2lut"):
+                    qf = jnp.zeros(q.shape, jnp.float32)
+                    for i in range(n_lut):
+                        qf = jnp.where(q == i, lut_ref[0, i], qf)
+                    s_exp = jnp.broadcast_to(
+                        s.astype(jnp.float32)[:, None, :],
+                        (tg_c, group, tnp)).reshape(512, tnp)
+                    w_scr[h, rows, :] = (qf * s_exp).astype(jnp.bfloat16)
+                else:
+                    # direct int->bf16 convert + bf16 scale mul
+                    # (bit-identical to the f32 pipeline — see
+                    # _qmm_t_kernel variant 'bf16')
+                    s_exp = jnp.broadcast_to(
+                        s[:, None, :], (tg_c, group, tnp)).reshape(512,
+                                                                   tnp)
+                    w_scr[h, rows, :] = q.astype(jnp.bfloat16) * s_exp
+
+    x = x_ref[...]
+    xsum = None
+    if member_ref is not None:
+        xsum = jax.lax.dot_general(x, member_ref[...],
+                                   (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+    accs = []
+    for h in range(pack):
+        acc = jax.lax.dot_general(x, w_scr[h],
+                                  (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        if min_ref is not None:
+            acc = acc - jax.lax.dot_general(
+                xsum, min_ref[h].astype(jnp.float32),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        accs.append(acc)
+    o_ref[...] = jnp.stack(accs, axis=1)
+
+
+def _qmm_t_cache_dispatch(x_ref, *rest, kind, group, pack, n_lut,
+                          has_min, has_lut, has_member):
+    refs = list(rest)
+    i = 0
+    qs_ref = refs[i]; i += 1
+    scale_ref = refs[i]; i += 1
+    min_ref = refs[i] if has_min else None
+    i += has_min
+    lut_ref = refs[i] if has_lut else None
+    i += has_lut
+    member_ref = refs[i] if has_member else None
+    i += has_member
+    o_ref = refs[i]
+    w_scr = refs[i + 1]
+    _qmm_t_cache_kernel(x_ref, qs_ref, scale_ref, min_ref, lut_ref,
+                        member_ref, o_ref, w_scr, kind=kind, group=group,
+                        pack=pack, n_lut=n_lut)
 
 
 def _qmm_t_dispatch(x_ref, *rest, kind, group, pack, n_lut,
@@ -271,10 +411,20 @@ def _qmm_t_call(x, qs, scale, min_, lut, *, kind, group, pack, n_lut,
         tile_n //= 2
     while npk % tile_n:
         tile_n //= 2
-    grid = (m // tile_m, npk // tile_n, k // tile_k)
 
     has_min = min_ is not None
     has_member = has_min
+    if variant == "cache":
+        if m // min(tile_m, 128) <= 1 or k > 4096 or k % 512:
+            # nothing to reuse across row tiles, or the full-K weight
+            # strip would blow VMEM (ffn_down's K = n_ff)
+            variant = "bf16"
+        else:
+            return _qmm_t_cache_call(
+                x, qs, scale, min_, lut, kind=kind, group=group,
+                pack=pack, n_lut=n_lut, tile_m=tile_m, tile_n=tile_n,
+                interpret=interpret)
+    grid = (m // tile_m, npk // tile_n, k // tile_k)
     in_specs = [
         pl.BlockSpec((tile_m, tile_k), lambda mm, n, kk: (mm, kk),
                      memory_space=pltpu.VMEM),
@@ -331,6 +481,74 @@ def _qmm_t_call(x, qs, scale, min_, lut, *, kind, group, pack, n_lut,
         ),
     )(*args)
     return out
+
+
+def _qmm_t_cache_call(x, qs, scale, min_, lut, *, kind, group, pack,
+                      n_lut, tile_m, tile_n, interpret):
+    """pallas_call for the weight-strip-cached kernel: grid (n, m) with
+    the FULL K axis in-block, m innermost, bf16 weight scratch
+    persistent across the m loop (caller guarantees K <= 4096 and
+    K % 512 == 0)."""
+    m, k = x.shape
+    npk = qs.shape[1]
+    tg = k // group
+    tile_m = min(tile_m, 128)   # more row tiles = more scratch reuse
+    # VMEM at K=4096/tn=256/pack=2: scratch 4M + x 2M + qs strip 2M +
+    # int32 chunk 0.5M + scale/min/member/out ~2M ~= 10.5M of the 16M
+    # scoped limit
+    tile_n = min(tile_n, 256 if pack > 1 else 512)
+    while npk % tile_n:
+        tile_n //= 2
+    grid = (npk // tile_n, m // tile_m)
+    has_min = min_ is not None
+    in_specs = [
+        pl.BlockSpec((tile_m, k), lambda n, mm: (mm, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, tile_n), lambda n, mm: (0, n),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((pack, tg, tile_n), lambda n, mm: (0, 0, n),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x.astype(jnp.bfloat16), qs, scale]
+    if has_min:
+        in_specs.append(pl.BlockSpec((pack, tg, tile_n),
+                                     lambda n, mm: (0, 0, n),
+                                     memory_space=pltpu.VMEM))
+        args.append(min_)
+    if lut is not None:
+        in_specs.append(pl.BlockSpec((1, n_lut),
+                                     lambda n, mm: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(lut.reshape(1, n_lut))
+    if has_min:
+        kidx = jax.lax.broadcasted_iota(jnp.int32, (k, tg), 0)
+        gidx = jax.lax.broadcasted_iota(jnp.int32, (k, tg), 1)
+        member = (kidx // group == gidx).astype(jnp.bfloat16)
+        in_specs.append(pl.BlockSpec((k, tg), lambda n, mm: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(member)
+    kernel = functools.partial(
+        _qmm_t_cache_dispatch, kind=kind, group=group, pack=pack,
+        n_lut=n_lut, has_min=has_min, has_lut=lut is not None,
+        has_member=has_min)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile_m, pack, tile_n),
+                               lambda n, mm: (mm, 0, n),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, pack, npk), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((pack, k, tile_n), jnp.bfloat16)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * npk * pack,
+            bytes_accessed=qs.size + m * k * 2 + m * npk * pack * 4,
+            transcendentals=0,
+        ),
+    )(*args)
 
 
 def _pad_to(x: jax.Array, mult: int, axis: int) -> jax.Array:

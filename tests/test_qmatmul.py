@@ -144,3 +144,35 @@ def test_qgather_rows_layout():
     ids = jnp.asarray([0, 3, 255, 17])
     got = np.asarray(qmatmul.qgather(ids, qt, dtype=jnp.float32))
     assert nmse(w[np.asarray(ids)], got) < 1e-9
+
+
+@pytest.mark.parametrize("qtype", [GGMLType.Q4_K, GGMLType.Q8_0],
+                         ids=lambda t: t.name)
+def test_pallas_pipe_variant_matches_golden(qtype):
+    """variant='pipe' (sub-chunked K with interleaved dequant/dot
+    emission for VPU/MXU overlap) must be numerically equivalent to the
+    default kernel — same bf16 dequant products, same f32 accumulation
+    order within each chunk."""
+    qt, _ = make_qtensor(qtype)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((17, K), dtype=np.float32)
+    golden = x @ repack.dequantize_qtensor_np(qt).T
+    y = qmatmul.qmm(jnp.asarray(x), qt, interpret=True, variant="pipe")
+    assert y.shape == (17, N)
+    assert nmse(golden, y) < 5e-5, f"nmse {nmse(golden, y)}"
+
+
+@pytest.mark.parametrize("qtype", [GGMLType.Q4_K, GGMLType.Q8_0],
+                         ids=lambda t: t.name)
+def test_pallas_cache_variant_matches_golden(qtype):
+    """variant='cache' (m-innermost grid, weight tile dequantized once
+    into VMEM scratch and reused across row tiles) must match the
+    default kernel numerically. m=520 spans multiple row tiles so the
+    scratch-reuse path actually engages."""
+    qt, _ = make_qtensor(qtype)
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((520, K), dtype=np.float32)
+    golden = x @ repack.dequantize_qtensor_np(qt).T
+    y = qmatmul.qmm(jnp.asarray(x), qt, interpret=True, variant="cache")
+    assert y.shape == (520, N)
+    assert nmse(golden, y) < 5e-5, f"nmse {nmse(golden, y)}"

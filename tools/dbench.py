@@ -429,6 +429,11 @@ def main():
             mk_q4k, lambda x, qt: qmm(x, qt, tile_n=TILE_N, variant="f32")),
         "qmm_bf16": lambda: build_chain(
             mk_q4k, lambda x, qt: qmm(x, qt, tile_n=TILE_N, variant="bf16")),
+        "qmm_pipe": lambda: build_chain(
+            mk_q4k, lambda x, qt: qmm(x, qt, tile_n=TILE_N, variant="pipe")),
+        "qmm_cache": lambda: build_chain(
+            mk_q4k, lambda x, qt: qmm(x, qt, tile_n=TILE_N,
+                                      variant="cache")),
         "qmm_nomin": lambda: build_chain(
             mk_q40, lambda x, qt: qmm(x, qt, tile_n=TILE_N)),
         "qmm_xla": lambda: build_chain(mk_q4k, qmm_xla),
