@@ -338,38 +338,58 @@ def _layer_step(ly: Rwkv6Layer, shift_a, shift_f, S, x, *,
     return x, xa, xf, S
 
 
+def token_chain(weights_t, state, tok, *, hp: Rwkv6HParams):
+    """One token through all layers. state = (shift_a [L, C],
+    shift_f [L, C], wkv [L, H, D, D]). Returns (hidden [C], state') —
+    the LM head is head() (applied once per prefill; batched in the
+    scheduler's decode, runtime/recurrent.py)."""
+    tok_embd, tnw, tnb, onw, onb, out_w, layers = weights_t
+    sa, sf, S = state
+    x = tok_embd[tok]
+    if tnw is not None:
+        x = _ln(x, tnw, tnb, hp.ln_eps)
+    new_a, new_f, new_s = [], [], []
+    for li, ly in enumerate(layers):
+        resc = not hp.qrwkv and hp.rescale_every > 0 and \
+            (li + 1) % hp.rescale_every == 0
+        x, a1, f1, S1 = _layer_step(ly, sa[li], sf[li], S[li], x,
+                                    hp=hp, rescale=resc)
+        new_a.append(a1)
+        new_f.append(f1)
+        new_s.append(S1)
+    return x, (jnp.stack(new_a), jnp.stack(new_f), jnp.stack(new_s))
+
+
+def head(weights_t, x, *, hp: Rwkv6HParams):
+    """Final norm + LM head over hidden x [..., C] -> [..., V]."""
+    _, _, _, onw, onb, out_w, _ = weights_t
+    if hp.qrwkv:
+        xn = x * jax.lax.rsqrt(
+            jnp.mean(x * x, axis=-1, keepdims=True) + hp.ln_eps) * onw
+    else:
+        xn = _ln(x, onw, onb, hp.ln_eps)
+    return xn @ out_w.T
+
+
+def zero_state(hp: Rwkv6HParams):
+    """Per-sequence zero recurrent state (the shapes the scheduler's
+    state pool stacks over rows)."""
+    H, D = hp.n_head, hp.head_size
+    return (jnp.zeros((hp.n_layer, hp.n_embd), jnp.float32),
+            jnp.zeros((hp.n_layer, hp.n_embd), jnp.float32),
+            jnp.zeros((hp.n_layer, H, D, D), jnp.float32))
+
+
 @functools.partial(jax.jit, static_argnames=("hp",))
 def _forward_tokens(weights_t, states, tokens, *, hp: Rwkv6HParams):
-    """tokens [T] -> (logits [T, V], states'). states = (shift_a [L, C],
-    shift_f [L, C], wkv [L, H, D, D]). One lax.scan over T."""
-    tok_embd, tnw, tnb, onw, onb, out_w, layers = weights_t
-    sa0, sf0, S0 = states
+    """tokens [T] -> (logits [T, V], states'). One lax.scan over T."""
 
     def step(carry, tok):
-        sa, sf, S = carry
-        x = tok_embd[tok]
-        if tnw is not None:
-            x = _ln(x, tnw, tnb, hp.ln_eps)
-        new_a, new_f, new_s = [], [], []
-        for li, ly in enumerate(layers):
-            resc = not hp.qrwkv and hp.rescale_every > 0 and \
-                (li + 1) % hp.rescale_every == 0
-            x, a1, f1, S1 = _layer_step(ly, sa[li], sf[li], S[li], x,
-                                        hp=hp, rescale=resc)
-            new_a.append(a1)
-            new_f.append(f1)
-            new_s.append(S1)
-        if hp.qrwkv:
-            xn = x * jax.lax.rsqrt(
-                jnp.mean(x * x, axis=-1, keepdims=True) + hp.ln_eps) * onw
-        else:
-            xn = _ln(x, onw, onb, hp.ln_eps)
-        logits = out_w @ xn
-        return (jnp.stack(new_a), jnp.stack(new_f),
-                jnp.stack(new_s)), logits
+        x, carry = token_chain(weights_t, carry, tok, hp=hp)
+        return carry, head(weights_t, x, hp=hp)
 
-    (sa1, sf1, S1), logits = jax.lax.scan(step, (sa0, sf0, S0), tokens)
-    return logits, (sa1, sf1, S1)
+    states, logits = jax.lax.scan(step, states, tokens)
+    return logits, states
 
 
 class Rwkv6Context:

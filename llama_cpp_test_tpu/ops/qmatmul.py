@@ -291,13 +291,14 @@ def _qmm_t_cache_kernel(x_ref, qs_ref, scale_ref, min_ref, lut_ref,
     w_scr: [pack, K, tnp] bf16 scratch, persistent across grid steps."""
     mm = pl.program_id(1)
     kdim, tnp = qs_ref.shape
-    tg_c = 512 // group   # dequant sub-chunk: 512 K rows at a time
+    CH = 256              # dequant sub-chunk: bounds the int32 intermediate
+    tg_c = CH // group
 
     @pl.when(mm == 0)
     def _():
-        for c in range(kdim // 512):
+        for c in range(kdim // CH):
             qc32 = None
-            rows = slice(c * 512, (c + 1) * 512)
+            rows = slice(c * CH, (c + 1) * CH)
             if kind != "int8":
                 qc32 = qs_ref[rows, :].astype(jnp.int32)
             for h in range(pack):
@@ -310,31 +311,31 @@ def _qmm_t_cache_kernel(x_ref, qs_ref, scale_ref, min_ref, lut_ref,
                         qf = jnp.where(q == i, lut_ref[0, i], qf)
                     s_exp = jnp.broadcast_to(
                         s.astype(jnp.float32)[:, None, :],
-                        (tg_c, group, tnp)).reshape(512, tnp)
+                        (tg_c, group, tnp)).reshape(CH, tnp)
                     w_scr[h, rows, :] = (qf * s_exp).astype(jnp.bfloat16)
                 else:
                     # direct int->bf16 convert + bf16 scale mul
                     # (bit-identical to the f32 pipeline — see
                     # _qmm_t_kernel variant 'bf16')
                     s_exp = jnp.broadcast_to(
-                        s[:, None, :], (tg_c, group, tnp)).reshape(512,
+                        s[:, None, :], (tg_c, group, tnp)).reshape(CH,
                                                                    tnp)
                     w_scr[h, rows, :] = q.astype(jnp.bfloat16) * s_exp
 
     x = x_ref[...]
-    xsum = None
-    if member_ref is not None:
-        xsum = jax.lax.dot_general(x, member_ref[...],
-                                   (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
     accs = []
     for h in range(pack):
         acc = jax.lax.dot_general(x, w_scr[h],
                                   (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         if min_ref is not None:
+            # xsum_ref: per-group activation sums PRECOMPUTED in XLA
+            # (member_ref carries them here — K = 4096 means tg = 128,
+            # so the [tm, tg] block is lane-legal, unlike the general
+            # kernel's arbitrary tg; an in-kernel segment-reduce reshape
+            # was tried and is a Mosaic "unsupported shape cast")
             acc = acc - jax.lax.dot_general(
-                xsum, min_ref[h].astype(jnp.float32),
+                member_ref[...], min_ref[h].astype(jnp.float32),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         accs.append(acc)
@@ -415,9 +416,12 @@ def _qmm_t_call(x, qs, scale, min_, lut, *, kind, group, pack, n_lut,
     has_min = min_ is not None
     has_member = has_min
     if variant == "cache":
-        if m // min(tile_m, 128) <= 1 or k > 4096 or k % 512:
-            # nothing to reuse across row tiles, or the full-K weight
-            # strip would blow VMEM (ffn_down's K = n_ff)
+        if m // min(tile_m, 128) <= 1 or k > 4096 or k % 512 or \
+                (min_ is not None and (k // group) % 128 != 0
+                 and not interpret):
+            # nothing to reuse across row tiles, the full-K weight strip
+            # would blow VMEM (ffn_down's K = n_ff), or the precomputed
+            # xsum block's lane dim (K/group) isn't 128-aligned
             variant = "bf16"
         else:
             return _qmm_t_cache_call(
@@ -492,11 +496,14 @@ def _qmm_t_cache_call(x, qs, scale, min_, lut, *, kind, group, pack,
     m, k = x.shape
     npk = qs.shape[1]
     tg = k // group
-    tile_m = min(tile_m, 128)   # more row tiles = more scratch reuse
-    # VMEM at K=4096/tn=256/pack=2: scratch 4M + x 2M + qs strip 2M +
-    # int32 chunk 0.5M + scale/min/member/out ~2M ~= 10.5M of the 16M
-    # scoped limit
-    tile_n = min(tile_n, 256 if pack > 1 else 512)
+    # narrow n tiles multiply the x streaming traffic (x refetches once
+    # per n strip: measured 15.3 ms at tn=256 vs the 13.8 baseline at
+    # tn=512), so keep tn=512 and shrink the row tile instead — more row
+    # tiles also means more scratch reuse. VMEM at K=4096/tn=512/pack=2:
+    # scratch 8M + qs strip 4M (2 buf) + x 1M + int32 chunk 1M +
+    # scale/min/out/member ~1.5M ~= 15.5M of the 16M scoped limit
+    tile_m = min(tile_m, 64)
+    tile_n = min(tile_n, 512)
     while npk % tile_n:
         tile_n //= 2
     grid = (npk // tile_n, m // tile_m)
@@ -521,12 +528,12 @@ def _qmm_t_cache_call(x, qs, scale, min_, lut, *, kind, group, pack,
                                      memory_space=pltpu.VMEM))
         args.append(lut.reshape(1, n_lut))
     if has_min:
-        kidx = jax.lax.broadcasted_iota(jnp.int32, (k, tg), 0)
-        gidx = jax.lax.broadcasted_iota(jnp.int32, (k, tg), 1)
-        member = (kidx // group == gidx).astype(jnp.bfloat16)
-        in_specs.append(pl.BlockSpec((k, tg), lambda n, mm: (0, 0),
+        # per-group activation sums [m, tg] f32, computed in XLA (cheap
+        # m*K reduce); rides the member slot of the dispatch
+        xs = jnp.sum(x.astype(jnp.float32).reshape(m, tg, group), axis=-1)
+        in_specs.append(pl.BlockSpec((tile_m, tg), lambda n, mm: (mm, 0),
                                      memory_space=pltpu.VMEM))
-        args.append(member)
+        args.append(xs)
     kernel = functools.partial(
         _qmm_t_cache_dispatch, kind=kind, group=group, pack=pack,
         n_lut=n_lut, has_min=has_min, has_lut=lut is not None,

@@ -43,65 +43,107 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import typing
+
 from ..models.mamba import MambaHParams, MambaModel, _layer_ws, _mixer_step
 from ..ops import layers
 from .engine import TOKEN_BUCKETS, _bucket
 
 
-def _chain(layer_ws, tok_embd, conv, ssm, tok, hp):
-    """One token through all mixers. conv [L, di, K-1], ssm [L, di, N].
-    Returns (hidden [C], conv', ssm') — the LM head is applied by the
-    caller (once per prefill; batched in decode)."""
+class RecurrentArch(typing.NamedTuple):
+    """Static (hashable) recipe binding a recurrent model family to the
+    pooled scheduler context: a per-token chain over all layers and the
+    final-norm + LM head. Functions are module-level so the NamedTuple
+    hashes stably as a jit static argument."""
+    chain: typing.Callable    # (wt, state_tuple, tok, hp) -> (x, state')
+    head: typing.Callable     # (wt, x [..., C], hp) -> logits [..., V]
+
+
+# -- mamba ------------------------------------------------------------------
+
+def _mamba_chain(wt, state, tok, hp):
+    """conv [L, di, K-1], ssm [L, di, N] -> (hidden [C], state')."""
+    tok_embd, out_norm, out_w, layer_ws = wt
+    conv, ssm = state
     x = tok_embd[tok]
     new_conv, new_ssm = [], []
     for li, ws in enumerate(layer_ws):
         x, c1, s1 = _mixer_step(ws, conv[li], ssm[li], x, hp=hp)
         new_conv.append(c1)
         new_ssm.append(s1)
-    return x, jnp.stack(new_conv), jnp.stack(new_ssm)
+    return x, (jnp.stack(new_conv), jnp.stack(new_ssm))
 
 
-@functools.partial(jax.jit, static_argnames=("hp",), donate_argnums=(1,))
-def _rec_prefill(wt, pool, sid, tokens, n_valid, *, hp: MambaHParams):
+def _mamba_head(wt, x, hp):
+    tok_embd, out_norm, out_w, layer_ws = wt
+    xn = layers.rms_norm(x[..., None, :], out_norm, hp.rms_eps)[..., 0, :]
+    return xn @ out_w.T
+
+
+def _rwkv6_chain(wt, state, tok, hp):
+    from ..models import rwkv6
+    return rwkv6.token_chain(wt, state, tok, hp=hp)
+
+
+def _rwkv6_head(wt, x, hp):
+    from ..models import rwkv6
+    return rwkv6.head(wt, x, hp=hp)
+
+
+def _rwkv7_chain(wt, state, tok, hp):
+    from ..models import rwkv7
+    return rwkv7.token_chain(wt, state, tok, hp=hp)
+
+
+def _rwkv7_head(wt, x, hp):
+    from ..models import rwkv7
+    return rwkv7.head(wt, x, hp=hp)
+
+
+MAMBA_ARCH = RecurrentArch(_mamba_chain, _mamba_head)
+RWKV6_ARCH = RecurrentArch(_rwkv6_chain, _rwkv6_head)
+RWKV7_ARCH = RecurrentArch(_rwkv7_chain, _rwkv7_head)
+
+
+@functools.partial(jax.jit, static_argnames=("arch", "hp"),
+                   donate_argnums=(1,))
+def _rec_prefill(wt, pool, sid, tokens, n_valid, *, arch: RecurrentArch,
+                 hp):
     """tokens [Tb] (bucket-padded) through pool row sid; steps at
     t >= n_valid keep the state unchanged. Returns (logits [V] of the
     last VALID position, pool')."""
-    tok_embd, out_norm, out_w, layer_ws = wt
-    conv_pool, ssm_pool = pool
-    conv0, ssm0 = conv_pool[sid], ssm_pool[sid]
+    state0 = tuple(p[sid] for p in pool)
+    n_embd = wt[0].shape[-1]
 
     def step(carry, inp):
-        conv, ssm, last_x = carry
+        state, last_x = carry
         tok, t = inp
-        x, c1, s1 = _chain(layer_ws, tok_embd, conv, ssm, tok, hp)
+        x, state1 = arch.chain(wt, state, tok, hp)
         upd = t < n_valid
-        return (jnp.where(upd, c1, conv), jnp.where(upd, s1, ssm),
-                jnp.where(upd, x, last_x)), None
+        state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(upd, a, b), state1, state)
+        return (state, jnp.where(upd, x, last_x)), None
 
-    init = (conv0, ssm0, jnp.zeros((hp.n_embd,), jnp.float32))
-    (conv, ssm, x), _ = jax.lax.scan(
+    init = (state0, jnp.zeros((n_embd,), jnp.float32))
+    (state, x), _ = jax.lax.scan(
         step, init, (tokens, jnp.arange(tokens.shape[0], dtype=jnp.int32)))
-    xn = layers.rms_norm(x[None, None, :], out_norm, hp.rms_eps)[0, 0]
-    logits = out_w @ xn
-    return logits, (conv_pool.at[sid].set(conv), ssm_pool.at[sid].set(ssm))
+    logits = arch.head(wt, x, hp)
+    return logits, tuple(p.at[sid].set(s) for p, s in zip(pool, state))
 
 
-@functools.partial(jax.jit, static_argnames=("hp",), donate_argnums=(1,))
-def _rec_decode(wt, pool, sids, toks, *, hp: MambaHParams):
+@functools.partial(jax.jit, static_argnames=("arch", "hp"),
+                   donate_argnums=(1,))
+def _rec_decode(wt, pool, sids, toks, *, arch: RecurrentArch, hp):
     """Batched single-token step. sids/toks [Bb]; padded rows carry the
     scratch sid (row n_seq_max) so their scatter never clobbers a live
     sequence. Returns (logits [Bb, V], pool')."""
-    tok_embd, out_norm, out_w, layer_ws = wt
-    conv_pool, ssm_pool = pool
 
-    def one(conv, ssm, tok):
-        return _chain(layer_ws, tok_embd, conv, ssm, tok, hp)
+    def one(state, tok):
+        return arch.chain(wt, state, tok, hp)
 
-    x, conv1, ssm1 = jax.vmap(one)(conv_pool[sids], ssm_pool[sids], toks)
-    xn = layers.rms_norm(x[:, None, :], out_norm, hp.rms_eps)[:, 0]
-    logits = xn @ out_w.T                       # [Bb, V] on the MXU
-    return logits, (conv_pool.at[sids].set(conv1),
-                    ssm_pool.at[sids].set(ssm1))
+    x, state1 = jax.vmap(one)(tuple(p[sids] for p in pool), toks)
+    logits = arch.head(wt, x, hp)               # [Bb, V] on the MXU
+    return logits, tuple(p.at[sids].set(s) for p, s in zip(pool, state1))
 
 
 class _NullMgr:
@@ -140,7 +182,7 @@ class RecurrentContext:
     mesh = None
     mp = False
 
-    def __init__(self, model: MambaModel, n_ctx: int = 4096,
+    def __init__(self, model, n_ctx: int = 4096,
                  n_seq_max: int = 8, **_ignored):
         self.model = model
         self.n_ctx = n_ctx
@@ -149,20 +191,41 @@ class RecurrentContext:
         self.num_blocks = n_seq_max      # /metrics: state rows, not blocks
         self.mgrs = [_NullMgr()]
         hp = model.hp
-        self._wt = (
-            jnp.asarray(model.weights.tok_embd, jnp.float32),
-            jnp.asarray(model.weights.output_norm, jnp.float32),
-            jnp.asarray(model.weights.output, jnp.float32),
-            tuple(tuple(jnp.asarray(a, jnp.float32) for a in _layer_ws(ly))
-                  for ly in model.weights.layers),
-        )
         rows = n_seq_max + 1           # last row = decode-padding scratch
-        self.pool = (
-            jnp.zeros((rows, hp.n_layer, hp.d_inner, hp.d_conv - 1),
-                      jnp.float32),
-            jnp.zeros((rows, hp.n_layer, hp.d_inner, hp.d_state),
-                      jnp.float32),
-        )
+        if isinstance(model, MambaModel):
+            self.arch = MAMBA_ARCH
+            self._wt = (
+                jnp.asarray(model.weights.tok_embd, jnp.float32),
+                jnp.asarray(model.weights.output_norm, jnp.float32),
+                jnp.asarray(model.weights.output, jnp.float32),
+                tuple(tuple(jnp.asarray(a, jnp.float32)
+                            for a in _layer_ws(ly))
+                      for ly in model.weights.layers),
+            )
+            state0 = (
+                jnp.zeros((hp.n_layer, hp.d_inner, hp.d_conv - 1),
+                          jnp.float32),
+                jnp.zeros((hp.n_layer, hp.d_inner, hp.d_state),
+                          jnp.float32),
+            )
+        else:
+            # rwkv families: reuse the model Contexts' weight tuples +
+            # zero_state shapes (models/rwkv6.py, models/rwkv7.py)
+            from ..models.rwkv6 import Rwkv6Context, Rwkv6Model
+            from ..models.rwkv7 import Rwkv7Context, Rwkv7Model
+            if isinstance(model, Rwkv6Model):
+                self.arch = RWKV6_ARCH
+                self._wt = Rwkv6Context(model)._wt
+                from ..models.rwkv6 import zero_state
+            elif isinstance(model, Rwkv7Model):
+                self.arch = RWKV7_ARCH
+                self._wt = Rwkv7Context(model)._wt
+                from ..models.rwkv7 import zero_state
+            else:
+                raise TypeError(f"unsupported recurrent model {model!r}")
+            state0 = zero_state(hp)
+        self.pool = tuple(
+            jnp.zeros((rows,) + z.shape, z.dtype) for z in state0)
         self._free_rows = list(range(n_seq_max))
         self._next_id = 0
         self.seqs: dict[int, RecurrentSeq] = {}
@@ -173,8 +236,7 @@ class RecurrentContext:
         if not self._free_rows:
             raise RuntimeError("no free recurrent state rows")
         row = self._free_rows.pop()
-        conv, ssm = self.pool
-        self.pool = (conv.at[row].set(0.0), ssm.at[row].set(0.0))
+        self.pool = tuple(p.at[row].set(0.0) for p in self.pool)
         s = RecurrentSeq(self._next_id, row, [])
         self._next_id += 1
         self.seqs[s.seq_id] = s
@@ -200,7 +262,7 @@ class RecurrentContext:
         tok[:n] = tokens
         logits, self.pool = _rec_prefill(
             self._wt, self.pool, np.int32(s.row), tok, np.int32(n),
-            hp=self.model.hp)
+            arch=self.arch, hp=self.model.hp)
         s.tokens.extend(int(t) for t in tokens)
         s.n_cached += n
         return np.asarray(logits)
@@ -214,7 +276,7 @@ class RecurrentContext:
             sids[i] = s.row
             toks[i] = int(t)
         logits, self.pool = _rec_decode(self._wt, self.pool, sids, toks,
-                                        hp=self.model.hp)
+                                        arch=self.arch, hp=self.model.hp)
         for s, t in zip(seqs, tokens):
             s.tokens.append(int(t))
             s.n_cached += 1

@@ -136,20 +136,27 @@ class LlamaServer:
         from ..gguf.reader import open_gguf
 
         arch = open_gguf(model_path).metadata.get("general.architecture")
-        self.recurrent = arch == "mamba"
+        _RECURRENT = ("mamba", "rwkv6", "rwkv6qwen2", "rwkv7", "arwkv7")
+        self.recurrent = arch in _RECURRENT
         if self.recurrent:
-            # state-space model: recurrent state pool instead of paged KV
-            # (runtime/recurrent.py — the reference's recurrent-cache mode,
-            # llama-kv-cache.h:146, behind the same server endpoints)
+            # recurrent model (state-space / rwkv): recurrent state pool
+            # instead of paged KV (runtime/recurrent.py — the reference's
+            # recurrent-cache mode, llama-kv-cache.h:146, behind the same
+            # server endpoints)
             if mesh is not None or followers is not None:
                 raise ValueError("recurrent models run single-device")
             if draft_model_path or lora:
                 raise ValueError("draft models / LoRA are not supported "
                                  "for recurrent models")
-            from ..models.mamba import MambaModel
             from ..runtime.recurrent import RecurrentContext
 
-            self.model = MambaModel(model_path)
+            if arch == "mamba":
+                from ..models.mamba import MambaModel as _RecModel
+            elif arch in ("rwkv6", "rwkv6qwen2"):
+                from ..models.rwkv6 import Rwkv6Model as _RecModel
+            else:
+                from ..models.rwkv7 import Rwkv7Model as _RecModel
+            self.model = _RecModel(model_path)
             self.chat_template = chat_template
             self.alias = model_alias or model_path.rsplit("/", 1)[-1]
             ctx = RecurrentContext(self.model, n_ctx=n_ctx,

@@ -157,3 +157,94 @@ def test_server_serves_mamba(mamba_gguf):
     finally:
         srv.engine.stop()
         loop.close()
+
+
+# -- rwkv behind the same scheduler -----------------------------------------
+
+
+@pytest.fixture(scope="module")
+def rwkv6_model(tmp_path_factory):
+    from test_rwkv6 import _rwkv6_ws, _write_hf as _write_rwkv
+    from llama_cpp_test_tpu.models.rwkv6 import Rwkv6Model
+    from llama_cpp_test_tpu.tools.convert_hf import convert
+
+    tmp = tmp_path_factory.mktemp("rec6")
+    d = _write_rwkv(tmp, _rwkv6_ws(np.random.default_rng(83)))
+    out = str(tmp / "m.gguf")
+    convert(d, out, dtype="F32")
+    return Rwkv6Model(out)
+
+
+@pytest.fixture(scope="module")
+def rwkv7_model(tmp_path_factory):
+    from test_rwkv7 import _rwkv7_ws, _write_hf as _write_rwkv
+    from llama_cpp_test_tpu.models.rwkv7 import Rwkv7Model
+    from llama_cpp_test_tpu.tools.convert_hf import convert
+
+    tmp = tmp_path_factory.mktemp("rec7")
+    cfg = {
+        "architectures": ["Rwkv7ForCausalLM"],
+        "hidden_size": 64, "num_hidden_layers": 3, "head_size": 16,
+        "intermediate_size": 96, "vocab_size": 256,
+        "layer_norm_epsilon": 1e-5, "bos_token_id": 0, "eos_token_id": 0,
+    }
+    d = _write_rwkv(tmp, _rwkv7_ws(np.random.default_rng(85)), cfg)
+    out = str(tmp / "m.gguf")
+    convert(d, out, dtype="F32")
+    return Rwkv7Model(out)
+
+
+def test_rwkv6_sched_matches_single_seq(rwkv6_model):
+    """The SAME pooled scheduler serves rwkv6 (runtime/recurrent.py
+    RecurrentArch adapter): greedy == Rwkv6Context generate."""
+    from llama_cpp_test_tpu.models.rwkv6 import Rwkv6Context, generate
+    from llama_cpp_test_tpu.runtime.scheduler import GenRequest
+
+    prompt = [3, 17, 42, 9, 150, 7]
+    ref = list(generate(Rwkv6Context(rwkv6_model), prompt, 8))
+    sched = make_sched(rwkv6_model)
+    req = sched.submit(GenRequest(prompt, max_tokens=8, sampling=greedy(),
+                                  ignore_eos=True))
+    sched.run()
+    n = len(req.output_tokens)
+    assert n >= 4
+    assert req.output_tokens == ref[:n]
+
+
+def test_rwkv6_sched_concurrent_equals_solo(rwkv6_model):
+    """Two interleaved rwkv6 sequences produce the same tokens as each
+    alone (state-pool row isolation under batched decode)."""
+    from llama_cpp_test_tpu.runtime.scheduler import GenRequest
+
+    p1, p2 = [3, 17, 42], [200, 9, 88, 41]
+    solo = []
+    for p in (p1, p2):
+        sched = make_sched(rwkv6_model)
+        r = sched.submit(GenRequest(p, max_tokens=6, sampling=greedy(),
+                                    ignore_eos=True))
+        sched.run()
+        solo.append(r.output_tokens)
+    sched = make_sched(rwkv6_model)
+    r1 = sched.submit(GenRequest(p1, max_tokens=6, sampling=greedy(),
+                                 ignore_eos=True))
+    r2 = sched.submit(GenRequest(p2, max_tokens=6, sampling=greedy(),
+                                 ignore_eos=True))
+    sched.run()
+    assert r1.output_tokens == solo[0]
+    assert r2.output_tokens == solo[1]
+
+
+def test_rwkv7_sched_matches_single_seq(rwkv7_model):
+    """rwkv7 (per-token v_first threading) behind the pooled scheduler."""
+    from llama_cpp_test_tpu.models.rwkv7 import Rwkv7Context, generate
+    from llama_cpp_test_tpu.runtime.scheduler import GenRequest
+
+    prompt = [3, 17, 42, 9, 150, 7]
+    ref = list(generate(Rwkv7Context(rwkv7_model), prompt, 8))
+    sched = make_sched(rwkv7_model)
+    req = sched.submit(GenRequest(prompt, max_tokens=8, sampling=greedy(),
+                                  ignore_eos=True))
+    sched.run()
+    n = len(req.output_tokens)
+    assert n >= 4
+    assert req.output_tokens == ref[:n]
