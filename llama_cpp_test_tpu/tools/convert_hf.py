@@ -26,6 +26,11 @@ from ..gguf.writer import GGUFWriter
 
 ARCH_MAP = {
     "LlamaForCausalLM": "llama",
+    "LLaMAForCausalLM": "llama",     # legacy capitalization (reference
+    #                                  LlamaModel register list)
+    # InternLM3: llama graph + llama tensor names (reference
+    # InternLM3Model, model_arch LLAMA, convert_hf_to_gguf.py:2931)
+    "InternLM3ForCausalLM": "llama",
     "MistralForCausalLM": "llama",
     "MixtralForCausalLM": "llama",
     "Qwen2ForCausalLM": "qwen2",
@@ -49,6 +54,9 @@ ARCH_MAP = {
     "GemmaForCausalLM": "gemma",
     "Gemma2ForCausalLM": "gemma2",
     "Gemma3ForCausalLM": "gemma3",
+    # VL checkpoints: text side converted, vision tower skipped
+    # (reference Gemma3Model register list, convert_hf_to_gguf.py:3362)
+    "Gemma3ForConditionalGeneration": "gemma3",
     "GraniteForCausalLM": "granite",
     # granite multipliers + jetmoe-style FUSED expert planes split at
     # convert (reference GraniteMoeModel, convert_hf_to_gguf.py:5065)
@@ -81,6 +89,10 @@ ARCH_MAP = {
     "DeepseekV3ForCausalLM": "deepseek2",
     # embedding-class encoders (reference BertModel, convert_hf_to_gguf.py)
     "BertModel": "bert",
+    # nomic-bert: bert body with NEOX rope, bias-free fused Wqkv and a
+    # gated swiglu mlp (fc11 up / fc12 gate split of the HF fused plane
+    # handled per-name; reference NomicBertModel, convert_hf_to_gguf.py:3124)
+    "NomicBertModel": "nomic-bert",
     "BertForMaskedLM": "bert",
     "BertForSequenceClassification": "bert",
     # bert body + symmetric ALiBi + geglu (reference JinaBertV2Model,
@@ -128,6 +140,7 @@ ARCH_MAP = {
     "MPTForCausalLM": "mpt",
     # selective state-space (recurrent cache, models/mamba.py)
     "MambaForCausalLM": "mamba",
+    "MambaLMHeadModel": "mamba",     # state-spaces/mamba checkpoints
     # encoder-decoder family (reference T5Model / T5EncoderModel)
     "T5ForConditionalGeneration": "t5",
     "MT5ForConditionalGeneration": "t5",
@@ -730,6 +743,27 @@ BERT_LAYER_MAP = {
     "output.LayerNorm.bias": "layer_output_norm.bias",
 }
 
+# nomic-bert HF names (reference tensor_mapping nomic rows): encoder
+# layers with fused bias-free Wqkv, post-attn norm1 / post-mlp norm2,
+# swiglu mlp planes fc11 (up) / fc12 (gate) / fc2 (down)
+NOMIC_TOP_MAP = {
+    "embeddings.word_embeddings.weight": "token_embd.weight",
+    "embeddings.token_type_embeddings.weight": "token_types.weight",
+    "emb_ln.weight": "token_embd_norm.weight",
+    "emb_ln.bias": "token_embd_norm.bias",
+}
+NOMIC_LAYER_MAP = {
+    "attn.Wqkv.weight": "attn_qkv.weight",
+    "attn.out_proj.weight": "attn_output.weight",
+    "norm1.weight": "attn_output_norm.weight",
+    "norm1.bias": "attn_output_norm.bias",
+    "mlp.fc11.weight": "ffn_up.weight",
+    "mlp.fc12.weight": "ffn_gate.weight",
+    "mlp.fc2.weight": "ffn_down.weight",
+    "norm2.weight": "layer_output_norm.weight",
+    "norm2.bias": "layer_output_norm.bias",
+}
+
 # grok (reference GrokModel + tensor_mapping Grok rows): rms_norm_1/3
 # are POST-branch norms (the engine's gemma2 sandwich slots, remapped
 # at load); per-expert moe planes linear(gate)/linear_v(up)/
@@ -1189,6 +1223,15 @@ def map_name(name: str, arch: str = "llama") -> str | None:
             mapped = OPENELM_LAYER_MAP.get(suffix)
             return f"blk.{idx}.{mapped}" if mapped else None
         return None
+    if arch == "nomic-bert":
+        if name in NOMIC_TOP_MAP:
+            return NOMIC_TOP_MAP[name]
+        if name.startswith("encoder.layers."):
+            rest = name[len("encoder.layers."):]
+            idx, _, suffix = rest.partition(".")
+            mapped = NOMIC_LAYER_MAP.get(suffix)
+            return f"blk.{idx}.{mapped}" if mapped else None
+        return None
     if arch in ("bert", "jina-bert-v2"):
         if name.startswith("bert."):  # BertForMaskedLM prefix
             name = name[len("bert."):]
@@ -1436,7 +1479,8 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
         return _convert_rwkv6(path, out_path, cfg, arch, dtype)
     if arch in ("rwkv7", "arwkv7"):
         return _convert_rwkv7(path, out_path, cfg, arch, dtype)
-    if arch == "qwen2vl" and isinstance(cfg.get("text_config"), dict):
+    if arch in ("qwen2vl", "gemma3") and \
+            isinstance(cfg.get("text_config"), dict):
         # VL configs nest the language-model hparams (transformers >= 4.52)
         cfg = {**cfg, **cfg["text_config"]}
     if arch == "codeshell":
@@ -1482,7 +1526,8 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
                "num_hidden_layers": (cfg.get("num_hidden_layers")
                                      or cfg.get("n_layer", 12)),
                "max_position_embeddings": 2 ** 20,
-               "intermediate_size": cfg.get("intermediate_size", 2 * hs)}
+               "intermediate_size": (cfg.get("intermediate_size")
+                                     or cfg.get("d_inner") or 2 * hs)}
     if arch == "dbrx":
         # DbrxConfig nests ffn/attn hparams (reference DbrxModel
         # set_gguf_parameters, convert_hf_to_gguf.py:2020-2042)
@@ -1500,6 +1545,20 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
                "rope_theta": ac.get("rope_theta", 10000.0),
                "num_local_experts": fc.get("moe_num_experts", 16),
                "num_experts_per_tok": fc.get("moe_top_k", 4)}
+    if arch == "nomic-bert":
+        # NomicBertConfig: gpt2-style key names + rotary_emb_base; the
+        # config claims n_ctx 8192 but trains rope at 2048 (reference
+        # NomicBertModel.__init__ override)
+        cfg = {**cfg,
+               "num_attention_heads": cfg.get("n_head", 12),
+               "num_key_value_heads": cfg.get("n_head", 12),
+               "hidden_size": cfg.get("n_embd", 768),
+               "num_hidden_layers": cfg.get("n_layer", 12),
+               "max_position_embeddings": 2048,
+               "intermediate_size": (cfg.get("n_inner")
+                                     or 4 * cfg.get("n_embd", 768)),
+               "rope_theta": cfg.get("rotary_emb_base", 1000.0),
+               "rms_norm_eps": cfg.get("layer_norm_epsilon", 1e-12)}
     if arch == "qwen":
         # QWenConfig: rotary_emb_base + layer_norm_epsilon keys; MHA
         cfg = {**cfg,
@@ -1770,6 +1829,11 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
             "layer_norm_eps", 1e-12)
         del md[f"{arch}.attention.layer_norm_rms_epsilon"]
         md[f"{arch}.pooling_type"] = 2  # CLS
+    if arch == "nomic-bert":
+        md[f"{arch}.attention.layer_norm_epsilon"] = cfg.get(
+            "layer_norm_epsilon", 1e-12)
+        del md[f"{arch}.attention.layer_norm_rms_epsilon"]
+        md[f"{arch}.pooling_type"] = 1  # mean (nomic embed models)
     if arch in ("gpt2", "starcoder", "bloom", "mpt"):
         md[f"{arch}.attention.layer_norm_epsilon"] = cfg.get(
             "layer_norm_epsilon", 1e-5)
@@ -1777,13 +1841,18 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
     if arch == "bloom":
         md[f"{arch}.attention.max_alibi_bias"] = 8.0
     if arch == "mamba":
-        # reference MambaModel set_gguf_parameters keys
+        # reference MambaModel set_gguf_parameters keys (find_hparam
+        # accepts both transformers and state-spaces/mamba names)
         hs = cfg["hidden_size"]
-        d_inner = cfg.get("intermediate_size") or 2 * hs
-        md[f"{arch}.ssm.conv_kernel"] = cfg.get("conv_kernel", 4)
+        d_inner = (cfg.get("intermediate_size") or cfg.get("d_inner")
+                   or 2 * hs)
+        md[f"{arch}.ssm.conv_kernel"] = (cfg.get("conv_kernel")
+                                         or cfg.get("d_conv", 4))
         md[f"{arch}.ssm.inner_size"] = d_inner
-        md[f"{arch}.ssm.state_size"] = cfg.get("state_size", 16)
+        md[f"{arch}.ssm.state_size"] = (cfg.get("state_size")
+                                        or cfg.get("d_state", 16))
         md[f"{arch}.ssm.time_step_rank"] = (cfg.get("time_step_rank")
+                                            or cfg.get("dt_rank")
                                             or -(hs // -16))
     if arch == "mpt":
         md[f"{arch}.attention.max_alibi_bias"] = float(
@@ -1972,6 +2041,16 @@ def convert(path: str, out_path: str, dtype: str = "F16") -> None:
                 n_visual_skipped += 1
                 continue
             if name.startswith("model.language_model."):
+                name = "model." + name[len("model.language_model."):]
+        if arch == "gemma3":
+            if name.startswith(("vision_tower.", "multi_modal_projector.",
+                                "model.vision_tower.",
+                                "model.multi_modal_projector.")):
+                n_visual_skipped += 1
+                continue
+            if name.startswith("language_model."):
+                name = name[len("language_model."):]
+            elif name.startswith("model.language_model."):
                 name = "model." + name[len("model.language_model."):]
         if arch == "chameleon" and name.startswith("model.vqmodel"):
             continue  # image tokenizer not converted (reference skip)
